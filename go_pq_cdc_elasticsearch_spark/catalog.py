@@ -1,0 +1,59 @@
+"""Testdata catalog: load the driver-generated parquet tables and register
+them as temp views so both the DataFrame API and spark.sql() can reach them.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark has no type
+        # for. Read it as long ns since epoch (runtime-settable conf — the
+        # hosting session need not preconfigure it) and floor-truncate to
+        # micros, identical to DuckDB's read-time ns->us conversion so
+        # oracle comparisons agree.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table lazily (parquet scans; nothing is read until
+    an action runs — Catalyst prunes columns / pushes filters per query)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register each table as a temp view named after the table."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,93 @@
+"""CDC envelope model.
+
+Reference: the ``Message`` struct (reference ``message.go:11-21``) carries
+op type, event time, table identity and old/new row images; the four
+constructors (``message.go:23-69``) normalize upstream insert/update/delete/
+snapshot formats into that one envelope; op predicates at ``message.go:80-83``.
+
+Spark-first design: the envelope is a fixed StructType; payloads are
+``map<string,string>`` with JSON-encoded values (the reference's
+``map[string]any`` analog) and an explicit ``seq`` column carrying the total
+order the Go stream gets implicitly from arrival order (LSN). Everything
+downstream (routing, handlers, dedup, apply) is pure column algebra so
+Catalyst can push filters below it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Op constants — reference message.go:71-78.
+INSERT = "INSERT"
+UPDATE = "UPDATE"
+DELETE = "DELETE"
+SNAPSHOT = "SNAPSHOT"
+
+OPS = (INSERT, UPDATE, DELETE, SNAPSHOT)
+
+PAYLOAD_TYPE = T.MapType(T.StringType(), T.StringType())
+
+# The engine's change-event envelope (FIXTURES.md §B).
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("event_time", T.TimestampType(), True),
+        T.StructField("table_schema", T.StringType(), True),
+        T.StructField("table_name", T.StringType(), True),
+        T.StructField("old_data", PAYLOAD_TYPE, True),
+        T.StructField("new_data", PAYLOAD_TYPE, True),
+    ]
+)
+
+
+# Predicates — reference message.go:80-83 (IsInsert/IsUpdate/IsDelete/IsSnapshot).
+def is_insert(col=F.col("op")):
+    return col == F.lit(INSERT)
+
+
+def is_update(col=F.col("op")):
+    return col == F.lit(UPDATE)
+
+
+def is_delete(col=F.col("op")):
+    return col == F.lit(DELETE)
+
+
+def is_snapshot(col=F.col("op")):
+    return col == F.lit(SNAPSHOT)
+
+
+def envelope_from_events(events: DataFrame, table: str = "public.events") -> DataFrame:
+    """Normalize the testdata ``events`` table into the CDC envelope.
+
+    ``events`` is the replayable change feed (FIXTURES.md): ``event_id`` is
+    the total order (seq/LSN), ``user_id`` the upsert key, ``event_type`` the
+    op, ``value``/``props`` the payload. Mirrors the reference's
+    NewInsertMessage/... normalization (message.go:23-69): INSERT/UPDATE/
+    SNAPSHOT carry new_data, DELETE carries old_data only (message.go:54).
+    """
+    schema_name, _, table_name = table.rpartition(".")
+    payload = F.create_map(
+        F.lit("id"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+        F.lit("props"), F.col("props"),
+    )
+    op = F.upper(F.col("event_type"))
+    return events.select(
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.col("ts").alias("event_time"),
+        F.lit(schema_name or "public").alias("table_schema"),
+        F.lit(table_name).alias("table_name"),
+        F.when(op == DELETE, payload).alias("old_data"),
+        F.when(op != DELETE, payload).alias("new_data"),
+    )
+
+
+def payload_field(df_col: str, field: str):
+    """Extract one field from a map payload column (R5 key extraction,
+    reference integration_test/connector_test.go:628-638)."""
+    return F.col(df_col).getItem(field)

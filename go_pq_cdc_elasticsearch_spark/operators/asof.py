@@ -1,0 +1,51 @@
+"""As-of join (latest right-side event at or before each left-side time).
+
+Spark has no native as-of join (SURVEY.md Q-S8). The scalable formulation
+avoids a range join entirely: union-tag both sides, sort within each key by
+(time, side) and carry the last right-side value forward with a window —
+ONE hash shuffle on the key, no cross product, no broadcast requirement.
+This survives 100× scale-up: cost is a shuffle + per-partition sort, the
+same as any keyed window.
+
+(The alternative — join on key with ``r.ts <= l.ts`` then max — is a range
+join that degenerates to per-key cross products on hot keys; only sane when
+one side is tiny.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    out_col: str = "asof_ts",
+) -> DataFrame:
+    """Attach to each left row the greatest ``right_ts`` with
+    ``right_ts <= left_ts`` among right rows sharing the join keys
+    (inclusive as-of backward join). Right rows sort before left rows at
+    equal timestamps so ties are included.
+    """
+    on = list(on)
+    l_tag = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r_tag = right.select(
+        *on, F.col(right_ts).alias("__t"), F.lit(0).alias("__side")
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        out_col,
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__t", "__side")

@@ -1,0 +1,116 @@
+"""Table -> index routing (reference R6, ``connector.go:174-249``).
+
+Resolution order (reference ``resolveTableToIndexName``):
+1. exact match on ``schema.table`` in the mapping;
+2. TimescaleDB hypertable: a chunk table resolves to its hypertable parent
+   (``connector.go:184-189`` via timescaledb.HyperTables) — modeled here as
+   an explicit ``hypertable_parents`` dict;
+3. ``_``-split partition-parent prefix probe (``connector.go:233-249``):
+   for table ``a_b_2024_01`` probe ``a_b_2024``, ``a_b``, ``a`` until a
+   mapping entry hits;
+4. miss => unroutable; the event is dropped (with ack) —
+   ``connector.go:147-152``.
+
+Spark-first: the mapping is tiny (config-sized), so resolution is a pure
+Python function applied to the *distinct* table names (driver-side, memoized
+like the reference's sync.Map cache at connector.go:201-227) and joined back
+as a broadcast map — the per-row work is a map lookup column expression, no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from itertools import chain
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IndexRouter:
+    def __init__(
+        self,
+        table_index_mapping: dict[str, str],
+        hypertable_parents: dict[str, str] | None = None,
+    ):
+        """``table_index_mapping`` keys are ``schema.table`` (reference
+        config.Config.TableIndexMapping, config/config.go:13)."""
+        self.mapping = dict(table_index_mapping)
+        self.hypertable_parents = dict(hypertable_parents or {})
+        self._resolve_cached = lru_cache(maxsize=4096)(self._resolve)
+
+    def resolve(self, table_schema: str, table_name: str) -> str | None:
+        """Resolve one table to its target index, or None if unroutable."""
+        return self._resolve_cached(table_schema, table_name)
+
+    def _resolve(self, table_schema: str, table_name: str) -> str | None:
+        full = f"{table_schema}.{table_name}"
+        # 1. exact
+        if full in self.mapping:
+            return self.mapping[full]
+        # 2. hypertable chunk -> parent
+        parent = self.hypertable_parents.get(full) or self.hypertable_parents.get(
+            table_name
+        )
+        if parent is not None:
+            parent_full = parent if "." in parent else f"{table_schema}.{parent}"
+            if parent_full in self.mapping:
+                return self.mapping[parent_full]
+        # 3. partition-parent prefix probe (connector.go:233-249)
+        parts = table_name.split("_")
+        for cut in range(len(parts) - 1, 0, -1):
+            candidate = f"{table_schema}.{'_'.join(parts[:cut])}"
+            if candidate in self.mapping:
+                return self.mapping[candidate]
+        # 4. miss
+        return None
+
+    def route(
+        self,
+        df: DataFrame,
+        schema_col: str = "table_schema",
+        table_col: str = "table_name",
+        out_col: str = "index",
+        drop_unmapped: bool = True,
+    ) -> DataFrame:
+        """Attach the resolved index column; optionally drop unroutable rows
+        (the reference acks-and-drops them, connector.go:147-152).
+
+        The full resolution (exact + hypertable + prefix probe) runs
+        driver-side over config keys only; per row it is a literal map
+        lookup, so Catalyst keeps the filter pushable and the row path
+        JVM-only.
+        """
+        # Enumerate every table name the mapping can possibly resolve:
+        # mapping keys themselves plus hypertable chunk names we know about.
+        known = {}
+        for full in chain(self.mapping, self.hypertable_parents):
+            schema_name, _, name = full.rpartition(".")
+            resolved = self._resolve(schema_name or "public", name)
+            if resolved is not None:
+                known[f"{schema_name or 'public'}.{name}"] = resolved
+        # Unknown-at-config-time partition children (e.g. orders_2024_01)
+        # can't be pre-enumerated; handle them with a chain of prefix
+        # candidates evaluated as column expressions.
+        mapping_items = [x for kv in known.items() for x in kv]
+        map_col = F.create_map(*[F.lit(x) for x in mapping_items]) if mapping_items else None
+
+        full_col = F.concat_ws(".", F.col(schema_col), F.col(table_col))
+        if map_col is not None:
+            exact = map_col.getItem(full_col)
+            # prefix probe: strip trailing _-segments one at a time (bounded
+            # depth; config table names are short)
+            candidates = [exact]
+            probe = F.col(table_col)
+            for _ in range(4):
+                probe = F.regexp_replace(probe, "_[^_]+$", "")
+                candidates.append(
+                    map_col.getItem(F.concat_ws(".", F.col(schema_col), probe))
+                )
+            resolved = F.coalesce(*candidates)
+        else:
+            resolved = F.lit(None).cast("string")
+        out = df.withColumn(out_col, resolved)
+        if drop_unmapped:
+            out = out.filter(F.col(out_col).isNotNull())
+        return out

@@ -1,0 +1,16 @@
+"""Declared-query registry (SURVEY.md §2.2).
+
+Importing this package populates the registry with every implemented query:
+CDC-core (Q-C*), relational surface (Q-S*), streaming equivalence (Q-T*),
+and the LLM-pipeline extension (Q-L*).
+"""
+
+from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY, Query, query
+
+# Populate the registry (import order is unimportant; names are unique).
+from go_pq_cdc_elasticsearch_spark.sql import cdc_queries  # noqa: F401,E402
+from go_pq_cdc_elasticsearch_spark.sql import relational_queries  # noqa: F401,E402
+from go_pq_cdc_elasticsearch_spark.sql import llm_queries  # noqa: F401,E402
+from go_pq_cdc_elasticsearch_spark.sql import streaming_queries  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "Query", "query"]
