@@ -1,0 +1,104 @@
+"""Text-analysis column functions (LLM-pipeline extension, SURVEY.md §2.2).
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python in
+the row path. Each has an exact SQL twin so the DuckDB oracle can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately small, deterministic stopword list (shared with oracles).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish tokenizer regex: word pieces or single non-space symbols.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def normalize_text(col) -> Column:
+    """lower + trim + collapse internal whitespace (dedup normal form)."""
+    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+
+
+def words(col) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col)).cast("long")
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / single symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    w = words(col)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    return (n_stop.cast("double") / F.size(w)).alias("stopword_ratio")
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars."""
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))
+    return n_punct.cast("double") / F.length(col)
+
+
+def mean_word_len(col) -> Column:
+    w = words(col)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(w)
+
+
+def quality_score(col) -> Column:
+    """Deterministic heuristic quality score in [0,1]:
+    0.4 * length_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_presence.
+    length_score saturates at 200 words; stop_presence rewards a sane
+    stopword rate (natural text has some function words)."""
+    n_words = token_count_ws(col).cast("double")
+    length_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
+    stop_presence = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return (
+        0.4 * length_score + 0.3 * (1.0 - punct_ratio(col)) + 0.3 * stop_presence
+    )
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of the dedup normal form, first 16 hex chars
+    (content-defined, order-free, collision-negligible at corpus scale)."""
+    return F.substring(F.md5(normalize_text(col)), 1, 16)
+
+
+# Marker-word tables for the n-gram/marker language-ID heuristic. The
+# synthetic corpus draws from one vocabulary, so this exercises the plumbing
+# (argmax over per-language evidence scores) deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "es"),
+}
+
+
+def lang_id(col) -> Column:
+    """Deterministic language-ID: count marker-word hits per language over
+    the token array; argmax with fixed preference order on ties."""
+    w = words(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(-1).cast("long")
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(w, lambda x: F.array_contains(marks, x))).cast("long")
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang

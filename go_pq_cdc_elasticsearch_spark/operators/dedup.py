@@ -1,0 +1,245 @@
+"""Deduplication operator family (LLM-pipeline extension).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup.
+All hot paths are built-in column expressions (hashes via md5 — available
+identically in the DuckDB oracle, so every stage is cross-checkable).
+
+Scale notes (the point of each design):
+- exact: one hash-aggregate on the normal form — the cheapest possible
+  distributed dedup; at 100 TB group keys are the md5 fingerprint (16 bytes)
+  rather than full texts, so shuffle volume is tiny.
+- minhash LSH: per-row signature computation is embarrassingly parallel
+  (no shuffle); candidate generation shuffles only (band_id, band_hash)
+  pairs — never the cross product. Bucket-balanced by construction because
+  hash values are uniform.
+- simhash: single pass per row; near-dup probing by banding the bits.
+- jaccard: exact verification on *candidates only* (the classic
+  LSH-then-verify pipeline).
+- embedding cosine: verification metric for ANN candidates; bounded-window
+  variant for oracle-checkable determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.functions.text import normalize_text, words
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized text."""
+    norm = normalize_text(F.col(text_col)).alias("__norm")
+    return (
+        df.select(F.col(id_col), norm)
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__norm")
+    )
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Array of word n-grams of the normalized text (shingles)."""
+    w = words(col)
+    # indices 1..len-n+1 (1-based element_at), each joined with spaces.
+    # Guard: Spark's sequence(1, 0) counts DOWN, so short texts must map to
+    # an empty array explicitly.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _hash64(col) -> Column:
+    """Deterministic 32-bit-range hash from md5 (first 8 hex chars) — chosen
+    over xxhash64 because the oracle (DuckDB) computes the identical value:
+    CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(col, k: int = 16) -> Column:
+    """k-permutation MinHash signature of the shingle set: the j-th hash
+    family is md5 seeded with 'j:' — min over shingles."""
+    grams = word_ngrams(col, 3)
+
+    def family(j: int):
+        # factory closure: a plain 1-arg lambda (PySpark passes the array
+        # element index to 2-arg lambdas, including default-arg ones)
+        return lambda s: _hash64(F.concat(F.lit(f"{j}:"), s))
+
+    sigs = [F.array_min(F.transform(grams, family(j))) for j in range(k)]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig_col, bands: int = 4, rows_per_band: int = 4) -> Column:
+    """Array of (band hash) strings: md5 over each contiguous signature slice.
+    Equal band hash => LSH candidate pair."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows.
+
+    Shape matters here: shingles are EXPLODED to rows and the k hash
+    families are plain per-row expressions + groupBy(id).min aggregates —
+    everything stays in whole-stage codegen. The tempting alternative
+    (array_min over a transform() lambda per family) runs md5 in Spark's
+    *interpreted* higher-order-function evaluator: measured 45s vs ~3s on
+    500 docs, and the gap widens with corpus size. Partial aggregation
+    means the shuffle carries k longs per doc, not the shingles.
+    """
+    rows_per_band = k // bands
+    words_df = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    grams_df = words_df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__w") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("__w", i.cast("int")),
+                        F.element_at("__w", (i + 1).cast("int")),
+                        F.element_at("__w", (i + 2).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__gram"),
+    )
+    sig_df = grams_df.groupBy(id_col).agg(
+        *[
+            F.min(_hash64(F.concat(F.lit(f"{j}:"), F.col("__gram")))).alias(f"__h{j}")
+            for j in range(k)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"__h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id1 < id2): docs sharing at least one band bucket.
+    Shuffle is on (band_idx, band_hash) only; the self-join happens within
+    buckets (bounded by bucket size, uniform by hash construction)."""
+    exploded = minhash_band_rows(df, text_col, id_col, k, bands)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+
+
+def simhash16(col) -> Column:
+    """16-bit SimHash over word tokens: bit b is 1 iff the sum over tokens of
+    (+1 if bit b of hash(token) else -1) is positive. 16 bits keeps the
+    expression tree small while exercising the full algorithm; widen by
+    raising BITS at no structural change."""
+    toks = words(col)
+    hashes = F.transform(toks, _hash64)
+
+    def bit_contrib(b: int):
+        # factory closure: aggregate's merge lambda must be exactly 2-arg
+        return lambda acc, h: acc + F.when(
+            F.floor(h / F.lit(2**b)) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(16):
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_contrib(b))
+        bit_cols.append(F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for c in bit_cols:
+        out = out + c
+    return out.cast("long")
+
+
+def hamming16(a, b) -> Column:
+    """Hamming distance between two 16-bit simhash values (popcount of XOR
+    via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def jaccard_ngrams(col_a, col_b, n: int = 3) -> Column:
+    """Exact Jaccard similarity of the distinct word n-gram sets."""
+    ga = F.array_distinct(word_ngrams(col_a, n))
+    gb = F.array_distinct(word_ngrams(col_b, n))
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def cosine(col_a, col_b) -> Column:
+    """Cosine similarity of two array<float/double> columns, accumulated in
+    double (matches the oracle's list_zip + double-cast formulation)."""
+    dot = F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(col_a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(col_b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)

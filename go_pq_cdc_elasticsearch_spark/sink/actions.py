@@ -1,0 +1,59 @@
+"""Sink action model (reference ``elasticsearch/action.go``).
+
+An action is one keyed document operation: Index (upsert), Delete, or
+ScriptUpdate, with optional routing and per-action index override
+(``action.go:13-19``; constructors ``action.go:26-51``). In the engine an
+action is a row of the write-plan DataFrame with columns
+(action, doc_id, index, routing, source) — see FIXTURES.md §B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ActionType constants — reference elasticsearch/action.go:5-11.
+INDEX = "index"
+DELETE = "delete"
+SCRIPT_UPDATE = "script_update"
+
+ACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("index", T.StringType(), True),
+        T.StructField("routing", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def actions_from_envelope(
+    envelope: DataFrame,
+    id_field: str = "id",
+    delete_op: str = "DELETE",
+    index_col: str = "index",
+) -> DataFrame:
+    """Default handler: envelope -> write-plan actions.
+
+    Mirrors the reference's canonical simple handler
+    (example/simple/main.go:109-130): insert/update/snapshot -> Index action
+    with the (enriched) new image as the document; delete -> Delete action
+    keyed by the old image's id. Keeps ``seq`` for in-batch dedup ordering.
+    """
+    is_del = F.col("op") == F.lit(delete_op)
+    payload = F.when(is_del, F.col("old_data")).otherwise(F.col("new_data"))
+    enriched = F.map_concat(
+        F.col("new_data"), F.create_map(F.lit("operation"), F.col("op"))
+    )
+    return envelope.select(
+        F.col("seq"),
+        F.when(is_del, F.lit(DELETE)).otherwise(F.lit(INDEX)).alias("action"),
+        payload.getItem(id_field).alias("doc_id"),
+        F.col(index_col),
+        F.lit(None).cast("string").alias("routing"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.to_json(enriched))
+        .alias("source"),
+    ).filter(F.col("doc_id").isNotNull())

