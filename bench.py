@@ -1,0 +1,66 @@
+"""Benchmark: run the declared-query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ...}.
+
+Execution is forced with the noop sink (full plan runs, no driver-side
+row transfer skewing the numbers). Session startup is excluded (BASELINE.md
+measures sustained work, and the reference's connector startup is likewise
+excluded from its throughput envelope).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_pq_cdc_elasticsearch_spark.session import get_spark  # noqa: E402
+from go_pq_cdc_elasticsearch_spark.sql import REGISTRY  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the session: JVM JIT + parquet footer caches, one tiny action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0 if all(v >= 0 for v in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

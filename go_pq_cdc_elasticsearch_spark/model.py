@@ -44,20 +44,20 @@ ENVELOPE_SCHEMA = T.StructType(
 
 
 # Predicates — reference message.go:80-83 (IsInsert/IsUpdate/IsDelete/IsSnapshot).
-def is_insert(col=F.col("op")):
-    return col == F.lit(INSERT)
+def is_insert(col=None):
+    return (F.col("op") if col is None else col) == F.lit(INSERT)
 
 
-def is_update(col=F.col("op")):
-    return col == F.lit(UPDATE)
+def is_update(col=None):
+    return (F.col("op") if col is None else col) == F.lit(UPDATE)
 
 
-def is_delete(col=F.col("op")):
-    return col == F.lit(DELETE)
+def is_delete(col=None):
+    return (F.col("op") if col is None else col) == F.lit(DELETE)
 
 
-def is_snapshot(col=F.col("op")):
-    return col == F.lit(SNAPSHOT)
+def is_snapshot(col=None):
+    return (F.col("op") if col is None else col) == F.lit(SNAPSHOT)
 
 
 def envelope_from_events(events: DataFrame, table: str = "public.events") -> DataFrame:

@@ -212,9 +212,40 @@ def hamming16(a, b) -> Column:
 
 
 def jaccard_ngrams(col_a, col_b, n: int = 3) -> Column:
-    """Exact Jaccard similarity of the distinct word n-gram sets."""
+    """Exact Jaccard similarity of the distinct word n-gram sets (inline
+    form — fine for small/test data; for corpus-scale pairs use
+    doc_ngram_sets + jaccard_from_sets so grams are computed once per doc,
+    not re-derived per pair)."""
     ga = F.array_distinct(word_ngrams(col_a, n))
     gb = F.array_distinct(word_ngrams(col_b, n))
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def doc_ngram_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, grams) with grams = DISTINCT word n-grams — one pass per doc.
+    Staged so pair-level similarity never re-derives the text pipeline."""
+    words_df = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__w", (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return words_df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(F.size("__w") >= n, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("grams"),
+    )
+
+
+def jaccard_from_sets(ga, gb) -> Column:
+    """Jaccard from two precomputed distinct-gram array columns (codegen'd
+    set ops only — no text re-processing)."""
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = F.size(F.array_union(ga, gb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

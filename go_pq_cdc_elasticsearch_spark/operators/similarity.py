@@ -29,16 +29,52 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of corpus vectors per query vector (self-matches
-    excluded). Returns (qid, vec_id, sim, rank)."""
+    excluded). Returns (qid, vec_id, sim, rank).
+
+    Scale shape: the query set is small by contract — ship it to every
+    partition as a numpy matrix and score each corpus partition with one
+    vectorized matmul (Arrow-batched mapInPandas), keeping only the local
+    top-k per query under the SAME total order as the global selection
+    (sim desc, id asc — so the global top-k is provably a prefix of merged
+    local top-ks). The final window sees #partitions * |Q| * k rows, not
+    N * |Q|. This is the pattern that survives 100 TB; a per-pair cosine
+    expression (interpreted HOF) does not."""
+    import numpy as np
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
-    )
-    scored = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col(vec_col)))
-        .select("qid", id_col, "sim")
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / (norms[:, None] * qnorm[None, :])
+            frames = []
+            for qi, qid in enumerate(qids):
+                s = sims[:, qi]
+                mask = ids != qid
+                s_m, ids_m = s[mask], ids[mask]
+                if len(ids_m) == 0:
+                    continue
+                order = np.lexsort((ids_m, -s_m))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, id_col: ids_m[order], "sim": s_m[order]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"qid long, {id_col} long, sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -47,34 +83,42 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign(vec_col, plane: int) -> "F.Column":
-    """Sign bit of <v, h_plane> where h_plane has deterministic ±1 entries:
-    entry d = +1 iff md5('{plane},{d}') is odd. Computed as a single
-    aggregate over the array — no UDF, no stored plane matrix."""
-    proj = F.aggregate(
-        F.zip_with(
-            vec_col,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda d: F.when(
-                    _hash64(F.concat(F.lit(f"{plane},"), d.cast("string"))) % 2 == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, s: x.cast("double") * s,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def with_lsh_bucket(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach an n_planes-bit random-hyperplane signature (bucket key).
+
+    Hyperplane entries are deterministic ±1 from md5(plane, dim) — no RNG
+    state, reproducible on any engine. Shape: posexplode the vector to
+    (id, dim, x) rows, compute all plane contributions as plain codegen'd
+    column expressions, groupBy(id) with partial aggregation. The naive
+    per-array lambda form runs in Spark's interpreted HOF evaluator
+    (measured 29.5s -> ~2s on 5k x 64 vectors at sf0.1).
+    """
+    dims = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("__d", "__x")
     )
-    return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-
-
-def lsh_signature(vec_col, n_planes: int = 8) -> "F.Column":
-    """n_planes-bit random-hyperplane signature as a long (bucket key)."""
-    out = F.lit(0).cast("long")
+    sign = lambda p: F.when(  # noqa: E731
+        _hash64(F.concat(F.lit(f"{p},"), F.col("__d").cast("string"))) % 2 == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    proj = dims.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("__x").cast("double") * sign(p)).alias(f"__p{p}")
+            for p in range(n_planes)
+        ]
+    )
+    bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        out = out + hyperplane_sign(vec_col, p).cast("long") * F.lit(2**p)
-    return out
+        bucket = bucket + F.when(F.col(f"__p{p}") > 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    out = proj.select(F.col(id_col), bucket.alias(out_col))
+    return df.join(out, on=id_col)
 
 
 def lsh_topk(
@@ -82,21 +126,35 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    multi_probe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: bucket by hyperplane signature, exact re-rank in-bucket.
-    Returns (qid, vec_id, sim, rank). Recall < 1 by construction; the test
-    suite measures it against brute_force_topk."""
+
+    Multi-probe (default): each query additionally probes every bucket at
+    hamming distance 1 from its own signature (n_planes+1 probes) — the
+    standard recall boost that costs probe-count fan-out on the tiny query
+    side instead of more corpus replicas. Corpus rows are never duplicated,
+    so at 100 TB the scan/bucketing stays single-pass.
+
+    Returns (qid, vec_id, sim, rank). Recall < 1 by construction; measured
+    against brute_force_topk in the test suite."""
     from pyspark.sql import Window
 
-    sig = lsh_signature(F.col(vec_col), n_planes)
-    c = corpus.withColumn("bucket", sig)
-    q = queries.select(
+    c = with_lsh_bucket(corpus, id_col, vec_col, n_planes)
+    q = with_lsh_bucket(queries, id_col, vec_col, n_planes, out_col="__sig").select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
-        sig.alias("bucket"),
+        F.col("__sig"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("__sig"), *[F.col("__sig").bitwiseXOR(2**p) for p in range(n_planes)]
+        )
+        q = q.select("qid", "q_vec", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("qid", "q_vec", F.col("__sig").alias("bucket"))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col(id_col) != F.col("qid"))

@@ -186,13 +186,14 @@ def q_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(TX.words(F.col("text"))) >= 3
     )
-    a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("text1"))
-    b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("text2"))
+    grams = DD.doc_ngram_sets(docs)  # one text pass per doc, staged
+    a = grams.select(F.col("doc_id").alias("id1"), F.col("grams").alias("g1"))
+    b = grams.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2"))
     pairs = a.join(b, F.col("id2") == F.col("id1") + 1)
     return pairs.select(
         "id1",
         "id2",
-        F.round(DD.jaccard_ngrams(F.col("text1"), F.col("text2")), 6).alias("jac"),
+        F.round(DD.jaccard_from_sets(F.col("g1"), F.col("g2")), 6).alias("jac"),
     )
 
 

@@ -1,0 +1,154 @@
+"""NDJSON bulk framing parity (reference bulk/bulk.go:176-245,
+internal/bytes/escape.go) and flush/error contracts."""
+
+import json
+
+from go_pq_cdc_elasticsearch_spark.sink import es_bulk as EB
+
+
+def test_escape_doc_id():
+    # internal/bytes/escape_test.go cases
+    assert EB.escape_doc_id('a"b') == 'a\\"b'
+    assert EB.escape_doc_id("a\\b") == "a\\\\b"
+    assert EB.escape_doc_id("plain") == "plain"
+
+
+def test_index_action_framing():
+    lines = list(
+        EB.frame_actions(
+            [
+                {
+                    "action": "index",
+                    "doc_id": "42",
+                    "index": "users",
+                    "routing": None,
+                    "source": '{"name":"x"}',
+                }
+            ]
+        )
+    )
+    assert json.loads(lines[0]) == {"index": {"_id": "42", "_index": "users"}}
+    assert lines[1] == '{"name":"x"}'
+
+
+def test_delete_action_framing_no_body():
+    lines = list(
+        EB.frame_actions(
+            [{"action": "delete", "doc_id": "7", "index": "users", "routing": "r1"}]
+        )
+    )
+    assert len(lines) == 1
+    assert json.loads(lines[0]) == {
+        "delete": {"_id": "7", "_index": "users", "routing": "r1"}
+    }
+
+
+def test_script_update_framing_scripted_upsert():
+    # reference bulk/bulk.go:230-239: update + scripted_upsert:true
+    script = {"source": "ctx._source.v += params.d", "params": {"d": 1}}
+    lines = list(
+        EB.frame_actions(
+            [
+                {
+                    "action": "script_update",
+                    "doc_id": "9",
+                    "index": "prod",
+                    "routing": None,
+                    "source": json.dumps(script),
+                }
+            ]
+        )
+    )
+    assert json.loads(lines[0]) == {"update": {"_id": "9", "_index": "prod"}}
+    body = json.loads(lines[1])
+    assert body["scripted_upsert"] is True
+    assert body["script"] == script
+
+
+def test_type_name_gate():
+    # _type emitted only when a type name is provided (ES<7 compat,
+    # bulk/bulk.go:194-206)
+    line = EB.action_meta_line("index", "1", "idx", None, "_doc")
+    assert json.loads(line)["index"]["_type"] == "_doc"
+    line = EB.action_meta_line("index", "1", "idx")
+    assert "_type" not in json.loads(line)["index"]
+
+
+def _mk(n):
+    return [
+        {
+            "action": "index",
+            "doc_id": str(i),
+            "index": "t",
+            "routing": None,
+            "source": '{"v":' + str(i) + "}",
+        }
+        for i in range(n)
+    ]
+
+
+def test_count_flush_trigger():
+    payloads = list(EB.bulk_payloads(_mk(2500), batch_size_limit=1000))
+    assert len(payloads) == 3
+    # each action = 2 lines
+    assert payloads[0].count(b"\n") == 2000
+    assert payloads[2].count(b"\n") == 1000
+
+
+def test_byte_flush_trigger():
+    payloads = list(
+        EB.bulk_payloads(_mk(100), batch_size_limit=10**6, batch_byte_size_limit=500)
+    )
+    assert len(payloads) > 1
+    assert all(len(p) < 700 for p in payloads)  # limit + one action overshoot
+
+
+def test_write_bulk_records_requests(spark):
+    import tempfile, os, glob
+    rec_dir = tempfile.mkdtemp(prefix="bulk_rec_")
+
+    def transport(payload: bytes) -> str:
+        # executor-side recorder (local mode shares the FS); fully
+        # self-contained so cloudpickle doesn't reference the test module
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(rec_dir, f"{abs(hash(payload))}.ndjson"), "wb") as f:
+            f.write(payload)
+        items = []
+        for line in payload.decode().splitlines():
+            d = _json.loads(line)
+            for verb in ("index", "delete", "update"):
+                if verb in d and "_id" in d[verb]:
+                    items.append({verb: {"_id": d[verb]["_id"], "_index": d[verb]["_index"], "status": 200}})
+        return _json.dumps({"errors": False, "items": items})
+
+    df = spark.createDataFrame(
+        [("index", str(i), "t", None, '{"v":1}') for i in range(50)],
+        "action string, doc_id string, index string, routing string, source string",
+    )
+    EB.write_bulk(df, transport, concurrent_requests=4)
+    written = glob.glob(os.path.join(rec_dir, "*.ndjson"))
+    total_lines = sum(open(p, "rb").read().count(b"\n") for p in written)
+    assert total_lines == 100  # 50 actions x 2 lines
+
+
+def test_write_bulk_error_contract(spark):
+    def bad_transport(payload: bytes) -> str:
+        import json as _json
+
+        return _json.dumps(
+            {"errors": True, "items": [{"index": {"_id": "1", "_index": "t", "status": 500, "error": {"reason": "boom"}}}]}
+        )
+
+    df = spark.createDataFrame(
+        [("index", "1", "t", None, "{}")],
+        "action string, doc_id string, index string, routing string, source string",
+    )
+    # no handler => fail the batch (reference panics before ack)
+    import pytest
+
+    with pytest.raises(Exception, match="bulk request had"):
+        EB.write_bulk(df, bad_transport, on_error="fail")
+    # handler mode => continue
+    EB.write_bulk(df, bad_transport, on_error="continue")

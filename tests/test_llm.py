@@ -1,0 +1,119 @@
+"""LLM-pipeline operators: planted near-duplicates are found; ANN recall
+against the exact baseline; text functions match a pure-Python model."""
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.functions import text as TX
+from go_pq_cdc_elasticsearch_spark.operators import dedup as DD
+from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden of the old house"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near-dup of 1
+        (4, "completely different text about spark query engines and shuffles "
+            "partitions joins aggregations windows and columnar storage formats"),
+        (5, "  The   QUICK brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden of the old house  "),
+        # normalization dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    out = DD.exact_dedup(_docs(spark)).collect()
+    reps = {r["doc_id"]: r["n_copies"] for r in out}
+    assert reps[1] == 3  # docs 1, 2, 5 collapse
+    assert reps[3] == 1 and reps[4] == 1
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in DD.minhash_lsh_candidates(_docs(spark), k=16, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 5) in pairs  # normalization dup
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_separates_dup_from_unrelated(spark):
+    d = _docs(spark)
+    a = d.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    out = {
+        (r["id1"], r["id2"]): r["jac"]
+        for r in pairs.select(
+            "id1", "id2", DD.jaccard_ngrams(F.col("t1"), F.col("t2")).alias("jac")
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 5)] == 1.0  # whitespace/case normalize
+    assert 0.5 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_hamming(spark):
+    d = _docs(spark).select("doc_id", DD.simhash16(F.col("text")).alias("h"))
+    h = {r["doc_id"]: r["h"] for r in d.collect()}
+    assert h[1] == h[2] == h[5]
+    assert bin(h[1] ^ h[3]).count("1") <= 4  # near-dup: small hamming dist
+    assert bin(h[1] ^ h[4]).count("1") >= 4  # unrelated: larger
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    approx = SIM.lsh_topk(emb, queries, k=5, n_planes=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 4 planes + multi-probe over random vectors; recall is partial by design
+    assert sum(recalls) / len(recalls) >= 0.25
+    # and the approx sims must be genuine cosines: subset check on one query
+    ex = {(r["qid"], r["vec_id"]): round(r["sim"], 9) for r in exact.collect()}
+    ap = {(r["qid"], r["vec_id"]): round(r["sim"], 9) for r in approx.collect()}
+    common = set(ex) & set(ap)
+    assert common and all(ex[kv] == ap[kv] for kv in common)
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[ids < 3]
+    sims = q @ mat.T / (
+        np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+    )
+    expected = {}
+    for qi, qid in enumerate(ids[ids < 3]):
+        order = [
+            (ids[j], sims[qi, j]) for j in np.argsort(-sims[qi]) if ids[j] != qid
+        ][:5]
+        expected[qid] = [int(v) for v, _ in order]
+    got = {}
+    out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    for r in sorted(out.collect(), key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    assert got == expected

@@ -1,0 +1,45 @@
+"""Materialized-view MERGE semantics: last-write-wins by seq, tombstone
+retention (no resurrection by stale replays), tail flush."""
+
+import os
+import tempfile
+
+from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double"
+    )
+
+
+def test_merge_sequence(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 10.0), (2, "insert", 2, 20.0)]))
+    mv.merge_batch(_batch(spark, [(3, "update", 1, 11.0), (4, "delete", 2, None)]))
+    state = {r["user_id"]: (r["event_type"], r["value"]) for r in mv.read().collect()}
+    assert state == {1: ("update", 11.0)}
+
+    # stale replay of an OLD upsert for the deleted key must NOT resurrect it
+    mv.merge_batch(_batch(spark, [(2, "insert", 2, 20.0)]))
+    assert {r["user_id"] for r in mv.read().collect()} == {1}
+
+    # a genuinely NEWER insert does resurrect
+    mv.merge_batch(_batch(spark, [(9, "insert", 2, 29.0)]))
+    state = {r["user_id"]: r["value"] for r in mv.read().collect()}
+    assert state == {1: 11.0, 2: 29.0}
+
+
+def test_in_batch_dedup_before_apply(spark):
+    # reference order: dedup happens BEFORE the bulk write (bulk/bulk.go:141)
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(
+        _batch(
+            spark,
+            [(1, "insert", 1, 1.0), (2, "update", 1, 2.0), (3, "update", 1, 3.0)],
+        )
+    )
+    rows = mv.read().collect()
+    assert len(rows) == 1 and rows[0]["value"] == 3.0

@@ -1,0 +1,66 @@
+"""Table->index routing (reference connector.go:174-249) — Q-C8."""
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+
+MAPPING = {
+    "public.users": "users-idx",
+    "public.orders": "orders-idx",
+    "metrics.cpu": "cpu-idx",
+}
+
+
+def router():
+    return IndexRouter(
+        MAPPING,
+        hypertable_parents={"_hyper_1_2_chunk": "public.cpu_metrics"},
+    )
+
+
+def test_exact_match():
+    assert router().resolve("public", "users") == "users-idx"
+
+
+def test_partition_parent_prefix_probe():
+    # a_b_2024_01 -> probe a_b_2024, a_b, a (connector.go:233-249)
+    r = IndexRouter({"public.orders_eu": "eu-idx", "public.orders": "orders-idx"})
+    assert r.resolve("public", "orders_eu_2024_01") == "eu-idx"
+    assert r.resolve("public", "orders_2024") == "orders-idx"
+    assert r.resolve("public", "orders") == "orders-idx"
+
+
+def test_hypertable_parent():
+    r = IndexRouter(
+        {"public.cpu_metrics": "cpu-idx"},
+        hypertable_parents={"_hyper_1_2_chunk": "cpu_metrics"},
+    )
+    assert r.resolve("public", "_hyper_1_2_chunk") == "cpu-idx"
+
+
+def test_unmapped_returns_none():
+    assert router().resolve("public", "unknown_table") is None
+
+
+def test_route_column_path(spark):
+    df = spark.createDataFrame(
+        [
+            ("public", "users", 1),
+            ("public", "orders_2024_05", 2),
+            ("public", "nope", 3),
+            ("metrics", "cpu", 4),
+        ],
+        "table_schema string, table_name string, v int",
+    )
+    out = router().route(df).select("v", "index").collect()
+    got = {r["v"]: r["index"] for r in out}
+    # unmapped row 3 dropped (reference acks-and-drops, connector.go:147-152)
+    assert got == {1: "users-idx", 2: "orders-idx", 4: "cpu-idx"}
+
+
+def test_route_keep_unmapped(spark):
+    df = spark.createDataFrame(
+        [("public", "nope", 1)], "table_schema string, table_name string, v int"
+    )
+    out = router().route(df, drop_unmapped=False).collect()
+    assert out[0]["index"] is None

@@ -1,0 +1,65 @@
+"""Text functions vs a pure-Python model."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.functions import text as TX
+
+SAMPLES = [
+    "The quick, brown fox! It jumps over 2 lazy dogs.",
+    "  spaced   out    text  ",
+    "nopunct plain words here",
+    "a the of and to in is it",
+]
+
+
+def _py_norm(s):
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i long, t string")
+    out = {
+        r["i"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "i",
+            TX.token_count_ws(F.col("t")).alias("ws"),
+            TX.token_count_bpe(F.col("t")).alias("bpe"),
+        ).collect()
+    }
+    for i, s in enumerate(SAMPLES):
+        assert out[i][0] == len(_py_norm(s).split(" "))
+        assert out[i][1] == len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", s))
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, " hello world "), (3, "other")], "i long, t string"
+    )
+    fps = {r["i"]: r["fp"] for r in df.select("i", TX.fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    assert fps[1] == hashlib.md5(b"hello world").hexdigest()[:16]
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    good = "the cat sat on the mat and it is a good day in the park " * 10
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(1, good), (2, bad)], "i long, t string")
+    q = {r["i"]: r["q"] for r in df.select("i", TX.quality_score(F.col("t")).alias("q")).collect()}
+    assert 0.0 <= q[2] < q[1] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is here"),
+            (2, "der hund und die katze ist hier und der mann"),
+            (3, "le chien et la maison est grande et le chat"),
+            (4, "el perro y los gatos es grande y el sol"),
+        ],
+        "i long, t string",
+    )
+    out = {r["i"]: r["l"] for r in df.select("i", TX.lang_id(F.col("t")).alias("l")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es"}
