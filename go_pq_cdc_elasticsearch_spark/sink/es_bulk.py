@@ -152,3 +152,42 @@ def write_bulk(
                 raise RuntimeError(f"bulk request had {len(errs)} item errors: {errs[:3]}")
 
     actions.foreachPartition(run_partition)
+
+
+def write_bulk_with_dlq(
+    actions: DataFrame,
+    transport: Callable[[bytes], str],
+    batch_size_limit: int = DEFAULT_BATCH_SIZE_LIMIT,
+    batch_byte_size_limit: int = DEFAULT_BATCH_BYTE_SIZE_LIMIT,
+) -> DataFrame:
+    """Response-handler mode (reference R13): execute the write plan and
+    RETURN the per-item failures as a DataFrame — the dead-letter queue.
+    Mirrors handleResponse (bulk/bulk.go:392-411): items keyed by
+    (_id, _index), successes acked, errors dispatched instead of panicking.
+    The caller persists the result to its DLQ table."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            failures = []
+            for payload in bulk_payloads(rows, batch_size_limit, batch_byte_size_limit):
+                body = transport(payload)
+                _, errs = parse_bulk_response(body)
+                for e in errs:
+                    failures.append(
+                        {
+                            "doc_id": e["_id"],
+                            "index": e["_index"],
+                            "status": int(e["status"] or 0),
+                            "error": str(e["error"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                failures, columns=["doc_id", "index", "status", "error"]
+            )
+
+    return actions.mapInPandas(
+        run, schema="doc_id string, index string, status int, error string"
+    )

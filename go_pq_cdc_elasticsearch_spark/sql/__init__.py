@@ -12,5 +12,6 @@ from go_pq_cdc_elasticsearch_spark.sql import cdc_queries  # noqa: F401,E402
 from go_pq_cdc_elasticsearch_spark.sql import relational_queries  # noqa: F401,E402
 from go_pq_cdc_elasticsearch_spark.sql import llm_queries  # noqa: F401,E402
 from go_pq_cdc_elasticsearch_spark.sql import streaming_queries  # noqa: F401,E402
+from go_pq_cdc_elasticsearch_spark.sql import coverage_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,306 @@
+"""Additional coverage queries: routing parity (Q-C8), the full
+envelope->route->handler pipeline (Q-C11), and relational surface
+extensions (pivot, cube, multi-distinct, percentiles, conditional aggs,
+null handling, set/cross joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark import model
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
+from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+from go_pq_cdc_elasticsearch_spark.sql.registry import query
+
+ROUTING_CASES = [
+    ("public", "users", "users-idx"),
+    ("public", "users_2024", "users-idx"),
+    ("public", "users_2024_01", "users-idx"),
+    ("public", "orders_eu_2024", "eu-idx"),
+    ("metrics", "cpu", "cpu-idx"),
+    ("public", "unmapped_table", None),
+]
+
+_ROUTING_MAPPING = {
+    "public.users": "users-idx",
+    "public.orders_eu": "eu-idx",
+    "metrics.cpu": "cpu-idx",
+}
+
+
+@query(
+    "q_c8_routing",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('public', 'users', 'users-idx'),
+            ('public', 'users_2024', 'users-idx'),
+            ('public', 'users_2024_01', 'users-idx'),
+            ('public', 'orders_eu_2024', 'eu-idx'),
+            ('metrics', 'cpu', 'cpu-idx')
+        ) AS t(table_schema, table_name, idx)
+    """,
+    doc="Routing resolution (reference connector.go:174-249): exact match, "
+    "partition-parent prefix probe, unmapped-drop. Fixed input table, "
+    "expected output enumerated — the engine must drop the unmapped row.",
+)
+def q_c8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    router = IndexRouter(_ROUTING_MAPPING)
+    df = spark.createDataFrame(
+        [(s, t) for s, t, _ in ROUTING_CASES],
+        "table_schema string, table_name string",
+    )
+    return router.route(df, out_col="idx")
+
+
+@query(
+    "q_c11_pipeline_actions",
+    oracle="""
+        SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS action,
+               'events-idx' AS idx,
+               count(*) AS n
+        FROM events GROUP BY action, idx
+    """,
+    doc="Full CDC pipeline (R2 envelope -> R6 route -> R3 handler -> write "
+    "plan): action counts per (action, index). 'error' plays DELETE.",
+)
+def q_c11_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    env = model.envelope_from_events(events, table="public.events")
+    env = env.withColumn(
+        "op",
+        F.when(F.col("op") == "ERROR", model.DELETE).otherwise(model.INSERT),
+    )
+    env = env.withColumn(
+        "old_data", F.when(model.is_delete(), F.coalesce("old_data", "new_data"))
+    ).withColumn(
+        "new_data", F.when(~model.is_delete(), F.coalesce("new_data", "old_data"))
+    )
+    routed = IndexRouter({"public.events": "events-idx"}).route(env)
+    actions = simple_handler(routed)
+    return (
+        actions.groupBy(F.col("action"), F.col("index").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_s23_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE) AS qty_O,
+               CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE) AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation over a categorical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@query(
+    "q_s24_having",
+    oracle="""
+        SELECT o_custkey, count(*) AS n
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q_s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 12)
+    )
+
+
+@query(
+    "q_s25_union_all",
+    oracle="""
+        SELECT count(*) AS n FROM (
+            SELECT c_custkey AS k FROM customer
+            UNION ALL
+            SELECT o_custkey AS k FROM orders)
+    """,
+)
+def q_s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.unionAll(o).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_s26_percentile",
+    oracle="""
+        SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+        FROM orders
+    """,
+)
+def q_s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation).
+    The approximate variant (percentile_approx / GK sketch) is the scale
+    path — see q_s26_approx."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@query("q_s26_approx_percentile", oracle=None)
+def q_s26b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles (the 100 TB path; rel-err bounded by the
+    accuracy parameter, checked rows-only)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )
+
+
+@query(
+    "q_s27_in_subquery",
+    oracle="""
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def q_s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated to a semi-join by Catalyst)."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """
+    )
+
+
+@query(
+    "q_s28_cube",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_s28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE multi-level aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_s29_multi_distinct",
+    oracle="""
+        SELECT count(DISTINCT l_partkey) AS d_parts,
+               count(DISTINCT l_suppkey) AS d_supps,
+               count(DISTINCT l_orderkey) AS d_orders,
+               count(*) AS n
+        FROM lineitem
+    """,
+)
+def q_s29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one pass (Expand-based plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_s30_cross_join",
+    oracle="""
+        SELECT r_name, count(*) AS n
+        FROM region CROSS JOIN nation GROUP BY r_name
+    """,
+)
+def q_s30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (small dims)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_s31_null_handling",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n,
+               sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_first,
+               round(sum(coalesce(prev, 0.0)), 6) AS prev_sum
+        FROM (
+            SELECT user_id,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events)
+        GROUP BY user_id
+    """,
+)
+def q_s31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: lag-produced nulls through coalesce / IS NULL."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev", F.lag("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("n_first"),
+            F.round(F.sum(F.coalesce("prev", F.lit(0.0))), 6).alias("prev_sum"),
+        )
+    )
+
+
+@query(
+    "q_s32_conditional_agg",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+               CAST(sum(CAST(CASE WHEN l_tax > 0.05 THEN l_extendedprice ELSE 0 END
+                             AS DECIMAL(30,10))) AS DOUBLE) AS taxed_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_s32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER / CASE inside aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.count_if(F.col("l_discount") == 0).alias("n_nodisc"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.05, F.col("l_extendedprice"))
+            .otherwise(0)
+            .cast("decimal(30,10)")
+        )
+        .cast("double")
+        .alias("taxed_price"),
+    )

@@ -57,6 +57,34 @@ def run_cdc_stream(
     return view
 
 
+def initial_load(
+    spark: SparkSession,
+    snapshot_df,
+    staged_dir: str,
+    view_path: str,
+    checkpoint_dir: str,
+    **kwargs,
+) -> MaterializedView:
+    """Reference ``initial`` mode (README.md:36-47; proven by
+    integration_test/snapshot_test.go:25-193): take a consistent snapshot
+    first, then start CDC from the captured point with no gap.
+
+    Spark mapping: the snapshot batch is merged into the view directly
+    (chunked batch read == U1), then the stream replays from its first
+    offset — the seq-resolved merge makes the handoff gap-free even if the
+    stream re-delivers rows the snapshot already covered (same at-least-once
+    + idempotent-apply contract as recovery)."""
+    view = MaterializedView(spark, view_path, **kwargs)
+    view.merge_batch(snapshot_df)
+    return run_cdc_stream(
+        spark,
+        staged_dir=staged_dir,
+        view_path=view_path,
+        checkpoint_dir=checkpoint_dir,
+        **kwargs,
+    )
+
+
 def replay_events_to_view(
     spark: SparkSession, sf_dir: str, n_files: int = 4, **kwargs
 ) -> MaterializedView:

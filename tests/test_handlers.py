@@ -1,0 +1,105 @@
+"""Handler presets and the python_handler escape hatch (reference R3-R5)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark import handlers as H
+from go_pq_cdc_elasticsearch_spark import model
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+
+
+def _envelope(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").limit(200)
+    env = model.envelope_from_events(events)
+    # op mapping for handler tests: error plays DELETE, purchase plays UPDATE
+    op = (
+        F.when(F.col("op") == "ERROR", model.DELETE)
+        .when(F.col("op") == "PURCHASE", model.UPDATE)
+        .otherwise(model.INSERT)
+    )
+    env = env.withColumn("op", op)
+    env = env.withColumn(
+        "old_data", F.when(model.is_delete(), F.coalesce("old_data", "new_data"))
+    ).withColumn("new_data", F.when(~model.is_delete(), F.coalesce("new_data", "old_data")))
+    return env.withColumn("index", F.lit("events-idx"))
+
+
+def test_simple_handler_ops(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    acts = H.simple_handler(env)
+    by_action = {
+        r["action"]: r["n"]
+        for r in acts.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_del = env.filter(model.is_delete()).count()
+    n_all = env.count()
+    assert by_action.get("delete", 0) == n_del
+    assert by_action.get("index", 0) == n_all - n_del
+    one = acts.filter(F.col("action") == "index").first()
+    assert json.loads(one["source"])["operation"] in (model.INSERT, model.UPDATE)
+
+
+def test_snapshot_handler_filters(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    acts = H.snapshot_handler(env)
+    n_ins = env.filter(model.is_insert() | model.is_snapshot()).count()
+    assert acts.count() == n_ins
+    assert acts.filter(F.col("action") == "delete").count() == 0
+
+
+def test_script_update_handler(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    acts = H.script_update_handler(env)
+    rows = acts.collect()
+    assert rows and all(r["action"] == "script_update" for r in rows)
+    body = json.loads(rows[0]["source"])
+    assert "params" in body and "delta" in body["params"]
+    assert body["source"].startswith("ctx._source")
+
+
+def test_python_handler_parity_with_declarative(spark, sf_dir):
+    env = _envelope(spark, sf_dir).select(
+        "seq", "op", "old_data", "new_data", "index"
+    )
+
+    def user_fn(msg):
+        # the reference's simple handler, in user-space python
+        if msg["op"] == "DELETE":
+            return [
+                {
+                    "action": "delete",
+                    "doc_id": msg["old_data"]["id"],
+                    "index": msg["index"],
+                }
+            ]
+        doc = dict(msg["new_data"])
+        doc["operation"] = msg["op"]
+        return [
+            {
+                "action": "index",
+                "doc_id": msg["new_data"]["id"],
+                "index": msg["index"],
+                "source": doc,
+            }
+        ]
+
+    got = {
+        (r["seq"], r["action"], r["doc_id"], r["index"])
+        for r in H.python_handler(user_fn)(env).collect()
+    }
+    want = {
+        (r["seq"], r["action"], r["doc_id"], r["index"])
+        for r in H.simple_handler(env).collect()
+    }
+    assert got == want
+
+
+def test_python_handler_empty_result_filters(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    only_deletes = H.python_handler(
+        lambda m: []
+        if m["op"] != "DELETE"
+        else [{"action": "delete", "doc_id": m["old_data"]["id"], "index": m["index"]}]
+    )(env.select("seq", "op", "old_data", "new_data", "index"))
+    assert only_deletes.count() == env.filter(model.is_delete()).count()

@@ -1,0 +1,87 @@
+"""Metrics observation (R15), DLQ (R13), multimodal plumbing."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.metrics import observed_actions
+from go_pq_cdc_elasticsearch_spark.operators import multimodal as MM
+from go_pq_cdc_elasticsearch_spark.sink.es_bulk import write_bulk_with_dlq
+
+
+def test_observed_counters(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    df, obs = observed_actions(events, delete_op="error")
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    n = events.count()
+    n_err = events.filter(F.col("event_type") == "error").count()
+    assert got["actions_total"] == n
+    assert got["delete_total"] == n_err
+    assert got["index_total"] == n - n_err
+
+
+def test_dlq_collects_failures(spark):
+    df = spark.createDataFrame(
+        [("index", str(i), "t", None, "{}") for i in range(20)],
+        "action string, doc_id string, index string, routing string, source string",
+    )
+
+    def flaky_transport(payload: bytes) -> str:
+        import json as _json
+
+        items = []
+        for line in payload.decode().splitlines():
+            d = _json.loads(line)
+            if "index" in d and "_id" in d["index"]:
+                _id = d["index"]["_id"]
+                if int(_id) % 5 == 0:  # every 5th doc fails
+                    items.append({"index": {"_id": _id, "_index": "t", "status": 429,
+                                            "error": {"reason": "rejected"}}})
+                else:
+                    items.append({"index": {"_id": _id, "_index": "t", "status": 200}})
+        return _json.dumps({"errors": True, "items": items})
+
+    failures = write_bulk_with_dlq(df, flaky_transport).collect()
+    assert {r["doc_id"] for r in failures} == {"0", "5", "10", "15"}
+    assert all(r["status"] == 429 for r in failures)
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = MM.synthetic_media(docs)
+    f1 = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    f2 = {r["media_id"]: r["features"] for r in MM.extract_features(media.repartition(7)).collect()}
+    assert f1 == f2  # partitioning-invariant
+    assert all(len(v) == MM.FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_multimodal_stub_gate(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = MM.synthetic_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        MM.extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sampling_expansion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = MM.synthetic_media(docs, kind="video")
+    frames = MM.sample_frames(media, every_n_bytes=64).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    lens = {r["media_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    for mid, rows in by_media.items():
+        expected = -(-int(lens[mid]) // 64)
+        assert len(rows) == expected
+        assert sorted(r["frame_idx"] for r in rows) == list(range(expected))
+
+
+def test_resize_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = MM.resize_images(MM.synthetic_media(docs), 224, 224).collect()
+    assert all(r["meta"]["resized"] == "224x224" for r in out)

@@ -1,0 +1,79 @@
+"""Physical-plan audits: the optimizations the engine's scale story relies
+on must actually appear in the plans (predicate/projection pushdown to
+parquet, broadcast joins for dims, partial aggregation, no Python in
+declarative paths)."""
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.sql import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = REGISTRY["q_s2_filter_project_topk"].spark(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = REGISTRY["q_s2_filter_project_topk"].spark(spark, SF)
+    plan = _plan(df)
+    # scan must read only the needed columns, not all 11
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in readschema and "l_quantity" not in readschema
+
+
+def test_broadcast_join_for_dim(spark):
+    plan = _plan(REGISTRY["q_s3_join_broadcast"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multiway_join_broadcasts_filtered_dim(spark):
+    plan = _plan(REGISTRY["q_s4_join_multiway_top10"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(REGISTRY["q_s9_tpch_q1"].spark(spark, SF))
+    # map-side partial agg before the shuffle
+    assert "partial_" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(REGISTRY["q_s14_topk_orders"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    plan = _plan(REGISTRY["q_s6_join_semi_anti"].spark(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_declarative_cdc_has_no_python(spark):
+    # the CDC core must stay JVM-side: no BatchEvalPython/ArrowEvalPython
+    for name in ("q_c1_cdc_apply", "q_c11_pipeline_actions", "q_s9_tpch_q1"):
+        plan = _plan(REGISTRY[name].spark(spark, SF))
+        assert "EvalPython" not in plan, name
+
+
+def test_cdc_apply_single_shuffle(spark):
+    plan = _plan(REGISTRY["q_c1_cdc_apply"].spark(spark, SF))
+    # one exchange for the keyed window — not two
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_events_filter_pushdown_survives_ns_conversion(spark):
+    # the ts nanos->micros conversion must not block pushdown of OTHER cols
+    events = load_table(spark, SF, "events").filter(F.col("user_id") == 3)
+    plan = _plan(events.select("user_id", "value"))
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]" in plan

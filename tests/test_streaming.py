@@ -33,6 +33,37 @@ def test_stream_equals_batch(spark, sf_dir):
     assert stream_state == batch_state
 
 
+def test_initial_mode_snapshot_then_stream(spark, sf_dir):
+    """Reference 'initial' mode (snapshot_test.go:25-193): pre-existing rows
+    arrive via snapshot, subsequent CDC events via the stream; the handoff
+    overlap (stream re-delivering snapshot rows) must not corrupt state."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import initial_load
+
+    work = tempfile.mkdtemp(prefix="initial_t_")
+    events = load_table(spark, sf_dir, "events")
+    mid = events.agg(F.avg("event_id")).collect()[0][0]
+    snapshot = events.filter(F.col("event_id") <= mid)
+
+    # the stream covers everything — deliberately overlapping the snapshot
+    staged = os.path.join(work, "staged")
+    stage_event_files(spark, sf_dir, staged, n_files=4)
+
+    view = initial_load(
+        spark,
+        snapshot_df=snapshot,
+        staged_dir=staged,
+        view_path=os.path.join(work, "view"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    got = sorted((r["user_id"], r["event_id"]) for r in view.read().collect())
+    want = sorted(
+        (r["user_id"], r["event_id"]) for r in cdc_apply(events).collect()
+    )
+    assert got == want
+
+
 def test_checkpoint_resume_loses_nothing(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="resume_t_")
     all_staged = os.path.join(work, "all")
