@@ -1,0 +1,132 @@
+"""Connector facade lifecycle (reference connector.go:25-127) + Q-T4
+watermark late-data semantics."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.connector import Connector, ConnectorConfig
+from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_apply
+from go_pq_cdc_elasticsearch_spark.sources.replay import stage_event_files
+
+
+def _cfg(work, **kw):
+    return ConnectorConfig(
+        staged_dir=os.path.join(work, "staged"),
+        view_path=os.path.join(work, "view"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        **kw,
+    )
+
+
+def test_connector_stream_lifecycle(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="conn_t_")
+    stage_event_files(spark, sf_dir, os.path.join(work, "staged"), n_files=3)
+    c = Connector(spark, _cfg(work))
+    c.start(available_now=True)
+    assert c.wait_until_ready()
+    c.await_drained()
+    c.close()
+    got = sorted((r["user_id"], r["event_id"]) for r in c.read().collect())
+    want = sorted(
+        (r["user_id"], r["event_id"])
+        for r in cdc_apply(load_table(spark, sf_dir, "events")).collect()
+    )
+    assert got == want
+
+
+def test_connector_snapshot_only_mode(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="conn_s_")
+    os.makedirs(os.path.join(work, "staged"))
+    events = load_table(spark, sf_dir, "events")
+    c = Connector(
+        spark, _cfg(work, snapshot_mode="snapshot_only"), snapshot_df=events
+    )
+    c.start()
+    assert c.wait_until_ready()  # synchronous mode: ready immediately
+    c.close()
+    assert c.read().count() == cdc_apply(events).count()
+
+
+def test_connector_initial_mode(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="conn_i_")
+    events = load_table(spark, sf_dir, "events")
+    mid = events.agg(F.avg("event_id")).collect()[0][0]
+    stage_event_files(spark, sf_dir, os.path.join(work, "staged"), n_files=3)
+    c = Connector(
+        spark,
+        _cfg(work, snapshot_mode="initial"),
+        snapshot_df=events.filter(F.col("event_id") <= mid),
+    )
+    c.start(available_now=True)
+    c.await_drained()
+    c.close()
+    assert c.read().count() == cdc_apply(events).count()
+
+
+def test_watermark_drops_late_rows(spark):
+    """Q-T4: aggregation state beyond the watermark is finalized — a row
+    arriving later than (max event time - watermark) for an already-closed
+    window is dropped. Deterministic two-batch replay."""
+    import shutil
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="wm_t_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def write_batch(i, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        tmp = os.path.join(work, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, f), os.path.join(src, f"b{i}.parquet"))
+
+    # batch 0: window 10:00 gets 2 rows; max event time moves to 12:00,
+    # so watermark (10 min) passes 10:xx entirely
+    write_batch(
+        0,
+        [
+            (1, "2024-01-01 10:00:01", 1.0),
+            (2, "2024-01-01 10:00:02", 1.0),
+            (3, "2024-01-01 12:00:00", 1.0),
+        ],
+    )
+    del uuid
+    out = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def run():
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # batch 1: a LATE row for the long-closed 10:00 window
+    write_batch(1, [(4, "2024-01-01 10:00:03", 1.0)])
+    run()
+    rows = {}
+    for r in spark.read.parquet(out).collect():
+        k = r["w"]["start"].strftime("%H:%M")
+        rows[k] = rows.get(k, 0) + r["n"]
+    # the 10:00 window emitted with n=2; the late row (would make 3) dropped
+    assert rows.get("10:00") == 2
