@@ -34,31 +34,26 @@ def stage_event_files(
     """Write the events table as n_files seq-range parquet files under
     out_dir, mtime-ordered by seq so replay order == LSN order."""
     events = load_table(spark, sf_dir, "events")
-    bounds = events.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    step = max(1, (hi - lo + 1) // n_files)
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+    # ONE job: range-partition by seq — part-file ordinal == seq range order
+    # (range boundaries are sampled, which is fine: the merge is
+    # seq-resolved, so replay correctness never depends on the split points)
+    tmp = os.path.join(out_dir, "_stage")
+    events.repartitionByRange(n_files, F.col("event_id")).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     paths = []
-    for i in range(n_files):
-        a = lo + i * step
-        b = hi + 1 if i == n_files - 1 else a + step
-        part = events.filter((F.col("event_id") >= a) & (F.col("event_id") < b))
-        tmp = os.path.join(out_dir, f"_stage_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
+    for i, f in enumerate(parts):
         dst = os.path.join(out_dir, f"events_{i:04d}.parquet")
-        shutil.move(src, dst)
-        shutil.rmtree(tmp)
+        shutil.move(os.path.join(tmp, f), dst)
         # file source orders by modification time; make it strictly increasing
         t = time.time() + i * 2
         os.utime(dst, (t, t))
         paths.append(dst)
+    shutil.rmtree(tmp)
     return paths
 
 

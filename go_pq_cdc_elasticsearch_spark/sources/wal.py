@@ -1,0 +1,158 @@
+"""Custom Python streaming DataSource with WAL/LSN semantics (U2 shape).
+
+The reference consumes Postgres logical replication through go-pq-cdc:
+decoded messages arrive in LSN order, and acking a flushed batch advances
+the slot's restart LSN (R12). This module implements the same contract as a
+Spark 4 Python streaming DataSource over an append-only directory of NDJSON
+"WAL segments":
+
+- segment files are named ``wal_<start_lsn>.ndjson``; each line is one
+  change message ``{"lsn": N, "op": ..., "table": ..., "before": {...},
+  "after": {...}, "ts": iso}`` with strictly increasing lsn;
+- the stream offset IS the lsn frontier (``{"lsn": N}``) — exactly the
+  restart-LSN of a replication slot;
+- ``latestOffset`` scans segment metadata only; ``partitions(start, end)``
+  splits the lsn range by segment so Spark parallelizes a catch-up read;
+- ``commit(offset)`` is the ack: a real implementation would send
+  ``StandbyStatusUpdate`` to Postgres here; we record it to
+  ``<path>/_committed`` so tests can assert ack progression.
+
+A production pgoutput source swaps the file scan for a replication socket;
+offset/partition/commit logic — the part Spark dictates — is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+WAL_SCHEMA = (
+    "lsn bigint, op string, table_schema string, table_name string, "
+    "before map<string,string>, after map<string,string>, ts string"
+)
+
+
+def segment_start_lsn(fname: str) -> int:
+    return int(fname.split("_")[1].split(".")[0])
+
+
+def write_wal_segment(path: str, messages: list[dict]) -> str:
+    """Test/demo helper: append one WAL segment (messages must carry
+    increasing lsn)."""
+    os.makedirs(path, exist_ok=True)
+    start = messages[0]["lsn"]
+    fpath = os.path.join(path, f"wal_{start:016d}.ndjson")
+    with open(fpath, "w") as f:
+        for m in messages:
+            f.write(json.dumps(m) + "\n")
+    return fpath
+
+
+class _SegmentPartition(InputPartition):
+    def __init__(self, file_path: str, start_lsn: int, end_lsn: int):
+        self.file_path = file_path
+        self.start_lsn = start_lsn
+        self.end_lsn = end_lsn
+
+
+class WalStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pgwal source requires option 'path'")
+
+    # -- offset management (== slot restart LSN) ----------------------------
+
+    def initialOffset(self) -> dict:
+        return {"lsn": -1}
+
+    def _segments(self) -> list[tuple[int, str]]:
+        if not os.path.isdir(self.path):
+            return []
+        segs = [
+            (segment_start_lsn(f), os.path.join(self.path, f))
+            for f in os.listdir(self.path)
+            if f.startswith("wal_") and f.endswith(".ndjson")
+        ]
+        return sorted(segs)
+
+    def _max_lsn(self) -> int:
+        segs = self._segments()
+        if not segs:
+            return -1
+        # only the LAST segment needs a scan; earlier ones are bounded by
+        # their successor's start (metadata-only catch-up planning)
+        last_path = segs[-1][1]
+        mx = segs[-1][0]
+        with open(last_path) as f:
+            for line in f:
+                lsn = json.loads(line)["lsn"]
+                mx = max(mx, lsn)
+        return mx
+
+    def latestOffset(self) -> dict:
+        return {"lsn": self._max_lsn()}
+
+    def partitions(self, start: dict, end: dict) -> list[_SegmentPartition]:
+        lo, hi = start["lsn"], end["lsn"]
+        parts = []
+        segs = self._segments()
+        for i, (seg_start, fpath) in enumerate(segs):
+            seg_end = segs[i + 1][0] - 1 if i + 1 < len(segs) else hi
+            if seg_end <= lo or seg_start > hi:
+                continue
+            parts.append(_SegmentPartition(fpath, max(lo, seg_start - 1), min(hi, seg_end)))
+        return parts or [_SegmentPartition("", lo, lo)]
+
+    def read(self, partition: _SegmentPartition):
+        if not partition.file_path:
+            return
+        with open(partition.file_path) as f:
+            for line in f:
+                m = json.loads(line)
+                lsn = m["lsn"]
+                # (start, end] frontier semantics
+                if lsn <= partition.start_lsn or lsn > partition.end_lsn:
+                    continue
+                yield (
+                    lsn,
+                    m.get("op"),
+                    m.get("table_schema", "public"),
+                    m.get("table_name"),
+                    m.get("before"),
+                    m.get("after"),
+                    m.get("ts"),
+                )
+
+    def commit(self, end: dict) -> None:
+        """The ack (R12): advance the restart LSN. Recorded for tests; a
+        live source sends StandbyStatusUpdate here."""
+        try:
+            with open(os.path.join(self.path, "_committed"), "a") as f:
+                f.write(json.dumps(end) + "\n")
+        except OSError:
+            pass
+
+
+class WalDataSource(DataSource):
+    """spark.readStream.format("pgwal").option("path", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgwal"
+
+    def schema(self) -> str:
+        return WAL_SCHEMA
+
+    def streamReader(self, schema) -> WalStreamReader:  # noqa: ARG002
+        return WalStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(WalDataSource)

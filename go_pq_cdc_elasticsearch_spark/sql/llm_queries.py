@@ -145,7 +145,9 @@ def q_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(TX.words(F.col("text"))) >= 3
     )
-    band_rows = DD.minhash_band_rows(docs, k=16, bands=4)
+    # three consumers (self-join x2 + distinct count): persist the band rows
+    # so signatures are computed once (tiny: 4 rows/doc of (id, idx, hash))
+    band_rows = DD.minhash_band_rows(docs, k=16, bands=4).persist()
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (

@@ -138,6 +138,89 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_t7_wal_source_cdc",
+    oracle="""
+        WITH ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events WHERE event_id < 2000
+        )
+        SELECT user_id, CAST(value AS VARCHAR) AS v
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Custom Python streaming DataSource (pgwal: LSN offsets, segment-"
+    "parallel catch-up, commit-as-ack) driven end-to-end: events re-encoded "
+    "as WAL segments, streamed, merged — final state == batch cdc_apply. "
+    "'error' plays DELETE.",
+)
+def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    work = tempfile.mkdtemp(prefix="walq_")
+    wal_dir = os.path.join(work, "wal")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .orderBy("event_id")
+        .collect()
+    )
+    msgs = [
+        {
+            "lsn": r["event_id"],
+            "op": "DELETE" if r["event_type"] == "error" else "INSERT",
+            "table_schema": "public",
+            "table_name": "events",
+            "before": {"id": str(r["user_id"])}
+            if r["event_type"] == "error"
+            else None,
+            "after": None
+            if r["event_type"] == "error"
+            else {"id": str(r["user_id"]), "v": json.dumps(r["value"])[:32]},
+            "ts": r["ts"].isoformat(),
+        }
+        for r in events
+    ]
+    # note: v uses the same double->string form as CAST..AS VARCHAR
+    for m in msgs:
+        if m["after"]:
+            m["after"]["v"] = m["after"]["v"].rstrip()
+    third = max(1, len(msgs) // 3)
+    for i in range(0, len(msgs), third):
+        W.write_wal_segment(wal_dir, msgs[i : i + third])
+
+    W.register(spark)
+    stream = spark.readStream.format("pgwal").option("path", wal_dir).load()
+    img = F.coalesce(F.col("after"), F.col("before"))
+    shaped = stream.select(
+        F.col("lsn"),
+        F.col("op"),
+        img.getItem("id").cast("long").alias("user_id"),
+        img.getItem("v").alias("v"),
+    )
+    view = MaterializedView(
+        spark,
+        os.path.join(work, "view"),
+        keys=("user_id",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+    )
+    q = (
+        shaped.writeStream.foreachBatch(view.foreach_batch_writer())
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return view.read().select("user_id", "v")
+
+
+@query(
     "q_t6_stream_cdc_apply",
     oracle="""
         WITH ranked AS (
