@@ -48,6 +48,28 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+
+    # BASELINE.md throughput targets, measured warm (post-suite):
+    # cdc_apply events/s and snapshot-path rows/s
+    extra: dict[str, float] = {}
+    try:
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        n_events = events.count()
+        t0 = time.time()
+        REGISTRY["q_c1_cdc_apply"].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extra["cdc_apply_events_per_sec"] = round(n_events / (time.time() - t0), 1)
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        n_li = li.count()
+        t0 = time.time()
+        REGISTRY["q_c6_snapshot_coverage"].spark(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        extra["snapshot_rows_per_sec"] = round(n_li / (time.time() - t0), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: throughput extras failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -56,6 +78,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **extra,
             }
         )
     )

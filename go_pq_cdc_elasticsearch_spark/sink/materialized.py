@@ -89,6 +89,33 @@ class MaterializedView:
             shutil.rmtree(old)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def vacuum(self, watermark_seq: int) -> None:
+        """Drop tombstones whose seq is <= watermark_seq (retention).
+
+        Tombstones exist so stale replays can't resurrect deleted keys; once
+        the source can no longer re-deliver below watermark_seq (the
+        checkpoint/ack frontier), tombstones below it are dead weight. The
+        Delta equivalent is VACUUM after retention."""
+        state = self.state()
+        if state is None:
+            return
+        from pyspark.sql import functions as F
+
+        keep = state.filter(
+            (F.col(self.op_col) != F.lit(self.delete_op))
+            | (F.col(self.seq_col) > F.lit(watermark_seq))
+        )
+        tmp = tempfile.mkdtemp(prefix="mv_vac_", dir=os.path.dirname(self.path) or ".")
+        out = os.path.join(tmp, "data")
+        keep.write.mode("overwrite").parquet(out)
+        old = self.path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.rename(out, self.path)
+        shutil.rmtree(old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — the Spark analog of the
         reference's flush-then-ack loop: when this returns, the micro-batch

@@ -86,6 +86,62 @@ def q_c11_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_c12_json_roundtrip",
+    oracle="""
+        SELECT count(*) AS n_roundtrip,
+               count(DISTINCT json_extract_string(doc, '$.operation')) AS n_ops
+        FROM (
+            SELECT json_object('id', CAST(user_id AS VARCHAR),
+                               'operation', upper(event_type),
+                               'value', CAST(value AS VARCHAR)) AS doc
+            FROM events)
+        WHERE json_extract_string(doc, '$.id') IS NOT NULL
+    """,
+    doc="Envelope JSON serialization round-trip (R2/R9: handlers "
+    "json.Marshal payloads, the sink ships JSON documents): build the doc "
+    "with to_json, read fields back with get_json_object.",
+)
+def q_c12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("id"),
+            F.upper("event_type").alias("operation"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+    docs = events.select(doc.alias("doc"))
+    return docs.filter(
+        F.get_json_object("doc", "$.id").isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n_roundtrip"),
+        F.countDistinct(F.get_json_object("doc", "$.operation")).alias("n_ops"),
+    )
+
+
+@query(
+    "q_s33_decimal_types",
+    oracle="""
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS VARCHAR) AS total_d,
+               CAST(max(CAST(o_totalprice AS DECIMAL(10,2))) AS VARCHAR) AS max_d,
+               CAST(round(avg(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS VARCHAR) AS avg_d
+        FROM orders
+    """,
+    doc="DECIMAL(10,2) handling (the reference's price columns, "
+    "integration_test/connector_test.go:440): exact decimal aggregation, "
+    "string form compared so scale/precision must match too.",
+)
+def q_s33_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(10,2)")
+    return orders.agg(
+        F.sum(d).cast("string").alias("total_d"),
+        F.max(d).cast("string").alias("max_d"),
+        F.round(F.avg(d), 2).cast("string").alias("avg_d"),
+    )
+
+
+@query(
     "q_s23_pivot",
     oracle="""
         SELECT l_returnflag,

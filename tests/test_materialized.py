@@ -31,6 +31,26 @@ def test_merge_sequence(spark):
     assert state == {1: 11.0, 2: 29.0}
 
 
+def test_vacuum_drops_only_acked_tombstones(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_v_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(
+        _batch(
+            spark,
+            [(1, "insert", 1, 1.0), (2, "delete", 1, None), (5, "delete", 2, None)],
+        )
+    )
+    assert mv.state().count() == 2  # two tombstones retained
+    mv.vacuum(watermark_seq=3)  # ack frontier passed seq 3
+    ops = {(r["user_id"], r["event_type"]) for r in mv.state().collect()}
+    assert ops == {(2, "delete")}  # seq-5 tombstone survives, seq-2 dropped
+    # post-vacuum stale replay below the watermark still can't resurrect,
+    # because the source can no longer deliver seq <= 3 (that's what the
+    # watermark MEANS); a NEW insert works:
+    mv.merge_batch(_batch(spark, [(7, "insert", 1, 9.0)]))
+    assert {r["user_id"]: r["value"] for r in mv.read().collect()} == {1: 9.0}
+
+
 def test_in_batch_dedup_before_apply(spark):
     # reference order: dedup happens BEFORE the bulk write (bulk/bulk.go:141)
     path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")
