@@ -336,6 +336,162 @@ def q_s31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_s34_window_misc",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               first_value(o_orderkey) OVER w AS first_k,
+               nth_value(o_orderkey, 2) OVER w AS second_k
+        FROM orders
+        WHERE o_custkey <= 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_s34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: ntile / percent_rank / cume_dist / first/nth value."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_k"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
+    )
+
+
+@query(
+    "q_s35_string_advanced",
+    oracle="""
+        SELECT p_partkey,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonants,
+               levenshtein(p_brand, p_type) AS lev,
+               left(p_name, 5) AS l5,
+               right(p_name, 5) AS r5,
+               repeat(p_brand, 2) AS b2,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+               replace(p_type, ' ', '-') AS type_dash
+        FROM part WHERE p_partkey <= 100
+    """,
+)
+def q_s35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalars: global regexp_replace, levenshtein, pad/repeat/trim."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("consonants"),
+        F.levenshtein("p_brand", "p_type").alias("lev"),
+        F.substring("p_name", 1, 5).alias("l5"),
+        F.substring(F.col("p_name"), -5, 5).alias("r5"),
+        F.repeat("p_brand", 2).alias("b2"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dash"),
+    )
+
+
+@query(
+    "q_s36_array_advanced",
+    oracle="""
+        SELECT vec_id,
+               round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE), 6) AS ends,
+               round(list_min(embedding), 6) AS mn,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS s,
+               round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS med_lo
+        FROM embeddings WHERE vec_id <= 20
+    """,
+)
+def q_s36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalars: element_at ends, min, filtered count, sum, sort+index."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 20)
+    esum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 64).cast("double"),
+            6,
+        ).alias("ends"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("mn"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(esum, 6).alias("s"),
+        F.round(
+            F.element_at(F.sort_array("embedding"), 32).cast("double"), 6
+        ).alias("med_lo"),
+    )
+
+
+@query(
+    "q_s37_grouping_id",
+    oracle="""
+        SELECT coalesce(l_returnflag, '(null)') AS flag,
+               coalesce(l_linestatus, '(null)') AS status,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_s37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() markers distinguish rollup NULLs from data NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(null)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(null)")).alias("status"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_s38_datetime_advanced",
+    oracle="""
+        SELECT strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+               dayofweek(o_orderdate) AS dow,
+               CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def q_s38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalars: interval add, last_day, datediff, dow, quarter,
+    epoch. (DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return orders.select(
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
     "q_s32_conditional_agg",
     oracle="""
         SELECT l_returnflag,

@@ -22,11 +22,20 @@ from go_pq_cdc_elasticsearch_spark.sources.replay import (
 from go_pq_cdc_elasticsearch_spark.sql.registry import query
 
 
+_STAGED_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
-    work = tempfile.mkdtemp(prefix="stream_q_")
-    staged = os.path.join(work, "staged")
-    stage_event_files(spark, sf_dir, staged, n_files=n_files)
-    return read_event_stream(spark, staged, max_files_per_trigger=1), work
+    """Stage (or reuse) the seq-ordered event files for this sf_dir —
+    staging is deterministic, so queries in one session share it."""
+    key = (sf_dir, n_files)
+    staged = _STAGED_CACHE.get(key)
+    if staged is None or not os.path.isdir(staged):
+        work = tempfile.mkdtemp(prefix="stream_q_")
+        staged = os.path.join(work, "staged")
+        stage_event_files(spark, sf_dir, staged, n_files=n_files)
+        _STAGED_CACHE[key] = staged
+    return read_event_stream(spark, staged, max_files_per_trigger=1), os.path.dirname(staged)
 
 
 def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
