@@ -13,6 +13,7 @@ from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
 from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
 from go_pq_cdc_elasticsearch_spark.sql.registry import query
+from go_pq_cdc_elasticsearch_spark.sql.relational_queries import _dec_sum
 
 ROUTING_CASES = [
     ("public", "users", "users-idx"),
@@ -332,6 +333,131 @@ def q_s31(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("n_first"),
             F.round(F.sum(F.coalesce("prev", F.lit(0.0))), 6).alias("prev_sum"),
         )
+    )
+
+
+@query(
+    "q_s39_tpch_q5_style",
+    oracle="""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """,
+)
+def q_s39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way join: three broadcast dims chained onto the
+    fact-fact join — revenue by nation for one region."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q_s40_correlated_agg",
+    oracle="""
+        SELECT count(*) AS n FROM orders o
+        WHERE o_totalprice > (
+            SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_s40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery with aggregation — Catalyst decorrelates
+    to an aggregate + self-join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT count(*) AS n FROM orders o
+        WHERE o_totalprice > (
+            SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "q_s41_unpivot",
+    oracle="""
+        SELECT metric, round(CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE), 4) AS total
+        FROM (
+            SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'discount' AS metric, l_discount AS val FROM lineitem
+            UNION ALL
+            SELECT 'tax' AS metric, l_tax AS val FROM lineitem)
+        GROUP BY metric
+    """,
+)
+def q_s41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long via stack) + aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (metric, val)"
+    )
+    return long.groupBy("metric").agg(
+        F.round(F.sum(F.col("val").cast("decimal(30,10)")).cast("double"), 4).alias(
+            "total"
+        )
+    )
+
+
+@query(
+    "q_s42_tpch_q10_style",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_s42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top customers by returned
+    revenue."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cd = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cd), orders.o_custkey == cd.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )
 
 

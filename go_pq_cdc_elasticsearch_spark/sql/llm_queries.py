@@ -142,11 +142,10 @@ def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     "identical buckets — full value parity, not just counts.",
 )
 def q_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.size(TX.words(F.col("text"))) >= 3
-    )
-    # three consumers (self-join x2 + distinct count): persist the band rows
-    # so signatures are computed once (tiny: 4 rows/doc of (id, idx, hash))
+    docs = load_table(spark, sf_dir, "documents")
+    # docs with <3 words simply produce no shingles (no pre-filter pass);
+    # three consumers (self-join x2 + counts): persist the band rows so
+    # signatures are computed once (tiny: 4 rows/doc of (id, idx, hash))
     band_rows = DD.minhash_band_rows(docs, k=16, bands=4).persist()
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -160,10 +159,12 @@ def q_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_buckets = band_rows.agg(F.countDistinct("band_hash").alias("n_buckets"))
+    counts = band_rows.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("band_hash").alias("n_buckets"),
+    )
     n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    return n_docs.crossJoin(n_buckets).crossJoin(n_pairs)
+    return counts.crossJoin(n_pairs)
 
 
 @query(
