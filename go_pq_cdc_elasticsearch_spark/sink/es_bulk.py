@@ -154,6 +154,49 @@ def write_bulk(
     actions.foreachPartition(run_partition)
 
 
+def http_transport(
+    base_url: str,
+    username: str | None = None,
+    password: str | None = None,
+    timeout_sec: float = 30.0,
+    max_retries: int = 5,
+) -> Callable[[bytes], str]:
+    """Real HTTP transport for the bulk endpoint (POST {base}/_bulk,
+    content-type application/x-ndjson) with basic auth + bounded retries —
+    the reference's client behavior (elasticsearch/client/client.go:12-49:
+    5 retries; fasthttp_transport.go:62-65 always POSTs). Returns a callable
+    usable by write_bulk / write_bulk_with_dlq on executors."""
+
+    def transport(payload: bytes) -> str:
+        import base64
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            base_url.rstrip("/") + "/_bulk",
+            data=payload,
+            method="POST",
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        if username is not None:
+            token = base64.b64encode(
+                f"{username}:{password or ''}".encode()
+            ).decode()
+            req.add_header("Authorization", f"Basic {token}")
+        last_err: Exception | None = None
+        for attempt in range(max_retries):
+            try:
+                with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+                    return resp.read().decode()
+            except (urllib.error.URLError, OSError) as e:  # noqa: PERF203
+                last_err = e
+                _time.sleep(min(0.1 * 2**attempt, 2.0))
+        raise RuntimeError(f"bulk request failed after {max_retries} retries: {last_err}")
+
+    return transport
+
+
 def write_bulk_with_dlq(
     actions: DataFrame,
     transport: Callable[[bytes], str],

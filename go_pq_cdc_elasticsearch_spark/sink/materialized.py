@@ -73,7 +73,14 @@ class MaterializedView:
         then atomic swap."""
         compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col)
         state = self.state()
-        merged = state.unionByName(compact) if state is not None else compact
+        # allowMissingColumns: the reference's payloads are schemaless
+        # (map[string]any); a batch may add columns (schema drift) — old
+        # state rows get NULLs, dropped columns stay NULL for new rows
+        merged = (
+            state.unionByName(compact, allowMissingColumns=True)
+            if state is not None
+            else compact
+        )
         new_state = cdc_dedup(merged, keys=self.keys, seq_col=self.seq_col)
 
         tmp = tempfile.mkdtemp(prefix="mv_", dir=os.path.dirname(self.path) or ".")

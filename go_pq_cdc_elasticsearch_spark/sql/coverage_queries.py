@@ -462,6 +462,30 @@ def q_s42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_s43_lateral_explode",
+    oracle="""
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+            FROM documents WHERE doc_id <= 100)
+        GROUP BY word
+        ORDER BY n DESC, word LIMIT 25
+    """,
+)
+def q_s43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (1->N row expansion) + aggregation: word frequency."""
+    from go_pq_cdc_elasticsearch_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    return (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(25)
+    )
+
+
+@query(
     "q_s34_window_misc",
     oracle="""
         SELECT o_orderkey,

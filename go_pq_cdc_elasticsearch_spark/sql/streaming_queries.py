@@ -25,7 +25,7 @@ from go_pq_cdc_elasticsearch_spark.sql.registry import query
 _STAGED_CACHE: dict[tuple[str, int], str] = {}
 
 
-def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
+def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
     """Stage (or reuse) the seq-ordered event files for this sf_dir —
     staging is deterministic, so queries in one session share it."""
     key = (sf_dir, n_files)

@@ -1,0 +1,103 @@
+"""End-to-end bulk protocol over real HTTP: a local server plays ES,
+records NDJSON payloads, answers per-item; the engine writes a real
+DataFrame through executors into it."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from go_pq_cdc_elasticsearch_spark.sink.es_bulk import (
+    http_transport,
+    write_bulk,
+    write_bulk_with_dlq,
+)
+
+RECORDED: list[bytes] = []
+FAIL_IDS: set[str] = set()
+AUTH_SEEN: list[str] = []
+
+
+class _FakeES(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802
+        assert self.path == "/_bulk"
+        assert self.headers["Content-Type"] == "application/x-ndjson"
+        AUTH_SEEN.append(self.headers.get("Authorization", ""))
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        RECORDED.append(body)
+        items = []
+        for line in body.decode().splitlines():
+            d = json.loads(line)
+            for verb in ("index", "delete", "update"):
+                if verb in d and "_id" in d[verb]:
+                    _id = d[verb]["_id"]
+                    if _id in FAIL_IDS:
+                        items.append({verb: {"_id": _id, "_index": d[verb]["_index"],
+                                             "status": 429, "error": {"reason": "busy"}}})
+                    else:
+                        items.append({verb: {"_id": _id, "_index": d[verb]["_index"],
+                                             "status": 200}})
+        out = json.dumps({"errors": bool(FAIL_IDS), "items": items}).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def es_url():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _FakeES)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def _actions(spark, n=30):
+    return spark.createDataFrame(
+        [("index", str(i), "users", None, json.dumps({"v": i})) for i in range(n)],
+        "action string, doc_id string, index string, routing string, source string",
+    )
+
+
+def test_write_bulk_over_real_http(spark, es_url):
+    RECORDED.clear()
+    FAIL_IDS.clear()
+    write_bulk(
+        _actions(spark),
+        http_transport(es_url, username="es", password="pw"),
+        batch_size_limit=10,
+        concurrent_requests=3,
+    )
+    ids = set()
+    for body in RECORDED:
+        for line in body.decode().splitlines():
+            d = json.loads(line)
+            if "index" in d and "_id" in d["index"]:
+                ids.add(d["index"]["_id"])
+    assert ids == {str(i) for i in range(30)}
+    # count flush trigger respected per partition request
+    assert all(b.count(b'{"index"') <= 10 for b in RECORDED)
+    assert any(a.startswith("Basic ") for a in AUTH_SEEN)
+
+
+def test_dlq_over_real_http(spark, es_url):
+    RECORDED.clear()
+    FAIL_IDS.clear()
+    FAIL_IDS.update({"3", "7"})
+    failures = write_bulk_with_dlq(
+        _actions(spark, 10), http_transport(es_url)
+    ).collect()
+    assert {r["doc_id"] for r in failures} == {"3", "7"}
+    FAIL_IDS.clear()
+
+
+def test_http_retry_then_error(spark):
+    # nothing listening on this port: transport retries then raises
+    t = http_transport("http://127.0.0.1:9", max_retries=2, timeout_sec=0.3)
+    with pytest.raises(RuntimeError, match="after 2 retries"):
+        t(b'{"index":{"_id":"1","_index":"t"}}\n{}\n')

@@ -51,6 +51,21 @@ def test_vacuum_drops_only_acked_tombstones(spark):
     assert {r["user_id"]: r["value"] for r in mv.read().collect()} == {1: 9.0}
 
 
+def test_schema_drift_merge(spark):
+    # reference payloads are schemaless maps; a later batch may carry new
+    # columns — merge must not reject it, old rows read as NULL
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_d_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 1.0)]))
+    evolved = spark.createDataFrame(
+        [(2, "insert", 2, 2.0, "eu-west")],
+        "event_id long, event_type string, user_id long, value double, region string",
+    )
+    mv.merge_batch(evolved)
+    rows = {r["user_id"]: r.asDict().get("region") for r in mv.read().collect()}
+    assert rows == {1: None, 2: "eu-west"}
+
+
 def test_in_batch_dedup_before_apply(spark):
     # reference order: dedup happens BEFORE the bulk write (bulk/bulk.go:141)
     path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")
