@@ -57,6 +57,72 @@ def run_cdc_stream(
     return view
 
 
+def run_es_pipeline(
+    spark: SparkSession,
+    staged_dir: str,
+    checkpoint_dir: str,
+    router,
+    transport,
+    handler=None,
+    table: str = "public.events",
+    max_files_per_trigger: int = 1,
+    batch_size_limit: int = 1000,
+    batch_byte_size_limit: int = 10 * 1024 * 1024,
+    op_mapping=None,
+) -> None:
+    """The reference's complete dataflow (connector.go §3.1), live-ES mode:
+
+        change stream -> envelope (R2) -> route (R6, unmapped dropped)
+        -> handler (R3, default: simple) -> in-batch dedup (R8, BEFORE the
+        bulk write — bulk/bulk.go:141 precedes :297) -> NDJSON bulk over
+        HTTP (R9/R10) -> checkpoint commit == ack (R12).
+
+    ``transport`` is one bulk HTTP call (see sink.es_bulk.http_transport);
+    ``op_mapping(op_col) -> Column`` optionally remaps op labels (the
+    testdata feed has no literal DELETE rows).
+    """
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark import model
+    from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
+    from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_dedup
+    from go_pq_cdc_elasticsearch_spark.sink.es_bulk import write_bulk
+
+    handler = handler or simple_handler
+
+    def write(batch_df, epoch_id: int) -> None:  # noqa: ARG001
+        env = model.envelope_from_events(batch_df, table=table)
+        if op_mapping is not None:
+            env = env.withColumn("op", op_mapping(F.col("op")))
+            env = env.withColumn(
+                "old_data",
+                F.when(model.is_delete(), F.coalesce("old_data", "new_data")),
+            ).withColumn(
+                "new_data",
+                F.when(~model.is_delete(), F.coalesce("new_data", "old_data")),
+            )
+        routed = router.route(env)  # unmapped => dropped (acked), R6
+        actions = handler(routed)
+        # R8: last write per (doc_id, index) wins WITHIN the batch, decided
+        # by seq — before any bytes are framed
+        compact = cdc_dedup(actions, keys=("doc_id", "index"), seq_col="seq")
+        write_bulk(
+            compact.drop("seq"),
+            transport,
+            batch_size_limit=batch_size_limit,
+            batch_byte_size_limit=batch_byte_size_limit,
+        )
+
+    stream = read_event_stream(spark, staged_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def initial_load(
     spark: SparkSession,
     snapshot_df,

