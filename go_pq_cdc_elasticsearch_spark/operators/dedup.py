@@ -181,6 +181,91 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(id, component) for every id appearing in the pair graph, where
+    component = min id reachable — distributed min-label propagation.
+
+    Each iteration: labels flow across edges (join) + keep the min per id
+    (agg). Converges in O(diameter) rounds; near-dup graphs are unions of
+    small cliques (diameter ~2-3), so this terminates in a few joins. The
+    loop stops early when an iteration changes nothing. No driver-side
+    graph state — only counts cross to the driver."""
+    edges = pairs.select(
+        F.col("id1").cast("long").alias("a"), F.col("id2").cast("long").alias("b")
+    )
+    # undirected: propagate both ways; persisted — every iteration joins it
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    # localCheckpoint per round truncates lineage — otherwise iteration k
+    # re-derives all k-1 predecessors (measured 20s -> ~4s on a toy graph)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # neighbor's current label, per edge
+        prop = (
+            sym.join(labels, sym.b == labels.id)
+            .select(F.col("a").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Corpus near-dup REMOVAL (the end-to-end training-data pipeline):
+    MinHash/LSH candidates -> exact Jaccard verification (>= threshold) ->
+    connected components -> keep the min-id representative per component.
+
+    Returns df minus non-representative near-duplicates. All stages are the
+    scale-shaped operators above: candidate generation never materializes
+    the cross product; verification touches candidates only; components
+    converge in O(clique diameter) joins."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands)
+    grams = doc_ngram_sets(df, text_col, id_col)
+    g1 = grams.select(F.col(id_col).alias("id1"), F.col("grams").alias("__g1"))
+    g2 = grams.select(F.col(id_col).alias("id2"), F.col("grams").alias("__g2"))
+    verified = (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .filter(jaccard_from_sets(F.col("__g1"), F.col("__g2")) >= jaccard_threshold)
+        .select("id1", "id2")
+    )
+    comp = connected_components(verified)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def simhash16(col) -> Column:
     """16-bit SimHash over word tokens: bit b is 1 iff the sum over tokens of
     (+1 if bit b of hash(token) else -1) is positive. 16 bits keeps the

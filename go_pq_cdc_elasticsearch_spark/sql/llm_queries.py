@@ -331,6 +331,86 @@ def q_l9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _dedup_corpus_oracle(k: int = 16, bands: int = 4, tau: float = 0.7) -> str:
+    rows = k // bands
+    sig_entries = ",\n            ".join(
+        "list_min(list_transform(grams, s -> "
+        + HASH_SQL.format(x=f"concat('{j}:', s)")
+        + "))"
+        for j in range(k)
+    )
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), g AS (
+            SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
+        ), gd AS (
+            SELECT doc_id, list_distinct(grams) AS grams FROM g
+        ), sig_t AS (
+            SELECT doc_id, [{sig_entries}] AS sig FROM g
+        ), banded AS (
+            SELECT doc_id, {band_cols} FROM sig_t
+        ), bands AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT id1, id2 FROM cand
+            JOIN gd ga ON ga.doc_id = id1
+            JOIN gd gb ON gb.doc_id = id2
+            WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= {tau}
+        ),
+        edges AS (
+            SELECT id1 AS a, id2 AS b FROM verified
+            UNION SELECT id2, id1 FROM verified
+        ),
+        reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        ),
+        comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM comp WHERE id <> component) AS n_dropped,
+               (SELECT count(*) FROM documents) -
+               (SELECT count(*) FROM comp WHERE id <> component) AS n_after
+    """
+
+
+@query(
+    "q_l11_dedup_corpus",
+    oracle=_dedup_corpus_oracle(),
+    doc="End-to-end corpus near-dup removal: MinHash/LSH candidates -> "
+    "exact Jaccard >= 0.7 -> connected components (distributed min-label "
+    "propagation) -> keep min-id representative. Oracle reproduces the "
+    "identical pipeline in SQL incl. a recursive-CTE closure.",
+)
+def q_l11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = DD.dedup_corpus(docs, jaccard_threshold=0.7)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_after_df = deduped.agg(F.count(F.lit(1)).alias("n_after"))
+    return n_docs.crossJoin(n_after_df).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_after")).alias("n_dropped"),
+        "n_after",
+    )
+
+
 @query(
     "q_l10_ann_lsh",
     oracle=None,  # approximate by construction; recall measured in tests

@@ -87,6 +87,25 @@ def test_jaccard_separates_dup_from_unrelated(spark):
     assert out[(1, 4)] == 0.0
 
 
+def test_dedup_corpus_removes_neardups_keeps_rest(spark):
+    survivors = {
+        r["doc_id"] for r in DD.dedup_corpus(_docs(spark), jaccard_threshold=0.6).collect()
+    }
+    # docs 1,2,3,5 form one near-dup component -> representative 1 survives;
+    # unrelated doc 4 untouched
+    assert survivors == {1, 4}
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: diameter > 1 forces
+    # multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 long, id2 long"
+    )
+    comp = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_hamming(spark):
     d = _docs(spark).select("doc_id", DD.simhash16(F.col("text")).alias("h"))
     h = {r["doc_id"]: r["h"] for r in d.collect()}
