@@ -155,4 +155,17 @@ class WalDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the source. The DataSource class is shipped to Python
+    workers by cloudpickle; workers don't necessarily have this repo on
+    sys.path, so pickle this module BY VALUE (self-contained bytes) rather
+    than by module reference — otherwise a hosting process started outside
+    the repo dies with ModuleNotFoundError in create_data_source."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # noqa: BLE001 — best effort; in-repo hosts still work
+        pass
     spark.dataSource.register(WalDataSource)
