@@ -462,6 +462,33 @@ def q_s42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_s44_time_bucket_rollup",
+    oracle="""
+        SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS total,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY bucket
+    """,
+    doc="time_bucket continuous-aggregate rollup (TimescaleDB hypertable "
+    "flavor — the reference routes hypertable chunks, connector.go:184-189; "
+    "this is the aggregate users run on them): 15-minute buckets.",
+)
+def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(
+        F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return events.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "q_s43_lateral_explode",
     oracle="""
         SELECT word, count(*) AS n FROM (
