@@ -56,9 +56,12 @@ class IndexRouter:
             parent_full = parent if "." in parent else f"{table_schema}.{parent}"
             if parent_full in self.mapping:
                 return self.mapping[parent_full]
-        # 3. partition-parent prefix probe (connector.go:233-249)
+        # 3. partition-parent prefix probe (connector.go:233-249):
+        # findParentTable probes PROPER prefixes SHORTEST-first
+        # (parts[:1], parts[:2], ...), so with overlapping mapping entries
+        # (public.a and public.a_b for table a_b_2024) the shorter wins.
         parts = table_name.split("_")
-        for cut in range(len(parts) - 1, 0, -1):
+        for cut in range(1, len(parts)):
             candidate = f"{table_schema}.{'_'.join(parts[:cut])}"
             if candidate in self.mapping:
                 return self.mapping[candidate]
@@ -98,12 +101,15 @@ class IndexRouter:
         full_col = F.concat_ws(".", F.col(schema_col), F.col(table_col))
         if map_col is not None:
             exact = map_col.getItem(full_col)
-            # prefix probe: strip trailing _-segments one at a time (bounded
-            # depth; config table names are short)
+            # prefix probe, SHORTEST proper prefix first to match
+            # findParentTable (connector.go:239-246): extract the first i
+            # _-segments, requiring a trailing '_' so only proper prefixes
+            # match (bounded depth; config table names are short)
             candidates = [exact]
-            probe = F.col(table_col)
-            for _ in range(4):
-                probe = F.regexp_replace(probe, "_[^_]+$", "")
+            for i in range(1, 5):
+                probe = F.regexp_extract(
+                    F.col(table_col), "^([^_]+" + "_[^_]+" * (i - 1) + ")_", 1
+                )
                 candidates.append(
                     map_col.getItem(F.concat_ws(".", F.col(schema_col), probe))
                 )

@@ -31,8 +31,12 @@ DEFAULT_BATCH_TICKER_SECONDS = 10.0  # config/config.go:38-40
 
 
 def escape_doc_id(doc_id: str) -> str:
-    """Quote-escape a doc id for embedding in the action metadata line
-    (reference internal/bytes/escape.go:10-21)."""
+    """Quote-escape a doc id for embedding in raw JSON bytes (reference
+    internal/bytes/escape.go:10-21). The reference needs this because it
+    builds the metadata line by hand from raw bytes; ``action_meta_line``
+    goes through ``json.dumps`` which already escapes, so this helper is
+    NOT applied there (doing both would double-escape the id and change
+    document identity). Kept as the documented raw-bytes-framing helper."""
     return doc_id.replace("\\", "\\\\").replace('"', '\\"')
 
 
@@ -46,7 +50,7 @@ def action_meta_line(
     """One NDJSON metadata line (reference getEsActionJSON bulk/bulk.go:208-245;
     the _type field is emitted only for ES < 7, bulk/bulk.go:194-206)."""
     verb = {"index": "index", "delete": "delete", "script_update": "update"}[action]
-    meta: dict = {"_id": escape_doc_id(doc_id), "_index": index}
+    meta: dict = {"_id": doc_id, "_index": index}
     if routing is not None:
         meta["routing"] = routing
     if type_name is not None:
@@ -91,7 +95,7 @@ def bulk_payloads(
         lines = list(frame_actions([r], type_name))
         buf.extend(lines)
         n_actions += 1
-        n_bytes += sum(len(line) + 1 for line in lines)
+        n_bytes += sum(len(line.encode()) + 1 for line in lines)
         if n_actions >= batch_size_limit or n_bytes >= batch_byte_size_limit:
             yield ("\n".join(buf) + "\n").encode()
             buf, n_actions, n_bytes = [], 0, 0

@@ -103,9 +103,13 @@ def run_es_pipeline(
             )
         routed = router.route(env)  # unmapped => dropped (acked), R6
         actions = handler(routed)
-        # R8: last write per (doc_id, index) wins WITHIN the batch, decided
-        # by seq — before any bytes are framed
-        compact = cdc_dedup(actions, keys=("doc_id", "index"), seq_col="seq")
+        # R8: last write per action key wins WITHIN the batch, decided by
+        # seq — before any bytes are framed. The key includes routing like
+        # the reference getActionKey (bulk/bulk.go:413-418): same
+        # doc_id/index with different routing values are distinct actions
+        # (null routing still groups correctly).
+        dedup_keys = ("doc_id", "index", "routing") if "routing" in actions.columns else ("doc_id", "index")
+        compact = cdc_dedup(actions, keys=dedup_keys, seq_col="seq")
         write_bulk(
             compact.drop("seq"),
             transport,
@@ -139,15 +143,24 @@ def initial_load(
     (chunked batch read == U1), then the stream replays from its first
     offset — the seq-resolved merge makes the handoff gap-free even if the
     stream re-delivers rows the snapshot already covered (same at-least-once
-    + idempotent-apply contract as recovery)."""
-    view = MaterializedView(spark, view_path, **kwargs)
+    + idempotent-apply contract as recovery).
+
+    ``kwargs`` may mix view options (keys/seq_col/op_col/delete_op) and
+    stream options (max_files_per_trigger/available_now/processing_time);
+    they are split here so stream-only options never reach
+    ``MaterializedView.__init__``."""
+    view_keys = ("keys", "seq_col", "op_col", "delete_op")
+    view_kwargs = {k: v for k, v in kwargs.items() if k in view_keys}
+    stream_kwargs = {k: v for k, v in kwargs.items() if k not in view_keys}
+    view = MaterializedView(spark, view_path, **view_kwargs)
     view.merge_batch(snapshot_df)
     return run_cdc_stream(
         spark,
         staged_dir=staged_dir,
         view_path=view_path,
         checkpoint_dir=checkpoint_dir,
-        **kwargs,
+        **view_kwargs,
+        **stream_kwargs,
     )
 
 

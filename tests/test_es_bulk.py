@@ -13,6 +13,19 @@ def test_escape_doc_id():
     assert EB.escape_doc_id("plain") == "plain"
 
 
+def test_meta_line_roundtrips_special_doc_ids():
+    # ADVICE round 1: json.dumps alone must handle escaping — the meta
+    # line must parse back to the ORIGINAL doc id (no double escape).
+    # Wire parity: the reference escapes only because it builds raw JSON
+    # bytes by hand; the parsed identity is what ES sees.
+    for doc_id in ('a"b', "a\\b", 'we"ird\\id', "plain", 'q"\\"q'):
+        line = EB.action_meta_line("index", doc_id, "idx")
+        assert json.loads(line)["index"]["_id"] == doc_id
+        # and the raw-bytes framing the reference uses yields the same wire
+        # bytes as json.dumps for the quote case it was written for
+        assert json.loads('{"_id":"' + EB.escape_doc_id(doc_id) + '"}')["_id"] == doc_id
+
+
 def test_index_action_framing():
     lines = list(
         EB.frame_actions(

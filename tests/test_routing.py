@@ -23,11 +23,34 @@ def test_exact_match():
 
 
 def test_partition_parent_prefix_probe():
-    # a_b_2024_01 -> probe a_b_2024, a_b, a (connector.go:233-249)
+    # findParentTable (connector.go:239-246) probes PROPER prefixes
+    # SHORTEST first: a_b_2024_01 -> probe a, a_b, a_b_2024. With
+    # overlapping entries the SHORTER prefix wins.
     r = IndexRouter({"public.orders_eu": "eu-idx", "public.orders": "orders-idx"})
-    assert r.resolve("public", "orders_eu_2024_01") == "eu-idx"
+    assert r.resolve("public", "orders_eu_2024_01") == "orders-idx"  # 'orders' probed first
     assert r.resolve("public", "orders_2024") == "orders-idx"
     assert r.resolve("public", "orders") == "orders-idx"
+    r2 = IndexRouter({"public.orders_eu": "eu-idx"})
+    assert r2.resolve("public", "orders_eu_2024_01") == "eu-idx"
+    # full name is never probed as its own prefix (exact match handles it)
+    r3 = IndexRouter({"public.a_b": "ab-idx"})
+    assert r3.resolve("public", "a_b") == "ab-idx"  # exact, not probe
+
+
+def test_prefix_probe_column_path_matches_resolve(spark):
+    # the column-expression probe must agree with the driver-side resolver,
+    # including the overlapping-prefix order (ADVICE round 1)
+    r = IndexRouter({"public.a": "a-idx", "public.a_b": "ab-idx"})
+    cases = [("public", "a_b_2024"), ("public", "a_b"), ("public", "a_x")]
+    df = spark.createDataFrame(cases, "table_schema string, table_name string")
+    got = {
+        (row["table_schema"], row["table_name"]): row["index"]
+        for row in r.route(df, drop_unmapped=False).collect()
+    }
+    for s, t in cases:
+        assert got[(s, t)] == r.resolve(s, t), (s, t)
+    assert got[("public", "a_b_2024")] == "a-idx"  # shortest prefix wins
+    assert got[("public", "a_b")] == "ab-idx"  # exact beats probe
 
 
 def test_hypertable_parent():
