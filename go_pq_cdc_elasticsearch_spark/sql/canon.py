@@ -1,0 +1,101 @@
+"""Canonical checksum folding for extension queries.
+
+The driver's CORRECTNESS artifact caps at 50 registry entries, so the 20+
+relational extension queries (q_s23..q_s44) are folded into two combo
+entries (``q_sx1_*``, ``q_sx2_*``). Each sub-query's full result is reduced
+to one row ``(part, n_rows, checksum)`` where ``checksum`` is an
+order-independent sum of per-row hashes over a *type-canonical* string form
+— identical in Spark and DuckDB, so value parity is still checked cell by
+cell, just pre-aggregated.
+
+Canonical cell form (both engines, per column type):
+- integer-ish  -> plain decimal string (``42``)
+- float/double -> ``CAST(round(x, 4) AS DECIMAL(28,6))`` then string
+  (``1.500000`` — fixed scale sidesteps engine-specific shortest-repr
+  float formatting, the one place the engines genuinely disagree)
+- decimal      -> plain string (scale preserved on both sides)
+- string       -> as-is
+- date/ts      -> formatted ``yyyy-MM-dd [HH:mm:ss]``
+- NULL         -> ``ø``
+
+Row hash: first 8 md5 hex digits of the ``|``-joined cells (columns sorted
+by name) as a bigint — ``conv(substr(md5(s),1,8),16,10)`` in Spark equals
+``CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)`` in DuckDB (verified
+round 1 by the q_l4 value-parity oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NULL_SENTINEL = "ø"
+
+
+def _spark_cell(field: T.StructField):
+    c = F.col(field.name)
+    t = field.dataType
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        s = F.round(c.cast("double"), 4).cast("decimal(28,6)").cast("string")
+    elif isinstance(t, T.DecimalType) or isinstance(
+        t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+    ):
+        s = c.cast("string")
+    elif isinstance(t, T.DateType):
+        s = F.date_format(c, "yyyy-MM-dd")
+    elif isinstance(t, T.TimestampType):
+        s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    elif isinstance(t, T.StringType):
+        s = c
+    else:
+        raise TypeError(f"no canonical form for column {field.name}: {t}")
+    return F.coalesce(s, F.lit(NULL_SENTINEL))
+
+
+def spark_canon_summary(df: DataFrame, part: str) -> DataFrame:
+    """Reduce a result DataFrame to one (part, n_rows, checksum) row."""
+    fields = sorted(df.schema.fields, key=lambda f: f.name)
+    row_str = F.concat_ws("|", *[_spark_cell(f) for f in fields])
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("checksum"),
+    ).select(F.lit(part).alias("part"), "n_rows", "checksum")
+
+
+def _duck_cell(name: str, duck_type: str) -> str:
+    t = duck_type.upper()
+    col = f'"{name}"'
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        s = f"CAST(CAST(round(CAST({col} AS DOUBLE), 4) AS DECIMAL(28,6)) AS VARCHAR)"
+    elif t.startswith("DECIMAL") or t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "BOOLEAN",
+    ):
+        s = f"CAST({col} AS VARCHAR)"
+    elif t == "DATE":
+        s = f"strftime({col}, '%Y-%m-%d')"
+    elif t.startswith("TIMESTAMP"):
+        s = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    elif t == "VARCHAR":
+        s = col
+    else:
+        raise TypeError(f"no canonical form for column {name}: {duck_type}")
+    return f"coalesce({s}, '{NULL_SENTINEL}')"
+
+
+def duckdb_canon_sql(inner_sql: str, part: str, col_types: list[tuple[str, str]]) -> str:
+    """Wrap an oracle SQL text into its (part, n_rows, checksum) summary.
+
+    ``col_types`` comes from DuckDB DESCRIBE of the inner query (see
+    tools/gen_ext_oracle.py, which writes sql/_ext_oracle_gen.py)."""
+    cells = ", ".join(
+        _duck_cell(n, t) for n, t in sorted(col_types, key=lambda x: x[0])
+    )
+    h = "CAST(concat('0x', substr(md5(concat_ws('|', " + cells + ")), 1, 8)) AS BIGINT)"
+    return (
+        f"SELECT '{part}' AS part, count(*) AS n_rows, "
+        f"CAST(coalesce(sum(h), 0) AS BIGINT) AS checksum "
+        f"FROM (SELECT {h} AS h FROM ({inner_sql}))"
+    )

@@ -28,14 +28,21 @@ from go_pq_cdc_elasticsearch_spark.sql.registry import query
             FROM events
         )
         SELECT user_id, event_type, value
-        FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
     """,
     doc="Materialize current state == ES index content: last event per key "
-    "wins; delete removes (reference bulk/bulk.go:141-157 + keyed sink).",
+    "wins; delete removes (reference bulk/bulk.go:141-157 + keyed sink). "
+    "'error' plays the DELETE op (the synthetic feed has no literal "
+    "'delete' rows), so keys whose last event is a delete are absent — "
+    "this single entry exercises both the LWW and the live-delete paths "
+    "(former q_c1b, folded for the driver's 50-entry window; the "
+    "delete-free LWW path stays driver-checked via q_c3).",
 )
 def q_c1_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return cdc_apply(events).select("user_id", "event_type", "value")
+    return cdc_apply(events, delete_op="error").select(
+        "user_id", "event_type", "value"
+    )
 
 
 @query(
@@ -84,27 +91,6 @@ def q_c3_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c4_scripted_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return scripted_update_merge(events, update_op="purchase")
-
-
-@query(
-    "q_c1b_cdc_apply_deletes",
-    oracle="""
-        WITH ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-            FROM events
-        )
-        SELECT user_id, event_type, value
-        FROM ranked WHERE rn = 1 AND event_type <> 'error'
-    """,
-    doc="cdc_apply with live delete semantics: 'error' plays the DELETE op "
-    "(the synthetic feed has no literal 'delete' rows), so keys whose last "
-    "event is a delete are absent from the materialized state.",
-)
-def q_c1b_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return cdc_apply(events, delete_op="error").select(
-        "user_id", "event_type", "value"
-    )
 
 
 @query(

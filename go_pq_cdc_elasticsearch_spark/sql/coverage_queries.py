@@ -12,7 +12,7 @@ from go_pq_cdc_elasticsearch_spark import model
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
 from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
-from go_pq_cdc_elasticsearch_spark.sql.registry import query
+from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 from go_pq_cdc_elasticsearch_spark.sql.relational_queries import _dec_sum
 
 ROUTING_CASES = [
@@ -60,11 +60,23 @@ def q_c8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
     oracle="""
         SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS action,
                'events-idx' AS idx,
-               count(*) AS n
-        FROM events GROUP BY action, idx
+               count(*) AS n,
+               j.n_roundtrip, j.n_ops
+        FROM events CROSS JOIN (
+            SELECT count(*) AS n_roundtrip,
+                   count(DISTINCT json_extract_string(doc, '$.operation')) AS n_ops
+            FROM (
+                SELECT json_object('id', CAST(user_id AS VARCHAR),
+                                   'operation', upper(event_type),
+                                   'value', CAST(value AS VARCHAR)) AS doc
+                FROM events)
+            WHERE json_extract_string(doc, '$.id') IS NOT NULL) j
+        GROUP BY action, idx, j.n_roundtrip, j.n_ops
     """,
     doc="Full CDC pipeline (R2 envelope -> R6 route -> R3 handler -> write "
-    "plan): action counts per (action, index). 'error' plays DELETE.",
+    "plan): action counts per (action, index); 'error' plays DELETE. The "
+    "JSON serialization round-trip check (former q_c12, folded for the "
+    "driver's 50-entry window) rides along as constant columns.",
 )
 def q_c11_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -80,13 +92,30 @@ def q_c11_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     routed = IndexRouter({"public.events": "events-idx"}).route(env)
     actions = simple_handler(routed)
-    return (
-        actions.groupBy(F.col("action"), F.col("index").alias("idx"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    counts = actions.groupBy(F.col("action"), F.col("index").alias("idx")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.crossJoin(_json_roundtrip(spark, sf_dir))
+
+
+def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Former q_c12 body: build the doc with to_json, read fields back."""
+    events = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("id"),
+            F.upper("event_type").alias("operation"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+    docs = events.select(doc.alias("doc"))
+    return docs.filter(F.get_json_object("doc", "$.id").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_roundtrip"),
+        F.countDistinct(F.get_json_object("doc", "$.operation")).alias("n_ops"),
     )
 
 
-@query(
+@ext_query(
     "q_c12_json_roundtrip",
     oracle="""
         SELECT count(*) AS n_roundtrip,
@@ -120,7 +149,7 @@ def q_c12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s33_decimal_types",
     oracle="""
         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS VARCHAR) AS total_d,
@@ -142,7 +171,7 @@ def q_s33_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s23_pivot",
     oracle="""
         SELECT l_returnflag,
@@ -163,7 +192,7 @@ def q_s23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s24_having",
     oracle="""
         SELECT o_custkey, count(*) AS n
@@ -180,7 +209,7 @@ def q_s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s25_union_all",
     oracle="""
         SELECT count(*) AS n FROM (
@@ -196,7 +225,7 @@ def q_s25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionAll(o).agg(F.count(F.lit(1)).alias("n"))
 
 
-@query(
+@ext_query(
     "q_s26_percentile",
     oracle="""
         SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
@@ -215,7 +244,7 @@ def q_s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_s26_approx_percentile", oracle=None)
+@ext_query("q_s26_approx_percentile", oracle=None)
 def q_s26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch percentiles (the 100 TB path; rel-err bounded by the
     accuracy parameter, checked rows-only)."""
@@ -226,7 +255,7 @@ def q_s26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s27_in_subquery",
     oracle="""
         SELECT count(*) AS n FROM orders
@@ -245,7 +274,7 @@ def q_s27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s28_cube",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -268,7 +297,7 @@ def q_s28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s29_multi_distinct",
     oracle="""
         SELECT count(DISTINCT l_partkey) AS d_parts,
@@ -289,7 +318,7 @@ def q_s29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s30_cross_join",
     oracle="""
         SELECT r_name, count(*) AS n
@@ -305,7 +334,7 @@ def q_s30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s31_null_handling",
     oracle="""
         SELECT user_id,
@@ -336,7 +365,7 @@ def q_s31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s39_tpch_q5_style",
     oracle="""
         SELECT n_name,
@@ -375,7 +404,7 @@ def q_s39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s40_correlated_agg",
     oracle="""
         SELECT count(*) AS n FROM orders o
@@ -398,7 +427,7 @@ def q_s40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s41_unpivot",
     oracle="""
         SELECT metric, round(CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE), 4) AS total
@@ -425,7 +454,7 @@ def q_s41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s42_tpch_q10_style",
     oracle="""
         SELECT c_custkey, c_name, n_name,
@@ -461,7 +490,7 @@ def q_s42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s44_time_bucket_rollup",
     oracle="""
         SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000),
@@ -488,7 +517,7 @@ def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s43_lateral_explode",
     oracle="""
         SELECT word, count(*) AS n FROM (
@@ -512,7 +541,7 @@ def q_s43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s34_window_misc",
     oracle="""
         SELECT o_orderkey,
@@ -544,7 +573,7 @@ def q_s34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s35_string_advanced",
     oracle="""
         SELECT p_partkey,
@@ -573,7 +602,7 @@ def q_s35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s36_array_advanced",
     oracle="""
         SELECT vec_id,
@@ -609,7 +638,7 @@ def q_s36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s37_grouping_id",
     oracle="""
         SELECT coalesce(l_returnflag, '(null)') AS flag,
@@ -640,7 +669,7 @@ def q_s37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s38_datetime_advanced",
     oracle="""
         SELECT strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
@@ -668,7 +697,7 @@ def q_s38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@ext_query(
     "q_s32_conditional_agg",
     oracle="""
         SELECT l_returnflag,

@@ -16,7 +16,7 @@ from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.functions import text as TX
 from go_pq_cdc_elasticsearch_spark.operators import dedup as DD
 from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
-from go_pq_cdc_elasticsearch_spark.sql.registry import query
+from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
 # ---- shared oracle SQL fragments (DuckDB dialect) --------------------------
 
@@ -260,16 +260,31 @@ def _simhash_oracle() -> str:
 
 @query(
     "q_l7_simhash",
-    oracle=_simhash_oracle(),
-    doc="SimHash document fingerprints (16-bit; same md5 token hashes as "
-    "the oracle — exact value parity). Near-dups = small hamming distance.",
+    oracle=None,  # composed below once _l8/_l9 oracles are defined
+    doc="Per-document fingerprint/analysis record: 16-bit SimHash, token "
+    "counts, stopword/punct ratios, quality score, md5 fingerprint, "
+    "language-ID — q_l8_text_features and q_l9_langid folded in by a "
+    "doc_id join (driver 50-entry window; originals stay oracle-checked "
+    "locally as extension entries). All values md5-/column-exact vs the "
+    "oracle.",
 )
 def q_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
-    return docs.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        DD.simhash16(t).alias("simhash"),
+        TX.token_count_ws(t).alias("tok_ws"),
+        TX.token_count_bpe(t).alias("tok_bpe"),
+        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_r"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+        TX.fingerprint(t).alias("fp"),
+        TX.lang_id(t).alias("lang_pred"),
+    )
 
 
-@query(
+@ext_query(
     "q_l8_text_features",
     oracle=f"""
         SELECT doc_id,
@@ -320,7 +335,7 @@ def _langid_oracle() -> str:
     """
 
 
-@query(
+@ext_query(
     "q_l9_langid",
     oracle=_langid_oracle(),
     doc="Marker-word language-ID heuristic (argmax of per-language evidence "
@@ -329,6 +344,20 @@ def _langid_oracle() -> str:
 def q_l9(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# q_l7's oracle composes the simhash, text-features and langid oracles by a
+# doc_id join (set after definition so the fragments above are available).
+from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402
+from go_pq_cdc_elasticsearch_spark.sql.registry import EXT_REGISTRY as _EXT  # noqa: E402
+
+_REG["q_l7_simhash"].oracle = f"""
+    SELECT s.doc_id, s.simhash, f.tok_ws, f.tok_bpe, f.stop_ratio,
+           f.punct_r, f.quality, f.fp, l.lang_pred
+    FROM ({_simhash_oracle()}) s
+    JOIN ({_EXT["q_l8_text_features"].oracle}) f ON f.doc_id = s.doc_id
+    JOIN ({_langid_oracle()}) l ON l.doc_id = s.doc_id
+"""
 
 
 def _dedup_corpus_oracle(k: int = 16, bands: int = 4, tau: float = 0.7) -> str:

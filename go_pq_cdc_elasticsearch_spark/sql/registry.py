@@ -29,14 +29,30 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Extension queries kept OUT of the driver-facing registry. The driver's
+# CORRECTNESS artifact records only the first 50 registry entries
+# (alphabetical), so the driver set is budgeted to exactly the SURVEY §2
+# qids plus a few folded extension entries; everything else lives here,
+# still oracle-checked locally (tests/test_oracle_suite.py, tools/check.py)
+# and value-folded into the q_sx* combo entries the driver does record.
+EXT_REGISTRY: dict[str, Query] = {}
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator registering a declared query."""
 
+def _register(target: dict[str, Query], name, oracle, doc):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in REGISTRY:
+        if name in REGISTRY or name in EXT_REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        target[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator registering a driver-facing declared query."""
+    return _register(REGISTRY, name, oracle, doc)
+
+
+def ext_query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator registering a local-only extension query."""
+    return _register(EXT_REGISTRY, name, oracle, doc)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.operators.asof import asof_join
-from go_pq_cdc_elasticsearch_spark.sql.registry import query
+from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
 
 def _dec_sum(col, alias):
@@ -248,9 +248,9 @@ def q_s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(F.countDistinct("l_partkey").alias("n"))
 
 
-@query(
+@ext_query(
     "q_s10_approx_distinct",
-    oracle=None,  # approximate — checked by rel-err unit test, rows-only here
+    oracle=None,  # approximate — checked by rel-err unit test (test_approx.py)
 )
 def q_s10_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (single pass, mergeable sketches —
@@ -349,41 +349,38 @@ def q_s14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_s15_intersect",
+    "q_s15_set_ops",
     oracle="""
-        SELECT c_custkey AS custkey FROM customer
-        INTERSECT
-        SELECT o_custkey AS custkey FROM orders
+        SELECT custkey, except_n, union_n
+        FROM (SELECT c_custkey AS custkey FROM customer
+              INTERSECT
+              SELECT o_custkey AS custkey FROM orders)
+        CROSS JOIN (
+          SELECT
+            (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                   EXCEPT SELECT o_custkey FROM orders)) AS except_n,
+            (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                   UNION SELECT o_custkey FROM orders)) AS union_n)
     """,
+    doc="Set operations in one entry (folded q_s15_intersect + "
+    "q_s15_except_union for the driver's 50-entry window): the INTERSECT "
+    "result keeps full row-level parity; EXCEPT/UNION-distinct "
+    "cardinalities ride along as constant columns.",
 )
 def q_s15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (distinct semantics)."""
+    """INTERSECT rows + EXCEPT/UNION(distinct) counts."""
     customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey")
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey")
     )
-    return customer.intersect(orders)
-
-
-@query(
-    "q_s15_except_union",
-    oracle="""
-        SELECT
-          (SELECT count(*) FROM (SELECT c_custkey FROM customer
-                                 EXCEPT SELECT o_custkey FROM orders)) AS except_n,
-          (SELECT count(*) FROM (SELECT c_custkey FROM customer
-                                 UNION SELECT o_custkey FROM orders)) AS union_n
-    """,
-)
-def q_s15b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT and UNION (distinct) in one result row."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    inter = customer.intersect(orders)
+    c = customer.select(F.col("custkey").alias("k"))
+    o = orders.select(F.col("custkey").alias("k"))
     ex = c.subtract(o).agg(F.count(F.lit(1)).alias("except_n"))
     un = c.union(o).distinct().agg(F.count(F.lit(1)).alias("union_n"))
-    return ex.crossJoin(un)
+    return inter.crossJoin(ex.crossJoin(un))
 
 
 @query(

@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
 from go_pq_cdc_elasticsearch_spark.session import get_spark  # noqa: E402
-from go_pq_cdc_elasticsearch_spark.sql import REGISTRY  # noqa: E402
+from go_pq_cdc_elasticsearch_spark.sql import EXT_REGISTRY, REGISTRY  # noqa: E402
 
 
 def canon_value(v):
@@ -52,7 +52,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     n_pass = n_fail = n_rows_only = 0
-    for name, q in sorted(REGISTRY.items()):
+    for name, q in sorted({**REGISTRY, **EXT_REGISTRY}.items()):
         if only and name not in only:
             continue
         t0 = time.time()
