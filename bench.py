@@ -11,6 +11,7 @@ excluded from its throughput envelope).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -23,7 +24,7 @@ from go_pq_cdc_elasticsearch_spark.session import get_spark  # noqa: E402
 from go_pq_cdc_elasticsearch_spark.sql import REGISTRY  # noqa: E402
 
 
-def main() -> int:
+def run(out) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -45,9 +46,9 @@ def main() -> int:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.time() - t0, 2)
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 2)
 
     # BASELINE.md throughput targets, measured warm (post-suite):
     # cdc_apply events/s and snapshot-path rows/s
@@ -79,10 +80,24 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 **extra,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        file=out,
+        flush=True,
     )
     return 0 if all(v >= 0 for v in timings.values()) else 1
+
+
+def main() -> int:
+    # The driver parses stdout as the result (BENCH_r01 came back
+    # "parsed": null) — so the JSON line must be the ONLY stdout line.
+    # Everything the run prints (Spark banners, py4j chatter, our own
+    # progress) is redirected to stderr; the single compact JSON line is
+    # written to the real stdout at the end.
+    real_stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        return run(real_stdout)
 
 
 if __name__ == "__main__":
