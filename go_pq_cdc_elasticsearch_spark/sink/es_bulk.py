@@ -24,10 +24,48 @@ import json
 from collections.abc import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 
 DEFAULT_BATCH_SIZE_LIMIT = 1000  # config/config.go:42-44
 DEFAULT_BATCH_BYTE_SIZE_LIMIT = 10 * 1024 * 1024  # config/config.go:46-48
 DEFAULT_BATCH_TICKER_SECONDS = 10.0  # config/config.go:38-40
+FALLBACK_ES_VERSION = "7.0.0"  # client/client.go:38-45
+
+
+def is_type_supported(es_version: str) -> bool:
+    """Whether this ES version still accepts ``_type`` in bulk metadata —
+    reference isTypeSupported (bulk/bulk.go:194-206): major version
+    string-compared against "8" (we mirror the reference's *string*
+    comparison, quirks included, so wire behavior matches byte for byte);
+    empty/unknown version counts as supported."""
+    if not es_version:
+        return True
+    major = es_version.split(".")[0]
+    return major < "8"
+
+
+def detect_es_version(info_transport: Callable[[], str]) -> str:
+    """Detect the cluster version from the Info API body (reference
+    detectElasticsearchVersion, client/client.go:51-74): parse
+    ``version.number``; any failure falls back to 7.0.0 like the reference
+    (client.go:38-45 logs a warning and continues)."""
+    try:
+        body = json.loads(info_transport())
+        number = body["version"]["number"]
+        if not isinstance(number, str):
+            raise TypeError("version number not found")
+        return number
+    except Exception:  # noqa: BLE001 — reference swallows and falls back
+        return FALLBACK_ES_VERSION
+
+
+def resolve_type_name(type_name: str | None, es_version: str | None) -> str | None:
+    """Gate the configured ``_type`` on the (detected) ES version, like the
+    reference passes config.Elasticsearch.TypeName through isTypeSupported
+    before framing (bulk/bulk.go:214-228)."""
+    if type_name is None or es_version is None:
+        return type_name
+    return type_name if is_type_supported(es_version) else None
 
 
 def escape_doc_id(doc_id: str) -> str:
@@ -130,6 +168,8 @@ def write_bulk(
     batch_byte_size_limit: int = DEFAULT_BATCH_BYTE_SIZE_LIMIT,
     concurrent_requests: int | None = None,
     on_error: str = "fail",
+    type_name: str | None = None,
+    es_version: str | None = None,
 ) -> None:
     """Execute the write plan against a transport.
 
@@ -143,13 +183,16 @@ def write_bulk(
     """
     if concurrent_requests is not None:
         actions = actions.repartition(concurrent_requests)
+    effective_type = resolve_type_name(type_name, es_version)
 
     def run_partition(rows):
         def dicts():
             for row in rows:
                 yield row.asDict()
 
-        for payload in bulk_payloads(dicts(), batch_size_limit, batch_byte_size_limit):
+        for payload in bulk_payloads(
+            dicts(), batch_size_limit, batch_byte_size_limit, effective_type
+        ):
             body = transport(payload)
             _, errs = parse_bulk_response(body)
             if errs and on_error == "fail":
@@ -201,40 +244,106 @@ def http_transport(
     return transport
 
 
-def write_bulk_with_dlq(
+def http_info_transport(
+    base_url: str,
+    username: str | None = None,
+    password: str | None = None,
+    timeout_sec: float = 10.0,
+) -> Callable[[], str]:
+    """Info API call (GET {base}/) for detect_es_version — the reference's
+    client.Info() (client/client.go:52-56)."""
+
+    def info() -> str:
+        import base64
+        import urllib.request
+
+        req = urllib.request.Request(base_url.rstrip("/") + "/", method="GET")
+        if username is not None:
+            token = base64.b64encode(
+                f"{username}:{password or ''}".encode()
+            ).decode()
+            req.add_header("Authorization", f"Basic {token}")
+        with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+            return resp.read().decode()
+
+    return info
+
+
+def write_bulk_results(
     actions: DataFrame,
     transport: Callable[[bytes], str],
     batch_size_limit: int = DEFAULT_BATCH_SIZE_LIMIT,
     batch_byte_size_limit: int = DEFAULT_BATCH_BYTE_SIZE_LIMIT,
+    type_name: str | None = None,
+    es_version: str | None = None,
 ) -> DataFrame:
     """Response-handler mode (reference R13): execute the write plan and
-    RETURN the per-item failures as a DataFrame — the dead-letter queue.
-    Mirrors handleResponse (bulk/bulk.go:392-411): items keyed by
-    (_id, _index), successes acked, errors dispatched instead of panicking.
-    The caller persists the result to its DLQ table."""
+    RETURN one record per item — mirrors handleResponse
+    (bulk/bulk.go:392-411) dispatching OnSuccess for acked items and
+    OnError for failed ones (elasticsearch/response_handler.go:8-23).
+    ``ok=true`` rows are the OnSuccess stream (error null), ``ok=false``
+    rows the OnError stream; filter for either side."""
+    effective_type = resolve_type_name(type_name, es_version)
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = pdf.to_dict("records")
-            failures = []
-            for payload in bulk_payloads(rows, batch_size_limit, batch_byte_size_limit):
+            results = []
+            for payload in bulk_payloads(
+                rows, batch_size_limit, batch_byte_size_limit, effective_type
+            ):
                 body = transport(payload)
-                _, errs = parse_bulk_response(body)
+                oks, errs = parse_bulk_response(body)
+                for o in oks:
+                    results.append(
+                        {
+                            "doc_id": o["_id"],
+                            "index": o["_index"],
+                            "status": int(o["status"] or 0),
+                            "error": None,
+                            "ok": True,
+                        }
+                    )
                 for e in errs:
-                    failures.append(
+                    results.append(
                         {
                             "doc_id": e["_id"],
                             "index": e["_index"],
                             "status": int(e["status"] or 0),
                             "error": str(e["error"]),
+                            "ok": False,
                         }
                     )
             yield pd.DataFrame(
-                failures, columns=["doc_id", "index", "status", "error"]
+                results, columns=["doc_id", "index", "status", "error", "ok"]
             )
 
     return actions.mapInPandas(
-        run, schema="doc_id string, index string, status int, error string"
+        run, schema="doc_id string, index string, status int, error string, ok boolean"
+    )
+
+
+def write_bulk_with_dlq(
+    actions: DataFrame,
+    transport: Callable[[bytes], str],
+    batch_size_limit: int = DEFAULT_BATCH_SIZE_LIMIT,
+    batch_byte_size_limit: int = DEFAULT_BATCH_BYTE_SIZE_LIMIT,
+    type_name: str | None = None,
+    es_version: str | None = None,
+) -> DataFrame:
+    """The OnError side of write_bulk_results — the dead-letter queue the
+    caller persists (same schema as before: doc_id, index, status, error)."""
+    return (
+        write_bulk_results(
+            actions,
+            transport,
+            batch_size_limit,
+            batch_byte_size_limit,
+            type_name,
+            es_version,
+        )
+        .filter(~F_col("ok"))
+        .drop("ok")
     )

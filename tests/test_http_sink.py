@@ -20,6 +20,14 @@ AUTH_SEEN: list[str] = []
 
 
 class _FakeES(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 — Info API (client/client.go:52-56)
+        assert self.path == "/"
+        out = json.dumps({"name": "fake", "version": {"number": "6.8.23"}}).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
     def do_POST(self):  # noqa: N802
         assert self.path == "/_bulk"
         assert self.headers["Content-Type"] == "application/x-ndjson"
@@ -94,6 +102,32 @@ def test_dlq_over_real_http(spark, es_url):
     ).collect()
     assert {r["doc_id"] for r in failures} == {"3", "7"}
     FAIL_IDS.clear()
+
+
+def test_version_detect_over_real_http(spark, es_url):
+    # detect -> gate _type -> frame: the full reference init sequence
+    from go_pq_cdc_elasticsearch_spark.sink.es_bulk import (
+        detect_es_version,
+        http_info_transport,
+    )
+
+    version = detect_es_version(http_info_transport(es_url))
+    assert version == "6.8.23"
+    RECORDED.clear()
+    FAIL_IDS.clear()
+    write_bulk(
+        _actions(spark, 3),
+        http_transport(es_url),
+        type_name="_doc",
+        es_version=version,
+    )
+    metas = [
+        json.loads(line)["index"]
+        for b in RECORDED
+        for line in b.decode().splitlines()
+        if '"index"' in line.split("\n")[0] and line.startswith('{"index"')
+    ]
+    assert metas and all(m.get("_type") == "_doc" for m in metas)
 
 
 def test_http_retry_then_error(spark):
