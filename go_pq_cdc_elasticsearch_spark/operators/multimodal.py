@@ -6,11 +6,15 @@ feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 operators so each partition processes a column of byte blobs vectorized —
 the shape that scales (no per-row Python calls, no driver transfer).
 
-The actual codec calls are STUBBED (this container has no image/audio
-libraries): ``decode_stub=True`` substitutes a deterministic md5-derived
-"decoder" so schemas, batch shapes, partitioning and determinism are fully
-exercised; ``decode_stub=False`` raises NotImplementedError at the exact
-point where PIL/ffmpeg would be invoked.
+Decode paths:
+- ``decode_stub=False`` (REAL): BMP / PPM / WAV blobs are decoded with the
+  stdlib/numpy codecs in operators/codecs.py — real pixels/samples, real
+  stats features, real nearest-neighbor resize, real frame slicing. Only a
+  format outside that set (JPEG/PNG/MP4 — the container has no PIL/ffmpeg)
+  raises NotImplementedError, at the exact point the library call would go.
+- ``decode_stub=True``: a deterministic md5-derived "decoder" for opaque
+  blobs, so schemas, batch shapes, partitioning and determinism stay
+  exercised with arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -20,6 +24,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from go_pq_cdc_elasticsearch_spark.operators import codecs
 
 # mapInPandas closures below reference module-level helpers; ship this
 # module BY VALUE so Python workers need not have the repo on sys.path
@@ -82,12 +88,19 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires an image/audio library (PIL/librosa/"
-                    "ffmpeg) not present in this environment; use decode_stub=True"
-                )
-            feats = [_stub_features(b, dim) for b in pdf["content"]]
+            feats = []
+            for b in pdf["content"]:
+                if decode_stub:
+                    feats.append(_stub_features(b, dim))
+                    continue
+                real = codecs.decode_features(bytes(b or b""), dim)
+                if real is None:
+                    raise NotImplementedError(
+                        "real decode supports BMP/PPM/WAV here; other formats "
+                        "(JPEG/PNG/MP4) need PIL/ffmpeg, absent in this "
+                        "environment — use decode_stub=True for opaque blobs"
+                    )
+                feats.append(real)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -106,14 +119,34 @@ def extract_features(
 def resize_images(
     media: DataFrame, width: int, height: int, decode_stub: bool = True
 ) -> DataFrame:
-    """Resize stub: passes bytes through and records the target dims in meta
-    (a real impl decodes/resizes/re-encodes inside the same batch loop)."""
+    """Resize inside the batch loop. Real path (decode_stub=False):
+    decode BMP/PPM, nearest-neighbor resample with numpy index arithmetic,
+    re-encode in the same format. Stub path: bytes pass through, target
+    dims recorded in meta."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        def real_resize(blob: bytes) -> bytes:
+            fmt = codecs.sniff_format(blob)
+            if fmt == "bmp":
+                px = codecs.decode_bmp(blob)
+            elif fmt == "ppm":
+                px = codecs.decode_ppm(blob)
+            else:
+                raise NotImplementedError(
+                    "real resize supports BMP/PPM; others need PIL/opencv"
+                )
+            h, w, _ = px.shape
+            rows = (np.arange(height) * h // height).clip(0, h - 1)
+            cols = (np.arange(width) * w // width).clip(0, w - 1)
+            out = px[rows][:, cols]
+            return codecs.encode_bmp(out) if fmt == "bmp" else codecs.encode_ppm(out)
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real resize requires PIL/opencv")
             pdf = pdf.copy()
+            if not decode_stub:
+                pdf["content"] = [real_resize(bytes(b)) for b in pdf["content"]]
             pdf["meta"] = [
                 {**(m or {}), "resized": f"{width}x{height}"} for m in pdf["meta"]
             ]
@@ -123,29 +156,38 @@ def resize_images(
 
 
 def sample_frames(
-    media: DataFrame, every_n_bytes: int = 64, decode_stub: bool = True
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    decode_stub: bool = True,
+    every_nth_frame: int = 1,
 ) -> DataFrame:
-    """Frame-sampling stub for video: emits one row per sampled 'frame'
-    (byte-offset slice standing in for a decoded frame) — demonstrates the
-    1->N expansion shape (posexplode after batch decode)."""
+    """Frame sampling: one row per sampled frame — the 1->N expansion shape
+    (posexplode after batch decode). Real path (decode_stub=False): the
+    blob is a concatenated-P6 "video" (codecs.decode_ppm_stream); every
+    ``every_nth_frame``-th frame is re-encoded as standalone PPM bytes.
+    Stub path: fixed-size byte slices stand in for decoded frames."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                blob = blob or b""
-                for fi, off in enumerate(range(0, len(blob), every_n_bytes)):
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_idx": fi,
-                            "frame": bytes(blob[off : off + every_n_bytes]),
-                        }
-                    )
+                blob = bytes(blob or b"")
+                if decode_stub:
+                    frames = [
+                        blob[off : off + every_n_bytes]
+                        for off in range(0, len(blob), every_n_bytes)
+                    ]
+                else:
+                    frames = [
+                        codecs.encode_ppm(f)
+                        for f in codecs.decode_ppm_stream(blob)[::every_nth_frame]
+                    ]
+                rows.extend(
+                    {"media_id": mid, "frame_idx": fi, "frame": f}
+                    for fi, f in enumerate(frames)
+                )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.mapInPandas(
