@@ -13,12 +13,18 @@ Spark 4 Python streaming DataSource over an append-only directory of NDJSON
   restart-LSN of a replication slot;
 - ``latestOffset`` scans segment metadata only; ``partitions(start, end)``
   splits the lsn range by segment so Spark parallelizes a catch-up read;
-- ``commit(offset)`` is the ack: a real implementation would send
-  ``StandbyStatusUpdate`` to Postgres here; we record it to
-  ``<path>/_committed`` so tests can assert ack progression.
+- ``commit(offset)`` is the ack: it records to ``<path>/_committed``; the
+  live consumer loop tails that file and sends the ``StandbyStatusUpdate``
+  that advances the slot's restart LSN
+  (sources/pgoutput.py:forward_committed_acks). File-based because Spark
+  executes these callbacks in the python-streaming-source runner process,
+  not the user's.
 
-A production pgoutput source swaps the file scan for a replication socket;
-offset/partition/commit logic — the part Spark dictates — is identical.
+The live producer is sources/pgoutput.py: a pgoutput slot consumer
+(CREATE_REPLICATION_SLOT / START_REPLICATION / keepalive / ack) pumps the
+socket into these segment files (``stream_to_segments``), so the file
+contract stays the single source of truth for offsets and partitions while
+the socket is just the producer.
 """
 
 from __future__ import annotations
@@ -36,6 +42,7 @@ WAL_SCHEMA = (
     "lsn bigint, op string, table_schema string, table_name string, "
     "before map<string,string>, after map<string,string>, ts string"
 )
+
 
 
 def segment_start_lsn(fname: str) -> int:
@@ -131,8 +138,11 @@ class WalStreamReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        """The ack (R12): advance the restart LSN. Recorded for tests; a
-        live source sends StandbyStatusUpdate here."""
+        """The ack (R12): advance the restart LSN. Spark runs this in the
+        python-streaming-source runner process, so the live bridge is
+        file-based: the record appended here is picked up by the consumer
+        loop (pgoutput.forward_committed_acks) which owns the socket and
+        sends the StandbyStatusUpdate."""
         try:
             with open(os.path.join(self.path, "_committed"), "a") as f:
                 f.write(json.dumps(end) + "\n")

@@ -1,0 +1,248 @@
+"""pgoutput live-replication path (U2, VERDICT round 1 item 4): frame
+codecs, pgoutput decode, and the full slot-consumer handshake against a
+scripted fake replication server over a real TCP socket — slot create,
+CopyBoth start, keepalive reply, StandbyStatusUpdate ack progression, and
+the socket -> wal-segment -> Spark pgwal bridge."""
+
+import io
+import json
+import os
+import socket
+import struct
+import tempfile
+import threading
+
+from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+# ---- pure codec tests ------------------------------------------------------
+
+
+def test_libpq_frame_roundtrip():
+    buf = io.BytesIO(PG.frame(b"Q", b"hello\x00") + PG.frame(b"d", b"xyz"))
+    t, body = PG.read_frame(buf)
+    assert (t, body) == (b"Q", b"hello\x00")
+    t, body = PG.read_frame(buf)
+    assert (t, body) == (b"d", b"xyz")
+    assert PG.read_frame(buf) == (b"", b"")
+
+
+def test_standby_status_roundtrip():
+    payload = PG.standby_status_update(100, 90, 80, clock_us=7, reply=True)
+    got = PG.parse_standby_status(payload)
+    assert got == {"written": 100, "flushed": 90, "applied": 80, "clock_us": 7, "reply": True}
+
+
+def test_lsn_str():
+    assert PG.lsn_str(0) == "0/0"
+    assert PG.lsn_str((0x16 << 32) | 0xB374D848) == "16/B374D848"
+
+
+def test_pgoutput_decode_insert_update_delete():
+    dec = PG.PgOutputDecoder()
+    assert dec.decode(PG.encode_relation(1, "public", "users", ["id", "name"]), 0) is None
+    assert dec.decode(PG.encode_begin(500, 12345, xid=9), 0) is None
+    ins = dec.decode(PG.encode_insert(1, ["1", "ada"]), 101)
+    assert ins["op"] == "INSERT" and ins["after"] == {"id": "1", "name": "ada"}
+    assert ins["table_schema"] == "public" and ins["table_name"] == "users"
+    assert ins["lsn"] == 101 and ins["before"] is None
+    upd = dec.decode(PG.encode_update(1, ["1", "lovelace"], old_values=["1", "ada"]), 102)
+    assert upd["op"] == "UPDATE"
+    assert upd["before"] == {"id": "1", "name": "ada"}
+    assert upd["after"] == {"id": "1", "name": "lovelace"}
+    dele = dec.decode(PG.encode_delete(1, ["1", None]), 103)
+    assert dele["op"] == "DELETE" and dele["after"] is None
+    assert dele["before"] == {"id": "1", "name": None}
+    assert dec.decode(PG.encode_commit(500, 501, 12345), 104) is None
+
+
+def test_tuple_null_and_unchanged_columns():
+    dec = PG.PgOutputDecoder()
+    dec.decode(PG.encode_relation(2, "s", "t", ["a", "b"]), 0)
+    dec.decode(PG.encode_begin(1, 0, 1), 0)
+    row = dec.decode(PG.encode_insert(2, [None, "x"]), 5)
+    assert row["after"] == {"a": None, "b": "x"}
+
+
+# ---- scripted fake replication server --------------------------------------
+
+
+class FakeReplicationServer:
+    """Speaks the slice of the protocol a slot consumer uses. Scripted:
+    serves `transactions` (lists of (lsn, payload) CopyData frames),
+    interleaves keepalives with reply_requested, records every
+    StandbyStatusUpdate it receives."""
+
+    def __init__(self, transactions):
+        self.transactions = transactions
+        self.acks = []
+        self.slots = []
+        self.server = socket.create_server(("127.0.0.1", 0))
+        self.port = self.server.getsockname()[1]
+        self.done = threading.Event()
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        conn, _ = self.server.accept()
+        f = conn.makefile("rwb")
+        try:
+            while True:
+                t, body = PG.read_frame(f)
+                if not t:
+                    return
+                if t == b"Q":
+                    sql = body.rstrip(b"\x00").decode()
+                    if sql.startswith("CREATE_REPLICATION_SLOT"):
+                        self.slots.append(sql.split()[1])
+                        f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                        f.flush()
+                    elif sql.startswith("START_REPLICATION"):
+                        f.write(PG.copy_both_response())
+                        f.flush()
+                        self._stream(f)
+                        # after CopyDone keep draining acks until client closes
+                elif t == b"d" and body[:1] == b"r":
+                    self.acks.append(PG.parse_standby_status(body))
+        except (OSError, ValueError):
+            pass
+        finally:
+            self.done.set()
+
+    def _stream(self, f):
+        for txn in self.transactions:
+            for lsn, payload in txn:
+                f.write(PG.copy_data(PG.xlog_data(lsn, lsn, 0, payload)))
+            # keepalive demanding a reply after each transaction
+            f.write(PG.copy_data(PG.keepalive(txn[-1][0], 0, True)))
+            f.flush()
+            # wait for the forced keepalive reply before continuing (liveness)
+            t, body = PG.read_frame(f)
+            if t == b"d" and body[:1] == b"r":
+                self.acks.append(PG.parse_standby_status(body))
+        f.write(PG.copy_data(b"c"))  # CopyDone
+        f.flush()
+
+
+def _txn(relid, cols, start_lsn, rows, table=("public", "events")):
+    msgs = [
+        (start_lsn, PG.encode_relation(relid, table[0], table[1], cols)),
+        (start_lsn, PG.encode_begin(start_lsn + len(rows) + 1, 777_000_000, xid=1)),
+    ]
+    lsn = start_lsn
+    for op, vals in rows:
+        lsn += 1
+        if op == "I":
+            msgs.append((lsn, PG.encode_insert(relid, vals)))
+        elif op == "U":
+            msgs.append((lsn, PG.encode_update(relid, vals)))
+        elif op == "D":
+            msgs.append((lsn, PG.encode_delete(relid, vals)))
+    msgs.append((lsn + 1, PG.encode_commit(lsn + 1, lsn + 2, 777_000_000)))
+    return msgs
+
+
+def test_replication_client_against_fake_server():
+    cols = ["user_id", "value"]
+    server = FakeReplicationServer(
+        [
+            _txn(16385, cols, 100, [("I", ["1", "10"]), ("I", ["2", "20"])]),
+            _txn(16385, cols, 200, [("U", ["1", "11"]), ("D", ["2", None])]),
+        ]
+    )
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="cdc_slot", publication="pub")
+    client.create_slot()
+    client.start(start_lsn=0)
+
+    changes = []
+    for ch in client.poll():
+        changes.append(ch)
+        client.ack(ch["lsn"])  # flush-then-ack per change
+
+    assert server.slots == ["cdc_slot"]
+    assert [c["op"] for c in changes] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+    assert changes[0]["after"] == {"user_id": "1", "value": "10"}
+    assert changes[3]["before"] == {"user_id": "2", "value": None}
+    client.close()
+    server.done.wait(5)
+    # ack progression: monotonic flushed LSNs, ending at the last change,
+    # and the forced keepalive replies arrived (>= one per transaction)
+    flushed = [a["flushed"] for a in server.acks]
+    assert flushed == sorted(flushed)
+    assert flushed[-1] == changes[-1]["lsn"]
+    assert len(server.acks) >= len(changes) + 2
+
+
+def test_socket_to_segments_to_spark_pgwal(spark):
+    # full live path: socket -> stream_to_segments -> pgwal DataSource ->
+    # micro-batches -> commit records -> forward_committed_acks
+    cols = ["user_id", "value"]
+    server = FakeReplicationServer(
+        [
+            _txn(1, cols, 1000, [("I", ["1", "1.5"]), ("I", ["2", "2.5"])]),
+            _txn(1, cols, 2000, [("U", ["1", "9.9"])]),
+        ]
+    )
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="s2", publication="pub")
+    client.create_slot()
+    client.start()
+
+    work = tempfile.mkdtemp(prefix="pgwal_live_")
+    seg_dir = os.path.join(work, "segments")
+    n = PG.stream_to_segments(client, seg_dir, batch_size=2)
+    assert n == 3
+
+    from go_pq_cdc_elasticsearch_spark.sources.wal import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("pgwal")
+        .option("path", seg_dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(work, "out"))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["lsn"]: r for r in spark.read.parquet(os.path.join(work, "out")).collect()}
+    assert sorted(rows) == [1001, 1002, 2001]
+    assert {r["op"] for r in rows.values()} == {"INSERT", "UPDATE"}
+    assert rows[1001]["after"]["user_id"] == "1"
+    assert rows[2001]["after"]["value"] == "9.9"
+
+    # commit() wrote the frontier; the consumer loop forwards it as the ack.
+    # Spark acks offset N once batch N+1 completes (same flush-then-ack lag
+    # as the reference, bulk/bulk.go:271-276), so stage one more segment and
+    # drain again to trigger the commit record for the first batch.
+    committed = os.path.join(seg_dir, "_committed")
+    from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
+
+    write_wal_segment(
+        seg_dir,
+        [{"lsn": 3000, "op": "INSERT", "table_schema": "public",
+          "table_name": "events", "before": None, "after": {"user_id": "5"},
+          "ts": "t"}],
+    )
+    q2 = (
+        spark.readStream.format("pgwal")
+        .option("path", seg_dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(work, "out"))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert os.path.exists(committed)
+    before = len(server.acks)
+    last = PG.forward_committed_acks(client, seg_dir)
+    assert last == max(
+        json.loads(line)["lsn"] for line in open(committed)
+    )
+    server.done.wait(5)
+    assert len(server.acks) > before
+    assert server.acks[-1]["flushed"] == last
+    client.close()
