@@ -59,8 +59,16 @@ class MaterializedView:
         seq_col: str = "event_id",
         op_col: str = "event_type",
         delete_op: str = "delete",
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
+        target_rows_per_bucket: int = 100_000,
+        max_buckets: int = 256,
     ):
+        """``n_buckets=None`` (default) auto-sizes the layout at first
+        merge: ceil(first_batch_rows / target_rows_per_bucket), capped at
+        ``max_buckets`` — a toy view gets 1 bucket (zero incremental-merge
+        overhead vs a plain rewrite), a snapshot-sized first load gets
+        many. The count is fixed at creation (recorded in the meta file);
+        re-bucketing is a maintenance op like vacuum."""
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -68,10 +76,16 @@ class MaterializedView:
         self.op_col = op_col
         self.delete_op = delete_op
         self.n_buckets = n_buckets
+        self.target_rows_per_bucket = target_rows_per_bucket
+        self.max_buckets = max_buckets
+        self._columns: list[str] | None = None
+        self._drifted = False
         meta = self._read_meta()
         if meta is not None:
             # layout sticks to what the directory was created with
             self.n_buckets = int(meta["n_buckets"])
+            self._columns = meta.get("columns")
+            self._drifted = bool(meta.get("drifted", False))
 
     # -- layout helpers ------------------------------------------------------
 
@@ -85,7 +99,15 @@ class MaterializedView:
     def _write_meta(self) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, _META), "w") as f:
-            json.dump({"n_buckets": self.n_buckets, "keys": self.keys}, f)
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "keys": self.keys,
+                    "columns": self._columns,
+                    "drifted": self._drifted,
+                },
+                f,
+            )
 
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
@@ -111,10 +133,12 @@ class MaterializedView:
             if d.startswith(_BUCKET_COL + "=")
         )
 
-    def _read_buckets(self, buckets: list[int] | None = None) -> DataFrame:
+    def _read_buckets(
+        self, buckets: list[int] | None = None, merge_schema: bool = True
+    ) -> DataFrame:
         df = (
             self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")  # schema drift across batches
+            .option("mergeSchema", str(merge_schema).lower())
             .parquet(self.path)
         )
         if buckets is not None:
@@ -136,36 +160,53 @@ class MaterializedView:
         before issuing the bulk request — order matters, bulk/bulk.go:141
         happens before :297), then seq-resolved merge with the touched
         state buckets only, then per-bucket swap."""
+        if not self.exists():
+            compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col)
+            if self.n_buckets is None:  # auto-size the layout to the data
+                n_rows = compact.count()
+                self.n_buckets = max(
+                    1,
+                    min(self.max_buckets, -(-n_rows // self.target_rows_per_bucket)),
+                )
+            self._columns = sorted(batch.columns)
+            self._write_meta()
+            self._swap_buckets(
+                compact.withColumn(_BUCKET_COL, self._bucket_expr()), buckets=None
+            )
+            return
+
+        # touched buckets from the RAW batch (same key set as the deduped
+        # batch, no window shuffle in this probe job)
+        touched = sorted(
+            r["b"]
+            for r in batch.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+        if not touched:  # empty batch
+            return
         compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col).withColumn(
             _BUCKET_COL, self._bucket_expr()
         )
-
-        if not self.exists():
-            self._write_meta()
-            self._swap_buckets(compact, buckets=None)
-            return
-
-        compact = compact.persist()
-        touched = sorted(
-            r[_BUCKET_COL]
-            for r in compact.select(_BUCKET_COL).distinct().collect()
-        )
-        if not touched:  # empty batch
-            compact.unpersist()
-            return
         existing = [b for b in touched if os.path.exists(self._bucket_dir(b))]
         # allowMissingColumns: the reference's payloads are schemaless
         # (map[string]any); a batch may add columns (schema drift) — old
-        # state rows get NULLs, dropped columns stay NULL for new rows
+        # state rows get NULLs, dropped columns stay NULL for new rows.
+        # mergeSchema footer reconciliation only once drift has EVER
+        # happened (a drifted merge rewrites only touched buckets, so file
+        # schemas stay non-uniform until vacuum's full rewrite clears it).
+        drift = self._columns is None or sorted(batch.columns) != self._columns
+        if drift:
+            self._drifted = True
         if existing:
-            merged = self._read_buckets(existing).unionByName(
-                compact, allowMissingColumns=True
-            )
+            merged = self._read_buckets(
+                existing, merge_schema=self._drifted
+            ).unionByName(compact, allowMissingColumns=True)
         else:
             merged = compact
         new_state = cdc_dedup(merged, keys=self.keys + [_BUCKET_COL], seq_col=self.seq_col)
         self._swap_buckets(new_state, buckets=touched)
-        compact.unpersist()
+        if drift:
+            self._columns = sorted(set(self._columns or []) | set(batch.columns))
+            self._write_meta()
 
     def _swap_buckets(self, df: DataFrame, buckets: list[int] | None) -> None:
         """Write df (with the bucket column) partitioned by bucket to a tmp
@@ -174,7 +215,13 @@ class MaterializedView:
         parent = os.path.dirname(self.path) or "."
         tmp = tempfile.mkdtemp(prefix="mv_", dir=parent)
         out = os.path.join(tmp, "data")
-        df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+        # align output tasks to buckets: ONE file per bucket dir per merge
+        # (without this, every shuffle partition writes its own sliver into
+        # every bucket — file count grows by tasks×buckets each batch and
+        # subsequent merges drown in footer reads)
+        df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET_COL).parquet(out)
         todo = (
             buckets
             if buckets is not None
@@ -216,6 +263,10 @@ class MaterializedView:
         # _swap_buckets writes the tmp copy BEFORE renaming any source
         # bucket dir away, so the lazy read above is safe
         self._swap_buckets(keep, buckets=self._bucket_dirs())
+        if self._drifted:
+            # the full rewrite re-unified every bucket's file schema
+            self._drifted = False
+            self._write_meta()
 
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — the Spark analog of the
