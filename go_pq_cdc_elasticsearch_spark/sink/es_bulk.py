@@ -69,13 +69,15 @@ def resolve_type_name(type_name: str | None, es_version: str | None) -> str | No
 
 
 def escape_doc_id(doc_id: str) -> str:
-    """Quote-escape a doc id for embedding in raw JSON bytes (reference
-    internal/bytes/escape.go:10-21). The reference needs this because it
-    builds the metadata line by hand from raw bytes; ``action_meta_line``
-    goes through ``json.dumps`` which already escapes, so this helper is
-    NOT applied there (doing both would double-escape the id and change
-    document identity). Kept as the documented raw-bytes-framing helper."""
-    return doc_id.replace("\\", "\\\\").replace('"', '\\"')
+    """Quote-escape a doc id for embedding in raw JSON bytes, byte-for-byte
+    the reference's EscapePredefinedBytes (internal/bytes/escape.go:10-21):
+    ONLY the quote character is escaped — the reference does not escape
+    backslashes. The reference needs this because it builds the metadata
+    line by hand from raw bytes; ``action_meta_line`` goes through
+    ``json.dumps`` which already escapes, so this helper is NOT applied
+    there (doing both would double-escape the id and change document
+    identity). Kept as the documented raw-bytes-framing helper."""
+    return doc_id.replace('"', '\\"')
 
 
 def action_meta_line(

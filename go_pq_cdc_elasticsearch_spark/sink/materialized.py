@@ -268,6 +268,33 @@ class MaterializedView:
             self._drifted = False
             self._write_meta()
 
+    def rebucket(self, n_buckets: int) -> None:
+        """Re-hash the state into a new bucket count — the maintenance op
+        for a view that outgrew (or never grew into) its creation-time
+        layout, like OPTIMIZE/rewrite in a table format. Full rewrite; run
+        rarely, never per batch."""
+        state = self.state()
+        old_dirs = self._bucket_dirs()
+        self.n_buckets = n_buckets
+        self._drifted = False  # full rewrite unifies file schemas
+        if state is None:
+            self._write_meta()
+            return
+        rebucketed = state.withColumn(_BUCKET_COL, self._bucket_expr())
+        parent = os.path.dirname(self.path) or "."
+        tmp = tempfile.mkdtemp(prefix="mv_rb_", dir=parent)
+        out = os.path.join(tmp, "data")
+        rebucketed.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET_COL).parquet(out)
+        for b in old_dirs:  # written tmp copy is complete; now drop old layout
+            shutil.rmtree(self._bucket_dir(b), ignore_errors=True)
+        for d in os.listdir(out):
+            if d.startswith(_BUCKET_COL + "="):
+                os.rename(os.path.join(out, d), os.path.join(self.path, d))
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_meta()
+
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — the Spark analog of the
         reference's flush-then-ack loop: when this returns, the micro-batch

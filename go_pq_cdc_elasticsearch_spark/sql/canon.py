@@ -44,7 +44,7 @@ def _spark_cell(field: T.StructField):
         s = c.cast("string")
     elif isinstance(t, T.DateType):
         s = F.date_format(c, "yyyy-MM-dd")
-    elif isinstance(t, T.TimestampType):
+    elif isinstance(t, (T.TimestampType, T.TimestampNTZType)):
         s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     elif isinstance(t, T.StringType):
         s = c

@@ -7,10 +7,11 @@ from go_pq_cdc_elasticsearch_spark.sink import es_bulk as EB
 
 
 def test_escape_doc_id():
-    # internal/bytes/escape_test.go cases
+    # internal/bytes/escape_test.go cases: ONLY quotes are escaped —
+    # EscapeBytes = {34}; backslashes pass through untouched
     assert EB.escape_doc_id('a"b') == 'a\\"b'
-    assert EB.escape_doc_id("a\\b") == "a\\\\b"
-    assert EB.escape_doc_id("plain") == "plain"
+    assert EB.escape_doc_id("12345-999") == "12345-999"
+    assert EB.escape_doc_id("a\\b") == "a\\b"
 
 
 def test_meta_line_roundtrips_special_doc_ids():
@@ -21,8 +22,11 @@ def test_meta_line_roundtrips_special_doc_ids():
     for doc_id in ('a"b', "a\\b", 'we"ird\\id', "plain", 'q"\\"q'):
         line = EB.action_meta_line("index", doc_id, "idx")
         assert json.loads(line)["index"]["_id"] == doc_id
-        # and the raw-bytes framing the reference uses yields the same wire
-        # bytes as json.dumps for the quote case it was written for
+    # the reference's raw-bytes framing (quote-only escaping) matches
+    # json.dumps for backslash-free ids; ids CONTAINING backslashes are
+    # mangled by the reference itself (escape.go escapes only byte 34) —
+    # the json.dumps path is strictly more correct there
+    for doc_id in ('a"b', "plain", '12"34"'):
         assert json.loads('{"_id":"' + EB.escape_doc_id(doc_id) + '"}')["_id"] == doc_id
 
 

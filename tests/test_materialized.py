@@ -120,6 +120,24 @@ def test_reopen_existing_view_keeps_bucket_layout(spark):
     assert mv2.read().count() == 2
 
 
+def test_rebucket_preserves_state(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_rb_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=2)
+    mv.merge_batch(
+        _batch(spark, [(i, "insert", i % 10, float(i)) for i in range(30)])
+    )
+    before = {r["user_id"]: r["value"] for r in mv.read().collect()}
+    mv.rebucket(8)
+    assert mv._bucket_dirs() and len(mv._bucket_dirs()) <= 8
+    after = {r["user_id"]: r["value"] for r in mv.read().collect()}
+    assert after == before
+    # reopening picks up the new layout, merges still work
+    mv2 = MaterializedView(spark, path)
+    assert mv2.n_buckets == 8
+    mv2.merge_batch(_batch(spark, [(100, "insert", 42, 4.2)]))
+    assert mv2.read().count() == len(before) + 1
+
+
 def test_in_batch_dedup_before_apply(spark):
     # reference order: dedup happens BEFORE the bulk write (bulk/bulk.go:141)
     path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")

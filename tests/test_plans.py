@@ -77,3 +77,19 @@ def test_events_filter_pushdown_survives_ns_conversion(spark):
     events = load_table(spark, SF, "events").filter(F.col("user_id") == 3)
     plan = _plan(events.select("user_id", "value"))
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]" in plan
+
+
+def test_combo_checksums_stay_jvm_side(spark):
+    # the canonical-checksum fold (sql/canon.py) must not drag the ext
+    # queries off the codegen path: md5/conv/concat_ws are JVM expressions
+    for name in ("q_sx1_ext_grouping", "q_sx2_ext_analytics"):
+        plan = _plan(REGISTRY[name].spark(spark, SF))
+        assert "EvalPython" not in plan, name
+
+
+def test_canon_summary_partial_aggregation(spark):
+    # the per-part reduction aggregates map-side before the final exchange
+    from go_pq_cdc_elasticsearch_spark.sql.canon import spark_canon_summary
+
+    df = spark_canon_summary(load_table(spark, SF, "orders"), "p")
+    assert "partial_count" in _plan(df)
