@@ -8,7 +8,7 @@ from pathlib import Path
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
-EXAMPLES = ["simple.py", "script_update.py", "snapshot.py"]
+EXAMPLES = ["simple.py", "script_update.py", "snapshot.py", "live_replication.py"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
