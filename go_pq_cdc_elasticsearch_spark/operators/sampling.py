@@ -1,0 +1,75 @@
+"""Training-corpus sampling and sequence packing.
+
+Two operations every large-scale training-data pipeline needs, built
+deterministic (no RNG state) so retried tasks, replayed batches and
+different cluster layouts all produce byte-identical output — the same
+reason the CDC path derives everything from md5:
+
+- ``hash_sample``: keep a row iff md5(key) maps below the rate threshold.
+  Reproducible row-level sampling; stratified variant takes per-group
+  rates. At 100 TB: pure column predicate, pushed into the scan, no
+  shuffle, no driver state.
+- ``pack_sequences``: assign documents to fixed-token-budget packs by
+  cumulative token count WITHIN a partition column (pack per source/shard
+  — a single global cumsum window would serialize at scale). Boundary
+  semantics: the token stream is chunked at multiples of ``budget``; a doc
+  belongs to the pack its preceding cumulative count falls in (docs may
+  straddle budget edges — the standard stream-chunking formulation, exact
+  in SQL; greedy first-fit would be order-sequential and is not needed for
+  budget accounting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def hash_bucket(*cols: Column | str) -> Column:
+    """Deterministic uniform bucket in [0, SAMPLE_BUCKETS) from md5 of the
+    concatenated key columns — identical in DuckDB:
+    CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) % buckets."""
+    key = F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(SAMPLE_BUCKETS))
+
+
+def hash_sample(df: DataFrame, rate: float, key_cols: list[str]) -> DataFrame:
+    """Keep ~rate of rows, deterministically by key hash."""
+    return df.filter(hash_bucket(*key_cols) < int(rate * SAMPLE_BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Per-stratum rates (e.g. keep 100% of rare languages, 10% of the
+    dominant one); strata not in ``rates`` are dropped."""
+    expr = F.lit(-1)
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(expr)
+    return df.filter(hash_bucket(*key_cols) < expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Add ``pack_id`` (within-partition) assigning docs to token-budget
+    packs; also returns ``pack_tokens`` (cumulative tokens before the doc,
+    relative to its pack start) for loader-side offset math."""
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(order_col)
+    prev_cum = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return docs.withColumn("pack_id", (prev_cum / budget).cast("long")).withColumn(
+        "pack_tokens", (prev_cum % budget).cast("long")
+    )

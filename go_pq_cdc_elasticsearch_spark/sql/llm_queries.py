@@ -346,6 +346,72 @@ def q_l9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+@ext_query(
+    "q_l12_pack_sequences",
+    oracle=f"""
+        SELECT doc_id, source, pack_id, pack_tokens FROM (
+            SELECT doc_id, source,
+                   CAST(coalesce(sum(n_tok) OVER w, 0) // 512 AS BIGINT) AS pack_id,
+                   CAST(coalesce(sum(n_tok) OVER w, 0) % 512 AS BIGINT) AS pack_tokens
+            FROM (SELECT doc_id, source, len({WORDS_SQL}) AS n_tok
+                  FROM documents)
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        WHERE doc_id <= 200
+    """,
+    doc="Sequence packing for training loaders: docs chunked into "
+    "512-token packs per source shard (cumsum window partitioned by "
+    "source — never a single global window at scale).",
+)
+def q_l12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(TX.words(F.col("text"))).cast("long")
+    )
+    packed = pack_sequences(
+        docs, budget=512, token_col="n_tok", order_col="doc_id", partition_col="source"
+    )
+    return packed.filter(F.col("doc_id") <= 200).select(
+        "doc_id", "source", "pack_id", "pack_tokens"
+    )
+
+
+@ext_query(
+    "q_l13_hash_sample",
+    oracle=f"""
+        SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM (
+            SELECT lang, doc_id,
+                   {HASH_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+            FROM documents)
+        WHERE bucket < (CASE lang WHEN 'en' THEN 100000
+                                  WHEN 'de' THEN 500000
+                                  WHEN 'fr' THEN 500000 ELSE -1 END)
+        GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling (md5-bucket thresholds, no RNG "
+    "state): retry/replay-stable, pure pushable predicate at scale — keep "
+    "10% of the dominant language, 50% of two others, drop the rest.",
+)
+def q_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "k", F.col("doc_id").cast("string")
+    )
+    sampled = stratified_hash_sample(
+        docs, rates={"en": 0.1, "de": 0.5, "fr": 0.5}, strata_col="lang", key_cols=["k"]
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402

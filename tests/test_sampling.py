@@ -1,0 +1,66 @@
+"""Deterministic sampling + sequence packing (training-pipeline ops)."""
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_hash_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hash_sample_deterministic_and_stable_under_repartition(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.2, ["doc_id"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13), 0.2, ["doc_id"]).collect()
+    }
+    assert a == b  # layout-independent: same set every time
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # roughly the requested rate
+
+
+def test_hash_sample_is_subset_monotone(spark):
+    # raising the rate only ADDS rows (bucket thresholds nest) — lets a
+    # pipeline grow a sample without resampling everything
+    docs = load_table(spark, SF, "documents")
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1, ["doc_id"]).collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, 0.4, ["doc_id"]).collect()}
+    assert small <= big
+
+
+def test_stratified_rates(spark):
+    docs = load_table(spark, SF, "documents")
+    out = stratified_hash_sample(
+        docs, rates={"en": 1.0, "de": 0.0}, strata_col="lang", key_cols=["doc_id"]
+    )
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}  # de sampled at 0, others dropped entirely
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # rate 1.0 keeps every row
+
+
+def test_pack_sequences_invariants(spark):
+    budget = 256
+    docs = load_table(spark, SF, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("long")
+    )
+    packed = pack_sequences(
+        docs, budget, token_col="n_tok", order_col="doc_id", partition_col="source"
+    ).collect()
+    by_part: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["doc_id"])):
+        by_part.setdefault(r["source"], []).append(r)
+    for rows in by_part.values():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // budget  # boundary-chunk semantics
+            assert r["pack_tokens"] == cum % budget
+            cum += r["n_tok"]
+        # pack ids are dense and monotone within a partition
+        ids = [r["pack_id"] for r in rows]
+        assert ids == sorted(ids)
