@@ -30,6 +30,22 @@ from go_pq_cdc_elasticsearch_spark.sources.replay import read_event_stream
 
 
 @dataclass
+class ReplicationSettings:
+    """Live logical-replication upstream (reference cdc config block,
+    README.md:186-227): where the slot lives and what to subscribe to.
+    The consumer (sources/pgoutput.py) runs in a daemon thread owned by
+    the Connector — single connection per slot, like the reference."""
+
+    host: str
+    port: int
+    slot: str
+    publication: str = "pub"
+    create_slot: bool = True
+    batch_size: int = 200
+    ack_interval_sec: float = 0.5
+
+
+@dataclass
 class ConnectorConfig:
     staged_dir: str
     view_path: str
@@ -42,6 +58,30 @@ class ConnectorConfig:
     delete_op: str = "delete"
     max_files_per_trigger: int = 1
     processing_time: str = "1 second"
+    replication: ReplicationSettings | None = None  # live pgoutput upstream
+
+
+def wal_to_view_transform(cfg: ConnectorConfig):
+    """Default transform for live replication: map pgwal envelope rows
+    (lsn/op/before/after string maps) to the view's column contract —
+    seq = lsn, op lower-cased with DELETE mapped to cfg.delete_op, key
+    columns extracted from the row image. Payload values stay strings
+    (pgoutput text format); cast downstream if typed columns are needed."""
+    from pyspark.sql import functions as F
+
+    def xform(df: DataFrame) -> DataFrame:
+        img = F.coalesce(df["after"], df["before"])
+        cols = [
+            F.col("lsn").alias(cfg.seq_col),
+            F.when(F.col("op") == "DELETE", F.lit(cfg.delete_op))
+            .otherwise(F.lower("op"))
+            .alias(cfg.op_col),
+        ]
+        cols += [img.getItem(k).alias(k) for k in cfg.keys]
+        cols.append(img.alias("payload"))
+        return df.select(*cols)
+
+    return xform
 
 
 class Connector:
@@ -67,8 +107,42 @@ class Connector:
             delete_op=cfg.delete_op,
         )
         self._query = None
+        self._repl_client = None
+        self._repl_thread = None
+        self._repl_stop = None
 
     # -- lifecycle (reference connector.go:82-127) --------------------------
+
+    def _start_replication_consumer(self) -> None:
+        """Connect the slot and pump the socket into staged_dir in a daemon
+        thread (reference: go-pq-cdc's listener goroutine,
+        connector.go:129-172)."""
+        import socket
+        import threading
+
+        from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+        rs = self.cfg.replication
+        sock = socket.create_connection((rs.host, rs.port))
+        self._repl_client = PG.ReplicationClient(
+            sock, slot=rs.slot, publication=rs.publication
+        )
+        if rs.create_slot:
+            self._repl_client.create_slot()
+        self._repl_client.start()
+        self._repl_stop = threading.Event()
+        self._repl_thread = threading.Thread(
+            target=PG.run_live_consumer,
+            args=(self._repl_client, self.cfg.staged_dir),
+            kwargs={
+                "checkpoint_dir": self.cfg.checkpoint_dir,
+                "stop_event": self._repl_stop,
+                "batch_size": rs.batch_size,
+                "ack_interval_sec": rs.ack_interval_sec,
+            },
+            daemon=True,
+        )
+        self._repl_thread.start()
 
     def start(self, available_now: bool = False) -> "Connector":
         mode = self.cfg.snapshot_mode
@@ -80,11 +154,23 @@ class Connector:
             self.view.merge_batch(self.snapshot_df)
             if mode == "snapshot_only":
                 return self
-        stream = read_event_stream(
-            self.spark, self.cfg.staged_dir, self.cfg.max_files_per_trigger
-        )
-        if self.transform is not None:
-            stream = self.transform(stream)
+        if self.cfg.replication is not None:
+            self._start_replication_consumer()
+            from go_pq_cdc_elasticsearch_spark.sources.wal import register
+
+            register(self.spark)
+            stream = (
+                self.spark.readStream.format("pgwal")
+                .option("path", self.cfg.staged_dir)
+                .load()
+            )
+            stream = (self.transform or wal_to_view_transform(self.cfg))(stream)
+        else:
+            stream = read_event_stream(
+                self.spark, self.cfg.staged_dir, self.cfg.max_files_per_trigger
+            )
+            if self.transform is not None:
+                stream = self.transform(stream)
         writer = (
             stream.writeStream.foreachBatch(self.view.foreach_batch_writer())
             .option("checkpointLocation", self.cfg.checkpoint_dir)
@@ -121,9 +207,30 @@ class Connector:
     def close(self) -> None:
         """Reference Close (connector.go:120-127): stop the source, flush the
         tail. foreachBatch completes the in-flight batch before stop returns;
-        the checkpoint holds the ack frontier."""
+        the checkpoint holds the ack frontier. Live mode: also stop the
+        replication consumer, send a final ack sweep, drop the socket."""
         if self._query is not None and self._query.isActive:
             self._query.stop()
+        if self._repl_stop is not None:
+            self._repl_stop.set()
+        if self._repl_client is not None:
+            # final ack sweep while the socket is still alive (the consumer
+            # thread may be blocked reading; _send is lock-protected) — the
+            # checkpoint's commits/ dir is the durable frontier, covering
+            # the last batch (commit() callbacks lag one batch)
+            try:
+                from go_pq_cdc_elasticsearch_spark.sources.pgoutput import (
+                    forward_checkpoint_acks,
+                )
+
+                forward_checkpoint_acks(
+                    self._repl_client, self.cfg.checkpoint_dir
+                )
+            except OSError:
+                pass
+            self._repl_client.close()  # breaks the blocked poll read
+        if self._repl_thread is not None:
+            self._repl_thread.join(timeout=5)
 
     def read(self) -> DataFrame:
         return self.view.read()

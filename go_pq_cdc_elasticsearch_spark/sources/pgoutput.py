@@ -247,6 +247,8 @@ class ReplicationClient:
     """
 
     def __init__(self, sock, slot: str, publication: str = "pub"):
+        import threading
+
         self.sock = sock
         self.file = sock.makefile("rwb")
         self.slot = slot
@@ -255,10 +257,14 @@ class ReplicationClient:
         self.flushed_lsn = 0
         self.last_wal_end = 0
         self.started = False
+        # acks may come from the consumer thread AND the owning Connector's
+        # close(); frame writes must not interleave
+        self._send_lock = threading.Lock()
 
     def _send(self, data: bytes) -> None:
-        self.file.write(data)
-        self.file.flush()
+        with self._send_lock:
+            self.file.write(data)
+            self.file.flush()
 
     def create_slot(self) -> None:
         """CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput — idempotent on
@@ -359,6 +365,95 @@ def stream_to_segments(
     if buf:
         write_wal_segment(segments_dir, buf)
     return n
+
+
+def committed_checkpoint_lsn(checkpoint_dir: str) -> int:
+    """The durably-committed stream frontier, read from the Structured
+    Streaming checkpoint: the newest batch N present in ``commits/`` has
+    its end offset in ``offsets/N`` (the pgwal offset json ``{"lsn": L}``).
+    This is the CORRECT ack source for a live slot — ``commit()``
+    callbacks lag one batch and never fire for the final batch of a
+    stream, but commits/N is written the moment batch N's sink completes
+    (== the reference's flush-then-ack point). Returns -1 if nothing is
+    committed yet."""
+    import json
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(commits):
+        return -1
+    batch_ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    if not batch_ids:
+        return -1
+    off_file = os.path.join(offsets, str(max(batch_ids)))
+    try:
+        with open(off_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        return int(json.loads(lines[-1]).get("lsn", -1))
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def forward_checkpoint_acks(
+    client: ReplicationClient, checkpoint_dir: str, last_acked: int = -1
+) -> int:
+    """Ack the checkpoint's committed frontier if it advanced."""
+    newest = committed_checkpoint_lsn(checkpoint_dir)
+    if newest > last_acked and newest >= 0:
+        client.ack(newest)
+        return newest
+    return last_acked
+
+
+def run_live_consumer(
+    client: ReplicationClient,
+    segments_dir: str,
+    checkpoint_dir: str | None = None,
+    stop_event=None,
+    batch_size: int = 200,
+    ack_interval_sec: float = 1.0,
+) -> int:
+    """The long-running consumer loop a live Connector runs in a thread:
+    pump changes into segment files AND periodically forward the Spark
+    stream's committed frontier as StandbyStatusUpdates (from the stream
+    checkpoint when ``checkpoint_dir`` is given — the durable source —
+    else from the _committed record file). Returns the last acked LSN.
+    Exits when the server ends the stream, the socket breaks, or
+    ``stop_event`` is set (checked between messages)."""
+    import time
+
+    from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
+
+    def ack_sweep(last: int) -> int:
+        if checkpoint_dir is not None:
+            return forward_checkpoint_acks(client, checkpoint_dir, last)
+        return forward_committed_acks(client, segments_dir, last)
+
+    buf: list[dict] = []
+    last_acked = -1
+    last_ack_t = 0.0
+    try:
+        for change in client.poll():
+            buf.append(change)
+            if len(buf) >= batch_size:
+                write_wal_segment(segments_dir, buf)
+                buf = []
+            now = time.time()
+            if now - last_ack_t >= ack_interval_sec:
+                last_acked = ack_sweep(last_acked)
+                last_ack_t = now
+            if stop_event is not None and stop_event.is_set():
+                break
+    except OSError:
+        pass  # socket closed under us (Connector.close) — flush what we have
+    if buf:
+        write_wal_segment(segments_dir, buf)
+    try:
+        last_acked = ack_sweep(last_acked)
+    except OSError:
+        pass
+    return last_acked
 
 
 def forward_committed_acks(

@@ -172,10 +172,17 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="walq_")
     wal_dir = os.path.join(work, "wal")
+    # Test-harness STAGING ONLY: a bounded slice of events is collected to
+    # the driver to author WAL segment files (a real deployment's segments
+    # come from the replication socket, sources/pgoutput.py — nothing is
+    # ever collected there). The limit() is a hard cap so a future sf bump
+    # or filter edit can't silently turn this into a driver OOM.
+    _STAGING_CAP = 2000
     events = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") < 2000)
         .orderBy("event_id")
+        .limit(_STAGING_CAP)
         .collect()
     )
     msgs = [

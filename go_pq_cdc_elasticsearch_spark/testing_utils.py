@@ -60,3 +60,70 @@ def compare(spark_df, con, oracle: str) -> list[str]:
             diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
             problems.append(f"values differ: {diffs}")
     return problems
+
+
+class FakeReplicationServer:
+    """Scripted stand-in for a Postgres replication endpoint, speaking the
+    real wire frames (sources/pgoutput.py) over TCP: answers slot create,
+    streams the scripted `transactions` (lists of (lsn, pgoutput-payload)
+    pairs) as XLogData, interleaves reply-requested keepalives, records
+    every StandbyStatusUpdate in ``acks``. Used by tests and examples; a
+    real server is a drop-in."""
+
+    def __init__(self, transactions, keepalive_each_txn: bool = True):
+        import socket
+        import threading
+
+        from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+        self._PG = PG
+        self.transactions = transactions
+        self.keepalive_each_txn = keepalive_each_txn
+        self.acks: list[dict] = []
+        self.slots: list[str] = []
+        self.server = socket.create_server(("127.0.0.1", 0))
+        self.port = self.server.getsockname()[1]
+        self.done = threading.Event()
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        PG = self._PG
+        conn, _ = self.server.accept()
+        f = conn.makefile("rwb")
+        try:
+            while True:
+                t, body = PG.read_frame(f)
+                if not t:
+                    return
+                if t == b"Q":
+                    sql = body.rstrip(b"\x00").decode()
+                    if sql.startswith("CREATE_REPLICATION_SLOT"):
+                        self.slots.append(sql.split()[1])
+                        f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                        f.flush()
+                    elif sql.startswith("START_REPLICATION"):
+                        f.write(PG.copy_both_response())
+                        f.flush()
+                        self._stream(f)
+                elif t == b"d" and body[:1] == b"r":
+                    self.acks.append(PG.parse_standby_status(body))
+        except (OSError, ValueError):
+            pass
+        finally:
+            self.done.set()
+
+    def _stream(self, f):
+        PG = self._PG
+        for txn in self.transactions:
+            for lsn, payload in txn:
+                f.write(PG.copy_data(PG.xlog_data(lsn, lsn, 0, payload)))
+            if self.keepalive_each_txn:
+                f.write(PG.copy_data(PG.keepalive(txn[-1][0], 0, True)))
+                f.flush()
+                t, body = PG.read_frame(f)
+                if t == b"d" and body[:1] == b"r":
+                    self.acks.append(PG.parse_standby_status(body))
+            else:
+                f.flush()
+        f.write(PG.copy_data(b"c"))  # CopyDone
+        f.flush()

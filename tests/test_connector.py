@@ -130,3 +130,68 @@ def test_watermark_drops_late_rows(spark):
         rows[k] = rows.get(k, 0) + r["n"]
     # the 10:00 window emitted with n=2; the late row (would make 3) dropped
     assert rows.get("10:00") == 2
+
+
+def test_connector_live_replication_mode(spark):
+    # the reference's primary real-world function end-to-end through the
+    # facade: live slot -> consumer thread -> pgwal stream -> view, acks
+    # forwarded to the (fake) server on close
+    import time
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+    from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+    from go_pq_cdc_elasticsearch_spark.testing_utils import FakeReplicationServer
+
+    cols = ["id", "v"]
+    rel = PG.encode_relation(7, "public", "users", cols)
+    txns = [
+        [
+            (10, rel),
+            (10, PG.encode_begin(13, 0, 1)),
+            (11, PG.encode_insert(7, ["1", "a"])),
+            (12, PG.encode_insert(7, ["2", "b"])),
+            (13, PG.encode_commit(13, 14, 0)),
+        ],
+        [
+            (20, PG.encode_begin(22, 0, 2)),
+            (21, PG.encode_update(7, ["1", "a2"])),
+            (22, PG.encode_delete(7, ["2", None])),
+            (23, PG.encode_commit(23, 24, 0)),
+        ],
+    ]
+    server = FakeReplicationServer(txns, keepalive_each_txn=False)
+
+    work = tempfile.mkdtemp(prefix="conn_live_")
+    cfg = _cfg(
+        work,
+        keys=("id",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+        replication=ReplicationSettings(
+            host="127.0.0.1", port=server.port, slot="live_slot", batch_size=2,
+            ack_interval_sec=0.2,
+        ),
+    )
+    c = Connector(spark, cfg)
+    c.start()
+    assert c.wait_until_ready()
+    assert server.slots == ["live_slot"]
+
+    # poll the view until the expected state lands (processing-time trigger)
+    deadline = time.time() + 120
+    state = {}
+    while time.time() < deadline:
+        try:
+            state = {r["id"]: r["payload"]["v"] for r in c.read().collect()}
+        except FileNotFoundError:
+            state = {}
+        if state == {"1": "a2"}:
+            break
+        time.sleep(0.5)
+    assert state == {"1": "a2"}  # id 2 deleted, id 1 updated — LWW by lsn
+
+    c.close()
+    server.done.wait(5)
+    # close() forwarded the committed stream frontier as a slot ack
+    assert server.acks and server.acks[-1]["flushed"] >= 13

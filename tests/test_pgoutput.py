@@ -63,63 +63,9 @@ def test_tuple_null_and_unchanged_columns():
     assert row["after"] == {"a": None, "b": "x"}
 
 
-# ---- scripted fake replication server --------------------------------------
+# ---- scripted fake replication server (shared with examples/connector) -----
 
-
-class FakeReplicationServer:
-    """Speaks the slice of the protocol a slot consumer uses. Scripted:
-    serves `transactions` (lists of (lsn, payload) CopyData frames),
-    interleaves keepalives with reply_requested, records every
-    StandbyStatusUpdate it receives."""
-
-    def __init__(self, transactions):
-        self.transactions = transactions
-        self.acks = []
-        self.slots = []
-        self.server = socket.create_server(("127.0.0.1", 0))
-        self.port = self.server.getsockname()[1]
-        self.done = threading.Event()
-        threading.Thread(target=self._serve, daemon=True).start()
-
-    def _serve(self):
-        conn, _ = self.server.accept()
-        f = conn.makefile("rwb")
-        try:
-            while True:
-                t, body = PG.read_frame(f)
-                if not t:
-                    return
-                if t == b"Q":
-                    sql = body.rstrip(b"\x00").decode()
-                    if sql.startswith("CREATE_REPLICATION_SLOT"):
-                        self.slots.append(sql.split()[1])
-                        f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
-                        f.flush()
-                    elif sql.startswith("START_REPLICATION"):
-                        f.write(PG.copy_both_response())
-                        f.flush()
-                        self._stream(f)
-                        # after CopyDone keep draining acks until client closes
-                elif t == b"d" and body[:1] == b"r":
-                    self.acks.append(PG.parse_standby_status(body))
-        except (OSError, ValueError):
-            pass
-        finally:
-            self.done.set()
-
-    def _stream(self, f):
-        for txn in self.transactions:
-            for lsn, payload in txn:
-                f.write(PG.copy_data(PG.xlog_data(lsn, lsn, 0, payload)))
-            # keepalive demanding a reply after each transaction
-            f.write(PG.copy_data(PG.keepalive(txn[-1][0], 0, True)))
-            f.flush()
-            # wait for the forced keepalive reply before continuing (liveness)
-            t, body = PG.read_frame(f)
-            if t == b"d" and body[:1] == b"r":
-                self.acks.append(PG.parse_standby_status(body))
-        f.write(PG.copy_data(b"c"))  # CopyDone
-        f.flush()
+from go_pq_cdc_elasticsearch_spark.testing_utils import FakeReplicationServer
 
 
 def _txn(relid, cols, start_lsn, rows, table=("public", "events")):
