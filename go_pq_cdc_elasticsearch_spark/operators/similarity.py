@@ -1,16 +1,22 @@
 """Similarity search over the embedding column (LLM-pipeline extension).
 
-Two paths:
+Three paths:
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set, score every corpus vector, per-query top-k via window. This is the
   correctness baseline; cost O(|Q| * N * d) fully parallel, one shuffle for
   the top-k. Sane whenever |Q| is broadcast-sized.
-- ``lsh_topk`` — the scale path: deterministic random-hyperplane LSH.
+- ``lsh_topk`` — a scale path: deterministic random-hyperplane LSH.
   Signatures are computed per-row with built-ins (hyperplane entries are
   ±1 derived from md5(plane,dim) — reproducible everywhere, no RNG state);
   candidates = vectors sharing a signature prefix bucket with the query;
   exact cosine re-rank within buckets. At 100 TB the bucket join replaces
   the N-way scan; recall tunable via n_planes / prefix bits / multi-probe.
+- ``ivf_topk`` — the data-adaptive scale path (FAISS IVF-Flat shape):
+  coarse k-means centroids trained on a bounded sample, every corpus
+  vector assigned to its nearest centroid cell in ONE pass, queries probe
+  only their ``n_probe`` nearest cells. Candidate volume ~ N * n_probe / k
+  regardless of data distribution (LSH buckets can collapse when vectors
+  are anisotropic); the corpus is never replicated.
 """
 
 from __future__ import annotations
@@ -119,6 +125,150 @@ def with_lsh_bucket(
         ).cast("long")
     out = proj.select(F.col(id_col), bucket.alias(out_col))
     return df.join(out, on=id_col)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train coarse IVF centroids on a bounded deterministic sample.
+
+    Sample = the ``sample`` corpus rows with the smallest md5-derived hash
+    of their id (deterministic, engine-independent, and executed as a
+    TakeOrdered — no full sort materialization). Lloyd's iterations run
+    driver-side in numpy on the sample only; the corpus itself is never
+    collected. This mirrors the IVF training contract (FAISS trains coarse
+    quantizers on a bounded sample too): at 100 TB the sample is still a
+    few thousand rows.
+
+    Returns an (n_centroids, d) float64 numpy matrix of L2-normalized
+    centroids (cosine assignment == max dot against these).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(_hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    k = min(n_centroids, len(unit))
+    # Deterministic init: the k sample points with the smallest id-hash
+    # (the sample is already in that order).
+    cents = unit[:k].copy()
+    for _ in range(iters):
+        assign = (unit @ cents.T).argmax(axis=1)
+        for c in range(k):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid cell.
+
+    One Arrow-batched pass over the corpus: the centroid matrix rides into
+    each task inside the closure (k * d doubles — broadcast-sized by
+    construction), assignment is a single vectorized matmul + argmax per
+    batch. No shuffle, no corpus replication; at 100 TB this is a map-only
+    stage that can be persisted alongside the table as the "index".
+    """
+    import numpy as np
+
+    cents = centroids.astype(np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cell = ((mat / norms[:, None]) @ cents.T).argmax(axis=1)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf[out_col] = cell.astype("int32")
+            yield pdf
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=f"{id_col} long, {vec_col} array<float>, {out_col} int",
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF-Flat: train coarse centroids, assign corpus cells
+    in one pass, probe each query's ``n_probe`` nearest cells, exact cosine
+    re-rank inside probed cells only.
+
+    Scale shape: candidates per query ~ N * n_probe / n_centroids whatever
+    the data distribution (unlike hyperplane LSH, whose buckets collapse on
+    anisotropic embeddings). The probe fan-out lands on the tiny query side
+    (|Q| * n_probe rows, broadcast); the corpus is scanned once for
+    assignment and once for the probed-cell join — never replicated.
+    ``n_probe == n_centroids`` degenerates to exact brute force (recall 1),
+    which the test suite uses as the correctness anchor.
+
+    Returns (qid, vec_id, sim, rank)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    cents = train_ivf_centroids(
+        corpus, n_centroids, iters, sample, id_col, vec_col
+    )
+    c = with_ivf_cell(corpus, cents, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    probe_rows = []
+    n_probe = min(n_probe, len(cents))
+    for r in q_rows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        n = np.linalg.norm(qv)
+        sims = (qv / (n if n > 0 else 1.0)) @ cents.T
+        for cell in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((int(r[0]), list(r[1]), int(cell)))
+    q = spark.createDataFrame(
+        probe_rows, schema="qid long, q_vec array<float>, cell int"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col(vec_col)))
+        .select("qid", id_col, "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_topk(

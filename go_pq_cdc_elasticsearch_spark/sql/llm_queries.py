@@ -506,6 +506,21 @@ def q_l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@ext_query(
+    "q_lx1_ann_ivf",
+    oracle=None,  # approximate by construction; recall measured in tests
+)
+def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-Flat (coarse k-means cells + n_probe search) — the
+    data-adaptive 100 TB path alongside q_l10's LSH. Approximate; anchored
+    by an exactness test at n_probe == n_centroids and a recall test vs
+    brute force (tests/test_llm.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
 @query(
     "q_l10_ann_lsh",
     oracle=None,  # approximate by construction; recall measured in tests

@@ -138,6 +138,61 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert common and all(ex[kv] == ap[kv] for kv in common)
 
 
+def test_ivf_topk_full_probe_equals_bruteforce(spark, sf_dir):
+    # n_probe == n_centroids scans every cell -> exact brute force.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    full = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    ex = {(r["qid"], r["vec_id"]): round(r["sim"], 6) for r in exact.collect()}
+    fu = {(r["qid"], r["vec_id"]): round(r["sim"], 6) for r in full.collect()}
+    assert ex == fu
+
+
+def test_ivf_topk_partial_probe_recall_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    approx = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # random vectors are near-orthogonal (worst case for IVF); still, the
+    # query's own cell is always probed, so recall stays well above chance
+    assert sum(recalls) / len(recalls) >= 0.25
+    # probed-cell sims are genuine cosines (match exact where they overlap)
+    ex = {(r["qid"], r["vec_id"]): round(r["sim"], 9) for r in exact.collect()}
+    ap = {(r["qid"], r["vec_id"]): round(r["sim"], 9) for r in approx.collect()}
+    common = set(ex) & set(ap)
+    assert common and all(ex[kv] == ap[kv] for kv in common)
+    # deterministic end to end (hash-ordered sample + fixed init)
+    again = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_ivf_cell_assignment_partitions_corpus(spark, sf_dir):
+    # Every corpus vector lands in exactly one cell; cells cover the corpus.
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.train_ivf_centroids(emb, n_centroids=4, sample=256)
+    assert cents.shape[0] == 4
+    cells = SIM.with_ivf_cell(emb, cents)
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    per_cell = {r["cell"]: r["n"] for r in cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(per_cell.values()) == n and len(per_cell) >= 2
+
+
 def test_brute_force_topk_matches_numpy(spark, sf_dir):
     import numpy as np
 
