@@ -8,10 +8,17 @@ from pathlib import Path
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
-EXAMPLES = ["simple.py", "script_update.py", "snapshot.py", "live_replication.py"]
+# example -> marker that proves its output table actually rendered
+EXAMPLES = {
+    "simple.py": "user_id",
+    "script_update.py": "user_id",
+    "snapshot.py": "user_id",
+    "live_replication.py": "user_id",
+    "corpus_pipeline.py": "per-source pack summary",
+}
 
 
-@pytest.mark.parametrize("name", EXAMPLES)
+@pytest.mark.parametrize("name", sorted(EXAMPLES))
 def test_example_runs(name):
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / name), "/root/testdata/sf0.001"],
@@ -20,4 +27,4 @@ def test_example_runs(name):
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "user_id" in proc.stdout  # the show() table rendered
+    assert EXAMPLES[name] in proc.stdout  # the show() table rendered
