@@ -26,6 +26,21 @@ from collections.abc import Callable, Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import col as F_col
 
+# The foreachPartition closures below reference module-level helpers
+# (bulk_payloads, parse_bulk_response); cloudpickle serializes those by
+# MODULE REFERENCE unless the module is registered by value — executors of
+# an out-of-repo driver (the deployment case) have no
+# go_pq_cdc_elasticsearch_spark on sys.path and fail with
+# ModuleNotFoundError. Same gate as sources/wal.py / operators/multimodal.py.
+try:  # pragma: no cover - trivial registration
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; in-repo runs work regardless
+    pass
+
 DEFAULT_BATCH_SIZE_LIMIT = 1000  # config/config.go:42-44
 DEFAULT_BATCH_BYTE_SIZE_LIMIT = 10 * 1024 * 1024  # config/config.go:46-48
 DEFAULT_BATCH_TICKER_SECONDS = 10.0  # config/config.go:38-40
@@ -209,24 +224,32 @@ def http_transport(
     password: str | None = None,
     timeout_sec: float = 30.0,
     max_retries: int = 5,
+    compress: bool = False,
 ) -> Callable[[bytes], str]:
     """Real HTTP transport for the bulk endpoint (POST {base}/_bulk,
     content-type application/x-ndjson) with basic auth + bounded retries —
     the reference's client behavior (elasticsearch/client/client.go:12-49:
-    5 retries; fasthttp_transport.go:62-65 always POSTs). Returns a callable
-    usable by write_bulk / write_bulk_with_dlq on executors."""
+    5 retries; fasthttp_transport.go:62-65 always POSTs). ``compress``
+    gzips the request body (Content-Encoding: gzip) like the reference's
+    ``elasticsearch.compressionEnabled``. Returns a callable usable by
+    write_bulk / write_bulk_with_dlq on executors."""
 
     def transport(payload: bytes) -> str:
         import base64
+        import gzip as _gzip
         import time as _time
         import urllib.error
         import urllib.request
 
+        headers = {"Content-Type": "application/x-ndjson"}
+        if compress:
+            payload = _gzip.compress(payload)
+            headers["Content-Encoding"] = "gzip"
         req = urllib.request.Request(
             base_url.rstrip("/") + "/_bulk",
             data=payload,
             method="POST",
-            headers={"Content-Type": "application/x-ndjson"},
+            headers=headers,
         )
         if username is not None:
             token = base64.b64encode(

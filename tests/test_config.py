@@ -1,0 +1,129 @@
+"""Reference-config compatibility: the Go connector's config shape
+(config/config.go, README.md:100-144) maps onto engine settings with the
+reference's SetDefault() semantics."""
+
+import pytest
+
+from go_pq_cdc_elasticsearch_spark.config import (
+    EsSinkSettings,
+    es_settings_from_dict,
+    from_reference_config,
+    load_reference_yaml,
+    parse_byte_size,
+    parse_duration_ms,
+)
+
+REFERENCE_README_CONFIG = {
+    # the README's example config block, verbatim shape
+    "cdc": {
+        "host": "127.0.0.1",
+        "username": "es_cdc_user",
+        "password": "es_cdc_pass",
+        "database": "es_cdc_db",
+        "publication": {
+            "name": "es_cdc_publication",
+            "createIfNotExists": True,
+            "operations": ["INSERT", "DELETE", "TRUNCATE", "UPDATE"],
+            "tables": [{"name": "users", "replicaIdentity": "FULL"}],
+        },
+        "slot": {
+            "name": "es_cdc_slot",
+            "createIfNotExists": True,
+            "slotActivityCheckerInterval": 3000,
+        },
+        "metric": {"port": 8081},
+    },
+    "elasticsearch": {
+        "batchSizeLimit": 10000,
+        "batchTickerDuration": "100ms",
+        "tableIndexMapping": {"public.users": "users"},
+        "typeName": "_doc",
+        "urls": ["http://127.0.0.1:9200"],
+    },
+}
+
+
+def test_parse_byte_size():
+    assert parse_byte_size("10mb") == 10 * 1024**2
+    assert parse_byte_size("512kb") == 512 * 1024
+    assert parse_byte_size("1gb") == 1024**3
+    assert parse_byte_size("123") == 123
+    assert parse_byte_size(42) == 42
+    with pytest.raises(ValueError):
+        parse_byte_size("10lightyears")
+
+
+def test_parse_duration_ms():
+    assert parse_duration_ms("100ms") == 100.0
+    assert parse_duration_ms("10s") == 10_000.0
+    assert parse_duration_ms("5m") == 300_000.0
+    assert parse_duration_ms("1m30s") == 90_000.0
+    assert parse_duration_ms(250) == 250.0
+    with pytest.raises(ValueError):
+        parse_duration_ms("soon")
+
+
+def test_reference_defaults_parity():
+    # config/config.go:37-58 SetDefault(): 10s ticker, 1000 actions,
+    # 10mb, 1 concurrent request
+    s = es_settings_from_dict({})
+    assert s.batch_ticker_ms == 10_000.0
+    assert s.batch_size_limit == 1000
+    assert s.batch_byte_size_limit == 10 * 1024**2
+    assert s.concurrent_requests == 1
+    assert s.compression_enabled is False
+
+
+def test_readme_config_maps_fully(tmp_path):
+    conn, es = from_reference_config(
+        REFERENCE_README_CONFIG,
+        staged_dir=str(tmp_path / "staged"),
+        view_path=str(tmp_path / "view"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=("id",),
+    )
+    assert conn.table_index_mapping == {"public.users": "users"}
+    assert conn.processing_time == "100 milliseconds"
+    assert conn.replication is not None
+    assert conn.replication.host == "127.0.0.1"
+    assert conn.replication.slot == "es_cdc_slot"
+    assert conn.replication.publication == "es_cdc_publication"
+    assert conn.replication.create_slot is True
+    assert es.batch_size_limit == 10000
+    assert es.type_name == "_doc"
+    assert es.urls == ("http://127.0.0.1:9200",)
+
+
+def test_yaml_round_trip(tmp_path):
+    import yaml
+
+    p = tmp_path / "cdc.yml"
+    p.write_text(yaml.safe_dump(REFERENCE_README_CONFIG))
+    conn, es = load_reference_yaml(
+        str(p),
+        staged_dir=str(tmp_path / "staged"),
+        view_path=str(tmp_path / "view"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert es.batch_ticker_ms == 100.0
+    assert conn.replication.slot == "es_cdc_slot"
+
+
+def test_unused_knobs_recorded_not_fatal():
+    s = es_settings_from_dict(
+        {
+            "maxConnsPerHost": 512,
+            "discoverNodesInterval": "5m",
+            "disableDiscoverNodesOnStart": True,
+            "rejectionLog": {"index": "cdc-rejects", "includeSource": True},
+        }
+    )
+    assert s.ignored["maxConnsPerHost"] == 512
+    assert s.rejection_log_index == "cdc-rejects"
+    assert s.rejection_log_include_source is True
+
+
+def test_transports_built_from_settings():
+    s = EsSinkSettings(urls=("http://127.0.0.1:1",), compression_enabled=True)
+    bulk, info = s.transports()
+    assert callable(bulk) and callable(info)

@@ -17,6 +17,7 @@ from go_pq_cdc_elasticsearch_spark.sink.es_bulk import (
 RECORDED: list[bytes] = []
 FAIL_IDS: set[str] = set()
 AUTH_SEEN: list[str] = []
+GZIPPED: list[bool] = []
 
 
 class _FakeES(BaseHTTPRequestHandler):
@@ -33,6 +34,11 @@ class _FakeES(BaseHTTPRequestHandler):
         assert self.headers["Content-Type"] == "application/x-ndjson"
         AUTH_SEEN.append(self.headers.get("Authorization", ""))
         body = self.rfile.read(int(self.headers["Content-Length"]))
+        if self.headers.get("Content-Encoding") == "gzip":
+            import gzip
+
+            body = gzip.decompress(body)
+            GZIPPED.append(True)
         RECORDED.append(body)
         items = []
         for line in body.decode().splitlines():
@@ -128,6 +134,26 @@ def test_version_detect_over_real_http(spark, es_url):
         if '"index"' in line.split("\n")[0] and line.startswith('{"index"')
     ]
     assert metas and all(m.get("_type") == "_doc" for m in metas)
+
+
+def test_compressed_write_over_real_http(spark, es_url):
+    # compressionEnabled parity: body gzipped, server sees identical NDJSON
+    RECORDED.clear()
+    FAIL_IDS.clear()
+    GZIPPED.clear()
+    write_bulk(
+        _actions(spark, 8),
+        http_transport(es_url, compress=True),
+        concurrent_requests=1,
+    )
+    assert GZIPPED  # at least one request arrived gzip-encoded
+    ids = {
+        json.loads(line)["index"]["_id"]
+        for b in RECORDED
+        for line in b.decode().splitlines()
+        if line.startswith('{"index"')
+    }
+    assert ids == {str(i) for i in range(8)}
 
 
 def test_http_retry_then_error(spark):
