@@ -106,6 +106,13 @@ class EsSinkSettings:
         """batchTickerDuration as a Structured Streaming trigger string."""
         return f"{int(self.batch_ticker_ms)} milliseconds"
 
+    def pipeline_kwargs(self) -> dict[str, Any]:
+        """Flush-control kwargs for streaming/pipeline.run_es_pipeline."""
+        return {
+            "batch_size_limit": self.batch_size_limit,
+            "batch_byte_size_limit": self.batch_byte_size_limit,
+        }
+
     def transports(self):
         """(bulk_transport, info_transport) against urls[0], honoring
         auth + compressionEnabled — drop-in for write_bulk*/detect."""
