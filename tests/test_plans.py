@@ -93,3 +93,22 @@ def test_canon_summary_partial_aggregation(spark):
 
     df = spark_canon_summary(load_table(spark, SF, "orders"), "p")
     assert "partial_count" in _plan(df)
+
+
+def test_ivf_assignment_is_map_only_and_probe_join_broadcasts(spark):
+    # cell assignment: one ArrowEvalPython/MapInPandas pass, no Exchange
+    # before it (no shuffle to build the "index"); probe join broadcasts
+    # the tiny exploded query side.
+    from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.train_ivf_centroids(emb, n_centroids=4, sample=256)
+    cells = SIM.with_ivf_cell(emb, cents)
+    plan = _plan(cells)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+    out = SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3,
+                       n_centroids=4, n_probe=2)
+    jplan = _plan(out)
+    assert "BroadcastHashJoin" in jplan
