@@ -66,6 +66,50 @@ def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+def synthetic_bmp_media(docs: DataFrame, side: int = 4) -> DataFrame:
+    """Deterministic REAL-codec media table: content is a valid (side x
+    side) 24-bit BMP whose pixels are md5-derived from the text — so the
+    genuine decode path (codecs.decode_bmp) is exercised end-to-end with
+    no binary fixtures in the container. Arrow-batched encode; one map-only
+    pass like every media builder here."""
+
+    def build(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        n_px = side * side * 3
+
+        def pixels(text: str) -> np.ndarray:
+            raw = b""
+            i = 0
+            while len(raw) < n_px:
+                raw += hashlib.md5(text.encode() + i.to_bytes(2, "big")).digest()
+                i += 1
+            return np.frombuffer(raw[:n_px], dtype=np.uint8).reshape(
+                side, side, 3
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        codecs.encode_bmp(pixels(t)) for t in pdf["text"]
+                    ],
+                    "meta": [
+                        {"source": s, "side": str(side)} for s in pdf["source"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(
+        build, schema=MEDIA_SCHEMA
+    )
+
+
 def _stub_features(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake 'decoder': md5 of the bytes -> dim floats in [0,1).
     Stands in for a real embed/decode call; stable across runs/engines."""

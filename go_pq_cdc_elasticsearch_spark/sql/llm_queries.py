@@ -507,6 +507,34 @@ def q_l11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @ext_query(
+    "q_lx2_multimodal_decode",
+    oracle=None,  # binary codec round-trip is not SQL-expressible
+)
+def q_lx2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode path end-to-end: documents -> deterministic
+    valid BMP blobs (synthetic_bmp_media) -> genuine header+pixel decode
+    (codecs.decode_bmp, decode_stub=False) -> per-source feature stats.
+    Deterministic (md5-derived pixels), rows-only check; byte-exact codec
+    round-trips are unit-tested in tests/test_codecs.py."""
+    from go_pq_cdc_elasticsearch_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    media = MM.synthetic_bmp_media(docs)
+    feats = MM.extract_features(media, decode_stub=False)
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        feats.join(src, on="media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.col("features").getItem(0)), 6).alias("mean_f0"),
+        )
+        .orderBy("source")
+    )
+
+
+@ext_query(
     "q_lx1_ann_ivf",
     oracle=None,  # approximate by construction; recall measured in tests
 )

@@ -85,3 +85,28 @@ def test_resize_meta(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     out = MM.resize_images(MM.synthetic_media(docs), 224, 224).collect()
     assert all(r["meta"]["resized"] == "224x224" for r in out)
+
+
+def test_synthetic_bmp_media_real_decode(spark):
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.operators import codecs
+    from go_pq_cdc_elasticsearch_spark.operators import multimodal as MM
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = MM.synthetic_bmp_media(docs, side=4)
+    rows = media.collect()
+    assert len(rows) == 20
+    # every blob is a valid BMP the real codec decodes to 4x4x3 pixels
+    for r in rows[:5]:
+        assert codecs.sniff_format(bytes(r["content"])) == "bmp"
+        px = codecs.decode_bmp(bytes(r["content"]))
+        assert px.shape == (4, 4, 3)
+    # the real (non-stub) feature path runs over the whole table
+    feats = MM.extract_features(media, decode_stub=False)
+    out = feats.collect()
+    assert len(out) == 20 and all(len(r["features"]) == 8 for r in out)
+    # deterministic: same text -> same features
+    again = MM.extract_features(MM.synthetic_bmp_media(docs, side=4),
+                                decode_stub=False).collect()
+    assert sorted((r["media_id"], tuple(r["features"])) for r in out) == \
+           sorted((r["media_id"], tuple(r["features"])) for r in again)
