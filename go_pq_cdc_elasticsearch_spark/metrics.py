@@ -74,3 +74,114 @@ class StreamMetricsListener:
                 pass
 
         return _L()
+
+
+class PrometheusRegistry:
+    """Prometheus exposition parity (reference bulk/metric.go:11-112 +
+    the cdc.metric.port listener): the same metric families, labels and
+    namespace, rendered in text format and served on GET /metrics.
+
+    - ``go_pq_cdc_elasticsearch_process_latency_current`` (gauge)
+    - ``go_pq_cdc_elasticsearch_bulk_request_process_latency_current``
+    - ``go_pq_cdc_elasticsearch_index_total{index_name=...}`` (counter)
+    - ``go_pq_cdc_elasticsearch_delete_total{index_name=...}``
+
+    Driver-side state (counters are fed from Observation results / listener
+    progress, which Spark already aggregates across executors — executors
+    never touch this object)."""
+
+    NAMESPACE = "go_pq_cdc_elasticsearch"
+
+    def __init__(self, slot_name: str = "", host: str | None = None) -> None:
+        import socket
+        import threading
+
+        self.slot_name = slot_name
+        self.host = host if host is not None else socket.gethostname()
+        self.process_latency_ns = 0.0
+        self.bulk_latency_ns = 0.0
+        self.index_total: dict[str, float] = {}
+        self.delete_total: dict[str, float] = {}
+        self._lock = threading.Lock()
+        self._server = None
+
+    def set_process_latency(self, ns: float) -> None:
+        self.process_latency_ns = float(ns)
+
+    def set_bulk_request_latency(self, ns: float) -> None:
+        self.bulk_latency_ns = float(ns)
+
+    def increment_op(self, action: str, index: str, n: float = 1) -> None:
+        with self._lock:
+            target = self.index_total if action == "index" else self.delete_total
+            target[index] = target.get(index, 0.0) + n
+
+    def observe_result(self, observed: dict, index: str) -> None:
+        """Feed an ``observed_actions`` Observation result (index_total /
+        delete_total counters for one executed batch)."""
+        self.increment_op("index", index, float(observed.get("index_total", 0)))
+        self.increment_op("delete", index, float(observed.get("delete_total", 0)))
+
+    def _labels(self, extra: dict | None = None) -> str:
+        lab = {"host": self.host, "slot_name": self.slot_name}
+        lab.update(extra or {})
+        body = ",".join(f'{k}="{v}"' for k, v in sorted(lab.items()))
+        return "{" + body + "}"
+
+    def render(self) -> str:
+        ns = self.NAMESPACE
+        lines = [
+            f"# TYPE {ns}_process_latency_current gauge",
+            f"{ns}_process_latency_current{self._labels()} {self.process_latency_ns}",
+            f"# TYPE {ns}_bulk_request_process_latency_current gauge",
+            f"{ns}_bulk_request_process_latency_current{self._labels()} {self.bulk_latency_ns}",
+        ]
+        with self._lock:
+            if self.index_total:
+                lines.append(f"# TYPE {ns}_index_total counter")
+                for idx, v in sorted(self.index_total.items()):
+                    lines.append(
+                        f"{ns}_index_total{self._labels({'index_name': idx})} {v}"
+                    )
+            if self.delete_total:
+                lines.append(f"# TYPE {ns}_delete_total counter")
+                for idx, v in sorted(self.delete_total.items()):
+                    lines.append(
+                        f"{ns}_delete_total{self._labels({'index_name': idx})} {v}"
+                    )
+        return "\n".join(lines) + "\n"
+
+    def serve(self, port: int = 0) -> int:
+        """Expose GET /metrics (reference cdc.metric.port). Returns the
+        bound port; daemon thread, close() shuts it down."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        registry = self
+
+        class _H(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                if self.path != "/metrics":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                out = registry.render().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *a):  # silence
+                pass
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), _H)
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self._server.server_port
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None

@@ -110,3 +110,44 @@ def test_synthetic_bmp_media_real_decode(spark):
                                 decode_stub=False).collect()
     assert sorted((r["media_id"], tuple(r["features"])) for r in out) == \
            sorted((r["media_id"], tuple(r["features"])) for r in again)
+
+
+def test_prometheus_registry_render_and_serve(spark):
+    import urllib.request
+
+    from go_pq_cdc_elasticsearch_spark.metrics import (
+        PrometheusRegistry,
+        observed_actions,
+    )
+
+    reg = PrometheusRegistry(slot_name="es_cdc_slot", host="testhost")
+    # feed from a real executed Observation, like the sink wiring does
+    df = spark.createDataFrame(
+        [(1, "insert"), (2, "delete"), (3, "update")], "id long, event_type string"
+    )
+    out, obs = observed_actions(df)
+    out.write.format("noop").mode("overwrite").save()
+    reg.observe_result(obs.get, index="users")
+    reg.increment_op("index", "orders", 5)
+    reg.set_process_latency(1_500_000)
+
+    text = reg.render()
+    # reference metric families, namespace and labels (bulk/metric.go)
+    assert "go_pq_cdc_elasticsearch_process_latency_current" in text
+    assert 'go_pq_cdc_elasticsearch_index_total{host="testhost",' \
+           'index_name="users",slot_name="es_cdc_slot"} 2.0' in text
+    assert 'index_name="orders"' in text and "delete_total" in text
+
+    port = reg.serve(0)
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ).read().decode()
+        assert body == text or "go_pq_cdc_elasticsearch" in body
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/other", timeout=5)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        reg.close()
