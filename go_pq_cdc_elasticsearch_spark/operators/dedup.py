@@ -21,7 +21,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.functions.text import normalize_text, words
@@ -359,3 +359,51 @@ def cosine(col_a, col_b) -> Column:
         )
     )
     return dot / (na * nb)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    "Winnowing: Local Algorithms for Document Fingerprinting").
+
+    Rolling-hash scheme over word ``n``-grams in document order: every
+    window of ``w`` consecutive gram hashes contributes its minimum, and the
+    fingerprint set is the distinct window minima. Guarantee: two documents
+    sharing any run of ``w + n - 1`` words share at least one fingerprint
+    (the window lying fully inside the shared run has the same minimum on
+    both sides); expected density is 2/(w+1) of the gram count.
+
+    Shape (100 TB): grams are exploded with positions (``posexplode`` keeps
+    the hash in whole-stage codegen — no interpreted array lambdas in the
+    per-gram path), hashed per row, then ONE shuffle (window partitioned by
+    doc id, ordered by position) computes the sliding minima; the distinct
+    on (id, fp) rides the same hash partitioning. Docs with fewer than
+    ``w`` grams have no full window and yield no rows.
+
+    Returns distinct ``(id_col, fp)`` rows — the document's fingerprint set.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    e = df.select(
+        F.col(id_col),
+        F.size(grams).alias("__n_g"),
+        F.posexplode(grams).alias("__pos", "__gram"),
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
+        Window.currentRow, w - 1
+    )
+    return (
+        e.select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.col("__n_g"),
+            F.min(_hash64(F.col("__gram"))).over(win).alias("fp"),
+        )
+        .filter(F.col("__pos") <= F.col("__n_g") - w)
+        .select(id_col, "fp")
+        .distinct()
+    )

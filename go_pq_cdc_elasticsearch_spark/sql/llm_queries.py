@@ -412,6 +412,54 @@ def q_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@ext_query(
+    "q_l14_winnowing",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 200
+        ), g AS (
+            SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
+        ), e0 AS (
+            SELECT doc_id, grams, len(grams) AS n_g,
+                   unnest(range(1, len(grams) + 1)) AS pos
+            FROM g
+        ), e AS (
+            SELECT doc_id, pos, n_g, {HASH_SQL.format(x="grams[pos]")} AS h
+            FROM e0
+        ), m AS (
+            SELECT doc_id, pos, n_g,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM e
+        ), sel AS (
+            SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_g - 3
+        )
+        SELECT doc_id, count(*) AS n_fp,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_digest
+        FROM sel GROUP BY doc_id
+    """,
+    doc="Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD'03): "
+    "word-3-gram hashes, window w=4 minima, distinct selected set. Digest "
+    "is md5 over the sorted fingerprint list — full value parity with the "
+    "oracle's identical window-min formulation.",
+)
+def q_l14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    sel = DD.winnow_fingerprints(docs, n=3, w=4)
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set(F.col("fp"))),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402

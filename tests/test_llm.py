@@ -215,3 +215,37 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir):
     for r in sorted(out.collect(), key=lambda r: (r["qid"], r["rank"])):
         got.setdefault(r["qid"], []).append(r["vec_id"])
     assert got == expected
+
+
+def test_winnowing_guarantee_and_coverage(spark):
+    # Schleimer et al. guarantee: two docs sharing a run of w + n - 1 = 6
+    # words share at least one fingerprint (the all-shared window's min is
+    # selected on both sides).
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} unique1 tail tokens here now"),
+        (2, f"lead other words go {shared} closing"),
+        (3, "wholly unrelated content about storage engines and page caches"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = DD.winnow_fingerprints(df, n=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # coverage property: every window of w consecutive grams contains at
+    # least one selected position — check via a pure-Python model
+    import hashlib
+
+    def model_fps(text, n=3, w=4):
+        ws = " ".join(text.lower().split()).split(" ")
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    for doc_id, text in rows:
+        assert by_doc.get(doc_id, set()) == model_fps(text)

@@ -112,3 +112,16 @@ def test_ivf_assignment_is_map_only_and_probe_join_broadcasts(spark):
                        n_centroids=4, n_probe=2)
     jplan = _plan(out)
     assert "BroadcastHashJoin" in jplan
+
+
+def test_winnowing_is_jvm_side_single_window_shuffle(spark):
+    # winnowing: gram hash stays in codegen (no EvalPython); exactly one
+    # hashpartitioning exchange (the per-doc window; distinct reuses it)
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(winnow_fingerprints(docs))
+    assert "EvalPython" not in plan
+    # the distinct's aggregate reuses the window's doc_id partitioning,
+    # so the whole operator is ONE shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
