@@ -316,3 +316,107 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+    out_scale: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q[i] = round(v[i] / scale)`` — the standard scalar-quantization
+    compaction (FAISS SQ8 shape).
+
+    Why it matters at 100 TB: embeddings dominate similarity-search storage
+    and shuffle volume; int8 + one float scale is a 4x reduction (64-dim:
+    256 B float32 -> 64 B + 4 B) with a bounded reconstruction error of
+    ``scale/2`` per element. Store THIS as the search representation and
+    keep full precision only for final re-rank if needed.
+
+    Shape: one map-only Arrow pass (vectorized numpy round; no shuffle).
+    Returns (id, qvec array<tinyint>, q_scale float). Zero vectors get
+    scale 0 and an all-zero qvec (dequantizes to exactly zero).
+    """
+    import numpy as np
+
+    def quant(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            scale = np.abs(mat).max(axis=1) / 127.0
+            safe = np.where(scale == 0, 1.0, scale)
+            q = np.rint(mat / safe[:, None]).astype(np.int8)
+            out = pdf[[id_col]].copy()
+            out[out_vec] = list(q)
+            out[out_scale] = scale.astype(np.float32)
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        quant, schema=f"{id_col} long, {out_vec} array<tinyint>, {out_scale} float"
+    )
+
+
+def quantized_topk(
+    qcorpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Exact-procedure cosine top-k computed directly on the int8-quantized
+    corpus (same local-top-k-then-window shape as ``brute_force_topk`` —
+    the corpus never travels at full precision). Scores are approximate
+    only through the quantization error; cosine is scale-invariant per
+    vector, so the per-vector scale cancels except for rounding.
+
+    Returns (qid, vec_id, sim, rank)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # int8 matmul accumulated in float64; per-vector scale cancels
+            # in cosine, so dequantization is just the int matrix itself
+            mat = np.array(pdf[qvec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qmat.T) / (norms[:, None] * qnorm[None, :])
+            frames = []
+            for qi, qid in enumerate(qids):
+                s = sims[:, qi]
+                mask = ids != qid
+                s_m, ids_m = s[mask], ids[mask]
+                if len(ids_m) == 0:
+                    continue
+                order = np.lexsort((ids_m, -s_m))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, id_col: ids_m[order], "sim": s_m[order]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = qcorpus.select(id_col, qvec_col, scale_col).mapInPandas(
+        score, schema=f"qid long, {id_col} long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

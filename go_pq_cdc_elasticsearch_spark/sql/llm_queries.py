@@ -460,6 +460,52 @@ def q_l14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@ext_query(
+    "q_l15_winnow_candidates",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 200
+        ), g AS (
+            SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
+        ), e0 AS (
+            SELECT doc_id, grams, len(grams) AS n_g,
+                   unnest(range(1, len(grams) + 1)) AS pos
+            FROM g
+        ), e AS (
+            SELECT doc_id, pos, n_g, {HASH_SQL.format(x="grams[pos]")} AS h
+            FROM e0
+        ), m AS (
+            SELECT doc_id, pos, n_g,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM e
+        ), sel AS (
+            SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_g - 3
+        )
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    """,
+    doc="Span-level duplicate candidates from winnowing: documents sharing "
+    ">= 2 selected fingerprints (each shared fingerprint witnesses a shared "
+    "w+n-1-word run). The inverted-index self-join shuffles (fp, doc_id) "
+    "rows only — the winnowing analog of LSH banding, for substring-level "
+    "rather than whole-document near-duplication.",
+)
+def q_l15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    sel = DD.winnow_fingerprints(docs, n=3, w=4)
+    a = sel.select(F.col("doc_id").alias("id1"), "fp")
+    b = sel.select(F.col("doc_id").alias("id2"), F.col("fp").alias("fp2"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp2")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402
@@ -594,6 +640,22 @@ def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+@ext_query(
+    "q_lx3_quantized_topk",
+    oracle=None,  # approximate through int8 rounding; error-bound + recall tests
+)
+def q_lx3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k computed directly on the int8-quantized corpus (4x
+    memory/shuffle reduction at rest — the SQ8 scale path). Approximate
+    only through rounding; reconstruction-error bound and recall vs brute
+    force are asserted in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    qcorpus = SIM.quantize_embeddings(emb)
+    out = SIM.quantized_topk(qcorpus, queries_df, k=5)
     return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
 
 

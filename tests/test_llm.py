@@ -249,3 +249,41 @@ def test_winnowing_guarantee_and_coverage(spark):
 
     for doc_id, text in rows:
         assert by_doc.get(doc_id, set()) == model_fps(text)
+
+
+def test_quantize_embeddings_error_bound_and_roundtrip(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    orig = {r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+            for r in emb.collect()}
+    q = SIM.quantize_embeddings(emb).collect()
+    assert len(q) == len(orig)
+    for r in q:
+        v = orig[r.vec_id]
+        scale = float(r.q_scale)
+        qv = np.array(list(r.qvec), dtype=np.float64)
+        assert qv.min() >= -127 and qv.max() <= 127
+        if scale == 0:
+            assert np.all(v == 0) and np.all(qv == 0)
+            continue
+        # reconstruction error bounded by half a quantization step
+        assert np.abs(qv * scale - v).max() <= scale / 2 + 1e-9
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    qcorpus = SIM.quantize_embeddings(emb)
+    approx = SIM.quantized_topk(qcorpus, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
