@@ -54,6 +54,95 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(*key_cols) < expr)
 
 
+def mixture_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    strata_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-stratum sampling rates hitting a target token mixture.
+
+    ``targets`` maps stratum -> mixture weight (e.g. DoReMi-style static
+    domain weights, normalized by caller); the rate for stratum g is
+    ``min(1, weight_g * budget / tokens_g)`` — i.e. sample each domain down
+    (never up) toward its share of the token budget. Returns
+    (stratum, group_tokens, rate) — an aggregate frame, broadcast-joined by
+    ``mixture_sample``; no driver-side collect, so the same code runs at
+    100 TB (strata counts are small by construction).
+    """
+    w = F.lit(None).cast("double")
+    for stratum, weight in sorted(targets.items()):
+        w = F.when(F.col(strata_col) == stratum, F.lit(weight)).otherwise(w)
+    return (
+        df.groupBy(strata_col)
+        .agg(F.sum(token_col).cast("double").alias("group_tokens"))
+        .withColumn("__w", w)
+        .filter(F.col("__w").isNotNull())
+        .select(
+            strata_col,
+            F.col("group_tokens").cast("long").alias("group_tokens"),
+            F.least(
+                F.lit(1.0), F.col("__w") * budget_tokens / F.col("group_tokens")
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    strata_col: str,
+    token_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Deterministically sample toward a target token mixture: compute
+    per-stratum rates (``mixture_rates``), broadcast-join them back, keep a
+    row iff its md5 bucket falls under ``floor(rate * buckets)``. Strata not
+    in ``targets`` are dropped. Replay/retry-stable like ``hash_sample``."""
+    from pyspark.sql.functions import broadcast
+
+    rates = mixture_rates(df, targets, budget_tokens, strata_col, token_col)
+    return (
+        df.join(broadcast(rates.select(strata_col, "rate")), strata_col)
+        .filter(
+            hash_bucket(*key_cols)
+            < F.floor(F.col("rate") * SAMPLE_BUCKETS).cast("long")
+        )
+        .drop("rate")
+    )
+
+
+def select_to_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    rank_col: str,
+    id_col: str = "doc_id",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Quality-ranked token-budget curation: keep the best documents (by
+    ``rank_col`` descending, id ascending as the deterministic tie-break)
+    until the cumulative token count reaches ``budget_tokens`` — per
+    ``partition_col`` group when given (e.g. a per-language budget).
+
+    A row is kept iff its cumulative sum INCLUDING itself is <= budget
+    (greedy prefix — the standard curation rule). One window shuffle on the
+    partition key; at scale prefer a partition column (per-domain budgets)
+    over a single global window, same rationale as ``pack_sequences``.
+    """
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(F.col(rank_col).desc(), F.col(id_col))
+    cum = F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -318,6 +318,57 @@ def lsh_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level near-duplicate REMOVAL (the SemDeDup shape, Abbas et
+    al. 2023: cluster, then deduplicate within clusters only).
+
+    Pipeline: coarse k-means cells (bounded-sample training, map-only
+    assignment — the IVF machinery reused) -> within-cell pairs with
+    cosine >= ``tau`` (equi-join on cell, never a global cross product) ->
+    connected components -> keep the min-id representative per component.
+
+    Scale shape: the quadratic step is confined to cells; with
+    ``n_centroids`` grown ~ N/const the per-cell pair cost stays bounded,
+    which is exactly why SemDeDup clusters first. Trade-off stated: near-
+    duplicates that land in different cells are missed (recall < 1 at cell
+    boundaries) — the standard accepted approximation; ``n_centroids=1``
+    degenerates to exact all-pairs dedup (the test anchor).
+
+    Returns ``df`` minus dropped near-duplicates.
+    """
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cents = train_ivf_centroids(df, n_centroids, iters, sample, id_col, vec_col)
+    cells = with_ivf_cell(df, cents, id_col, vec_col)
+    a = cells.select(
+        F.col("cell"), F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1")
+    )
+    b = cells.select(
+        F.col("cell"), F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cosine(F.col("__v1"), F.col("__v2")) >= tau)
+        .select("id1", "id2")
+    )
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

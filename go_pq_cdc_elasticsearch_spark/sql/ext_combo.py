@@ -36,7 +36,11 @@ SX1_PARTS = [
 
 # Scalar/type surface + join trees: decimals, window analytics, advanced
 # string/array/datetime scalars, TPC-H Q5/Q10 trees, correlated agg,
-# unpivot, lateral explode, time_bucket rollup.
+# unpivot, lateral explode, time_bucket rollup — plus the oracle-bearing
+# LLM-pipeline extensions (sequence packing, stratified sampling,
+# winnowing fingerprints + candidates, Gopher repetition metrics, quality
+# gate, mixture sampling), so every SQL-expressible extension gets a
+# driver-hashed signal, not just the local suite.
 SX2_PARTS = [
     "q_s33_decimal_types",
     "q_s34_window_misc",
@@ -49,6 +53,14 @@ SX2_PARTS = [
     "q_s42_tpch_q10_style",
     "q_s43_lateral_explode",
     "q_s44_time_bucket_rollup",
+    "q_l12_pack_sequences",
+    "q_l13_hash_sample",
+    "q_l14_winnowing",
+    "q_l15_winnow_candidates",
+    "q_l16_repetition",
+    "q_l17_quality_gate",
+    "q_l18_mixture_sample",
+    "q_l19_budget_select",
 ]
 
 
@@ -72,6 +84,8 @@ def _combo_oracle(parts: list[str]) -> str | None:
         )
     except ImportError:  # bootstrap: tools/gen_ext_oracle.py not yet run
         return None
+    if any(name not in EXT_CANON_ORACLE for name in parts):
+        return None  # bootstrap: generated file predates a new part
     return "\nUNION ALL\n".join(EXT_CANON_ORACLE[name] for name in parts)
 
 

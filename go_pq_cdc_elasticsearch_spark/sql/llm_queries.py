@@ -506,6 +506,261 @@ def q_l15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_oracle() -> str:
+    """DuckDB twin of operators/repetition.py::repetition_metrics — n-grams
+    per n via list slicing, identical tie-break for the top gram."""
+    ns = "(VALUES (2),(3),(4),(5),(10))"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {WORDS_SQL} AS w,
+                   CAST(length({NORM_SQL}) AS BIGINT) AS n_chars_norm
+            FROM documents WHERE doc_id <= 200
+        ), g AS (
+            SELECT doc_id, n,
+                   unnest(list_transform(range(1, len(w) - n + 2),
+                          i -> array_to_string(w[i:i+n-1], ' '))) AS gram
+            FROM base CROSS JOIN {ns} t(n)
+            WHERE len(w) >= n
+        ), c AS (
+            SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+        ), top AS (
+            SELECT doc_id, n, CAST(c * length(gram) AS DOUBLE) AS top_chars
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, n
+                      ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn
+                  FROM c)
+            WHERE rn = 1
+        ), dup AS (
+            SELECT doc_id, n, sum(c) AS total_pos,
+                   coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_pos
+            FROM c GROUP BY doc_id, n
+        ), per_n AS (
+            SELECT top.doc_id, top.n, top.top_chars, dup.total_pos, dup.dup_pos
+            FROM top JOIN dup ON dup.doc_id = top.doc_id AND dup.n = top.n
+        ), wide AS (
+            SELECT doc_id,
+                   coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0.0) AS t2,
+                   coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0.0) AS t3,
+                   coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0.0) AS t4,
+                   coalesce(max(CASE WHEN n = 5 THEN
+                       CAST(dup_pos AS DOUBLE) / total_pos END), 0.0) AS d5,
+                   coalesce(max(CASE WHEN n = 10 THEN
+                       CAST(dup_pos AS DOUBLE) / total_pos END), 0.0) AS d10
+            FROM per_n GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_chars_norm,
+               round(coalesce(w.t2 / b.n_chars_norm, 0.0), 6) AS top_2_char_frac,
+               round(coalesce(w.t3 / b.n_chars_norm, 0.0), 6) AS top_3_char_frac,
+               round(coalesce(w.t4 / b.n_chars_norm, 0.0), 6) AS top_4_char_frac,
+               round(coalesce(w.d5, 0.0), 6) AS dup_5_frac,
+               round(coalesce(w.d10, 0.0), 6) AS dup_10_frac
+        FROM base b LEFT JOIN wide w ON w.doc_id = b.doc_id
+    """
+
+
+@ext_query(
+    "q_l16_repetition",
+    oracle=_repetition_oracle(),
+    doc="Gopher-style repetition metrics (Rae et al. 2021 A1): top-2/3/4-"
+    "gram char coverage + duplicate-5/10-gram position fraction, per doc. "
+    "Cell-exact vs the oracle's identical formulation.",
+)
+def q_l16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    m = repetition_metrics(docs)
+    return m.select(
+        "doc_id",
+        "n_chars_norm",
+        *[F.round(f"top_{n}_char_frac", 6).alias(f"top_{n}_char_frac") for n in (2, 3, 4)],
+        *[F.round(f"dup_{n}_frac", 6).alias(f"dup_{n}_frac") for n in (5, 10)],
+    )
+
+
+def _quality_gate_oracle() -> str:
+    n_words = f"len({WORDS_SQL})"
+    mean_len = (
+        f"CAST(list_sum(list_transform({WORDS_SQL}, x -> length(x))) AS DOUBLE)"
+        f" / {n_words}"
+    )
+    punct = (
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))"
+        " AS DOUBLE) / length(text)"
+    )
+    stop = (
+        f"len(list_filter({WORDS_SQL}, "
+        "x -> list_contains(['the','a','of','and','to','in','is','it'], x)))"
+    )
+    return f"""
+        WITH r AS (
+            SELECT source,
+                   coalesce({n_words} >= 20, false) AS r_min_words,
+                   coalesce({n_words} <= 100000, false) AS r_max_words,
+                   coalesce({mean_len} >= 2.0 AND {mean_len} <= 12.0, false) AS r_word_len,
+                   coalesce({punct} <= 0.3, false) AS r_symbols,
+                   coalesce({stop} > 0, false) AS r_stopword
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN r_min_words AND r_max_words AND r_word_len
+                        AND r_symbols AND r_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(sum(CASE WHEN NOT r_min_words THEN 1 ELSE 0 END) AS BIGINT) AS f_min_words,
+               CAST(sum(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_word_len,
+               CAST(sum(CASE WHEN NOT r_symbols THEN 1 ELSE 0 END) AS BIGINT) AS f_symbols,
+               CAST(sum(CASE WHEN NOT r_stopword THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword
+        FROM r GROUP BY source
+    """
+
+
+@ext_query(
+    "q_l17_quality_gate",
+    oracle=_quality_gate_oracle(),
+    doc="C4/Gopher-style quality gate audit: per-source keep counts and "
+    "per-rule failure attribution (pure column predicates — the whole gate "
+    "pushes into the scan; no shuffle before the final agg).",
+)
+def q_l17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.repetition import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = quality_gate(docs)
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q_keep").cast("int")).cast("long").alias("n_keep"),
+        F.sum((~F.col("r_min_words")).cast("int")).cast("long").alias("f_min_words"),
+        F.sum((~F.col("r_word_len")).cast("int")).cast("long").alias("f_word_len"),
+        F.sum((~F.col("r_symbols")).cast("int")).cast("long").alias("f_symbols"),
+        F.sum((~F.col("r_stopword")).cast("int")).cast("long").alias("f_stopword"),
+    )
+
+
+_MIX_TARGETS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+_MIX_BUDGET = 20_000
+
+
+def _mixture_oracle() -> str:
+    vals = ", ".join(f"('{g}', {w})" for g, w in sorted(_MIX_TARGETS.items()))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang, CAST(len({WORDS_SQL}) AS BIGINT) AS n_tok
+            FROM documents
+        ), r AS (
+            SELECT lang, CAST(sum(n_tok) AS BIGINT) AS group_tokens,
+                   least(1.0, t.w * {_MIX_BUDGET}
+                         / CAST(sum(n_tok) AS DOUBLE)) AS rate
+            FROM d JOIN (VALUES {vals}) t(lang, w) USING (lang)
+            GROUP BY d.lang, t.w
+        ), s AS (
+            SELECT d.lang, d.n_tok, r.group_tokens, r.rate FROM d
+            JOIN r USING (lang)
+            WHERE {HASH_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000000
+                  < CAST(floor(rate * 1000000) AS BIGINT)
+        )
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+               any_value(group_tokens) AS group_tokens,
+               round(any_value(rate), 6) AS rate
+        FROM s GROUP BY lang
+    """
+
+
+@ext_query(
+    "q_l18_mixture_sample",
+    oracle=_mixture_oracle(),
+    doc="Target-mixture corpus sampling (DoReMi-style static domain "
+    "weights): per-stratum rates = min(1, w*budget/group_tokens), applied "
+    "as the deterministic md5-bucket predicate. Agg -> broadcast join -> "
+    "filter; no driver collect, replay-stable.",
+)
+def q_l18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tok", F.size(TX.words(F.col("text"))).cast("long"))
+        .withColumn("k", F.col("doc_id").cast("string"))
+    )
+    kept = mixture_sample(
+        docs,
+        targets=_MIX_TARGETS,
+        budget_tokens=_MIX_BUDGET,
+        strata_col="lang",
+        token_col="n_tok",
+        key_cols=["k"],
+    )
+    rates = mixture_rates(docs, _MIX_TARGETS, _MIX_BUDGET, "lang", "n_tok")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+        .join(
+            rates.select(
+                "lang", "group_tokens", F.round("rate", 6).alias("rate")
+            ),
+            "lang",
+        )
+    )
+
+
+def _budget_select_oracle() -> str:
+    quality = (
+        "round(0.4 * least(len(w) / 200.0, 1.0)"
+        " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text,"
+        " '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))"
+        " + 0.3 * least(5.0 * CAST(len(list_filter(w,"
+        " x -> list_contains(['the','a','of','and','to','in','is','it'], x)))"
+        " AS DOUBLE) / len(w), 1.0), 6)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tok,
+                   {quality} AS quality
+            FROM (SELECT doc_id, lang, text, {WORDS_SQL} AS w FROM documents)
+        ), c AS (
+            SELECT *, sum(n_tok) OVER (
+                PARTITION BY lang ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d
+        )
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+               round(min(quality), 6) AS min_quality
+        FROM c WHERE cum <= 5000 GROUP BY lang
+    """
+
+
+@ext_query(
+    "q_l19_budget_select",
+    oracle=_budget_select_oracle(),
+    doc="Quality-ranked token-budget curation: per-language, keep the "
+    "highest-quality docs until a 5k-token budget (greedy prefix on the "
+    "quality-desc order, deterministic tie-break). One window per "
+    "partition key — the per-domain-budget formulation that scales.",
+)
+def q_l19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import select_to_budget
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tok", F.size(TX.words(F.col("text"))).cast("long"))
+        .withColumn("quality", F.round(TX.quality_score(F.col("text")), 6))
+    )
+    kept = select_to_budget(
+        docs, 5000, token_col="n_tok", rank_col="quality", partition_col="lang"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("kept_tokens"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+    )
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402
@@ -641,6 +896,25 @@ def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
     return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+@ext_query(
+    "q_lx4_semantic_dedup",
+    oracle=None,  # cluster-approximate by construction; anchored in tests
+)
+def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-dup removal: k-means cells -> within-
+    cell cosine >= tau pairs -> connected components -> keep min-id rep.
+    Approximate at cell boundaries by construction; the n_centroids=1
+    exactness anchor and a duplicate-group property are unit-tested in
+    tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = SIM.semantic_dedup(emb, tau=0.99, n_centroids=8)
+    n_in = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    n_out = kept.agg(F.count(F.lit(1)).alias("n_after"))
+    return n_in.crossJoin(n_out).select(
+        "n_vecs", (F.col("n_vecs") - F.col("n_after")).alias("n_dropped"), "n_after"
+    )
 
 
 @ext_query(
