@@ -31,16 +31,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark has no type
-        # for. Read it as long ns since epoch (runtime-settable conf — the
-        # hosting session need not preconfigure it) and floor-truncate to
-        # micros, identical to DuckDB's read-time ns->us conversion so
-        # oracle comparisons agree.
+        # events.ts has shipped as TIMESTAMP(NANOS) (round 1) and as plain
+        # timestamp[us] (round 2 regeneration). Spark has no ns type: set the
+        # runtime conf so a NANOS column reads as long-ns (the conf is a
+        # no-op for us-precision columns), then branch on the dtype actually
+        # read — long means ns, floor-truncate to micros exactly like
+        # DuckDB's read-time ns->us conversion so oracle comparisons agree;
+        # timestamp passes through untouched.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(table_path(sf_dir, name))
 

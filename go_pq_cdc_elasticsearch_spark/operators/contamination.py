@@ -1,0 +1,59 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard large-scale pretraining hygiene step (GPT-3 appendix C /
+PaLM-style n-gram overlap): build the distinct n-gram set of the holdout
+corpus, then mark every training document containing ANY of those n-grams.
+Expressed as pure DataFrame algebra so the DuckDB oracle can verify it
+value-for-value.
+
+Scale shape: the holdout gram set is tiny next to the training corpus —
+Catalyst broadcasts it (or AQE picks a shuffle join if it is not); the
+training side streams through one explode + one join, grouped on the doc
+id. Grams travel as md5 hex strings (128-bit): a 32/64-bit key would
+produce false contamination hits at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.operators.dedup import word_ngrams
+
+
+def doc_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Distinct word-``n``-gram md5 hashes per document: ``(id_col, gh)``."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__gram"),
+    ).select(F.col(id_col), F.md5(F.col("__gram")).alias("gh"))
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-doc contamination against the holdout set.
+
+    Returns ``(id_col, n_hit_grams)`` for every training document sharing
+    at least one word-``n``-gram with any holdout document — the rows a
+    curation pipeline would drop (anti-join) or down-weight.
+    """
+    hg = (
+        doc_gram_hashes(holdout, text_col, id_col, n)
+        .select("gh")
+        .distinct()
+    )
+    tg = doc_gram_hashes(train, text_col, id_col, n)
+    return tg.join(hg, "gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_grams")
+    )

@@ -39,17 +39,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_ngrams(col, n: int = 3) -> Column:
-    """Array of word n-grams of the normalized text (shingles)."""
+    """Array of word n-grams of the normalized text (shingles).
+
+    Formulated as ``arrays_zip`` over ``n`` shifted ``slice``s of the word
+    array rather than ``transform(sequence(...), i -> element_at(w, i+j))``:
+    higher-order functions are CodegenFallback (interpreted), and in the
+    element_at form each lambda invocation re-evaluates the captured word
+    array — i.e. the full lower/trim/regexp_replace/split chain — giving
+    O(grams x n) regex evaluations per row (measured 5x slowdown on the
+    winnowing query). The slice/zip form evaluates the word array a constant
+    number of times per row and lets the lambda touch only materialized
+    struct fields.
+    """
     w = words(col)
-    # indices 1..len-n+1 (1-based element_at), each joined with spaces.
-    # Guard: Spark's sequence(1, 0) counts DOWN, so short texts must map to
-    # an empty array explicitly.
+    g = F.size(w) - (n - 1)  # gram count when size >= n
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, g).alias(str(j)) for j in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
-        ),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
+    # Guard: slice with non-positive length throws / zip misbehaves on short
+    # texts, so short rows map to an empty array explicitly.
     return F.when(F.size(w) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -388,9 +397,17 @@ def winnow_fingerprints(
     Returns distinct ``(id_col, fp)`` rows — the document's fingerprint set.
     """
     grams = word_ngrams(F.col(text_col), n)
+    # Gram count derived arithmetically from the word count rather than as
+    # size(grams): the latter lands in a Project ABOVE the Generate and
+    # rebuilds the whole gram array once per exploded row (observed in the
+    # physical plan; ~n_grams x cost). The formula is evaluated once per
+    # document on the Generate's input side.
+    n_g = F.greatest(
+        F.size(words(F.col(text_col))) - (n - 1), F.lit(0)
+    )
     e = df.select(
         F.col(id_col),
-        F.size(grams).alias("__n_g"),
+        n_g.alias("__n_g"),
         F.posexplode(grams).alias("__pos", "__gram"),
     )
     win = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
@@ -406,4 +423,61 @@ def winnow_fingerprints(
         .filter(F.col("__pos") <= F.col("__n_g") - w)
         .select(id_col, "fp")
         .distinct()
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line/paragraph-level exact dedup (the C4 / RefinedWeb
+    curation step): split every document on ``sep``, keep only the globally
+    FIRST occurrence of each normalized (lower+trim) line — ordered by
+    (doc id, position) — and reassemble documents from their surviving
+    lines.
+
+    Returns ``(id_col, n_lines, n_kept, text)`` per document that has at
+    least one non-blank line; ``text`` is NULL when every line was a repeat
+    of an earlier occurrence.
+
+    Scale shape: two shuffles. (1) a window over the line's md5 (128-bit —
+    a 32/64-bit key would silently merge distinct lines at corpus scale,
+    and the grouping must be collision-free because it decides which text
+    survives); line text rides the shuffle because reassembly needs it —
+    shuffle bytes ~ corpus text size, the floor for any reassembling
+    dedup. (2) a groupBy on the doc id to rebuild documents. No driver
+    state, no cross product. The first-occurrence rule (vs. reference-free
+    "drop all copies") keeps exactly one copy of boilerplate, matching the
+    keep-first convention of exact_dedup.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        )
+        .filter(F.trim(F.col("__line")) != "")
+    )
+    key = F.md5(F.lower(F.trim(F.col("__line"))))
+    w = Window.partitionBy("__key").orderBy(F.col(id_col), F.col("__pos"))
+    ranked = lines.withColumn("__key", key).withColumn(
+        "__keep", F.row_number().over(w) == 1
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.when(
+            F.sum(F.col("__keep").cast("long")) > 0,
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.getField("__line"),
+                ),
+            ),
+        ).alias("text"),
     )

@@ -761,6 +761,128 @@ def q_l19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grams_n_sql(n: int) -> str:
+    """DuckDB word-n-gram list over a words array ``w`` (parametric n)."""
+    terms = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len(w)-{n - 2}), i -> concat({terms}))"
+
+
+@ext_query(
+    "q_l20_paragraph_dedup",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 300
+        ), para AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(range(0, CAST(ceil(len(w)/8.0) AS INT)),
+                           i -> array_to_string(w[i*8+1:i*8+8], ' ')),
+                       chr(10)) AS text
+            FROM base
+        ), e0 AS (
+            SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS pos
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM para)
+        ), ln AS (
+            SELECT doc_id, pos, ls[pos] AS line
+            FROM e0 WHERE trim(ls[pos]) <> ''
+        ), r AS (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY md5(lower(trim(line)))
+                                      ORDER BY doc_id, pos) = 1 AS keep
+            FROM ln
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos))
+                   AS text_md5
+        FROM r GROUP BY doc_id
+    """,
+    doc="Line/paragraph-level global exact dedup (C4/RefinedWeb curation "
+    "step): derive a paragraph-structured corpus (newline every 8 words — "
+    "the synthetic docs ship as single lines), keep each normalized line's "
+    "globally FIRST occurrence, reassemble surviving documents. Full value "
+    "parity: per-doc line counts plus md5 of the reassembled text.",
+)
+def q_l20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    w = TX.words(F.col("text"))
+    paras = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size(w) / F.lit(8.0))).cast("int") - 1
+        ),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    structured = docs.select(
+        "doc_id", F.concat_ws("\n", paras).alias("text")
+    )
+    out = DD.paragraph_dedup(structured, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+@ext_query(
+    "q_l21_decontaminate",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), g AS (
+            SELECT doc_id, list_distinct({_grams_n_sql(5)}) AS grams
+            FROM w WHERE len(w) >= 5
+        ), ex AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+        ), hg AS (
+            SELECT DISTINCT md5(gram) AS gh FROM ex WHERE doc_id % 10 = 0
+        ), tg AS (
+            SELECT doc_id, md5(gram) AS gh FROM ex WHERE doc_id % 10 <> 0
+        )
+        SELECT doc_id, count(*) AS n_hit_grams
+        FROM tg JOIN hg USING (gh)
+        GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination (GPT-3 appendix C style): every tenth "
+    "document plays the held-out eval set; training docs sharing any word "
+    "5-gram with it are flagged with their hit count. Holdout gram set is "
+    "broadcast-joined against the exploded training grams at scale.",
+)
+def q_l21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, holdout, n=5)
+
+
+@ext_query(
+    "q_l22_lm_surprisal",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({WORDS_SQL}) AS tok FROM documents
+        ), freq AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM freq
+        )
+        SELECT doc_id, count(*) AS n_tok,
+               CAST(sum(CAST(round(1000 * log2(CAST(n AS DOUBLE) / c))
+                             AS BIGINT)) AS BIGINT) AS surprisal_mb
+        FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    doc="Corpus-unigram-LM document surprisal (CCNet-flavored quality "
+    "signal): per-token surprisal quantized to integer millibits BEFORE "
+    "summation so document sums are exact, order-independent, and "
+    "bit-identical to the DuckDB oracle.",
+)
+def q_l22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.lm import doc_surprisal_millibits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_surprisal_millibits(docs)
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402

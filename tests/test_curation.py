@@ -1,0 +1,116 @@
+"""Paragraph dedup, benchmark decontamination, unigram-LM surprisal."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+    decontaminate,
+    doc_gram_hashes,
+)
+from go_pq_cdc_elasticsearch_spark.operators.dedup import paragraph_dedup
+from go_pq_cdc_elasticsearch_spark.operators.lm import doc_surprisal_millibits
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+# ---- paragraph_dedup -------------------------------------------------------
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark):
+    df = _docs(
+        spark,
+        [
+            "alpha beta\ncommon line\ngamma",   # doc 0: all lines first seen
+            "common line\ndelta",               # doc 1: line 1 is a repeat
+            "  COMMON LINE ",                    # doc 2: repeat after lower+trim
+        ],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[0]["text"] == "alpha beta\ncommon line\ngamma"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text"] == "delta"
+    # doc 2's only line normalizes to an earlier line -> nothing survives
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["text"] is None
+
+
+def test_paragraph_dedup_blank_lines_dropped(spark):
+    df = _docs(spark, ["a\n\n  \nb", "\n \n"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text"] == "a\nb"
+    # doc 1 is all-blank: no non-blank lines at all -> no output row
+    assert 1 not in out
+
+
+def test_paragraph_dedup_first_occurrence_is_doc_then_position(spark):
+    # same line twice within one doc: first position wins
+    df = _docs(spark, ["dup\nx\ndup"])
+    r = paragraph_dedup(df).collect()[0]
+    assert r["n_lines"] == 3 and r["n_kept"] == 2
+    assert r["text"] == "dup\nx"
+
+
+# ---- decontaminate ---------------------------------------------------------
+
+
+def test_doc_gram_hashes_distinct_per_doc(spark):
+    df = _docs(spark, ["a b a b a b"])  # 2-grams: "a b","b a" repeated
+    got = doc_gram_hashes(df, n=2).collect()
+    assert len(got) == 2  # distinct grams only
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            "one two three four five six",      # shares 5-gram run with holdout
+            "totally different words here now", # clean
+        ],
+    )
+    holdout = spark.createDataFrame(
+        [Row(doc_id=100, text="zz one two three four five yy")]
+    )
+    out = {r["doc_id"]: r["n_hit_grams"] for r in
+           decontaminate(train, holdout, n=5).collect()}
+    # train doc 0 grams: "one two three four five", "two three four five six";
+    # holdout contains the first only.
+    assert out == {0: 1}
+
+
+def test_decontaminate_no_overlap_empty(spark):
+    train = _docs(spark, ["a b c d e f g"])
+    holdout = spark.createDataFrame([Row(doc_id=9, text="p q r s t u v")])
+    assert decontaminate(train, holdout, n=5).count() == 0
+
+
+# ---- doc_surprisal_millibits ----------------------------------------------
+
+
+def test_surprisal_hand_computed(spark):
+    # corpus: doc0 = "a a b", doc1 = "a c" -> counts a:3, b:1, c:1, N=5
+    df = _docs(spark, ["a a b", "a c"])
+    out = {r["doc_id"]: r for r in doc_surprisal_millibits(df).collect()}
+    mb = lambda c: round(1000 * math.log2(5 / c))
+    assert out[0]["n_tok"] == 3
+    assert out[0]["surprisal_mb"] == 2 * mb(3) + mb(1)
+    assert out[1]["n_tok"] == 2
+    assert out[1]["surprisal_mb"] == mb(3) + mb(1)
+
+
+def test_surprisal_rare_tokens_score_higher(spark):
+    common = " ".join(["the"] * 20)
+    rare = "zqx wvu klm nop qrs tuv wxy abc def ghi jkl mno pqr stu vwx yzz aaa bbb ccc ddd"
+    df = _docs(spark, [common] * 5 + [rare])
+    out = {r["doc_id"]: r["surprisal_mb"] for r in
+           doc_surprisal_millibits(df).collect()}
+    assert out[5] > out[0]  # gibberish doc carries more corpus-model bits
