@@ -279,24 +279,44 @@ def simhash16(col) -> Column:
     """16-bit SimHash over word tokens: bit b is 1 iff the sum over tokens of
     (+1 if bit b of hash(token) else -1) is positive. 16 bits keeps the
     expression tree small while exercising the full algorithm; widen by
-    raising BITS at no structural change."""
+    raising BITS at no structural change.
+
+    Single-traversal formulation: ONE ``aggregate`` over the token-hash
+    array carries all 16 bit-sums in a struct accumulator, and the final
+    bit-combine happens in the aggregate's ``finish`` lambda (where the
+    accumulator is a bound variable — a cheap reference). The obvious
+    per-bit version (16 separate ``aggregate`` calls over the same
+    ``transform(words, md5)``) re-evaluates the token hashing 16x per row,
+    because higher-order functions are interpreted with no common-
+    subexpression elimination across captured expressions. Map-only either
+    way — this keeps the operator shuffle-free at any scale.
+    """
     toks = words(col)
     hashes = F.transform(toks, _hash64)
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"b{b}") for b in range(16)]
+    )
 
-    def bit_contrib(b: int):
-        # factory closure: aggregate's merge lambda must be exactly 2-arg
-        return lambda acc, h: acc + F.when(
-            F.floor(h / F.lit(2**b)) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    def merge(acc, h):
+        return F.struct(
+            *[
+                (
+                    acc[f"b{b}"]
+                    + F.when(F.floor(h / F.lit(2**b)) % 2 == 1, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                ).alias(f"b{b}")
+                for b in range(16)
+            ]
+        )
 
-    bit_cols = []
-    for b in range(16):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_contrib(b))
-        bit_cols.append(F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for c in bit_cols:
-        out = out + c
-    return out.cast("long")
+    def finish(acc):
+        out = F.lit(0)
+        for b in range(16):
+            out = out + F.when(acc[f"b{b}"] > 0, F.lit(2**b)).otherwise(F.lit(0))
+        return out.cast("long")
+
+    return F.aggregate(hashes, zero, merge, finish)
 
 
 def hamming16(a, b) -> Column:

@@ -62,6 +62,8 @@ SX2_PARTS = [
     "q_l20_paragraph_dedup",
     "q_l21_decontaminate",
     "q_l22_lm_surprisal",
+    "q_l23_pii_redact",
+    "q_l24_bm25",
 ]
 
 
@@ -77,10 +79,20 @@ def _combo(parts: list[str]):
         # plan's expression count. Collecting is safe by construction: each
         # part is pre-aggregated to exactly one (part, n_rows, checksum) row,
         # so driver transfer is O(len(parts)), independent of data scale.
-        rows = []
-        for name in parts:
-            summary = spark_canon_summary(EXT_REGISTRY[name].spark(spark, sf_dir), name)
-            rows.extend(summary.collect())
+        # Parts are independent, so they run as CONCURRENT jobs (Spark's
+        # scheduler interleaves them across the executor pool); sequential
+        # execution paid ~0.5 s of job overhead per part — 20+ s across the
+        # two folds at sf0.1 — where the concurrent wall time is ~the
+        # slowest single part.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(name: str):
+            df = EXT_REGISTRY[name].spark(spark, sf_dir)
+            return spark_canon_summary(df, name).collect()
+
+        with ThreadPoolExecutor(max_workers=min(8, len(parts))) as pool:
+            results = list(pool.map(one, parts))
+        rows = [r for rs in results for r in rs]
         return spark.createDataFrame(
             rows, "part string, n_rows long, checksum long"
         )

@@ -883,6 +883,110 @@ def q_l22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_surprisal_millibits(docs)
 
 
+def _pii_oracle() -> str:
+    from go_pq_cdc_elasticsearch_spark.operators.redact import PII_PATTERNS
+
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) AS n_{kind}"
+        for kind, rx, _ in PII_PATTERNS
+    )
+    clean = "t"
+    for _, rx, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{rx}', '{token}', 'g')"
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   text || ' reach user' || doc_id
+                        || '@example.com via 192.168.' || (doc_id % 250)
+                        || '.1 or +44 207 946 0'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || ' ref 9'
+                        || lpad(CAST(doc_id % 100000 AS VARCHAR), 8, '0') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               md5({clean}) AS clean_md5
+        FROM p
+    """
+
+
+@ext_query(
+    "q_l23_pii_redact",
+    oracle=_pii_oracle(),
+    doc="PII redaction hygiene pass: deterministic email/IPv4/phone/digit-run "
+    "PII is synthesized from doc_id (the synthetic corpus ships clean), then "
+    "counted and redacted with the engine-portable pattern table in "
+    "operators/redact.py. Map-only — zero shuffles; value parity includes "
+    "the md5 of the fully redacted text.",
+)
+def q_l23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.redact import redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), d.cast("string"),
+        F.lit("@example.com via 192.168."), (d % 250).cast("string"),
+        F.lit(".1 or +44 207 946 0"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit(" ref 9"),
+        F.lpad((d % 100000).cast("string"), 8, "0"),
+    )
+    out = redact(docs.select("doc_id", pii.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_digits",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+BM25_TERMS = ["table", "merge", "vector"]
+
+
+@ext_query(
+    "q_l24_bm25",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({WORDS_SQL}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), corpus AS (
+            SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+        ), hits AS (
+            SELECT * FROM tf
+            WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+        ), dfreq AS (
+            SELECT term, count(*) AS df_t FROM hits GROUP BY term
+        ), scored AS (
+            SELECT h.doc_id,
+                   ln(1 + (c.n_docs - f.df_t + 0.5) / (f.df_t + 0.5))
+                   * (h.tf * (1.2 + 1.0))
+                   / (h.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+            FROM hits h
+            JOIN dfreq f USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN corpus c
+        )
+        SELECT doc_id, round(sum(s), 6) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY round(sum(s), 6) DESC, doc_id
+        LIMIT 20
+    """,
+    doc="BM25 ranked retrieval (the Lucene/Elasticsearch default scoring "
+    "function) computed as corpus-statistics DataFrames: the reference's "
+    "'ship to ES, search there' loop closed Spark-side. Deterministic "
+    "(round(score,6) DESC, doc_id) ordering for engine-portable top-k.",
+)
+def q_l24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=20)
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402
