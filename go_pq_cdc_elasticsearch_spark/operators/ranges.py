@@ -1,0 +1,107 @@
+"""Range (interval) join and batch sessionization.
+
+Two operators the reference's analytics consumers reach for constantly and
+vanilla Spark has no first-class physical strategy for:
+
+- ``bucketed_range_join``: match points to intervals (``lo <= v < hi``)
+  without the naive cross-product. Spark plans a bare range predicate as
+  BroadcastNestedLoopJoin (fine only when one side broadcasts); the
+  bucketed form turns it into an equi-join any cluster can shuffle.
+- ``sessionize``: gaps-and-islands session assignment over an event log —
+  the batch twin of Structured Streaming's session windows (q_t3), so the
+  same semantics are available to backfills.
+
+Scale shapes:
+
+- Range join: each interval is exploded to the ``width``-sized buckets it
+  overlaps, points map to exactly one bucket, and the join is a plain
+  equi-join on the bucket id with a residual ``[lo, hi)`` filter. Shuffle
+  carries each point once and each interval ceil(span/width)+1 times —
+  pick ``width`` near the median interval span so interval duplication is
+  O(1). Skewed buckets fall under AQE's skew-join handling like any other
+  equi-join — exactly the property the nested-loop plan lacks.
+- Sessionize: one shuffle (hash on the entity key); lag + running sum in a
+  single window pass, then one partial-aggregated groupBy. No driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    width: float = 10.0,
+) -> DataFrame:
+    """Inner-join ``points`` to every interval with ``lo <= point < hi``.
+
+    Returns all columns of both inputs. ``width`` is the bucket size the
+    interval side is exploded to; correctness is width-independent, only
+    the duplication factor changes.
+    """
+    pb = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gaps-and-islands sessions: a new session starts whenever the
+    gap to the entity's previous event exceeds ``gap_seconds``.
+
+    Returns one row per session:
+    ``(key_col, session_id, session_start, session_end, n_events)`` where
+    ``session_id`` is the 1-based session index within the key (ordered by
+    time) and start/end are the first/last event timestamps. Ties on the
+    timestamp are stable: ordering is (ts) within the key partition, and
+    equal timestamps always fall inside the same session (gap 0), so the
+    output is deterministic regardless of input order.
+    """
+    ev = df.select(F.col(key_col), F.col(ts_col).alias("__ts"))
+    w = Window.partitionBy(key_col).orderBy("__ts")
+    # integer microseconds, not float seconds: the gap comparison is then
+    # exact and engine-portable (DuckDB's epoch_us computes the identical
+    # value), with no float rounding at the gap boundary. The cast makes
+    # TIMESTAMP_NTZ inputs acceptable to unix_micros; any session-tz offset
+    # it introduces is constant and cancels in the gap difference, and the
+    # emitted session_start/end are the untouched input timestamps.
+    us = F.unix_micros(F.col("__ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | (us - prev > F.lit(int(gap_seconds) * 1_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = ev.withColumn("__new", new_sess).withColumn(
+        "session_id", F.sum("__new").over(w).cast("long")
+    )
+    return tagged.groupBy(key_col, "session_id").agg(
+        F.min("__ts").alias("session_start"),
+        F.max("__ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

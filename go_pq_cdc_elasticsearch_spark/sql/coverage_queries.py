@@ -722,3 +722,76 @@ def q_s32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("taxed_price"),
     )
+
+
+@ext_query(
+    "q_s45_range_join",
+    oracle="""
+        WITH iv AS (
+            SELECT i AS band, CAST(i*5 - 2 AS DOUBLE) AS lo,
+                   CAST(i*5 + 4 AS DOUBLE) AS hi
+            FROM range(12) t(i)
+        ), p AS (
+            SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        )
+        SELECT band, count(*) AS n,
+               CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS sum_v
+        FROM p JOIN iv ON v >= lo AND v < hi
+        GROUP BY band
+    """,
+)
+def q_s45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via the bucketed equi-join formulation —
+    overlapping quantity bands against lineitem; Spark would otherwise plan
+    a bare range predicate as BroadcastNestedLoopJoin (operators/ranges.py
+    docstring has the scale analysis)."""
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import bucketed_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("v")
+    )
+    iv = spark.range(12).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 5 - 2).cast("double").alias("lo"),
+        (F.col("id") * 5 + 4).cast("double").alias("hi"),
+    )
+    j = bucketed_range_join(li, iv, "v", width=5.0)
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("v"), "sum_v"),
+    )
+
+
+@ext_query(
+    "q_s46_sessionize",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts FROM events WHERE user_id <= 200
+        ), l AS (
+            SELECT user_id, ts, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM e
+        ), t AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev IS NULL OR us - prev > 1800000000
+                        THEN 1 ELSE 0 END AS nw
+            FROM l
+        ), g AS (
+            SELECT user_id, ts,
+                   CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts)
+                        AS BIGINT) AS session_id
+            FROM t
+        )
+        SELECT user_id, session_id, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events
+        FROM g GROUP BY user_id, session_id
+    """,
+)
+def q_s46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-min gap) — the batch twin
+    of q_t3's streaming session windows; exact integer-microsecond gap
+    math on both engines."""
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import sessionize
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    return sessionize(ev, ts_col="ts", key_col="user_id", gap_seconds=1800)

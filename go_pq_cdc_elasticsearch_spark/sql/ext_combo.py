@@ -30,6 +30,8 @@ SX1_PARTS = [
     "q_s31_null_handling",
     "q_s32_conditional_agg",
     "q_s37_grouping_id",
+    "q_s45_range_join",
+    "q_s46_sessionize",
 ]
 
 # Scalar/type surface + join trees: decimals, window analytics, advanced

@@ -125,3 +125,34 @@ def test_winnowing_is_jvm_side_single_window_shuffle(spark):
     # the distinct's aggregate reuses the window's doc_id partitioning,
     # so the whole operator is ONE shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the bucketed formulation must plan as a hash-partitionable equi-join
+    # on the bucket id; a bare range predicate would fall back to
+    # BroadcastNestedLoopJoin (fine only when one side broadcasts)
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import bucketed_range_join
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("v")
+    )
+    iv = spark.range(12).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 5 - 2).cast("double").alias("lo"),
+        (F.col("id") * 5 + 4).cast("double").alias("hi"),
+    )
+    plan = _plan(bucketed_range_join(li, iv, "v", width=5.0))
+    assert "NestedLoop" not in plan
+    assert "__bucket" in plan  # the equi-join key exists in the plan
+
+
+def test_sessionize_single_window_shuffle(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import sessionize
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(sessionize(ev))
+    # one exchange for the per-user window; the groupBy reuses the
+    # partitioning (user_id prefix), so partial agg + no second shuffle on
+    # a different key
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+    assert "EvalPython" not in plan

@@ -1,0 +1,95 @@
+"""Bucketed range join and batch sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.operators.ranges import (
+    bucketed_range_join,
+    sessionize,
+)
+
+
+def test_range_join_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [Row(pid=i, v=float(i)) for i in range(0, 40)]
+    )
+    iv = spark.createDataFrame(
+        [
+            Row(band=0, lo=0.0, hi=10.0),
+            Row(band=1, lo=5.0, hi=25.0),   # overlaps band 0
+            Row(band=2, lo=24.0, hi=24.5),  # sub-bucket interval
+            Row(band=3, lo=39.0, hi=100.0), # extends past the data
+        ]
+    )
+    got = sorted(
+        (r["pid"], r["band"])
+        for r in bucketed_range_join(pts, iv, "v", width=7.0).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["band"])
+        for r in pts.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_width_independent(spark):
+    pts = spark.createDataFrame([Row(v=float(i) / 3) for i in range(100)])
+    iv = spark.createDataFrame(
+        [Row(band=b, lo=b * 4.0 - 1.5, hi=b * 4.0 + 2.5) for b in range(9)]
+    )
+    results = []
+    for w in (0.5, 3.0, 50.0):
+        rows = bucketed_range_join(pts, iv, "v", width=w).collect()
+        results.append(sorted((r["v"], r["band"]) for r in rows))
+    assert results[0] == results[1] == results[2]
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+
+def test_sessionize_gap_splits(spark):
+    # user 1: events at minute 0, 10, 50 (gap 40 > 30 -> split), 55
+    # user 2: single event
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(0)),
+            Row(user_id=1, ts=_ts(10)),
+            Row(user_id=1, ts=_ts(50)),
+            Row(user_id=1, ts=_ts(55)),
+            Row(user_id=2, ts=_ts(7)),
+        ]
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11, s12 = out[(1, 1)], out[(1, 2)]
+    assert s11["n_events"] == 2 and s11["session_start"] == _ts(0)
+    assert s11["session_end"] == _ts(10)
+    assert s12["n_events"] == 2 and s12["session_start"] == _ts(50)
+    assert out[(2, 1)]["n_events"] == 1
+
+
+def test_sessionize_boundary_gap_is_inclusive(spark):
+    # gap exactly == gap_seconds stays one session (split needs strictly >)
+    df = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(0)), Row(user_id=1, ts=_ts(30))]
+    )
+    out = sessionize(df, gap_seconds=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_sessionize_equal_timestamps_one_session(spark):
+    df = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(5)), Row(user_id=1, ts=_ts(5))]
+    )
+    out = sessionize(df, gap_seconds=60).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
