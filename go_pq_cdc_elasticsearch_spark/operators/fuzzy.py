@@ -1,0 +1,72 @@
+"""Fuzzy (edit-distance) string join via q-gram blocking.
+
+Entity-resolution workhorse: find pairs of strings within Levenshtein
+distance ``max_dist`` without the quadratic cross product. An edit
+operation destroys at most ``q`` character q-grams, so two strings within
+distance ``d`` share at least ``min_grams - d*q`` q-grams — whenever the
+shorter string has more than ``d*q`` grams (i.e. ``len >= q*(d+1) + q - 1``
+is comfortably sufficient), at least ONE shared gram survives and the
+gram-block join is a complete candidate generator. The expensive
+``levenshtein`` then runs on candidates only.
+
+Scale shape: explode distinct q-grams per string (positions irrelevant for
+blocking), ONE shuffle on the gram value, distinct pair set, then the
+verify filter — the same block-then-verify skeleton as the MinHash/LSH
+dedup path (operators/dedup.py). Ultra-frequent grams create hot buckets;
+at corpus scale drop the top-f most frequent grams on BOTH sides (standard
+stop-gram filtering — costs recall only for pairs whose every shared gram
+is a stop-gram) or lean on AQE skew splitting, which applies because this
+is a plain equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_qgrams(col, q: int = 2) -> Column:
+    """Array of DISTINCT character q-grams of a string column (blocking
+    signature — positions and multiplicity don't matter for candidates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (q - 1)),
+        lambda i: c.substr(i, F.lit(q)),
+    )
+    return F.array_distinct(
+        F.when(F.length(c) >= q, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs (id1 < id2) whose strings are within ``max_dist`` edits.
+
+    Returns ``(id1, id2, s1, s2, dist)``. Complete whenever every string
+    has more than ``max_dist * q`` q-grams (see module docstring);
+    shorter outliers can be routed to a broadcast fallback by the caller.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
+    grams = base.select(
+        "__id", "__s", F.explode(char_qgrams(F.col("__s"), q)).alias("__g")
+    )
+    a = grams.select(
+        F.col("__id").alias("id1"), F.col("__s").alias("s1"), "__g"
+    )
+    b = grams.select(
+        F.col("__id").alias("id2"), F.col("__s").alias("s2"), "__g"
+    )
+    cand = (
+        a.join(b, "__g")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein(F.col("s1"), F.col("s2")).cast("long")
+    ).filter(F.col("dist") <= max_dist)

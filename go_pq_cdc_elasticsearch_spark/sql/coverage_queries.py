@@ -795,3 +795,27 @@ def q_s46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
     return sessionize(ev, ts_col="ts", key_col="user_id", gap_seconds=1800)
+
+
+@ext_query(
+    "q_s47_fuzzy_join",
+    oracle="""
+        WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        SELECT a.s AS s1, b.s AS s2,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM n a JOIN n b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q_s47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join on part names (edit distance <= 2) via
+    q-gram blocking + candidate-only levenshtein verify; the oracle runs
+    the naive quadratic form, so a hash match also certifies the blocking
+    is complete on this data (operators/fuzzy.py)."""
+    from go_pq_cdc_elasticsearch_spark.operators.fuzzy import fuzzy_self_join
+
+    names = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("s")
+    ).distinct()
+    out = fuzzy_self_join(names, text_col="s", id_col="s", max_dist=2, q=2)
+    return out.select("s1", "s2", "dist")

@@ -32,6 +32,7 @@ SX1_PARTS = [
     "q_s37_grouping_id",
     "q_s45_range_join",
     "q_s46_sessionize",
+    "q_s47_fuzzy_join",
 ]
 
 # Scalar/type surface + join trees: decimals, window analytics, advanced
