@@ -80,12 +80,14 @@ class MaterializedView:
         self.max_buckets = max_buckets
         self._columns: list[str] | None = None
         self._drifted = False
+        self._last_epoch: int | None = None
         meta = self._read_meta()
         if meta is not None:
             # layout sticks to what the directory was created with
             self.n_buckets = int(meta["n_buckets"])
             self._columns = meta.get("columns")
             self._drifted = bool(meta.get("drifted", False))
+            self._last_epoch = meta.get("last_epoch")
 
     # -- layout helpers ------------------------------------------------------
 
@@ -105,6 +107,7 @@ class MaterializedView:
                     "keys": self.keys,
                     "columns": self._columns,
                     "drifted": self._drifted,
+                    "last_epoch": self._last_epoch,
                 },
                 f,
             )
@@ -155,13 +158,36 @@ class MaterializedView:
 
     # -- merge ---------------------------------------------------------------
 
-    def merge_batch(self, batch: DataFrame) -> None:
+    def _compact_batch(self, batch: DataFrame) -> DataFrame:
+        """Reduce a raw micro-batch to its contribution rows (one per key).
+        LWW view: in-batch dedup (last write per key wins). Subclasses
+        override for other merge semantics (e.g. additive aggregates)."""
+        return cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col)
+
+    def _resolve(self, merged: DataFrame) -> DataFrame:
+        """Combine (touched state ∪ compacted batch) rows — both carrying
+        the bucket column — to the new per-key state."""
+        return cdc_dedup(merged, keys=self.keys + [_BUCKET_COL], seq_col=self.seq_col)
+
+    def merge_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """Apply one micro-batch: in-batch dedup FIRST (the reference dedups
         before issuing the bulk request — order matters, bulk/bulk.go:141
         happens before :297), then seq-resolved merge with the touched
-        state buckets only, then per-bucket swap."""
+        state buckets only, then per-bucket swap.
+
+        ``epoch_id`` (foreachBatch's batch id) makes redelivery a no-op:
+        an epoch at or below the recorded frontier is skipped. The LWW
+        merge is idempotent anyway; for subclasses with non-idempotent
+        combine (additive aggregates) the guard is what provides
+        exactly-once. The frontier is recorded after the bucket swap, so a
+        crash exactly between swap and meta write re-merges that one batch
+        on restart — harmless here, quantified in the subclass docs."""
+        if epoch_id is not None and self._last_epoch is not None and (
+            epoch_id <= self._last_epoch
+        ):
+            return
         if not self.exists():
-            compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col)
+            compact = self._compact_batch(batch)
             if self.n_buckets is None:  # auto-size the layout to the data
                 n_rows = compact.count()
                 self.n_buckets = max(
@@ -173,6 +199,11 @@ class MaterializedView:
             self._swap_buckets(
                 compact.withColumn(_BUCKET_COL, self._bucket_expr()), buckets=None
             )
+            if epoch_id is not None:
+                # recorded only after the swap: a crash in between replays
+                # the batch (safe); recording first would LOSE it
+                self._last_epoch = epoch_id
+                self._write_meta()
             return
 
         # touched buckets from the RAW batch (same key set as the deduped
@@ -182,8 +213,11 @@ class MaterializedView:
             for r in batch.select(self._bucket_expr().alias("b")).distinct().collect()
         )
         if not touched:  # empty batch
+            if epoch_id is not None:
+                self._last_epoch = epoch_id
+                self._write_meta()
             return
-        compact = cdc_dedup(batch, keys=self.keys, seq_col=self.seq_col).withColumn(
+        compact = self._compact_batch(batch).withColumn(
             _BUCKET_COL, self._bucket_expr()
         )
         existing = [b for b in touched if os.path.exists(self._bucket_dir(b))]
@@ -202,10 +236,13 @@ class MaterializedView:
             ).unionByName(compact, allowMissingColumns=True)
         else:
             merged = compact
-        new_state = cdc_dedup(merged, keys=self.keys + [_BUCKET_COL], seq_col=self.seq_col)
+        new_state = self._resolve(merged)
         self._swap_buckets(new_state, buckets=touched)
         if drift:
             self._columns = sorted(set(self._columns or []) | set(batch.columns))
+        if epoch_id is not None:
+            self._last_epoch = epoch_id
+        if drift or epoch_id is not None:
             self._write_meta()
 
     def _swap_buckets(self, df: DataFrame, buckets: list[int] | None) -> None:
@@ -300,7 +337,7 @@ class MaterializedView:
         reference's flush-then-ack loop: when this returns, the micro-batch
         is durably merged and the checkpoint (offset/LSN) commits."""
 
-        def write(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
-            self.merge_batch(batch_df)
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            self.merge_batch(batch_df, epoch_id=epoch_id)
 
         return write

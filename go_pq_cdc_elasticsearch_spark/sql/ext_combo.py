@@ -33,6 +33,7 @@ SX1_PARTS = [
     "q_s45_range_join",
     "q_s46_sessionize",
     "q_s47_fuzzy_join",
+    "q_t8_continuous_agg",
 ]
 
 # Scalar/type surface + join trees: decimals, window analytics, advanced

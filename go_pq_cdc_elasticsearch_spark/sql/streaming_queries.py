@@ -19,7 +19,7 @@ from go_pq_cdc_elasticsearch_spark.sources.replay import (
     read_event_stream,
     stage_event_files,
 )
-from go_pq_cdc_elasticsearch_spark.sql.registry import query
+from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
 
 _STAGED_CACHE: dict[tuple[str, int], str] = {}
@@ -255,3 +255,54 @@ def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = replay_events_to_view(spark, sf_dir, n_files=4)
     return view.read().select("user_id", "event_type", "value")
+
+
+@ext_query(
+    "q_t8_continuous_agg",
+    oracle="""
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_ts,
+               event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(30,10))) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY bucket_ts, event_type
+    """,
+    doc="Continuous aggregate (TimescaleDB-style, next to U4's hypertable "
+    "mapping): the 15-min/event_type rollup maintained INCREMENTALLY by "
+    "three out-of-order merge_batch calls against the hash-bucketed state "
+    "(streaming/continuous_agg.py); the oracle recomputes the same rollup "
+    "from scratch — a hash match proves incremental == batch. DECIMAL "
+    "sums make the equality exact regardless of merge order.",
+)
+def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.streaming.continuous_agg import (
+        ContinuousAggregate,
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket_ts",
+            F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900),
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cagg_q_")
+    ca = ContinuousAggregate(
+        spark,
+        os.path.join(work, "agg"),
+        group_cols=["bucket_ts", "event_type"],
+        sum_cols=["value"],
+        min_cols=["value"],
+        max_cols=["value"],
+        prepare=bucketed,
+    )
+    for i, chunk in enumerate(
+        events.filter(F.col("event_id") % 3 == m) for m in (2, 0, 1)
+    ):
+        ca.merge_batch(chunk, epoch_id=i)
+    return ca.read().select(
+        "bucket_ts", "event_type", "n", "sum_value", "min_value", "max_value"
+    )

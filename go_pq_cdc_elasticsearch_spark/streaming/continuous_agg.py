@@ -1,0 +1,120 @@
+"""Continuous aggregate: an incrementally-maintained GROUP BY view.
+
+The TimescaleDB feature next to the reference's hypertables (SURVEY U4 /
+routing hypertable mapping): a materialized ``GROUP BY time_bucket, dims``
+whose state is updated per CDC/stream micro-batch instead of recomputed.
+The Spark shape: each micro-batch is reduced map-side to per-group partial
+states (count / sum / min / max — all mergeable), then combined with ONLY
+the state buckets the batch touches, via the same hash-bucketed incremental
+layout as the LWW `MaterializedView` (sink/materialized.py) — per-batch
+cost scales with batch size, not view size. Late/out-of-order rows need no
+special casing: additive combine is order-independent.
+
+Exactly-once: additive combine is NOT idempotent, so redelivered batches
+must not re-merge. ``foreachBatch`` redelivers with the SAME epoch id after
+a failure; the view records the merged-epoch frontier in its meta file and
+skips epochs at or below it (see ``MaterializedView.merge_batch``). The
+one-batch window between bucket swap and meta write is the documented
+residual risk (a table format's atomic commit closes it on a cluster).
+
+Sums are carried as DECIMAL(30,10): exact and associative, so the view
+equals the batch recomputation bit-for-bit regardless of merge order —
+double sums would drift by reassociation ulps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+
+_DEC = "decimal(30,10)"
+
+
+class ContinuousAggregate(MaterializedView):
+    """Incrementally-maintained ``GROUP BY group_cols`` with additive
+    metrics: ``n`` (row count), ``sum_<c>`` / ``min_<c>`` / ``max_<c>``
+    per configured column. ``prepare`` (optional) runs on every raw batch
+    before aggregation — the place to derive the time-bucket column."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_cols: Sequence[str],
+        sum_cols: Sequence[str] = (),
+        min_cols: Sequence[str] = (),
+        max_cols: Sequence[str] = (),
+        prepare: Callable[[DataFrame], DataFrame] | None = None,
+        n_buckets: int | None = None,
+        **kwargs,
+    ):
+        super().__init__(
+            spark,
+            path,
+            keys=list(group_cols),
+            seq_col="__unused_seq",
+            op_col="__unused_op",
+            delete_op="__unused",
+            n_buckets=n_buckets,
+            **kwargs,
+        )
+        self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols)
+        self.max_cols = list(max_cols)
+        self.prepare = prepare
+
+    # -- merge hooks ---------------------------------------------------------
+
+    def _compact_batch(self, batch: DataFrame) -> DataFrame:
+        """Map-side reduction of a raw batch to per-group partial states."""
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs += [
+            F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}") for c in self.sum_cols
+        ]
+        aggs += [F.min(c).alias(f"min_{c}") for c in self.min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in self.max_cols]
+        return batch.groupBy(*self.keys).agg(*aggs)
+
+    def _resolve(self, merged: DataFrame) -> DataFrame:
+        """Combine prior state with batch partials: every metric is
+        mergeable (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes)."""
+        from go_pq_cdc_elasticsearch_spark.sink.materialized import _BUCKET_COL
+
+        aggs = [F.sum("n").cast("long").alias("n")]
+        aggs += [
+            F.sum(F.col(f"sum_{c}").cast(_DEC)).cast(_DEC).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in self.min_cols]
+        aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in self.max_cols]
+        return merged.groupBy(*self.keys, _BUCKET_COL).agg(*aggs)
+
+    def merge_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        if self.prepare is not None:
+            batch = self.prepare(batch)
+        super().merge_batch(batch, epoch_id=epoch_id)
+
+    # -- read side -----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The aggregate view; derives ``avg_<c>`` for each sum column.
+        No tombstone filtering — aggregates have no deletes."""
+        state = self.state()
+        if state is None:
+            raise FileNotFoundError(f"continuous aggregate not initialized: {self.path}")
+        for c in self.sum_cols:
+            state = state.withColumn(
+                f"avg_{c}",
+                (F.col(f"sum_{c}") / F.col("n")).cast("double"),
+            )
+        return state
+
+    def vacuum(self, watermark_seq: int) -> None:  # noqa: ARG002
+        raise NotImplementedError(
+            "continuous aggregates carry no tombstones; use rebucket() for "
+            "layout maintenance"
+        )

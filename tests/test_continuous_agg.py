@@ -1,0 +1,112 @@
+"""Continuous aggregate view: incremental merge == batch recomputation,
+exactly-once under epoch redelivery, streaming end-to-end."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.sources.replay import stage_event_files
+from go_pq_cdc_elasticsearch_spark.streaming.continuous_agg import (
+    ContinuousAggregate,
+)
+
+
+def _bucketed(df):
+    return df.withColumn(
+        "bucket_ts", F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900)
+    )
+
+
+def _batch_expected(events):
+    return {
+        (r["bucket_ts"], r["event_type"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in _bucketed(events)
+        .groupBy("bucket_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+
+
+def _view_state(ca):
+    return {
+        (r["bucket_ts"], r["event_type"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in ca.read().collect()
+    }
+
+
+def _make(spark, path):
+    return ContinuousAggregate(
+        spark,
+        path,
+        group_cols=["bucket_ts", "event_type"],
+        sum_cols=["value"],
+        min_cols=["value"],
+        max_cols=["value"],
+        prepare=_bucketed,
+    )
+
+
+def test_incremental_equals_batch(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cagg_")
+    events = load_table(spark, sf_dir, "events")
+    ca = _make(spark, os.path.join(work, "agg"))
+    # three out-of-order chunks (late data is just another merge)
+    chunks = [
+        events.filter(F.col("event_id") % 3 == 2),
+        events.filter(F.col("event_id") % 3 == 0),
+        events.filter(F.col("event_id") % 3 == 1),
+    ]
+    for i, c in enumerate(chunks):
+        ca.merge_batch(c, epoch_id=i)
+    assert _view_state(ca) == _batch_expected(events)
+
+
+def test_epoch_redelivery_is_noop(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cagg_")
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    ca = _make(spark, os.path.join(work, "agg"))
+    ca.merge_batch(events, epoch_id=0)
+    before = _view_state(ca)
+    ca.merge_batch(events, epoch_id=0)  # foreachBatch redelivery
+    assert _view_state(ca) == before
+    # a reopened view (fresh process after restart) must also skip it
+    ca2 = _make(spark, os.path.join(work, "agg"))
+    ca2.merge_batch(events, epoch_id=0)
+    assert _view_state(ca2) == before
+
+
+def test_avg_derivation(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cagg_")
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    ca = _make(spark, os.path.join(work, "agg"))
+    ca.merge_batch(events, epoch_id=0)
+    for r in ca.read().collect():
+        assert abs(r["avg_value"] - float(r["sum_value"]) / r["n"]) < 1e-9
+
+
+def test_streaming_end_to_end(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cagg_s_")
+    staged = os.path.join(work, "staged")
+    stage_event_files(spark, sf_dir, staged, n_files=4)
+    events = load_table(spark, sf_dir, "events")
+    ca = _make(spark, os.path.join(work, "agg"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ca.foreach_batch_writer())
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _view_state(ca) == _batch_expected(events)
