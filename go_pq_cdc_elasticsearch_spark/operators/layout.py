@@ -1,0 +1,76 @@
+"""Z-order (Morton curve) data layout for multi-column scan pruning.
+
+Parquet scans prune files and row groups from column min/max statistics;
+sorting by ONE column makes its stats tight but leaves every other
+column's range full-width in every file. Interleaving the bits of several
+normalized columns (the Morton/Z curve) makes each file cover a small
+hyper-rectangle, so predicates on ANY of the curve columns prune — the
+technique behind Delta/Iceberg OPTIMIZE ZORDER, expressed here as plain
+column algebra + a range-partitioned sorted write.
+
+Scale shape: the key is pure codegen bit arithmetic (shifts/masks — no
+UDF); the write is one repartitionByRange shuffle (range exchange samples
+the key) plus a within-partition sort. Column min/max for normalization
+come from ONE tiny agg (2 values per column to the driver — bounded and
+write-time-only, like any OPTIMIZE job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(col: Column, cmin: float, cmax: float, bits: int) -> Column:
+    """Map a numeric column to an integer grid [0, 2^bits)."""
+    span = (cmax - cmin) or 1.0
+    scaled = (col.cast("double") - F.lit(float(cmin))) / F.lit(float(span))
+    grid = F.floor(scaled * F.lit(float(2**bits)))
+    return F.greatest(
+        F.lit(0), F.least(grid.cast("long"), F.lit(2**bits - 1))
+    )
+
+
+def zorder_key(
+    cols: Sequence[Column], ranges: Sequence[tuple[float, float]], bits: int = 16
+) -> Column:
+    """Morton key interleaving ``bits`` bits of each normalized column —
+    pure shift/mask expressions, stays in whole-stage codegen."""
+    n = len(cols)
+    grids = [
+        _normalize(c, lo, hi, bits) for c, (lo, hi) in zip(cols, ranges)
+    ]
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, g in enumerate(grids):
+            bit = F.shiftright(g, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of ``cols``: each
+    output file covers a tight hyper-rectangle in the curve columns, so
+    min/max stats prune scans filtered on any of them."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    ranges = [(stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cols]
+    z = zorder_key([F.col(c) for c in cols], ranges, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

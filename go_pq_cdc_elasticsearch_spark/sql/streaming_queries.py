@@ -310,3 +310,46 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ca.read().select(
         "bucket_ts", "event_type", "n", "sum_value", "min_value", "max_value"
     )
+
+
+@ext_query(
+    "q_t9_stream_stream_join",
+    oracle="""
+        SELECT v.user_id, count(*) AS n_pairs
+        FROM (SELECT user_id, ts FROM events
+              WHERE event_type = 'view' AND user_id <= 100) v
+        JOIN (SELECT user_id, ts FROM events
+              WHERE event_type = 'purchase' AND user_id <= 100) p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        GROUP BY v.user_id
+    """,
+    doc="Stream-stream inner join with event-time bounds (view -> purchase "
+    "within 30 min per user), both sides watermarked; the append-mode "
+    "pair stream aggregated per user equals the batch time-bounded "
+    "self-join. State is bounded by the watermark horizon — the "
+    "distributed shape that survives unbounded streams.",
+)
+def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = _staged_stream(spark, sf_dir)
+    base = stream.filter(F.col("user_id") <= 100)
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    buys = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    pairs = views.join(
+        buys,
+        F.expr(
+            "v_uid = p_uid AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"
+        ),
+    )
+    out = _drain_to_memory(pairs, "append")
+    return out.groupBy(F.col("v_uid").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1,0 +1,78 @@
+"""Z-order layout: clustering quality measured from real parquet footers."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.operators.layout import write_zordered
+
+SF = "/root/testdata/sf0.01"
+
+
+def _per_file_span_fraction(path: str, col: str) -> float:
+    """Mean (file min/max span) / (global span) across data files — 1.0
+    means every file covers the whole range (no pruning possible), small
+    means tight clustering."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    mins, maxs = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    v0, v1 = c.statistics.min, c.statistics.max
+                    fmin = v0 if fmin is None else min(fmin, v0)
+                    fmax = v1 if fmax is None else max(fmax, v1)
+        assert fmin is not None, f"no stats for {col} in {f}"
+        mins.append(fmin)
+        maxs.append(fmax)
+    g = max(maxs) - min(mins) or 1
+    return sum((b - a) / g for a, b in zip(mins, maxs)) / len(mins)
+
+
+def test_zorder_clusters_both_columns(spark):
+    work = tempfile.mkdtemp(prefix="zorder_")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    zpath = os.path.join(work, "z")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+
+    # rows survive intact
+    assert spark.read.parquet(zpath).count() == ev.count()
+    got = spark.read.parquet(zpath).agg(F.sum("event_id")).collect()[0][0]
+    want = ev.agg(F.sum("event_id")).collect()[0][0]
+    assert got == want
+
+    # baseline: same data, same file count, arrival order
+    bpath = os.path.join(work, "base")
+    ev.repartition(8).write.parquet(bpath)
+
+    for col in ("user_id", "value"):
+        zfrac = _per_file_span_fraction(zpath, col)
+        bfrac = _per_file_span_fraction(bpath, col)
+        # every z file covers a small slice of BOTH dimensions; the
+        # random layout's files each cover ~the full range
+        assert zfrac < 0.55, (col, zfrac)
+        assert zfrac < bfrac * 0.6, (col, zfrac, bfrac)
+
+
+def test_zorder_beats_single_column_sort_on_second_dim(spark):
+    work = tempfile.mkdtemp(prefix="zorder2_")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    zpath = os.path.join(work, "z")
+    spath = os.path.join(work, "s")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+    # classic single-column sort: user_id tight, value full-width per file
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(spath)
+    z_value = _per_file_span_fraction(zpath, "value")
+    s_value = _per_file_span_fraction(spath, "value")
+    assert z_value < s_value * 0.8, (z_value, s_value)
