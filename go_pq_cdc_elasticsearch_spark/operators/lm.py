@@ -61,3 +61,53 @@ def doc_surprisal_millibits(
         F.count(F.lit(1)).alias("n_tok"),
         F.sum("__mb").alias("surprisal_mb"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking (the RAG / context-window prep step):
+    each document becomes ceil((n_tok - chunk)/stride) + 1 chunks of
+    ``chunk_tokens`` whitespace tokens with ``overlap`` tokens shared
+    between neighbors (stride = chunk_tokens - overlap); the final chunk
+    is the (possibly shorter) tail.
+
+    Returns ``(id_col, chunk_idx, n_tok_chunk, chunk_text)``.
+
+    Scale shape: map-only — ONE projection materializes the word array per
+    document, chunk starts are plain arithmetic over its size, and the
+    explode emits chunk rows without re-evaluating the tokenizer (the
+    interpreted-HOF pitfall documented in PERF.md). Chunks of a document
+    stay in its input partition; no shuffle anywhere.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    w = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).withColumn("__n", F.size("__w"))
+    n_chunks = F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.col("__n") - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int")
+        + 1
+    )
+    e = w.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.col("__n"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__c"),
+    )
+    start = F.col("__c") * stride
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("long").alias(
+            "n_tok_chunk"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), start + 1, F.lit(chunk_tokens))
+        ).alias("chunk_text"),
+    )

@@ -68,6 +68,7 @@ SX2_PARTS = [
     "q_l22_lm_surprisal",
     "q_l23_pii_redact",
     "q_l24_bm25",
+    "q_l25_chunking",
 ]
 
 

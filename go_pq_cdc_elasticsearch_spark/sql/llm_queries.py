@@ -987,6 +987,43 @@ def q_l24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_TERMS, k=20)
 
 
+@ext_query(
+    "q_l25_chunking",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {WORDS_SQL} AS w, len({WORDS_SQL}) AS n
+            FROM documents WHERE doc_id <= 300
+        ), c AS (
+            SELECT doc_id, w, n,
+                   CASE WHEN n <= 24 THEN 1
+                        ELSE CAST(ceil((n - 24) / 16.0) AS INT) + 1 END AS n_chunks
+            FROM w
+        ), e AS (
+            SELECT doc_id, w, n,
+                   unnest(range(0, n_chunks)) AS chunk_idx
+            FROM c
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(least(24, n - chunk_idx * 16) AS BIGINT) AS n_tok_chunk,
+               md5(array_to_string(w[chunk_idx*16 + 1 : chunk_idx*16 + 24], ' '))
+                   AS chunk_md5
+        FROM e
+    """,
+    doc="Sliding-window token chunking (RAG prep): 24-token chunks, 8-token "
+    "overlap (stride 16), tail chunk shorter; map-only, no shuffle. Value "
+    "parity includes the md5 of every chunk's text.",
+)
+def q_l25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.lm import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    out = chunk_documents(docs, chunk_tokens=24, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "n_tok_chunk",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402

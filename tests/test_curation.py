@@ -114,3 +114,52 @@ def test_surprisal_rare_tokens_score_higher(spark):
     out = {r["doc_id"]: r["surprisal_mb"] for r in
            doc_surprisal_millibits(df).collect()}
     assert out[5] > out[0]  # gibberish doc carries more corpus-model bits
+
+
+# ---- chunk_documents -------------------------------------------------------
+
+
+def test_chunking_hand_computed(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.lm import chunk_documents
+
+    # 10 tokens, chunk 4, overlap 2 -> stride 2 -> chunks at 0,2,4,6
+    # formula: ceil((10-4)/2)+1 = 4 chunks; last is full (tokens 7..10)
+    df = _docs(spark, ["t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"])
+    out = sorted(
+        (r["chunk_idx"], r["n_tok_chunk"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    )
+    assert out == [
+        (0, 4, "t1 t2 t3 t4"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t5 t6 t7 t8"),
+        (3, 4, "t7 t8 t9 t10"),
+    ]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.lm import chunk_documents
+
+    df = _docs(spark, ["a b c"])
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_idx"] == 0
+    assert out[0]["n_tok_chunk"] == 3
+    assert out[0]["chunk_text"] == "a b c"
+
+
+def test_chunking_tail_shorter(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.lm import chunk_documents
+
+    # 7 tokens, chunk 4, overlap 2 -> ceil((7-4)/2)+1 = 3 chunks,
+    # starts 0,2,4 -> [1..4],[3..6],[5..7] (tail has 3 tokens)
+    df = _docs(spark, ["a b c d e f g"])
+    out = sorted(
+        (r["chunk_idx"], r["n_tok_chunk"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    )
+    assert out == [
+        (0, 4, "a b c d"),
+        (1, 4, "c d e f"),
+        (2, 3, "e f g"),
+    ]
