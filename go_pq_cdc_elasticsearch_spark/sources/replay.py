@@ -22,8 +22,14 @@ from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
 
+# ts is NTZ end-to-end: staging normalizes whatever load_table yields to
+# wall time, and the stream reads it back as NTZ. Declaring plain
+# `timestamp` here would reinterpret the stored naive values as UTC
+# instants, shifting every window/session boundary downstream by the
+# session-timezone offset (measured: q_t1/q_t2 oracle mismatches under
+# America/New_York; correct under UTC only by coincidence).
 EVENTS_LONG_TS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -33,7 +39,9 @@ def stage_event_files(
 ) -> list[str]:
     """Write the events table as n_files seq-range parquet files under
     out_dir, mtime-ordered by seq so replay order == LSN order."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)

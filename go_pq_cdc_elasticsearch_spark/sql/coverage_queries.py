@@ -506,9 +506,17 @@ def q_s42(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    bucket = F.date_format(
-        F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900),
-        "yyyy-MM-dd HH:mm:ss",
+    # tz-free wall-time bucketing: events.ts is TIMESTAMP_NTZ, and the
+    # unix_timestamp round-trip form interprets it in the SESSION timezone
+    # — offsets cancel only when the zone offset is a bucket multiple AND
+    # constant (DST transitions break it; measured mismatches under
+    # America/New_York). Field extraction + string assembly never leaves
+    # wall time, so the result is identical under any session timezone —
+    # matching DuckDB's naive-timestamp epoch() math.
+    bucket = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:"),
+        F.lpad((F.floor(F.minute("ts") / 15) * 15).cast("string"), 2, "0"),
+        F.lit(":00"),
     )
     return events.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -282,11 +282,12 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ContinuousAggregate,
     )
 
+    from go_pq_cdc_elasticsearch_spark.functions.time import time_bucket_ntz
+
     def bucketed(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "bucket_ts",
-            F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900),
-        )
+        # tz-proof NTZ bucketing (functions/time.py) — the unix_timestamp
+        # round-trip form shifts under non-UTC sessions / across DST
+        return df.withColumn("bucket_ts", time_bucket_ntz("ts", 15))
 
     # capped: the declared check certifies incremental == batch semantics;
     # volume is exercised by the streaming e2e test and the LWW-view bench
@@ -333,14 +334,24 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, _ = _staged_stream(spark, sf_dir)
     base = stream.filter(F.col("user_id") <= 100)
+    # Structured Streaming watermarks require TIMESTAMP (an instant), not
+    # NTZ — cast through the session zone. The join compares time
+    # DIFFERENCES, so the constant offset cancels; only pairs straddling a
+    # DST transition of an exotic session zone could shift, accepted here.
     views = (
         base.filter(F.col("event_type") == "view")
-        .select(F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts"))
+        .select(
+            F.col("user_id").alias("v_uid"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
         .withWatermark("v_ts", "2 hours")
     )
     buys = (
         base.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .select(
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
         .withWatermark("p_ts", "2 hours")
     )
     pairs = views.join(

@@ -14,9 +14,9 @@ from go_pq_cdc_elasticsearch_spark.streaming.continuous_agg import (
 
 
 def _bucketed(df):
-    return df.withColumn(
-        "bucket_ts", F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900)
-    )
+    from go_pq_cdc_elasticsearch_spark.functions.time import time_bucket_ntz
+
+    return df.withColumn("bucket_ts", time_bucket_ntz("ts", 15))
 
 
 def _batch_expected(events):
