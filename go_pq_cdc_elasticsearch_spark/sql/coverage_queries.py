@@ -827,3 +827,39 @@ def q_s47(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     out = fuzzy_self_join(names, text_col="s", id_col="s", max_dist=2, q=2)
     return out.select("s1", "s2", "dist")
+
+
+@ext_query(
+    "q_s48_histogram_moments",
+    oracle="""
+        SELECT CAST(floor(CAST(l_quantity AS DOUBLE) / 10) AS BIGINT) AS bin,
+               count(*) AS n,
+               round(CAST(stddev_pop(CAST(l_extendedprice AS DOUBLE))
+                          AS DOUBLE), 2) AS sd_price,
+               round(CAST(corr(CAST(l_extendedprice AS DOUBLE),
+                               CAST(l_discount AS DOUBLE)) AS DOUBLE), 6)
+                   AS corr_pd,
+               round(CAST(covar_pop(CAST(l_extendedprice AS DOUBLE),
+                                    CAST(l_tax AS DOUBLE)) AS DOUBLE), 2)
+                   AS cov_pt
+        FROM lineitem GROUP BY bin
+    """,
+)
+def q_s48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning + second-moment aggregates (stddev / corr /
+    covar): the OLAP profiling staple. Rounding makes the float
+    accumulation-order differences between engines irrelevant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy(
+        F.floor(F.col("l_quantity").cast("double") / 10).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_pop(price), 2).alias("sd_price"),
+        F.round(F.corr(price, F.col("l_discount").cast("double")), 6).alias(
+            "corr_pd"
+        ),
+        F.round(F.covar_pop(price, F.col("l_tax").cast("double")), 2).alias(
+            "cov_pt"
+        ),
+    )

@@ -69,6 +69,7 @@ SX2_PARTS = [
     "q_l23_pii_redact",
     "q_l24_bm25",
     "q_l25_chunking",
+    "q_s48_histogram_moments",
 ]
 
 
