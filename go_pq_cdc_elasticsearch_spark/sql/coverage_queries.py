@@ -863,3 +863,55 @@ def q_s48(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov_pt"
         ),
     )
+
+
+@ext_query(
+    "q_s49_funnel",
+    oracle="""
+        WITH s0 AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s1 AS (
+            SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+        )
+        SELECT 0 AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s0) AS n_completed
+        UNION ALL
+        SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL
+        SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def q_s49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (view -> click -> purchase, greedy in-order
+    semantics): per-step completion counts (operators/events.py)."""
+    from go_pq_cdc_elasticsearch_spark.operators.events import funnel_conversion
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_conversion(events, ["view", "click", "purchase"])
+
+
+@ext_query(
+    "q_s50_transitions",
+    oracle="""
+        SELECT from_type, to_type, count(*) AS n FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_type,
+                   event_type AS to_type
+            FROM events)
+        WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+)
+def q_s50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user (lag + count;
+    seq tie-break makes it deterministic) — operators/events.py."""
+    from go_pq_cdc_elasticsearch_spark.operators.events import transition_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return transition_counts(events)

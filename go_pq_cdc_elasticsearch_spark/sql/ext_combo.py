@@ -34,6 +34,8 @@ SX1_PARTS = [
     "q_s46_sessionize",
     "q_s47_fuzzy_join",
     "q_t8_continuous_agg",
+    "q_s49_funnel",
+    "q_s50_transitions",
 ]
 
 # Scalar/type surface + join trees: decimals, window analytics, advanced
