@@ -156,3 +156,12 @@ def test_sessionize_single_window_shuffle(spark):
     # a different key
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
     assert "EvalPython" not in plan
+
+
+def test_funnel_single_shuffle(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.events import funnel_conversion
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(funnel_conversion(ev, ["view", "click", "purchase"]))
+    # one greedy fold over per-user sorted events — NOT a re-join per step
+    assert plan.count("Exchange hashpartitioning") == 1
