@@ -1,0 +1,93 @@
+"""Corpus-level invariants of the curation operators — properties that
+must hold on real data, beyond the hand-computed unit cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.functions.text import words
+from go_pq_cdc_elasticsearch_spark.operators.dedup import paragraph_dedup
+from go_pq_cdc_elasticsearch_spark.operators.lm import chunk_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _structured_docs(spark):
+    """Synthetic paragraph structure: newline every 8 words (same derivation
+    as q_l20)."""
+    docs = load_table(spark, SF, "documents")
+    w = words(F.col("text"))
+    paras = F.transform(
+        F.sequence(F.lit(0), (F.ceil(F.size(w) / F.lit(8.0))).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    return docs.select("doc_id", F.concat_ws("\n", paras).alias("text"))
+
+
+def test_paragraph_dedup_global_uniqueness(spark):
+    structured = _structured_docs(spark)
+    out = paragraph_dedup(structured)
+    kept_lines = (
+        out.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", "\n")).alias("line"))
+        .select(F.lower(F.trim("line")).alias("k"))
+    )
+    total = kept_lines.count()
+    distinct = kept_lines.distinct().count()
+    # every surviving normalized line appears exactly once corpus-wide
+    assert total == distinct > 0
+
+    # and the kept set IS the distinct set of all input lines
+    all_lines = structured.select(
+        F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.trim("line") != "").select(
+        F.lower(F.trim("line")).alias("k")
+    ).distinct()
+    assert distinct == all_lines.count()
+
+    # line counts are conserved per doc: n_kept <= n_lines, sums match
+    stats = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_lines").alias("lines")
+    ).collect()[0]
+    assert stats["kept"] == total and stats["lines"] >= total
+
+
+def test_chunking_reconstructs_documents(spark):
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") <= 100)
+    chunk, overlap = 24, 8
+    stride = chunk - overlap
+    chunks = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    # drop each non-first chunk's overlapping prefix, reassemble in order,
+    # compare against the normalized original
+    rebuilt = (
+        chunks.withColumn("__w", F.split("chunk_text", " "))
+        .withColumn(
+            "__tail",
+            F.when(F.col("chunk_idx") == 0, F.col("__w")).otherwise(
+                F.slice(F.col("__w"), overlap + 1, stride)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("chunk_idx"), F.col("__tail"))
+                            )
+                        ),
+                        lambda s: s["__tail"],
+                    )
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.select(
+        "doc_id", F.concat_ws(" ", words(F.col("text"))).alias("norm")
+    ).join(rebuilt, "doc_id")
+    bad = joined.filter(F.col("norm") != F.col("rebuilt")).count()
+    assert bad == 0
+    assert joined.count() == 101
