@@ -16,6 +16,40 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ntz_epoch_seconds(col) -> Column:
+    """Epoch seconds of a TIMESTAMP_NTZ wall time *interpreted as UTC*,
+    computed purely from field extraction — no session-timezone conversion
+    anywhere, so the value is identical under any session zone and across
+    DST transitions. Matches DuckDB's ``epoch(ts)`` on naive timestamps
+    (which also treats the wall time as UTC). Second precision (fractional
+    seconds truncated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
+
+def ntz_epoch_micros(col) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ wall time interpreted as UTC —
+    same contract as :func:`ntz_epoch_seconds` but exact to the
+    microsecond (EXTRACT(SECOND) keeps the fraction). Unlike
+    ``unix_micros(c.cast('timestamp'))``, never converts through the
+    session zone, so gap arithmetic stays correct across DST transitions
+    under any session zone."""
+    c = F.col(col) if isinstance(col, str) else col
+    whole_minutes = (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+    )
+    return whole_minutes * 1_000_000 + (
+        F.extract(F.lit("SECOND"), c) * 1_000_000
+    ).cast("long")
+
+
 def time_bucket_ntz(col, minutes: int) -> Column:
     """Wall-time bucket of a TIMESTAMP_NTZ column (TimescaleDB
     ``time_bucket`` semantics for sub-hour widths: ``minutes`` must divide

@@ -110,6 +110,7 @@ def minhash_band_rows(
     id_col: str = "doc_id",
     k: int = 16,
     bands: int = 4,
+    grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows.
 
@@ -122,25 +123,32 @@ def minhash_band_rows(
     means the shuffle carries k longs per doc, not the shingles.
     """
     rows_per_band = k // bands
-    words_df = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-    grams_df = words_df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("__w") >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__w") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("__w", i.cast("int")),
-                        F.element_at("__w", (i + 1).cast("int")),
-                        F.element_at("__w", (i + 2).cast("int")),
+    if grams_df is not None:
+        # reuse a staged (id, grams) frame (doc_ngram_sets) — min over the
+        # DISTINCT grams equals min over all grams, so signatures match
+        exploded_grams = grams_df.select(
+            F.col(id_col), F.explode("grams").alias("__gram")
+        )
+    else:
+        words_df = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        exploded_grams = words_df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__w") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__w") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("__w", i.cast("int")),
+                            F.element_at("__w", (i + 1).cast("int")),
+                            F.element_at("__w", (i + 2).cast("int")),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("__gram"),
-    )
-    sig_df = grams_df.groupBy(id_col).agg(
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("__gram"),
+        )
+    sig_df = exploded_grams.groupBy(id_col).agg(
         *[
             F.min(_hash64(F.concat(F.lit(f"{j}:"), F.col("__gram")))).alias(f"__h{j}")
             for j in range(k)
@@ -169,11 +177,12 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     k: int = 16,
     bands: int = 4,
+    grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id1 < id2): docs sharing at least one band bucket.
     Shuffle is on (band_idx, band_hash) only; the self-join happens within
     buckets (bounded by bucket size, uniform by hash construction)."""
-    exploded = minhash_band_rows(df, text_col, id_col, k, bands)
+    exploded = minhash_band_rows(df, text_col, id_col, k, bands, grams_df)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -216,6 +225,11 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # min-label propagation only ever DECREASES labels, so sum(component)
+    # strictly decreases until the fixpoint: the convergence check is one
+    # tiny agg over the label frame instead of a labels⋈labels join+count
+    # per round (r2 perf item — two jobs per iteration down to one-and-a-bit)
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iterations):
         # neighbor's current label, per edge
         prop = (
@@ -228,16 +242,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels
 
@@ -258,8 +267,14 @@ def dedup_corpus(
     scale-shaped operators above: candidate generation never materializes
     the cross product; verification touches candidates only; components
     converge in O(clique diameter) joins."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands)
-    grams = doc_ngram_sets(df, text_col, id_col)
+    # ONE text pass: the distinct-gram sets feed BOTH the minhash
+    # signatures (min over distinct grams == min over all grams) and the
+    # Jaccard verification — recomputing normalize+split+ngrams for each
+    # consumer doubled the dominant scan cost (r2 perf item)
+    grams = doc_ngram_sets(df, text_col, id_col).persist()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, k, bands, grams_df=grams
+    )
     g1 = grams.select(F.col(id_col).alias("id1"), F.col("grams").alias("__g1"))
     g2 = grams.select(F.col(id_col).alias("id2"), F.col("grams").alias("__g2"))
     verified = (
@@ -472,10 +487,16 @@ def paragraph_dedup(
     "drop all copies") keeps exactly one copy of boilerplate, matching the
     keep-first convention of exact_dedup.
     """
+    # F.split takes a Java regex; sep is a LITERAL separator (reassembly
+    # below concatenates it literally), so quote it — a caller passing
+    # '.' or '|' must not get per-character splitting
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+            F.posexplode(F.split(F.col(text_col), sep_rx)).alias(
+                "__pos", "__line"
+            ),
         )
         .filter(F.trim(F.col("__line")) != "")
     )

@@ -81,7 +81,12 @@ def funnel_conversion(
         F.struct(
             F.lit(i).alias("step_idx"),
             F.lit(s).alias("step"),
-            F.sum(F.when(F.col("__stage") >= i + 1, 1).otherwise(0))
+            # coalesce: a global agg over zero funnel-relevant rows yields
+            # NULL sums; the step counts must read 0, like the oracle's
+            F.coalesce(
+                F.sum(F.when(F.col("__stage") >= i + 1, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_completed"),
         )

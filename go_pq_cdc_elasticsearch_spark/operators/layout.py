@@ -39,6 +39,13 @@ def zorder_key(
     """Morton key interleaving ``bits`` bits of each normalized column —
     pure shift/mask expressions, stays in whole-stage codegen."""
     n = len(cols)
+    if bits * n > 63:
+        # the interleaved key must fit a signed long; silently overflowing
+        # into the sign bit would corrupt the high-order interleaving
+        raise ValueError(
+            f"zorder_key: bits*n_cols = {bits * n} > 63 overflows the long "
+            f"key; use bits <= {63 // n} for {n} columns"
+        )
     grids = [
         _normalize(c, lo, hi, bits) for c, (lo, hi) in zip(cols, ranges)
     ]
@@ -60,11 +67,19 @@ def write_zordered(
     """Write ``df`` as parquet clustered on the Z-curve of ``cols``: each
     output file covers a tight hyper-rectangle in the curve columns, so
     min/max stats prune scans filtered on any of them."""
+    bits = min(bits, 63 // max(1, len(cols)))  # keep the key in a long
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
     ).collect()[0]
-    ranges = [(stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cols]
+    # empty input / all-NULL columns have no min/max: every row (there may
+    # be none, or only NULL-keyed ones) lands on grid cell 0 via (0, 1)
+    ranges = [
+        (stats[f"lo_{c}"], stats[f"hi_{c}"])
+        if stats[f"lo_{c}"] is not None
+        else (0.0, 1.0)
+        for c in cols
+    ]
     z = zorder_key([F.col(c) for c in cols], ranges, bits)
     (
         df.withColumn("__z", z)

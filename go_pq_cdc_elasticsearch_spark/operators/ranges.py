@@ -87,11 +87,19 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy("__ts")
     # integer microseconds, not float seconds: the gap comparison is then
     # exact and engine-portable (DuckDB's epoch_us computes the identical
-    # value), with no float rounding at the gap boundary. The cast makes
-    # TIMESTAMP_NTZ inputs acceptable to unix_micros; any session-tz offset
-    # it introduces is constant and cancels in the gap difference, and the
-    # emitted session_start/end are the untouched input timestamps.
-    us = F.unix_micros(F.col("__ts").cast("timestamp"))
+    # value), with no float rounding at the gap boundary. NTZ wall times
+    # take the field-extraction epoch (functions/time.py) — a cast through
+    # the session zone shifts by a NON-constant offset across a DST
+    # transition, which could split/merge a gap straddling the boundary;
+    # true instants use unix_micros directly (DST-correct by definition).
+    from pyspark.sql import types as T
+
+    from go_pq_cdc_elasticsearch_spark.functions.time import ntz_epoch_micros
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        us = ntz_epoch_micros(F.col("__ts"))
+    else:
+        us = F.unix_micros(F.col("__ts").cast("timestamp"))
     prev = F.lag(us).over(w)
     new_sess = F.when(
         prev.isNull() | (us - prev > F.lit(int(gap_seconds) * 1_000_000)),

@@ -45,7 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        # UTC default for oracle comparability; SPARK_GRAFT_TZ overrides so
+        # the verify sweep can probe non-UTC/DST sensitivity (the driver's
+        # session zone is not guaranteed — results must not depend on it)
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_TZ", "UTC"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

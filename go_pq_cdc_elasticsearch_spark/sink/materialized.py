@@ -81,6 +81,7 @@ class MaterializedView:
         self._columns: list[str] | None = None
         self._drifted = False
         self._last_epoch: int | None = None
+        self._lineage: str | None = None
         meta = self._read_meta()
         if meta is not None:
             # layout sticks to what the directory was created with
@@ -88,6 +89,7 @@ class MaterializedView:
             self._columns = meta.get("columns")
             self._drifted = bool(meta.get("drifted", False))
             self._last_epoch = meta.get("last_epoch")
+            self._lineage = meta.get("lineage")
 
     # -- layout helpers ------------------------------------------------------
 
@@ -108,6 +110,7 @@ class MaterializedView:
                     "columns": self._columns,
                     "drifted": self._drifted,
                     "last_epoch": self._last_epoch,
+                    "lineage": self._lineage,
                 },
                 f,
             )
@@ -169,7 +172,12 @@ class MaterializedView:
         the bucket column — to the new per-key state."""
         return cdc_dedup(merged, keys=self.keys + [_BUCKET_COL], seq_col=self.seq_col)
 
-    def merge_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+    def merge_batch(
+        self,
+        batch: DataFrame,
+        epoch_id: int | None = None,
+        lineage: str | None = None,
+    ) -> None:
         """Apply one micro-batch: in-batch dedup FIRST (the reference dedups
         before issuing the bulk request — order matters, bulk/bulk.go:141
         happens before :297), then seq-resolved merge with the touched
@@ -179,9 +187,19 @@ class MaterializedView:
         an epoch at or below the recorded frontier is skipped. The LWW
         merge is idempotent anyway; for subclasses with non-idempotent
         combine (additive aggregates) the guard is what provides
-        exactly-once. The frontier is recorded after the bucket swap, so a
-        crash exactly between swap and meta write re-merges that one batch
-        on restart — harmless here, quantified in the subclass docs."""
+        exactly-once. ``lineage`` scopes the frontier to one streaming
+        query (the stable query id, constant across checkpoint restarts):
+        a DIFFERENT query feeding the same view restarts batch ids at 0,
+        and comparing raw epochs across lineages would silently drop its
+        first batches — so a lineage change resets the frontier instead.
+        The frontier is recorded after the bucket swap, so a crash exactly
+        between swap and meta write re-merges that one batch on restart —
+        harmless here, quantified in the subclass docs."""
+        if lineage != self._lineage:
+            # new feeding query: its epoch counter is unrelated to the
+            # recorded one — reset the frontier rather than compare
+            self._lineage = lineage
+            self._last_epoch = None
         if epoch_id is not None and self._last_epoch is not None and (
             epoch_id <= self._last_epoch
         ):
@@ -207,11 +225,19 @@ class MaterializedView:
             return
 
         # touched buckets from the RAW batch (same key set as the deduped
-        # batch, no window shuffle in this probe job)
-        touched = sorted(
-            r["b"]
-            for r in batch.select(self._bucket_expr().alias("b")).distinct().collect()
-        )
+        # batch, no window shuffle in this probe job). A 1-bucket view
+        # skips the probe: its answer is a foregone conclusion, and at toy
+        # scale the probe job costs more than the merge it would prune
+        # (r2 verdict item 2 — the q_t6/q_t7 per-batch overhead).
+        if self.n_buckets == 1:
+            touched = [0]
+        else:
+            touched = sorted(
+                r["b"]
+                for r in batch.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            )
         if not touched:  # empty batch
             if epoch_id is not None:
                 self._last_epoch = epoch_id
@@ -335,9 +361,19 @@ class MaterializedView:
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — the Spark analog of the
         reference's flush-then-ack loop: when this returns, the micro-batch
-        is durably merged and the checkpoint (offset/LSN) commits."""
+        is durably merged and the checkpoint (offset/LSN) commits.
+
+        The exactly-once frontier is keyed (query_id, epoch_id): the
+        streaming query id (read from the ``sql.streaming.queryId`` local
+        property Spark sets on the micro-batch thread) is stable across
+        restarts from the same checkpoint but fresh for a new query — so a
+        view re-fed from a NEW checkpoint lineage does not silently drop
+        the new query's low-numbered batches."""
 
         def write(batch_df: DataFrame, epoch_id: int) -> None:
-            self.merge_batch(batch_df, epoch_id=epoch_id)
+            qid = batch_df.sparkSession.sparkContext.getLocalProperty(
+                "sql.streaming.queryId"
+            )
+            self.merge_batch(batch_df, epoch_id=epoch_id, lineage=qid)
 
         return write

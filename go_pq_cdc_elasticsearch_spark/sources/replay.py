@@ -38,27 +38,57 @@ def stage_event_files(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> list[str]:
     """Write the events table as n_files seq-range parquet files under
-    out_dir, mtime-ordered by seq so replay order == LSN order."""
+    out_dir, mtime-ordered by seq so replay order == LSN order.
+
+    Split points are EXPLICIT arithmetic on the seq range (not sampled):
+    repartitionByRange samples its boundaries, so two sessions could cut
+    micro-batches differently — harmless for seq-resolved merges, but any
+    query whose *stateful streaming* result is checked against an oracle
+    (session windows, watermarks) must see identical batch boundaries in
+    every environment."""
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp_ntz")
     )
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    span = (hi - lo + 1) if hi is not None else 1
+    slice_expr = F.least(
+        F.lit(n_files - 1),
+        ((F.col("event_id") - F.lit(lo)) * n_files / F.lit(span)).cast("int"),
+    )
+    return stage_slices(
+        events.withColumn("__f", slice_expr), out_dir, n_files=n_files
+    )
+
+
+def stage_slices(df, out_dir: str, n_files: int, slice_col: str = "__f") -> list[str]:
+    """Write df as one parquet file per distinct ``slice_col`` value
+    (0..n_files-1), mtime-ordered by slice — ONE Spark job: hash-partition
+    on the slice column so each slice lands in a single task, write
+    partitioned dirs, then move the single part file of each dir into
+    place. Replay order == slice order."""
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
-    # ONE job: range-partition by seq — part-file ordinal == seq range order
-    # (range boundaries are sampled, which is fine: the merge is
-    # seq-resolved, so replay correctness never depends on the split points)
     tmp = os.path.join(out_dir, "_stage")
-    events.repartitionByRange(n_files, F.col("event_id")).write.mode(
-        "overwrite"
+    df.repartition(n_files, F.col(slice_col)).write.mode("overwrite").partitionBy(
+        slice_col
     ).parquet(tmp)
-    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     paths = []
-    for i, f in enumerate(parts):
+    now = time.time()
+    for i in range(n_files):
+        d = os.path.join(tmp, f"{slice_col}={i}")
+        if not os.path.isdir(d):
+            continue
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
         dst = os.path.join(out_dir, f"events_{i:04d}.parquet")
-        shutil.move(os.path.join(tmp, f), dst)
+        if len(parts) == 1:
+            shutil.move(os.path.join(d, parts[0]), dst)
+        else:  # defensive: a slice split across files keeps its own order
+            for j, f in enumerate(sorted(parts)):
+                dst = os.path.join(out_dir, f"events_{i:04d}_{j}.parquet")
+                shutil.move(os.path.join(d, f), dst)
         # file source orders by modification time; make it strictly increasing
-        t = time.time() + i * 2
+        t = now + i * 2
         os.utime(dst, (t, t))
         paths.append(dst)
     shutil.rmtree(tmp)

@@ -115,6 +115,73 @@ def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_c13_schema_drift",
+    oracle="""
+        WITH b1 AS (
+            SELECT user_id, event_id, event_type, value, NULL AS src
+            FROM events WHERE event_id <= 2000 AND event_id % 2 = 0
+        ),
+        b2 AS (
+            SELECT user_id, event_id, event_type, value,
+                   json_extract_string(props, '$.source') AS src
+            FROM events WHERE event_id <= 2000 AND event_id % 2 = 1
+        ),
+        unioned AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) rn
+            FROM unioned
+        )
+        SELECT user_id, event_id, event_type, value, src
+        FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+    """,
+    doc="Cross-batch schema drift under the oracle (r2 verdict item 7): "
+    "batch 1 materializes the view without the src column, batch 2 "
+    "arrives WITH it (the reference's payloads are schemaless "
+    "map[string]any, message.go:17-18 — columns can appear mid-stream); "
+    "the drifted merge rewrites only touched buckets via "
+    "unionByName(allowMissingColumns) + mergeSchema reads "
+    "(sink/materialized.py). Old keys never overwritten read back src "
+    "NULL, newer wins carry the new column — exactly what the batch "
+    "oracle's NULL-padded union computes.",
+)
+def q_c13_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+
+    # parity split so BOTH batches are non-empty at every sf (an empty
+    # drifted batch would never introduce the src column)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") <= 2000
+    )
+    b1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    b2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.source").alias("src"),
+    )
+    work = tempfile.mkdtemp(prefix="drift_q_")
+    view = MaterializedView(
+        spark,
+        os.path.join(work, "view"),
+        keys=("user_id",),
+        seq_col="event_id",
+        op_col="event_type",
+        delete_op="delete",
+        n_buckets=4,  # >1 so the drifted merge exercises partial rewrite
+    )
+    view.merge_batch(b1, epoch_id=0)
+    view.merge_batch(b2, epoch_id=1)
+    return view.read().select("user_id", "event_id", "event_type", "value", "src")
+
+
 @ext_query(
     "q_c12_json_roundtrip",
     oracle="""

@@ -16,8 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from go_pq_cdc_elasticsearch_spark.sql.registry import EXT_REGISTRY, query
 
-# Grouping/aggregation shapes: pivot, having, union-all, in-subquery, cube,
-# multi-distinct, cross join, null semantics, conditional agg, grouping().
+# Grouping/aggregation shapes + join trees: pivot, having, union-all,
+# in-subquery, cube, multi-distinct, cross join, null semantics,
+# conditional agg, grouping(), TPC-H Q5/Q10 trees, unpivot, range join,
+# sessionize, fuzzy join, funnel, transitions. Three combos sized to
+# ~1/3 of the folded sequential cost each (r2 verdict item 5: no driver
+# entry should dominate the suite; q_sx2 at 26 parts did).
 SX1_PARTS = [
     "q_s23_pivot",
     "q_s24_having",
@@ -30,48 +34,59 @@ SX1_PARTS = [
     "q_s31_null_handling",
     "q_s32_conditional_agg",
     "q_s37_grouping_id",
+    "q_s39_tpch_q5_style",
+    "q_s41_unpivot",
+    "q_s42_tpch_q10_style",
     "q_s45_range_join",
     "q_s46_sessionize",
     "q_s47_fuzzy_join",
-    "q_t8_continuous_agg",
     "q_s49_funnel",
     "q_s50_transitions",
 ]
 
-# Scalar/type surface + join trees: decimals, window analytics, advanced
-# string/array/datetime scalars, TPC-H Q5/Q10 trees, correlated agg,
-# unpivot, lateral explode, time_bucket rollup — plus the oracle-bearing
-# LLM-pipeline extensions (sequence packing, stratified sampling,
-# winnowing fingerprints + candidates, Gopher repetition metrics, quality
-# gate, mixture sampling), so every SQL-expressible extension gets a
-# driver-hashed signal, not just the local suite.
+# Scalar/type surface + text-pipeline extensions: decimals, window
+# analytics, advanced string/array/datetime scalars, correlated agg,
+# lateral explode, time_bucket rollup, histogram moments — plus sequence
+# packing, stratified sampling, winnowing fingerprints, quality gate,
+# mixture sampling, paragraph dedup, LM surprisal, PII redaction, BM25,
+# chunking: every SQL-expressible extension gets a driver-hashed signal.
 SX2_PARTS = [
     "q_s33_decimal_types",
     "q_s34_window_misc",
     "q_s35_string_advanced",
     "q_s36_array_advanced",
     "q_s38_datetime_advanced",
-    "q_s39_tpch_q5_style",
     "q_s40_correlated_agg",
-    "q_s41_unpivot",
-    "q_s42_tpch_q10_style",
     "q_s43_lateral_explode",
     "q_s44_time_bucket_rollup",
+    "q_s48_histogram_moments",
     "q_l12_pack_sequences",
     "q_l13_hash_sample",
     "q_l14_winnowing",
-    "q_l15_winnow_candidates",
-    "q_l16_repetition",
     "q_l17_quality_gate",
     "q_l18_mixture_sample",
     "q_l19_budget_select",
     "q_l20_paragraph_dedup",
-    "q_l21_decontaminate",
     "q_l22_lm_surprisal",
     "q_l23_pii_redact",
     "q_l24_bm25",
     "q_l25_chunking",
-    "q_s48_histogram_moments",
+]
+
+# Dedup/similarity family + the continuous aggregate: the former driver
+# rows q_l5 (Jaccard verify), q_l6 (embedding near-dup) and q_l7
+# (simhash + text features + langid) fold here — demoted to free driver
+# slots for q_t4 (watermark) and q_c13 (schema drift); their full results
+# stay value-checked through the canonical checksum, and the un-folded
+# originals remain row-by-row oracle-checked in the local suite.
+SX3_PARTS = [
+    "q_l5_jaccard_adjacent",
+    "q_l6_embedding_neardup",
+    "q_l7_simhash",
+    "q_l15_winnow_candidates",
+    "q_l16_repetition",
+    "q_l21_decontaminate",
+    "q_t8_continuous_agg",
 ]
 
 
@@ -123,15 +138,22 @@ def _combo_oracle(parts: list[str]) -> str | None:
 query(
     "q_sx1_ext_grouping",
     oracle=_combo_oracle(SX1_PARTS),
-    doc="Folded extension coverage, grouping/aggregation shapes "
-    "(q_s23/24/25/27/28/29/30/31/32/37): canonical per-part value "
-    "checksums, see module docstring.",
+    doc="Folded extension coverage, grouping/aggregation shapes + join "
+    "trees: canonical per-part value checksums, see module docstring.",
 )(_combo(SX1_PARTS))
 
 query(
     "q_sx2_ext_analytics",
     oracle=_combo_oracle(SX2_PARTS),
-    doc="Folded extension coverage, scalar/type surface + join trees "
-    "(q_s33/34/35/36/38/39/40/41/42/43/44): canonical per-part value "
-    "checksums, see module docstring.",
+    doc="Folded extension coverage, scalar/type surface + text-pipeline "
+    "extensions: canonical per-part value checksums, see module "
+    "docstring.",
 )(_combo(SX2_PARTS))
+
+query(
+    "q_sx3_ext_dedup_sim",
+    oracle=_combo_oracle(SX3_PARTS),
+    doc="Folded extension coverage, dedup/similarity family incl. the "
+    "former q_l5/q_l6/q_l7 driver rows and the continuous aggregate: "
+    "canonical per-part value checksums, see module docstring.",
+)(_combo(SX3_PARTS))

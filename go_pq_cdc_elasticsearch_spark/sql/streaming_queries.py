@@ -40,16 +40,23 @@ def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
 
 def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
-    return the final table."""
-    name = "q_" + uuid.uuid4().hex[:12]
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return the final table. Plans under the replay-stream state partition
+    count (streaming/pipeline.py) — 32 state-store commits per micro-batch
+    for a few hundred keys was the r2 streaming-bench regression."""
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import (
+        stream_partition_conf,
     )
-    q.awaitTermination()
+
+    name = "q_" + uuid.uuid4().hex[:12]
+    with stream_partition_conf(sdf.sparkSession):
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -120,12 +127,120 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark closes a session when the next event is >= gap after the last.",
 )
 def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     stream, _ = _staged_stream(spark, sf_dir)
     sess = stream.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     out = _drain_to_memory(sess, "complete")
-    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+    # Count sessions from the drained windows via an explicit
+    # gaps-and-islands merge rather than a bare count: if the state store
+    # ever leaves two overlapping/adjacent windows unmerged across
+    # micro-batches (the one mechanism that can make "same rows, different
+    # counts" — r2 driver hash mismatch), the merge collapses them to the
+    # same count the batch oracle computes. For properly-merged state the
+    # windows are disjoint per user and this is the identity.
+    s = out.select(
+        "user_id",
+        F.col("session_window.start").alias("s"),
+        F.col("session_window.end").alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_e.isNull() | (F.col("s") >= prev_max_e), 1
+    ).otherwise(0)
+    return (
+        s.withColumn("__i", new_island)
+        .groupBy("user_id")
+        .agg(F.sum("__i").cast("long").alias("n_sessions"))
+    )
+
+
+@query(
+    "q_t4_stream_watermark",
+    oracle="""
+        WITH mx AS (
+            SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS max_sec FROM events
+        ),
+        on_time AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_epoch
+            FROM events, mx
+            WHERE CAST(floor(epoch(ts)) AS BIGINT) >= max_sec - 86400
+        )
+        SELECT w_epoch, count(*) AS n
+        FROM on_time, mx
+        WHERE w_epoch + 3600 <= max_sec - 600
+        GROUP BY w_epoch, max_sec
+    """,
+    doc="Watermark late-data drop (Q-T4, SURVEY.md:196): the replay delivers "
+    "the newest 24h of events in two micro-batches, then every older "
+    "event as one deliberately-late batch. The late-event filter in "
+    "Spark's stateful aggregation uses the watermark the PREVIOUS batch "
+    "evicted with (one batch of lag — measured: a late file in batch 1 is "
+    "emitted, in batch 2 it is dropped, numRowsDroppedByWatermark "
+    "confirms), so the on-time data spans two batches to let the "
+    "10-minute watermark reach max(ts)-10min before the late batch "
+    "arrives; the late rows are then dropped from the append-mode hourly "
+    "aggregation, and the emitted windows are exactly the on-time hours "
+    "closed by the final watermark — which is what the batch oracle "
+    "computes by excluding the same rows. All event-time arithmetic is "
+    "NTZ-derived epoch seconds (functions/time.py), identical under any "
+    "session timezone; the 24h/1h/10min margins keep every comparison "
+    "thousands of seconds from the emit/evict boundary, so <= vs < "
+    "conventions cannot matter. Mirrors the late-arrival contract the "
+    "reference inherits from WAL total order (connector.go:129-172: "
+    "events are applied in LSN order, never retroactively).",
+)
+def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.functions.time import ntz_epoch_seconds
+    from go_pq_cdc_elasticsearch_spark.sources.replay import stage_slices
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    max_sec = events.agg(
+        F.max(ntz_epoch_seconds(F.col("ts"))).alias("m")
+    ).first()["m"]
+    cut = max_sec - 86400
+    work = tempfile.mkdtemp(prefix="wm_q_")
+    staged = os.path.join(work, "staged")
+    # slices 0/1 (replayed first) = the newest 24h split by seq parity —
+    # two batches so the advanced watermark is already the *previous*
+    # batch's eviction watermark when slice 2 (everything older) arrives
+    epoch = ntz_epoch_seconds(F.col("ts"))
+    stage_slices(
+        events.withColumn(
+            "__f",
+            F.when(epoch < cut, 2)
+            .when(F.col("event_id") % 2 == 0, 0)
+            .otherwise(1),
+        ),
+        staged,
+        n_files=3,
+    )
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    # watermark needs an instant: epoch-seconds reassembly is tz-free
+    # (never converts through the session zone, unlike a straight cast)
+    with_evt = stream.withColumn(
+        "evt", F.timestamp_seconds(ntz_epoch_seconds(F.col("ts")))
+    )
+    agg = (
+        with_evt.withWatermark("evt", "10 minutes")
+        .groupBy(F.window("evt", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _drain_to_memory(agg, "append")
+    return out.select(
+        (F.unix_micros(F.col("window.start")) / 1_000_000)
+        .cast("long")
+        .alias("w_epoch"),
+        "n",
+    )
 
 
 @query(
@@ -226,13 +341,18 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_col="op",
         delete_op="DELETE",
     )
-    q = (
-        shaped.writeStream.foreachBatch(view.foreach_batch_writer())
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import (
+        stream_partition_conf,
     )
-    q.awaitTermination()
+
+    with stream_partition_conf(spark):
+        q = (
+            shaped.writeStream.foreachBatch(view.foreach_batch_writer())
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return view.read().select("user_id", "v")
 
 

@@ -93,10 +93,15 @@ class ContinuousAggregate(MaterializedView):
         aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in self.max_cols]
         return merged.groupBy(*self.keys, _BUCKET_COL).agg(*aggs)
 
-    def merge_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+    def merge_batch(
+        self,
+        batch: DataFrame,
+        epoch_id: int | None = None,
+        lineage: str | None = None,
+    ) -> None:
         if self.prepare is not None:
             batch = self.prepare(batch)
-        super().merge_batch(batch, epoch_id=epoch_id)
+        super().merge_batch(batch, epoch_id=epoch_id, lineage=lineage)
 
     # -- read side -----------------------------------------------------------
 

@@ -14,6 +14,7 @@ by the seq-resolved merge).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -24,6 +25,31 @@ from go_pq_cdc_elasticsearch_spark.sources.replay import (
     read_event_stream,
     stage_event_files,
 )
+
+# State-store partition count for the test/bench replay streams. The state
+# partitioning is frozen per checkpoint at query start from
+# spark.sql.shuffle.partitions; each micro-batch then pays a per-partition
+# state commit. 32 partitions of state for a few hundred keys is pure
+# overhead (32 store commits/batch), so replay streams plan with a small
+# count — the knob a production deployment sizes to its key cardinality,
+# like the reference sizes concurrentRequest (config.go:50-52). Results
+# are partitioning-independent.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
+@contextlib.contextmanager
+def stream_partition_conf(spark: SparkSession):
+    """Temporarily size shuffle partitions for a streaming query's plan
+    (state partition count is captured at query start)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def run_cdc_stream(
@@ -50,10 +76,12 @@ def run_cdc_stream(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        with stream_partition_conf(spark):
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
     else:
-        writer.trigger(processingTime=processing_time).start()
+        with stream_partition_conf(spark):
+            writer.trigger(processingTime=processing_time).start()
     return view
 
 

@@ -70,7 +70,12 @@ class FakeReplicationServer:
     every StandbyStatusUpdate in ``acks``. Used by tests and examples; a
     real server is a drop-in."""
 
-    def __init__(self, transactions, keepalive_each_txn: bool = True):
+    def __init__(
+        self,
+        transactions,
+        keepalive_each_txn: bool = True,
+        max_connections: int = 1,
+    ):
         import socket
         import threading
 
@@ -79,6 +84,7 @@ class FakeReplicationServer:
         self._PG = PG
         self.transactions = transactions
         self.keepalive_each_txn = keepalive_each_txn
+        self.max_connections = max_connections
         self.acks: list[dict] = []
         self.slots: list[str] = []
         self.server = socket.create_server(("127.0.0.1", 0))
@@ -88,36 +94,53 @@ class FakeReplicationServer:
 
     def _serve(self):
         PG = self._PG
-        conn, _ = self.server.accept()
-        f = conn.makefile("rwb")
-        try:
-            while True:
-                t, body = PG.read_frame(f)
-                if not t:
-                    return
-                if t == b"Q":
-                    sql = body.rstrip(b"\x00").decode()
-                    if sql.startswith("CREATE_REPLICATION_SLOT"):
-                        self.slots.append(sql.split()[1])
-                        f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
-                        f.flush()
-                    elif sql.startswith("START_REPLICATION"):
-                        f.write(PG.copy_both_response())
-                        f.flush()
-                        self._stream(f)
-                elif t == b"d" and body[:1] == b"r":
-                    self.acks.append(PG.parse_standby_status(body))
-        except (OSError, ValueError):
-            pass
-        finally:
-            self.done.set()
+        for _ in range(self.max_connections):
+            try:
+                conn, _addr = self.server.accept()
+            except OSError:
+                break
+            f = conn.makefile("rwb")
+            try:
+                self._handle(f)
+            except (OSError, ValueError):
+                pass
+            finally:
+                self.done.set()
 
-    def _stream(self, f):
+    def _handle(self, f):
+        PG = self._PG
+        while True:
+            t, body = PG.read_frame(f)
+            if not t:
+                return
+            if t == b"Q":
+                sql = body.rstrip(b"\x00").decode()
+                if sql.startswith("CREATE_REPLICATION_SLOT"):
+                    self.slots.append(sql.split()[1])
+                    f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                    f.flush()
+                elif sql.startswith("START_REPLICATION"):
+                    # resume contract: logical replication re-delivers WHOLE
+                    # transactions not yet confirmed — skip txns whose final
+                    # (commit) lsn is <= the requested start, resend the rest
+                    # entirely (relation messages included, like Postgres
+                    # re-announces relations per connection)
+                    hi, lo = sql.split(" LOGICAL ")[1].split(" ")[0].split("/")
+                    start_lsn = (int(hi, 16) << 32) | int(lo, 16)
+                    f.write(PG.copy_both_response())
+                    f.flush()
+                    self._stream(f, start_lsn)
+            elif t == b"d" and body[:1] == b"r":
+                self.acks.append(PG.parse_standby_status(body))
+
+    def _stream(self, f, start_lsn: int = 0):
         PG = self._PG
         for txn in self.transactions:
+            if txn and txn[-1][0] <= start_lsn:
+                continue  # already confirmed past this txn's commit
             for lsn, payload in txn:
                 f.write(PG.copy_data(PG.xlog_data(lsn, lsn, 0, payload)))
-            if self.keepalive_each_txn:
+            if self.keepalive_each_txn and txn:
                 f.write(PG.copy_data(PG.keepalive(txn[-1][0], 0, True)))
                 f.flush()
                 t, body = PG.read_frame(f)

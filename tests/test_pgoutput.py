@@ -118,6 +118,114 @@ def test_replication_client_against_fake_server():
     assert len(server.acks) >= len(changes) + 2
 
 
+# ---- decode fuzz: random interleavings + mid-stream restarts ---------------
+# (r2 verdict item 8: the pgoutput consumer has no oracle and no real
+# endpoint — property tests against the scripted server are the hardening.)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VALS = st.one_of(
+    st.none(),
+    st.text(max_size=12),  # incl. "" and unicode from the general alphabet
+    st.integers(-10**6, 10**6).map(str),
+)
+
+
+@st.composite
+def _scripts(draw):
+    """A random replication script: 1-3 relations with distinct column
+    layouts, 1-5 transactions (possibly row-less == keepalive-only
+    segments), rows mixing INSERT/UPDATE/DELETE with NULL/empty/unicode
+    values; every txn re-announces its relation (Postgres sends Relation
+    per connection / on change — decoders must tolerate repeats)."""
+    rels = {
+        16384 + i: [f"c{j}" for j in range(draw(st.integers(1, 4)))]
+        for i in range(draw(st.integers(1, 3)))
+    }
+    txns, expected = [], []
+    lsn = 100
+    for _ in range(draw(st.integers(1, 5))):
+        relid = draw(st.sampled_from(sorted(rels)))
+        cols = rels[relid]
+        msgs = [
+            (lsn, PG.encode_relation(relid, "public", f"t{relid}", cols)),
+            (lsn, PG.encode_begin(lsn + 10, 777_000_000, xid=1)),
+        ]
+        for _ in range(draw(st.integers(0, 4))):
+            lsn += 1
+            op = draw(st.sampled_from("IUD"))
+            vals = [draw(_VALS) for _ in cols]
+            if op == "I":
+                msgs.append((lsn, PG.encode_insert(relid, vals)))
+                exp = ("INSERT", None, tuple(vals))
+            elif op == "U":
+                old = [draw(_VALS) for _ in cols]
+                msgs.append((lsn, PG.encode_update(relid, vals, old_values=old)))
+                exp = ("UPDATE", tuple(old), tuple(vals))
+            else:
+                msgs.append((lsn, PG.encode_delete(relid, vals)))
+                exp = ("DELETE", tuple(vals), None)
+            expected.append((lsn, f"t{relid}", cols, *exp))
+        lsn += 1
+        msgs.append((lsn, PG.encode_commit(lsn, lsn + 1, 777_000_000)))
+        txns.append(msgs)
+        lsn += 10
+    return txns, expected
+
+
+def _row(cols, vals):
+    return dict(zip(cols, vals)) if vals is not None else None
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_fuzz_decode_with_restart(data):
+    """Contract fuzz: whatever valid interleaving the server emits —
+    keepalive-only txns, repeated Relation announcements, NULL/empty/
+    unicode values — the client decodes exactly the expected changes; and
+    a mid-stream kill + resume from the acked LSN re-delivers a suffix
+    that, deduped by LSN (the at-least-once + idempotent-apply contract,
+    R12), reconstructs the same change list."""
+    txns, expected = data.draw(_scripts())
+    cut = data.draw(st.integers(0, len(expected)))
+
+    server = FakeReplicationServer(txns, max_connections=2)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="fz", publication="pub")
+    client.create_slot()
+    client.start(start_lsn=0)
+
+    got: dict[int, dict] = {}
+    n = 0
+    for ch in client.poll():
+        got[ch["lsn"]] = ch
+        client.ack(ch["lsn"])
+        n += 1
+        if n >= cut:
+            break
+    client.close()  # mid-stream kill (possibly mid-transaction)
+
+    sock2 = socket.create_connection(("127.0.0.1", server.port))
+    client2 = PG.ReplicationClient(sock2, slot="fz", publication="pub")
+    client2.start(start_lsn=client.flushed_lsn)
+    for ch in client2.poll():
+        got[ch["lsn"]] = ch  # LSN-keyed upsert == idempotent re-apply
+        client2.ack(ch["lsn"])
+    client2.close()
+
+    assert sorted(got) == [e[0] for e in expected]
+    for lsn, table, cols, op, before, after in expected:
+        ch = got[lsn]
+        assert ch["op"] == op and ch["table_name"] == table
+        assert ch["before"] == _row(cols, before)
+        assert ch["after"] == _row(cols, after)
+
+
 def test_socket_to_segments_to_spark_pgwal(spark):
     # full live path: socket -> stream_to_segments -> pgwal DataSource ->
     # micro-batches -> commit records -> forward_committed_acks
