@@ -163,3 +163,13 @@ def test_chunking_tail_shorter(spark):
         (1, 4, "c d e f"),
         (2, 3, "e f g"),
     ]
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    # sep is a LITERAL: '|' must not be read as a regex alternation
+    # (which would split on every character)
+    df = _docs(spark, ["aa|bb", "bb|cc"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, sep="|").collect()}
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text"] == "aa|bb"
+    assert out[1]["n_kept"] == 1 and out[1]["text"] == "cc"

@@ -80,3 +80,15 @@ def test_transition_counts(spark):
     out = {(r["from_type"], r["to_type"]): r["n"] for r in
            transition_counts(df).collect()}
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_funnel_empty_input_counts_zero(spark):
+    # global agg over zero funnel-relevant rows must yield 0, not NULL
+    df = spark.createDataFrame([_ev(1, 0, "unrelated", 1)])
+    out = {r["step"]: r["n_completed"] for r in
+           funnel_conversion(df, ["view", "click"]).collect()}
+    assert out == {"view": 0, "click": 0}
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, event_type string, event_id long")
+    out = {r["step"]: r["n_completed"] for r in
+           funnel_conversion(empty, ["view", "click"]).collect()}
+    assert out == {"view": 0, "click": 0}

@@ -76,3 +76,26 @@ def test_zorder_beats_single_column_sort_on_second_dim(spark):
     z_value = _per_file_span_fraction(zpath, "value")
     s_value = _per_file_span_fraction(spath, "value")
     assert z_value < s_value * 0.8, (z_value, s_value)
+
+
+def test_zorder_key_rejects_long_overflow(spark):
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key([F.col("a")] * 4, [(0.0, 1.0)] * 4, bits=16)
+
+
+def test_write_zordered_empty_and_all_null(spark):
+    # empty input and all-NULL z-columns must not crash on missing stats;
+    # 4 columns at the default bits auto-cap to fit the long key
+    with tempfile.TemporaryDirectory() as d:
+        empty = spark.createDataFrame([], "a double, b double, c double, e double")
+        write_zordered(empty, os.path.join(d, "empty"), ["a", "b", "c", "e"])
+        nulls = spark.createDataFrame(
+            [(None, 1.0), (None, 2.0)], "a double, b double"
+        )
+        write_zordered(nulls, os.path.join(d, "nulls"), ["a", "b"])
+        got = spark.read.parquet(os.path.join(d, "nulls")).collect()
+        assert sorted(r["b"] for r in got) == [1.0, 2.0]

@@ -150,3 +150,22 @@ def test_in_batch_dedup_before_apply(spark):
     )
     rows = mv.read().collect()
     assert len(rows) == 1 and rows[0]["value"] == 3.0
+
+
+def test_epoch_frontier_scoped_by_lineage(spark):
+    # same lineage: redelivered epoch skipped; NEW lineage restarting at
+    # epoch 0 must APPLY (a fresh checkpoint's batch ids are unrelated)
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_l_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 10.0)]), epoch_id=0, lineage="q1")
+    mv.merge_batch(_batch(spark, [(2, "update", 1, 11.0)]), epoch_id=1, lineage="q1")
+    # redelivery within q1 -> no-op
+    mv.merge_batch(_batch(spark, [(3, "update", 1, 99.0)]), epoch_id=1, lineage="q1")
+    assert {r["value"] for r in mv.read().collect()} == {11.0}
+    # a new query feeds the view from epoch 0 -> must not be dropped
+    mv.merge_batch(_batch(spark, [(4, "update", 1, 44.0)]), epoch_id=0, lineage="q2")
+    assert {r["value"] for r in mv.read().collect()} == {44.0}
+    # reopening from disk keeps the recorded lineage
+    mv2 = MaterializedView(spark, path)
+    mv2.merge_batch(_batch(spark, [(5, "update", 1, 55.0)]), epoch_id=0, lineage="q2")
+    assert {r["value"] for r in mv2.read().collect()} == {44.0}

@@ -93,3 +93,37 @@ def test_sessionize_equal_timestamps_one_session(spark):
     )
     out = sessionize(df, gap_seconds=60).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_sessionize_ntz_gap_stable_across_dst(spark):
+    # NTZ wall times straddling the America/New_York spring-forward hour
+    # (2024-03-10 02:00): the 02:30->03:10 gap is 40 wall-minutes. A
+    # session-zone cast would compute it through the instant timeline
+    # (where 02:30 does not exist and offsets shift), flipping the split
+    # decision; the field-extraction epoch must split identically under
+    # any session zone.
+    import datetime as dt
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 3, 10, 1, 50)),
+        Row(user_id=1, ts=dt.datetime(2024, 3, 10, 2, 30)),
+        Row(user_id=1, ts=dt.datetime(2024, 3, 10, 3, 10)),
+    ]
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set(tz_key, tz)
+            df = spark.createDataFrame(rows).withColumn(
+                "ts", F.col("ts").cast("timestamp_ntz")
+            )
+            out = sessionize(df, gap_seconds=1800).collect()
+            results[tz] = sorted(
+                (r["session_id"], r["n_events"]) for r in out
+            )
+    finally:
+        spark.conf.set(tz_key, old)
+    # 1:50->2:30 gap 40min > 30min splits; 2:30->3:10 gap 40min splits
+    assert results["UTC"] == [(1, 1), (2, 1), (3, 1)]
+    assert results["America/New_York"] == results["UTC"]
