@@ -71,17 +71,42 @@ def _hash64(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# k-permutation MinHash family: ONE md5 per shingle, then k universal-hash
+# mixes h_j(x) = (a_j*h(x) + b_j) mod (2^61-1) with md5-derived odd a_j and
+# b_j (< 2^28, so a_j*h < 2^62 — no BIGINT overflow in either engine).
+# This is the textbook (a*x+b) mod p permutation family; the previous form
+# ran k md5 invocations per shingle, which dominated the dedup-family
+# runtime (16x the hashing work for the same collision behavior).
+MERSENNE61 = (1 << 61) - 1
+
+
+def family_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for the j-th minhash permutation — derived
+    from md5 so Spark and the DuckDB oracle inline identical constants."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+def _family(j: int, h: Column) -> Column:
+    a, b = family_coeffs(j)
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)
+
+
 def minhash_signature(col, k: int = 16) -> Column:
-    """k-permutation MinHash signature of the shingle set: the j-th hash
-    family is md5 seeded with 'j:' — min over shingles."""
+    """k-permutation MinHash signature of the shingle set: min over
+    shingles of the j-th universal-hash permutation of the shingle hash."""
     grams = word_ngrams(col, 3)
+    hashes = F.transform(grams, _hash64)
 
     def family(j: int):
         # factory closure: a plain 1-arg lambda (PySpark passes the array
         # element index to 2-arg lambdas, including default-arg ones)
-        return lambda s: _hash64(F.concat(F.lit(f"{j}:"), s))
+        return lambda h: _family(j, h)
 
-    sigs = [F.array_min(F.transform(grams, family(j))) for j in range(k)]
+    sigs = [F.array_min(F.transform(hashes, family(j))) for j in range(k)]
     return F.array(*sigs)
 
 
@@ -148,9 +173,12 @@ def minhash_band_rows(
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("__gram"),
         )
-    sig_df = exploded_grams.groupBy(id_col).agg(
+    gram_hashed = exploded_grams.select(
+        F.col(id_col), _hash64(F.col("__gram")).alias("__gh")
+    )
+    sig_df = gram_hashed.groupBy(id_col).agg(
         *[
-            F.min(_hash64(F.concat(F.lit(f"{j}:"), F.col("__gram")))).alias(f"__h{j}")
+            F.min(_family(j, F.col("__gh"))).alias(f"__h{j}")
             for j in range(k)
         ]
     )

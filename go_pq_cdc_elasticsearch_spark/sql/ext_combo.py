@@ -42,6 +42,7 @@ SX1_PARTS = [
     "q_s47_fuzzy_join",
     "q_s49_funnel",
     "q_s50_transitions",
+    "q_l16_repetition",
 ]
 
 # Scalar/type surface + text-pipeline extensions: decimals, window
@@ -71,6 +72,7 @@ SX2_PARTS = [
     "q_l23_pii_redact",
     "q_l24_bm25",
     "q_l25_chunking",
+    "q_l21_decontaminate",
 ]
 
 # Dedup/similarity family + the continuous aggregate: the former driver
@@ -84,8 +86,6 @@ SX3_PARTS = [
     "q_l6_embedding_neardup",
     "q_l7_simhash",
     "q_l15_winnow_candidates",
-    "q_l16_repetition",
-    "q_l21_decontaminate",
     "q_t8_continuous_agg",
 ]
 
@@ -113,7 +113,7 @@ def _combo(parts: list[str]):
             df = EXT_REGISTRY[name].spark(spark, sf_dir)
             return spark_canon_summary(df, name).collect()
 
-        with ThreadPoolExecutor(max_workers=min(8, len(parts))) as pool:
+        with ThreadPoolExecutor(max_workers=min(12, len(parts))) as pool:
             results = list(pool.map(one, parts))
         rows = [r for rs in results for r in rs]
         return spark.createDataFrame(

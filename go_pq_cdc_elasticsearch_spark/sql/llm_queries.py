@@ -94,13 +94,23 @@ def q_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
 
 
+def _minhash_family_sql(j: int) -> str:
+    """DuckDB twin of operators/dedup.py::_family — identical (a,b,p)
+    constants, one md5 per shingle then integer mixing."""
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+        MERSENNE61,
+        family_coeffs,
+    )
+
+    a, b = family_coeffs(j)
+    h = HASH_SQL.format(x="s")
+    return f"list_min(list_transform(grams, s -> (({a} * {h} + {b}) % {MERSENNE61})))"
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     rows = k // bands
     sig_entries = ",\n            ".join(
-        "list_min(list_transform(grams, s -> "
-        + HASH_SQL.format(x=f"concat('{j}:', s)")
-        + "))"
-        for j in range(k)
+        _minhash_family_sql(j) for j in range(k)
     )
     band_cols = ", ".join(
         "md5(concat_ws(',', "
@@ -1041,10 +1051,7 @@ _EXT["q_l7_simhash"].oracle = f"""
 def _dedup_corpus_oracle(k: int = 16, bands: int = 4, tau: float = 0.7) -> str:
     rows = k // bands
     sig_entries = ",\n            ".join(
-        "list_min(list_transform(grams, s -> "
-        + HASH_SQL.format(x=f"concat('{j}:', s)")
-        + "))"
-        for j in range(k)
+        _minhash_family_sql(j) for j in range(k)
     )
     band_cols = ", ".join(
         "md5(concat_ws(',', "

@@ -192,14 +192,26 @@ def initial_load(
     )
 
 
+_STAGED_CACHE: dict[tuple[str, int], str] = {}
+
+
 def replay_events_to_view(
     spark: SparkSession, sf_dir: str, n_files: int = 4, **kwargs
 ) -> MaterializedView:
     """Convenience: stage the events table as a multi-file stream under a
-    temp dir, replay it through the full pipeline, return the view."""
+    temp dir, replay it through the full pipeline, return the view.
+    Staging is deterministic per (sf_dir, n_files), so repeat replays in
+    one process reuse the staged files (fresh view + checkpoint each
+    call — only the read-only input is shared)."""
     work = tempfile.mkdtemp(prefix="cdc_stream_")
-    staged = os.path.join(work, "staged")
-    stage_event_files(spark, sf_dir, staged, n_files=n_files)
+    key = (sf_dir, n_files)
+    staged = _STAGED_CACHE.get(key)
+    if staged is None or not os.path.isdir(staged):
+        staged = os.path.join(
+            tempfile.mkdtemp(prefix="cdc_stage_"), "staged"
+        )
+        stage_event_files(spark, sf_dir, staged, n_files=n_files)
+        _STAGED_CACHE[key] = staged
     return run_cdc_stream(
         spark,
         staged_dir=staged,
