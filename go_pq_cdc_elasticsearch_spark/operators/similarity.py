@@ -386,27 +386,23 @@ def quantize_embeddings(
     ``scale/2`` per element. Store THIS as the search representation and
     keep full precision only for final re-rank if needed.
 
-    Shape: one map-only Arrow pass (vectorized numpy round; no shuffle).
-    Returns (id, qvec array<tinyint>, q_scale float). Zero vectors get
-    scale 0 and an all-zero qvec (dequantizes to exactly zero).
+    Shape: pure column algebra (JVM whole-stage codegen, no Python, no
+    shuffle). Rounding is an explicit ``floor(x + 0.5)`` (half-up) so the
+    arithmetic is bit-reproducible in any engine — every step (abs, max,
+    the two divisions, +0.5, floor) is an order-independent exact IEEE-754
+    double op, which is what lets the q_lx3 DuckDB oracle recompute the
+    identical int8 codes. Returns (id, qvec array<tinyint>, q_scale float).
+    Zero vectors get scale 0 and an all-zero qvec (dequantizes to exactly
+    zero).
     """
-    import numpy as np
-
-    def quant(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            scale = np.abs(mat).max(axis=1) / 127.0
-            safe = np.where(scale == 0, 1.0, scale)
-            q = np.rint(mat / safe[:, None]).astype(np.int8)
-            out = pdf[[id_col]].copy()
-            out[out_vec] = list(q)
-            out[out_scale] = scale.astype(np.float32)
-            yield out
-
-    return df.select(id_col, vec_col).mapInPandas(
-        quant, schema=f"{id_col} long, {out_vec} array<tinyint>, {out_scale} float"
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    safe = F.when(scale == F.lit(0.0), F.lit(1.0)).otherwise(scale)
+    q = F.transform(v, lambda x: F.floor(x / safe + F.lit(0.5)).cast("tinyint"))
+    return df.select(
+        F.col(id_col),
+        q.alias(out_vec),
+        scale.cast("float").alias(out_scale),
     )
 
 

@@ -1187,15 +1187,61 @@ def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_topk_oracle(k: int = 5) -> str:
+    """DuckDB SQL recomputing the IDENTICAL SQ8 pipeline as
+    ``quantize_embeddings`` + ``quantized_topk``: the int8 codes come from
+    ``floor(x/scale + 0.5)`` where every step is an order-independent exact
+    IEEE-754 double op (abs, max, two divisions, +0.5, floor), so the codes
+    are bit-identical across engines; the corpus-side norm is a sum of
+    exact small integers (order-independent too). Only the final dot
+    product against the full-precision query vector carries summation-order
+    float noise — the same ~1e-16 relative noise the q_l3/q_l10 cosine
+    oracles already absorb under round(6)."""
+    return f"""
+        WITH scaled AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+            FROM embeddings),
+        quant AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       floor(CAST(x AS DOUBLE) /
+                             (CASE WHEN s = 0 THEN 1.0 ELSE s END) + 0.5)) AS qv
+            FROM scaled),
+        queries AS (
+            SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.qid, c.vec_id,
+                   list_sum(list_transform(list_zip(c.qv, q.embedding),
+                       p -> p[1] * CAST(p[2] AS DOUBLE)))
+                   / ((CASE WHEN list_sum(list_transform(c.qv, v -> v*v)) = 0
+                            THEN 1.0
+                            ELSE sqrt(list_sum(list_transform(c.qv, v -> v*v)))
+                       END)
+                      * sqrt(list_sum(list_transform(q.embedding,
+                            v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS sim
+            FROM quant c CROSS JOIN queries q
+            WHERE c.vec_id <> q.qid)
+        SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 @ext_query(
     "q_lx3_quantized_topk",
-    oracle=None,  # approximate through int8 rounding; error-bound + recall tests
+    oracle=_quantized_topk_oracle(),
 )
 def q_lx3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k computed directly on the int8-quantized corpus (4x
-    memory/shuffle reduction at rest — the SQ8 scale path). Approximate
-    only through rounding; reconstruction-error bound and recall vs brute
-    force are asserted in tests/test_llm.py."""
+    memory/shuffle reduction at rest — the SQ8 scale path). The DuckDB
+    oracle recomputes the identical quantization (bit-reproducible
+    floor-half-up codes) and scores, so selection, scores and ranks are all
+    value-checked; reconstruction-error bound and recall vs brute force
+    are additionally asserted in tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     qcorpus = SIM.quantize_embeddings(emb)

@@ -114,6 +114,18 @@ def test_ivf_assignment_is_map_only_and_probe_join_broadcasts(spark):
     assert "BroadcastHashJoin" in jplan
 
 
+def test_quantize_embeddings_is_jvm_side_map_only(spark):
+    # SQ8 quantization is pure column algebra: no Python eval, no shuffle
+    from go_pq_cdc_elasticsearch_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(quantize_embeddings(emb))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_winnowing_is_jvm_side_single_window_shuffle(spark):
     # winnowing: gram hash stays in codegen (no EvalPython); exactly one
     # hashpartitioning exchange (the per-doc window; distinct reuses it)
