@@ -10,9 +10,14 @@ cell, just pre-aggregated.
 
 Canonical cell form (both engines, per column type):
 - integer-ish  -> plain decimal string (``42``)
-- float/double -> ``CAST(round(x, 4) AS DECIMAL(28,6))`` then string
-  (``1.500000`` — fixed scale sidesteps engine-specific shortest-repr
-  float formatting, the one place the engines genuinely disagree)
+- float/double -> ``floor(x * 10^4 + 0.5)`` as a BIGINT string (``15625``
+  for 1.5625) — an explicit half-up in pure IEEE-754 double ops, so both
+  engines compute the identical integer from the identical double.
+  In-engine ``round(x, 4)`` is NOT portable: for a non-representable tie
+  like 0.00565 (double 0.0056499999…), DuckDB rounds the true binary
+  value down while Spark re-parses the shortest decimal repr "0.00565"
+  and rounds it HALF_UP — found live at sf0.1 in q_l5's checksum.
+  NaN/±Inf map to literal sentinels before the arithmetic.
 - decimal      -> plain string (scale preserved on both sides)
 - string       -> as-is
 - date/ts      -> formatted ``yyyy-MM-dd [HH:mm:ss]``
@@ -37,7 +42,14 @@ def _spark_cell(field: T.StructField):
     c = F.col(field.name)
     t = field.dataType
     if isinstance(t, (T.FloatType, T.DoubleType)):
-        s = F.round(c.cast("double"), 4).cast("decimal(28,6)").cast("string")
+        d = c.cast("double")
+        scaled = F.floor(d * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+        s = (
+            F.when(F.isnan(d), F.lit("NaN"))
+            .when(d == F.lit(float("inf")), F.lit("Inf"))
+            .when(d == F.lit(float("-inf")), F.lit("-Inf"))
+            .otherwise(scaled.cast("string"))
+        )
     elif isinstance(t, T.DecimalType) or isinstance(
         t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
     ):
@@ -68,7 +80,13 @@ def _duck_cell(name: str, duck_type: str) -> str:
     t = duck_type.upper()
     col = f'"{name}"'
     if t in ("DOUBLE", "FLOAT", "REAL"):
-        s = f"CAST(CAST(round(CAST({col} AS DOUBLE), 4) AS DECIMAL(28,6)) AS VARCHAR)"
+        d = f"CAST({col} AS DOUBLE)"
+        s = (
+            f"CASE WHEN isnan({d}) THEN 'NaN' "
+            f"WHEN isinf({d}) AND {d} > 0 THEN 'Inf' "
+            f"WHEN isinf({d}) THEN '-Inf' "
+            f"ELSE CAST(CAST(floor({d} * 10000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
+        )
     elif t.startswith("DECIMAL") or t in (
         "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
         "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "BOOLEAN",

@@ -86,6 +86,8 @@ SX3_PARTS = [
     "q_l6_embedding_neardup",
     "q_l7_simhash",
     "q_l15_winnow_candidates",
+    "q_l26_token_heavy_hitters",
+    "q_lx3_quantized_topk",
     "q_t8_continuous_agg",
 ]
 

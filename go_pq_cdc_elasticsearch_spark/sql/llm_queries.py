@@ -1187,6 +1187,31 @@ def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@ext_query(
+    "q_l26_token_heavy_hitters",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({WORDS_SQL}) AS token FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks WHERE token IS NOT NULL)
+        SELECT token, cnt FROM (
+            SELECT token, count(*) AS cnt FROM toks
+            WHERE token IS NOT NULL GROUP BY token) counted, tot
+        WHERE cnt * 200 >= n
+    """,
+)
+def q_l26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters (frequency >= 1/200 of the corpus token stream)
+    via sketch-pruned exact counting: freqItems candidates (superset
+    guarantee) + broadcast exact verify (operators/frequent.py). The
+    boilerplate-frequency curation step; output is exact, so the oracle is
+    a from-scratch GROUP BY with the identical integer threshold."""
+    from go_pq_cdc_elasticsearch_spark.operators.frequent import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.words(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", support_num=1, support_den=200)
+
+
 def _quantized_topk_oracle(k: int = 5) -> str:
     """DuckDB SQL recomputing the IDENTICAL SQ8 pipeline as
     ``quantize_embeddings`` + ``quantized_topk``: the int8 codes come from

@@ -287,3 +287,51 @@ def test_quantized_topk_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_heavy_hitters_equals_naive_exact(spark, sf_dir):
+    # the sketch only prunes; verified output must EQUAL the from-scratch
+    # groupBy answer on real corpus tokens
+    from go_pq_cdc_elasticsearch_spark.operators.frequent import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.words(F.col("text"))).alias("token"))
+    got = {(r.token, r.cnt) for r in heavy_hitters(toks, "token", 1, 200).collect()}
+    total = toks.count()
+    naive = {
+        (r.token, r.cnt)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 200 >= total)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_heavy_hitters_skew_and_nulls(spark):
+    # one dominant key, a mid key straddling the threshold, nulls ignored
+    from go_pq_cdc_elasticsearch_spark.operators.frequent import heavy_hitters
+
+    rows = (
+        [("hot",)] * 600
+        + [("warm",)] * 10
+        + [("cold_%d" % i,) for i in range(390)]
+        + [(None,)] * 50
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {(r.k, r.cnt) for r in heavy_hitters(df, "k", 1, 100).collect()}
+    # total non-null = 1000; threshold cnt*100 >= 1000 => cnt >= 10
+    assert got == {("hot", 600), ("warm", 10)}
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.frequent import heavy_hitters
+
+    empty = spark.createDataFrame([], "k string")
+    assert heavy_hitters(empty, "k", 1, 10).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(empty, "k", 0, 10)
+    with pytest.raises(ValueError):
+        heavy_hitters(empty, "k", 1, 100000)

@@ -37,3 +37,29 @@ def test_query_matches_oracle(spark, con, name):
 def test_rows_only_queries_run(spark, name):
     df = ALL[name].spark(spark, SF)
     assert df.collect() is not None
+
+
+def test_canon_double_form_is_engine_portable_on_ties(spark, con):
+    # regression: in-engine round(x, 4) diverged on non-representable ties
+    # (0.00565 is double 0.0056499999..., DuckDB rounds the binary value
+    # down, Spark rounds the shortest decimal repr half-up — found live in
+    # q_l5's sf0.1 checksum). The canonical form's floor(x*1e4 + 0.5) must
+    # produce the identical string in both engines for exactly these values.
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.sql.canon import _duck_cell, _spark_cell
+
+    vals = [0.00565, 0.15625, -0.00565, 0.0056499999999999996, 1.0 / 3,
+            0.99995, -2.5, 0.0, 123456.78125]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r[0]
+        for r in sdf.select(_spark_cell(sdf.schema.fields[0])).collect()
+    ]
+    cell = _duck_cell("x", "DOUBLE")
+    got_duck = [
+        con.execute(f"SELECT {cell} FROM (SELECT CAST(? AS DOUBLE) AS x)", [v]
+                    ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_duck
