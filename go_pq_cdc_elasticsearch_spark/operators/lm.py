@@ -50,10 +50,14 @@ def doc_surprisal_millibits(
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(total))
         .withColumn(
+            # floor(x + 0.5): engine-portable half-up (surprisal >= 0, so
+            # this equals round-half-away; in-engine round() ties are NOT
+            # portable — see functions/rounding.py)
             "__mb",
-            F.round(
+            F.floor(
                 F.lit(1000.0)
                 * F.log2(F.col("__n").cast("double") / F.col("__c"))
+                + F.lit(0.5)
             ).cast("long"),
         )
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround
 from go_pq_cdc_elasticsearch_spark.functions.text import words
 
 
@@ -88,6 +89,6 @@ def bm25_topk(
         .crossJoin(F.broadcast(corpus))
         .withColumn("__s", idf * tf_part)
         .groupBy(id_col)
-        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .agg(pround(F.sum("__s"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -12,6 +12,8 @@ from go_pq_cdc_elasticsearch_spark import model
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
 from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround_sql as PR
 from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 from go_pq_cdc_elasticsearch_spark.sql.relational_queries import _dec_sum
 
@@ -294,9 +296,9 @@ def q_s25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_s26_percentile",
-    oracle="""
-        SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-               round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+    oracle=f"""
+        SELECT {PR('quantile_cont(o_totalprice, 0.5)', 6)} AS p50,
+               {PR('quantile_cont(o_totalprice, 0.95)', 6)} AS p95
         FROM orders
     """,
 )
@@ -306,8 +308,8 @@ def q_s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — see q_s26_approx."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+        pround(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        pround(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
     )
 
 
@@ -407,7 +409,7 @@ def q_s30(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                count(*) AS n,
                sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_first,
-               round(sum(coalesce(prev, 0.0)), 6) AS prev_sum
+               CAST(sum(CAST(coalesce(prev, 0.0) AS DECIMAL(30,10))) AS DOUBLE) AS prev_sum
         FROM (
             SELECT user_id,
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -427,7 +429,9 @@ def q_s31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("n_first"),
-            F.round(F.sum(F.coalesce("prev", F.lit(0.0))), 6).alias("prev_sum"),
+            F.sum(F.coalesce("prev", F.lit(0.0)).cast("decimal(30,10)"))
+            .cast("double")
+            .alias("prev_sum"),
         )
     )
 
@@ -496,8 +500,8 @@ def q_s40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_s41_unpivot",
-    oracle="""
-        SELECT metric, round(CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE), 4) AS total
+    oracle=f"""
+        SELECT metric, {PR('CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE)', 4)} AS total
         FROM (
             SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
             UNION ALL
@@ -515,7 +519,7 @@ def q_s41(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (metric, val)"
     )
     return long.groupBy("metric").agg(
-        F.round(F.sum(F.col("val").cast("decimal(30,10)")).cast("double"), 4).alias(
+        pround(F.sum(F.col("val").cast("decimal(30,10)")).cast("double"), 4).alias(
             "total"
         )
     )
@@ -618,11 +622,11 @@ def q_s43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_s34_window_misc",
-    oracle="""
+    oracle=f"""
         SELECT o_orderkey,
                ntile(4) OVER w AS quartile,
-               round(percent_rank() OVER w, 6) AS pr,
-               round(cume_dist() OVER w, 6) AS cd,
+               {PR('percent_rank() OVER w', 6)} AS pr,
+               {PR('cume_dist() OVER w', 6)} AS cd,
                first_value(o_orderkey) OVER w AS first_k,
                nth_value(o_orderkey, 2) OVER w AS second_k
         FROM orders
@@ -641,8 +645,8 @@ def q_s34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        pround(F.percent_rank().over(w), 6).alias("pr"),
+        pround(F.cume_dist().over(w), 6).alias("cd"),
         F.first("o_orderkey").over(w).alias("first_k"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
     )
@@ -679,13 +683,13 @@ def q_s35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_s36_array_advanced",
-    oracle="""
+    oracle=f"""
         SELECT vec_id,
-               round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE), 6) AS ends,
-               round(list_min(embedding), 6) AS mn,
+               {PR('CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE)', 6)} AS ends,
+               {PR('list_min(embedding)', 6)} AS mn,
                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS s,
-               round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS med_lo
+               {PR('list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))', 6)} AS s,
+               {PR('CAST(list_sort(embedding)[32] AS DOUBLE)', 6)} AS med_lo
         FROM embeddings WHERE vec_id <= 20
     """,
 )
@@ -699,15 +703,15 @@ def q_s36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.round(
+        pround(
             F.element_at("embedding", 1).cast("double")
             + F.element_at("embedding", 64).cast("double"),
             6,
         ).alias("ends"),
-        F.round(F.array_min("embedding").cast("double"), 6).alias("mn"),
+        pround(F.array_min("embedding").cast("double"), 6).alias("mn"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(esum, 6).alias("s"),
-        F.round(
+        pround(esum, 6).alias("s"),
+        pround(
             F.element_at(F.sort_array("embedding"), 32).cast("double"), 6
         ).alias("med_lo"),
     )
@@ -898,17 +902,14 @@ def q_s47(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_s48_histogram_moments",
-    oracle="""
+    oracle=f"""
         SELECT CAST(floor(CAST(l_quantity AS DOUBLE) / 10) AS BIGINT) AS bin,
                count(*) AS n,
-               round(CAST(stddev_pop(CAST(l_extendedprice AS DOUBLE))
-                          AS DOUBLE), 2) AS sd_price,
-               round(CAST(corr(CAST(l_extendedprice AS DOUBLE),
-                               CAST(l_discount AS DOUBLE)) AS DOUBLE), 6)
-                   AS corr_pd,
-               round(CAST(covar_pop(CAST(l_extendedprice AS DOUBLE),
-                                    CAST(l_tax AS DOUBLE)) AS DOUBLE), 2)
-                   AS cov_pt
+               {PR('CAST(stddev_pop(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE)', 2)} AS sd_price,
+               {PR('''CAST(corr(CAST(l_extendedprice AS DOUBLE),
+                               CAST(l_discount AS DOUBLE)) AS DOUBLE)''', 6)} AS corr_pd,
+               {PR('''CAST(covar_pop(CAST(l_extendedprice AS DOUBLE),
+                                    CAST(l_tax AS DOUBLE)) AS DOUBLE)''', 2)} AS cov_pt
         FROM lineitem GROUP BY bin
     """,
 )
@@ -922,11 +923,11 @@ def q_s48(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity").cast("double") / 10).cast("long").alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.stddev_pop(price), 2).alias("sd_price"),
-        F.round(F.corr(price, F.col("l_discount").cast("double")), 6).alias(
+        pround(F.stddev_pop(price), 2).alias("sd_price"),
+        pround(F.corr(price, F.col("l_discount").cast("double")), 6).alias(
             "corr_pd"
         ),
-        F.round(F.covar_pop(price, F.col("l_tax").cast("double")), 2).alias(
+        pround(F.covar_pop(price, F.col("l_tax").cast("double")), 2).alias(
             "cov_pt"
         ),
     )

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.functions import text as TX
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround_sql as PR
 from go_pq_cdc_elasticsearch_spark.operators import dedup as DD
 from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
 from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
@@ -31,6 +33,9 @@ COS_SQL = (
     " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
     " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))"
 )
+# portable 6dp round of a similarity column (see functions/rounding.py —
+# in-engine round() diverges between engines on decimal-tie doubles)
+PSIM6 = PR("sim", 6)
 
 
 @query(
@@ -79,7 +84,7 @@ def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
                    {COS_SQL.format(a="q.qe", b="e.embedding")} AS sim
             FROM q JOIN embeddings e ON e.vec_id <> q.qid
         )
-        SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+        SELECT qid, vec_id, {PSIM6} AS sim, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
         WHERE rank <= 5
@@ -91,7 +96,7 @@ def q_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = SIM.brute_force_topk(emb, queries_df, k=5)
-    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")
 
 
 def _minhash_family_sql(j: int) -> str:
@@ -187,8 +192,8 @@ def q_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE len(w) >= 3
         )
         SELECT a.doc_id AS id1, b.doc_id AS id2,
-               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                     / len(list_distinct(a.g || b.g)), 6) AS jac
+               {PR('''CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(a.g || b.g))''', 6)} AS jac
         FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
     """,
     doc="Exact n-gram Jaccard similarity on candidate pairs (adjacent ids "
@@ -206,7 +211,7 @@ def q_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id1",
         "id2",
-        F.round(DD.jaccard_from_sets(F.col("g1"), F.col("g2")), 6).alias("jac"),
+        pround(DD.jaccard_from_sets(F.col("g1"), F.col("g2")), 6).alias("jac"),
     )
 
 
@@ -219,7 +224,7 @@ def q_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings a JOIN embeddings b
               ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
         )
-        SELECT id1, id2, round(sim, 6) AS sim
+        SELECT id1, id2, {PSIM6} AS sim
         FROM pairs ORDER BY sim DESC, id1, id2 LIMIT 20
     """,
     doc="Embedding-cosine near-dup: top-20 most-similar pairs within a "
@@ -248,7 +253,7 @@ def q_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.select(
-            "id1", "id2", F.round(DD.cosine(F.col("e1"), F.col("e2")), 6).alias("sim")
+            "id1", "id2", pround(DD.cosine(F.col("e1"), F.col("e2")), 6).alias("sim")
         )
         .orderBy(F.col("sim").desc(), "id1", "id2")
         .limit(20)
@@ -286,12 +291,25 @@ def q_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.simhash16(t).alias("simhash"),
         TX.token_count_ws(t).alias("tok_ws"),
         TX.token_count_bpe(t).alias("tok_bpe"),
-        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_r"),
-        F.round(TX.quality_score(t), 6).alias("quality"),
+        pround(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        pround(TX.punct_ratio(t), 6).alias("punct_r"),
+        pround(TX.quality_score(t), 6).alias("quality"),
         TX.fingerprint(t).alias("fp"),
         TX.lang_id(t).alias("lang_pred"),
     )
+
+
+_L8_STOP_SQL = f"""CAST(len(list_filter({WORDS_SQL},
+                     x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+                     / len({WORDS_SQL})"""
+_L8_PUNCT_SQL = """CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text)"""
+_L8_QUAL_SQL = f"""0.4 * least(len({WORDS_SQL}) / 200.0, 1.0)
+                     + 0.3 * (1.0 - {_L8_PUNCT_SQL})
+                     + 0.3 * least(5.0 * ({_L8_STOP_SQL}), 1.0)"""
+_L8_STOP_PR = PR(_L8_STOP_SQL, 6)
+_L8_PUNCT_PR = PR(_L8_PUNCT_SQL, 6)
+_L8_QUAL_PR = PR(_L8_QUAL_SQL, 6)
 
 
 @ext_query(
@@ -300,16 +318,9 @@ def q_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len({WORDS_SQL}) AS BIGINT) AS tok_ws,
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS tok_bpe,
-               round(CAST(len(list_filter({WORDS_SQL},
-                     x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-                     / len({WORDS_SQL}), 6) AS stop_ratio,
-               round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-                     / length(text), 6) AS punct_r,
-               round(0.4 * least(len({WORDS_SQL}) / 200.0, 1.0)
-                     + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
-                     + 0.3 * least(5.0 * CAST(len(list_filter({WORDS_SQL},
-                           x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-                           / len({WORDS_SQL}), 1.0), 6) AS quality,
+               {_L8_STOP_PR} AS stop_ratio,
+               {_L8_PUNCT_PR} AS punct_r,
+               {_L8_QUAL_PR} AS quality,
                substr(md5({NORM_SQL}), 1, 16) AS fp
         FROM documents WHERE doc_id <= 200
     """,
@@ -323,9 +334,9 @@ def q_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.token_count_ws(t).alias("tok_ws"),
         TX.token_count_bpe(t).alias("tok_bpe"),
-        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_r"),
-        F.round(TX.quality_score(t), 6).alias("quality"),
+        pround(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        pround(TX.punct_ratio(t), 6).alias("punct_r"),
+        pround(TX.quality_score(t), 6).alias("quality"),
         TX.fingerprint(t).alias("fp"),
     )
 
@@ -559,11 +570,11 @@ def _repetition_oracle() -> str:
             FROM per_n GROUP BY doc_id
         )
         SELECT b.doc_id, b.n_chars_norm,
-               round(coalesce(w.t2 / b.n_chars_norm, 0.0), 6) AS top_2_char_frac,
-               round(coalesce(w.t3 / b.n_chars_norm, 0.0), 6) AS top_3_char_frac,
-               round(coalesce(w.t4 / b.n_chars_norm, 0.0), 6) AS top_4_char_frac,
-               round(coalesce(w.d5, 0.0), 6) AS dup_5_frac,
-               round(coalesce(w.d10, 0.0), 6) AS dup_10_frac
+               {PR('coalesce(w.t2 / b.n_chars_norm, 0.0)', 6)} AS top_2_char_frac,
+               {PR('coalesce(w.t3 / b.n_chars_norm, 0.0)', 6)} AS top_3_char_frac,
+               {PR('coalesce(w.t4 / b.n_chars_norm, 0.0)', 6)} AS top_4_char_frac,
+               {PR('coalesce(w.d5, 0.0)', 6)} AS dup_5_frac,
+               {PR('coalesce(w.d10, 0.0)', 6)} AS dup_10_frac
         FROM base b LEFT JOIN wide w ON w.doc_id = b.doc_id
     """
 
@@ -585,8 +596,8 @@ def q_l16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id",
         "n_chars_norm",
-        *[F.round(f"top_{n}_char_frac", 6).alias(f"top_{n}_char_frac") for n in (2, 3, 4)],
-        *[F.round(f"dup_{n}_frac", 6).alias(f"dup_{n}_frac") for n in (5, 10)],
+        *[pround(f"top_{n}_char_frac", 6).alias(f"top_{n}_char_frac") for n in (2, 3, 4)],
+        *[pround(f"dup_{n}_frac", 6).alias(f"dup_{n}_frac") for n in (5, 10)],
     )
 
 
@@ -671,7 +682,7 @@ def _mixture_oracle() -> str:
         )
         SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
                any_value(group_tokens) AS group_tokens,
-               round(any_value(rate), 6) AS rate
+               {PR('any_value(rate)', 6)} AS rate
         FROM s GROUP BY lang
     """
 
@@ -712,7 +723,7 @@ def q_l18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             rates.select(
-                "lang", "group_tokens", F.round("rate", 6).alias("rate")
+                "lang", "group_tokens", pround("rate", 6).alias("rate")
             ),
             "lang",
         )
@@ -720,13 +731,18 @@ def q_l18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _budget_select_oracle() -> str:
-    quality = (
-        "round(0.4 * least(len(w) / 200.0, 1.0)"
+    # arithmetic shape mirrors functions/text.py::quality_score exactly
+    # (ratio first, then x5 — grouping matters for bit-identical doubles);
+    # portable rounding so the quality ORDER (which drives selection) is
+    # engine-identical, not just display-rounded
+    quality = PR(
+        "0.4 * least(len(w) / 200.0, 1.0)"
         " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text,"
         " '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))"
-        " + 0.3 * least(5.0 * CAST(len(list_filter(w,"
+        " + 0.3 * least(5.0 * (CAST(len(list_filter(w,"
         " x -> list_contains(['the','a','of','and','to','in','is','it'], x)))"
-        " AS DOUBLE) / len(w), 1.0), 6)"
+        " AS DOUBLE) / len(w)), 1.0)",
+        6,
     )
     return f"""
         WITH d AS (
@@ -740,7 +756,7 @@ def _budget_select_oracle() -> str:
             FROM d
         )
         SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
-               round(min(quality), 6) AS min_quality
+               {PR('min(quality)', 6)} AS min_quality
         FROM c WHERE cum <= 5000 GROUP BY lang
     """
 
@@ -759,7 +775,7 @@ def q_l19(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .withColumn("n_tok", F.size(TX.words(F.col("text"))).cast("long"))
-        .withColumn("quality", F.round(TX.quality_score(F.col("text")), 6))
+        .withColumn("quality", pround(TX.quality_score(F.col("text")), 6))
     )
     kept = select_to_budget(
         docs, 5000, token_col="n_tok", rank_col="quality", partition_col="lang"
@@ -767,7 +783,7 @@ def q_l19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tok").cast("long").alias("kept_tokens"),
-        F.round(F.min("quality"), 6).alias("min_quality"),
+        pround(F.min("quality"), 6).alias("min_quality"),
     )
 
 
@@ -876,7 +892,7 @@ def q_l21(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(sum(c) AS BIGINT) AS n FROM freq
         )
         SELECT doc_id, count(*) AS n_tok,
-               CAST(sum(CAST(round(1000 * log2(CAST(n AS DOUBLE) / c))
+               CAST(sum(CAST(floor(1000 * log2(CAST(n AS DOUBLE) / c) + 0.5)
                              AS BIGINT)) AS BIGINT) AS surprisal_mb
         FROM toks JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id
@@ -980,15 +996,15 @@ BM25_TERMS = ["table", "merge", "vector"]
             JOIN dl d USING (doc_id)
             CROSS JOIN corpus c
         )
-        SELECT doc_id, round(sum(s), 6) AS score
+        SELECT doc_id, {PR('sum(s)', 6)} AS score
         FROM scored GROUP BY doc_id
-        ORDER BY round(sum(s), 6) DESC, doc_id
+        ORDER BY {PR('sum(s)', 6)} DESC, doc_id
         LIMIT 20
     """,
     doc="BM25 ranked retrieval (the Lucene/Elasticsearch default scoring "
     "function) computed as corpus-statistics DataFrames: the reference's "
     "'ship to ES, search there' loop closed Spark-side. Deterministic "
-    "(round(score,6) DESC, doc_id) ordering for engine-portable top-k.",
+    "(pround(score,6) DESC, doc_id) ordering for engine-portable top-k.",
 )
 def q_l24(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_pq_cdc_elasticsearch_spark.operators.ranking import bm25_topk
@@ -1147,7 +1163,7 @@ def q_lx2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.col("features").getItem(0)), 6).alias("mean_f0"),
+            pround(F.avg(F.col("features").getItem(0)), 6).alias("mean_f0"),
         )
         .orderBy("source")
     )
@@ -1165,7 +1181,7 @@ def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
-    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")
 
 
 @ext_query(
@@ -1248,7 +1264,7 @@ def _quantized_topk_oracle(k: int = 5) -> str:
                             v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS sim
             FROM quant c CROSS JOIN queries q
             WHERE c.vec_id <> q.qid)
-        SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+        SELECT qid, vec_id, {PSIM6} AS sim, rank FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
@@ -1271,7 +1287,7 @@ def q_lx3(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5)
     qcorpus = SIM.quantize_embeddings(emb)
     out = SIM.quantized_topk(qcorpus, queries_df, k=5)
-    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")
 
 
 def _lsh_oracle(n_planes: int = 8, k: int = 5) -> str:
@@ -1320,7 +1336,7 @@ def _lsh_oracle(n_planes: int = 8, k: int = 5) -> str:
             JOIN embeddings qe ON qe.vec_id = cand.qid
             JOIN embeddings ce ON ce.vec_id = cand.vec_id
         )
-        SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+        SELECT qid, vec_id, {PSIM6} AS sim, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
         WHERE rank <= {k}
@@ -1341,4 +1357,4 @@ def q_l10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = SIM.lsh_topk(emb, queries_df, k=5, n_planes=8)
-    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")

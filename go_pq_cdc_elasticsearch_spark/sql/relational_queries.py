@@ -8,7 +8,10 @@ the row path except Q-S22, which deliberately tests the pandas_udf path).
 Float policy for oracle parity: per-row arithmetic on doubles is IEEE-
 deterministic across engines, but large SUMs are order-dependent, so money
 sums go through an exact DECIMAL(30,10) cast (identical in DuckDB) and back
-to double. Timestamps in result sets are formatted to strings.
+to double. Timestamps in result sets are formatted to strings. Rounding is
+NEVER the in-engine ``round(x, n)`` (engines disagree on non-representable
+decimal ties) — always the portable ``floor(x·10ⁿ + 0.5)`` form from
+functions/rounding.py, mirrored verbatim in every oracle.
 """
 
 from __future__ import annotations
@@ -18,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround
+from go_pq_cdc_elasticsearch_spark.functions.rounding import pround_sql as PR
 from go_pq_cdc_elasticsearch_spark.operators.asof import asof_join
 from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
@@ -433,24 +438,33 @@ def q_s17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_s18_math_decimal",
-    oracle="""
-        SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                   AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_charge,
-               round(CAST(avg(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 4) AS mean_qty,
+    oracle=(
+        "SELECT "
+        + PR(
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+            "AS DECIMAL(30,10))) AS DOUBLE)",
+            2,
+        )
+        + " AS total_charge, "
+        + PR("CAST(avg(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)", 4)
+        + """ AS mean_qty,
                CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
                CAST(min(l_extendedprice) AS DOUBLE) AS min_price
         FROM lineitem
-    """,
+    """
+    ),
 )
 def q_s18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math/decimal scalars over an exact decimal aggregate."""
+    """Math/decimal scalars over an exact decimal aggregate. Rounding is the
+    engine-portable floor-half-up (functions/rounding.py) — in-engine
+    round() diverges between engines on decimal-tie doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     return li.agg(
-        F.round(F.sum(charge.cast("decimal(30,10)")).cast("double"), 2).alias(
+        pround(F.sum(charge.cast("decimal(30,10)")).cast("double"), 2).alias(
             "total_charge"
         ),
-        F.round(
+        pround(
             F.avg(F.col("l_quantity").cast("decimal(30,10)")).cast("double"), 4
         ).alias("mean_qty"),
         F.max("l_extendedprice").alias("max_price"),
