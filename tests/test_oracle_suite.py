@@ -63,3 +63,54 @@ def test_canon_double_form_is_engine_portable_on_ties(spark, con):
         for v in vals
     ]
     assert got_spark == got_duck
+
+
+def test_pround_parity_random_and_adversarial(spark, con):
+    # pround must produce the identical double in both engines for the
+    # same input — random values plus adversarial near-tie constructions
+    # (k + 0.5 +/- 1ulp at each scale) at every scale the corpus uses
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.functions.rounding import (
+        pround,
+        pround_sql,
+    )
+
+    rng = random.Random(20260814)
+
+    def ulp_neighbors(x):
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return [struct.unpack("<d", struct.pack("<q", b + d))[0] for d in (-1, 0, 1)]
+
+    vals = []
+    for n in (0, 2, 4, 6):
+        for _ in range(200):
+            vals.append(rng.uniform(-1e6, 1e6))
+        for _ in range(100):
+            k = rng.randint(-10**6, 10**6)
+            vals.extend(ulp_neighbors((k + 0.5) / 10**n))
+    # deliver the doubles to DuckDB as native float64 (like the parquet
+    # tables the real oracles read) — a VALUES literal list unifies to a
+    # wide DECIMAL whose cast back to double is not round-trip exact
+    # (measured: DECIMAL(25,19) -> DOUBLE off by 1ulp), which is a parse
+    # artifact, not an engine-arithmetic difference
+    import pandas as pd
+
+    probe = pd.DataFrame({"x": pd.Series(vals, dtype="float64")})
+    con.register("pround_probe", probe)
+    try:
+        for n in (0, 2, 4, 6):
+            sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+            got_s = [r[0] for r in sdf.select(pround(F.col("x"), n)).collect()]
+            got_d = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT {pround_sql('x', n)} FROM pround_probe"
+                ).fetchall()
+            ]
+            assert got_s == got_d, f"scale {n}"
+    finally:
+        con.unregister("pround_probe")
