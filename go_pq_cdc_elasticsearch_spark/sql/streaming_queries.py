@@ -434,6 +434,51 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @ext_query(
+    "q_t10_stateful_running_totals",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(floor(CAST(value AS DOUBLE) * 1000.0)) AS BIGINT)
+                   AS total_mv
+        FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState, "
+    "streaming/stateful.py::running_totals — the keyed-process-function "
+    "building block): per-user (count, sum) state carried across "
+    "micro-batches in update mode; the LAST emitted row per key equals "
+    "the batch aggregate. Values are pre-quantized to integer millis "
+    "(floor(value*1000), portable IEEE ops) so the state accumulation is "
+    "exact and order-independent — the oracle hash checks the state "
+    "arithmetic itself, not a rounded shadow of it.",
+)
+def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from go_pq_cdc_elasticsearch_spark.streaming.stateful import running_totals
+
+    stream, _ = _staged_stream(spark, sf_dir)
+    mv = stream.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * F.lit(1000.0))
+        .cast("double")
+        .alias("mv"),
+    )
+    out = _drain_to_memory(running_totals(mv, "user_id", "mv"), "update")
+    # update mode emits one row per key per touched micro-batch; the final
+    # state row is the one with the highest running count
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("user_id"),
+            "n_events",
+            F.col("total_value").cast("long").alias("total_mv"),
+        )
+    )
+
+
+@ext_query(
     "q_t9_stream_stream_join",
     oracle="""
         SELECT v.user_id, count(*) AS n_pairs
