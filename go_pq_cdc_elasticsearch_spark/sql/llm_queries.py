@@ -1228,6 +1228,73 @@ def q_l26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", support_num=1, support_den=200)
 
 
+@ext_query(
+    "q_lx1b_ivf_anchor",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id >= 5 AND vec_id < 10),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {COS_SQL.format(a="q.qe", b="e.embedding")} AS sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, {PSIM6} AS sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+)
+def q_lx1b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat correctness ANCHOR, oracle-checked: at n_probe ==
+    n_centroids every cell is probed, so the candidate set is the whole
+    corpus and the result must EQUAL brute-force cosine top-k regardless
+    of how the k-means training clustered — which is SQL-expressible. The
+    approximate configuration stays in q_lx1 (recall-tested); this row
+    pins the machinery (training, cell assignment, probe join, re-rank)
+    to a from-scratch oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=4, n_probe=4)
+    return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")
+
+
+@ext_query(
+    "q_lx4b_semdedup_anchor",
+    oracle=f"""
+        WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        pairs AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM e a JOIN e b ON b.vec_id > a.vec_id
+            WHERE {COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.99
+        ),
+        edges AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs
+        ),
+        reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT ed.a, r.comp FROM edges ed JOIN reach r ON ed.b = r.id
+        ),
+        comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """,
+)
+def q_lx4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup correctness ANCHOR, oracle-checked: at n_centroids=1 the
+    cell join degenerates to exact all-pairs dedup, whose kept-id set a
+    recursive-CTE closure recomputes from scratch (same shape as q_l11's
+    oracle). The cluster-approximate configuration stays in q_lx4; this
+    row pins the pair-threshold, connected-components and min-id-
+    representative machinery cell-exactly. The threshold compare is safe:
+    Spark's declarative cosine is the same left-fold formulation as the
+    oracle's list_sum."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    kept = SIM.semantic_dedup(emb, tau=0.99, n_centroids=1)
+    return kept.select("vec_id")
+
+
 def _quantized_topk_oracle(k: int = 5) -> str:
     """DuckDB SQL recomputing the IDENTICAL SQ8 pipeline as
     ``quantize_embeddings`` + ``quantized_topk``: the int8 codes come from
