@@ -1141,29 +1141,88 @@ def q_l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmp_decode_oracle(side: int = 4, bmp_bytes: int = 102) -> str:
+    """DuckDB SQL recomputing q_lx2's decoded-image channel means directly
+    from the md5 pixel construction (operators/multimodal.py::
+    synthetic_bmp_media): raw pixel bytes are the concatenation of
+    md5(text ∥ 0x0000), md5(text ∥ 0x0001), md5(text ∥ 0x0002) — 48 bytes
+    reshaped (4,4,3). chr(0)/chr(1)/chr(2) hash the identical bytes in
+    DuckDB, so the oracle derives every byte from the hex digest and
+    aggregates the same channel means the Spark side reads back out of
+    the REAL encode->decode round trip. n_bytes is the fixed 4x4 24-bit
+    BMP file size (54-byte header + 48 pixel bytes, stride already
+    4-aligned)."""
+    n_px = side * side * 3
+
+    def byte(j: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(h{j // 16}, {2 * (j % 16) + 1}, 2)) AS INT)"
+        )
+
+    def chan(c: int) -> str:
+        return "(" + " + ".join(byte(j) for j in range(c, n_px, 3)) + ") / 16.0"
+
+    all_bytes = ", ".join(byte(j) for j in range(n_px))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   md5(text || chr(0) || chr(0)) AS h0,
+                   md5(text || chr(0) || chr(1)) AS h1,
+                   md5(text || chr(0) || chr(2)) AS h2
+            FROM documents WHERE doc_id <= 200
+        ), px AS (
+            SELECT doc_id, source,
+                   {chan(0)} AS mean_r, {chan(1)} AS mean_g, {chan(2)} AS mean_b,
+                   least({all_bytes}) AS px_min_d,
+                   greatest({all_bytes}) AS px_max_d
+            FROM d
+        )
+        SELECT source, count(*) AS n_media,
+               count(*) * {bmp_bytes} AS total_bytes,
+               {PR('sum(mean_r) / count(*)', 6)} AS avg_r,
+               {PR('sum(mean_g) / count(*)', 6)} AS avg_g,
+               {PR('sum(mean_b) / count(*)', 6)} AS avg_b,
+               CAST(min(px_min_d) AS BIGINT) AS px_min,
+               CAST(max(px_max_d) AS BIGINT) AS px_max
+        FROM px GROUP BY source
+    """
+
+
 @ext_query(
     "q_lx2_multimodal_decode",
-    oracle=None,  # binary codec round-trip is not SQL-expressible
+    oracle=_bmp_decode_oracle(),
 )
 def q_lx2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode path end-to-end: documents -> deterministic
-    valid BMP blobs (synthetic_bmp_media) -> genuine header+pixel decode
-    (codecs.decode_bmp, decode_stub=False) -> per-source feature stats.
-    Deterministic (md5-derived pixels), rows-only check; byte-exact codec
-    round-trips are unit-tested in tests/test_codecs.py."""
+    """REAL multimodal decode path end-to-end, value-checked: documents ->
+    deterministic valid BMP blobs (synthetic_bmp_media, pixels md5-derived
+    from the text) -> genuine header+pixel decode (codecs.decode_bmp,
+    decode_stub=False) -> per-source channel-mean stats. The oracle
+    recomputes the identical pixel bytes directly from md5 in SQL (the
+    construction is md5(text ∥ counter) — chr(0)/chr(1) suffixes hash the
+    same bytes in both engines), so a corruption anywhere in the
+    build->encode->decode->feature chain breaks the hash. Channel means
+    are sums of exact small integers / 16 (dyadic, order-independent) and
+    the per-source average is an explicit exact-sum / count — bit-portable
+    without any decimal detour. Byte-exact codec round-trips remain
+    unit-tested in tests/test_codecs.py."""
     from go_pq_cdc_elasticsearch_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     media = MM.synthetic_bmp_media(docs)
     feats = MM.extract_features(media, decode_stub=False)
     src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    f = F.col("features")
     return (
         feats.join(src, on="media_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
-            pround(F.avg(F.col("features").getItem(0)), 6).alias("mean_f0"),
+            pround(F.sum(f.getItem(2)) / F.count(F.lit(1)), 6).alias("avg_r"),
+            pround(F.sum(f.getItem(3)) / F.count(F.lit(1)), 6).alias("avg_g"),
+            pround(F.sum(f.getItem(4)) / F.count(F.lit(1)), 6).alias("avg_b"),
+            F.min(f.getItem(6)).cast("long").alias("px_min"),
+            F.max(f.getItem(7)).cast("long").alias("px_max"),
         )
         .orderBy("source")
     )
