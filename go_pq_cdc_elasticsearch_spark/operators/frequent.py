@@ -51,17 +51,23 @@ def heavy_hitters(
     if support_num <= 0 or support_den <= 0:
         raise ValueError("support_num/support_den must be positive")
     support = support_num / support_den
-    if support < 1e-4:
-        # freqItems' documented lower bound; below it the candidate set
-        # stops being usefully small anyway
-        raise ValueError("support below 1e-4 — use a plain groupBy")
+    if support < 2e-4:
+        # the sketch runs at support/2 (see below) and freqItems' documented
+        # lower bound is 1e-4; below this the candidate set stops being
+        # usefully small anyway
+        raise ValueError("support below 2e-4 — use a plain groupBy")
 
     non_null = df.select(col).where(F.col(col).isNotNull())
     total = non_null.count()
     if total == 0:
         return non_null.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
 
-    cand_items = non_null.freqItems([col], support=support).first()[0]
+    # the Karp/Shenker/Papadimitriou guarantee is STRICT: items with
+    # count > support*n are present, count == support*n is not promised.
+    # Sketch at support/2 so every item passing the >= threshold is a
+    # guaranteed candidate (count >= n*num/den > n*num/(2*den) for n > 0);
+    # the candidate bound stays ~2/support — still driver-trivial.
+    cand_items = non_null.freqItems([col], support=support / 2).first()[0]
     spark = df.sparkSession
     cands = spark.createDataFrame(
         [(c,) for c in cand_items], schema=non_null.schema
