@@ -72,27 +72,33 @@ def _hash64(col) -> Column:
 
 
 # k-permutation MinHash family: ONE md5 per shingle, then k universal-hash
-# mixes h_j(x) = (a_j*h(x) + b_j) mod (2^61-1) with md5-derived odd a_j and
-# b_j (< 2^28, so a_j*h < 2^62 — no BIGINT overflow in either engine).
-# This is the textbook (a*x+b) mod p permutation family; the previous form
-# ran k md5 invocations per shingle, which dominated the dedup-family
-# runtime (16x the hashing work for the same collision behavior).
-MERSENNE61 = (1 << 61) - 1
+# mixes h_j(x) = (a_j*h(x) + b_j) mod (2^31-1). The modulus must be SMALLER
+# than the 32-bit base-hash range or the reduction never engages: an
+# earlier 2^61-1 variant had a_j < 2^28, so a_j*h + b_j < 2^61-1 made every
+# "permutation" a strictly monotone map of the base hash — all k slots
+# picked the same argmin shingle and the signature carried one hash's worth
+# of information. With p = 2^31-1 and a_j up to p-1, a_j*h wraps p many
+# thousands of times (genuine mixing) while a_j*h + b_j < 2^63 stays
+# BIGINT-exact in both engines. Slot collisions cost ~2^-31 per shingle
+# pair — negligible at per-document shingle counts. One md5 per shingle
+# (not k) keeps the 16x hashing saving that motivated the family form.
+MERSENNE31 = (1 << 31) - 1
 
 
 def family_coeffs(j: int) -> tuple[int, int]:
     """Deterministic (a_j, b_j) for the j-th minhash permutation — derived
-    from md5 so Spark and the DuckDB oracle inline identical constants."""
+    from md5 so Spark and the DuckDB oracle inline identical constants.
+    a_j in [1, p-1], b_j in [0, p-1]."""
     import hashlib
 
-    a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) | 1
-    b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16)
+    a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (MERSENNE31 - 1) + 1
+    b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:8], 16) % MERSENNE31
     return a, b
 
 
 def _family(j: int, h: Column) -> Column:
     a, b = family_coeffs(j)
-    return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
 
 
 def minhash_signature(col, k: int = 16) -> Column:
@@ -204,7 +210,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id1 < id2): docs sharing at least one band bucket.
@@ -284,7 +290,7 @@ def dedup_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
     """Corpus near-dup REMOVAL (the end-to-end training-data pipeline):
@@ -312,6 +318,11 @@ def dedup_corpus(
         .select("id1", "id2")
     )
     comp = connected_components(verified)
+    # comp is localCheckpoint-materialized (independent of grams' lineage),
+    # so the cached gram sets — the heaviest intermediate — can be released
+    # before the caller executes the final anti-join; leaking them
+    # accumulated executor storage across repeated calls in one session
+    grams.unpersist()
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

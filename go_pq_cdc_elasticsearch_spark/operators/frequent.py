@@ -45,8 +45,15 @@ def heavy_hitters(
     (i.e. frequency >= support_num/support_den of non-null rows).
 
     Returns (col, cnt) — exact, deterministic. The candidate set is
-    collected to the driver (contractual small set: bounded by ~1/support
-    plus sketch slack, independent of data volume).
+    collected to the driver (contractual small set: bounded by ~2/support,
+    independent of data volume).
+
+    Cost shape: three scans of the input (total count, sketch pass,
+    verify pass) — deliberate. At corpus scale the exploded token stream
+    is far larger than executor storage, so caching it would thrash;
+    three streaming scans of a columnar source beat one cached pass that
+    spills. Callers that DO hold a small input can persist it before
+    calling.
     """
     if support_num <= 0 or support_den <= 0:
         raise ValueError("support_num/support_den must be positive")

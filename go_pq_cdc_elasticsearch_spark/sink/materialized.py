@@ -191,15 +191,22 @@ class MaterializedView:
         query (the stable query id, constant across checkpoint restarts):
         a DIFFERENT query feeding the same view restarts batch ids at 0,
         and comparing raw epochs across lineages would silently drop its
-        first batches — so a lineage change resets the frontier instead.
-        The frontier is recorded after the bucket swap, so a crash exactly
-        between swap and meta write re-merges that one batch on restart —
-        harmless here, quantified in the subclass docs."""
-        if lineage != self._lineage:
-            # new feeding query: its epoch counter is unrelated to the
-            # recorded one — reset the frontier rather than compare
+        first batches — so a KNOWN lineage change resets the frontier.
+        ``lineage=None`` means *unknown caller* (an interleaved batch
+        merge, or the queryId local property not visible to the Python
+        callback under a py4j thread mismatch) and must NOT reset: wiping
+        the frontier would let a redelivered epoch re-apply, double-
+        counting in non-idempotent subclasses — the exact case the guard
+        exists for. The frontier is recorded after the bucket swap, so a
+        crash exactly between swap and meta write re-merges that one
+        batch on restart — harmless here, quantified in the subclass
+        docs."""
+        if lineage is not None:
+            if self._lineage is not None and lineage != self._lineage:
+                # genuinely different feeding query: its epoch counter is
+                # unrelated to the recorded one — reset rather than compare
+                self._last_epoch = None
             self._lineage = lineage
-            self._last_epoch = None
         if epoch_id is not None and self._last_epoch is not None and (
             epoch_id <= self._last_epoch
         ):

@@ -80,17 +80,25 @@ def stage_slices(df, out_dir: str, n_files: int, slice_col: str = "__f") -> list
         if not os.path.isdir(d):
             continue
         parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        dst = os.path.join(out_dir, f"events_{i:04d}.parquet")
+        if not parts:
+            continue
         if len(parts) == 1:
-            shutil.move(os.path.join(d, parts[0]), dst)
+            slice_dsts = [os.path.join(out_dir, f"events_{i:04d}.parquet")]
+            shutil.move(os.path.join(d, parts[0]), slice_dsts[0])
         else:  # defensive: a slice split across files keeps its own order
+            slice_dsts = []
             for j, f in enumerate(sorted(parts)):
                 dst = os.path.join(out_dir, f"events_{i:04d}_{j}.parquet")
                 shutil.move(os.path.join(d, f), dst)
-        # file source orders by modification time; make it strictly increasing
-        t = now + i * 2
-        os.utime(dst, (t, t))
-        paths.append(dst)
+                slice_dsts.append(dst)
+        # file source orders by modification time; make it strictly
+        # increasing across slices AND within a split slice — EVERY part
+        # gets stamped, or parquet-write mtimes would replay split parts
+        # before slice 0 and break replay order == LSN order
+        for j, dst in enumerate(slice_dsts):
+            t = now + i * 2 + j * 0.001
+            os.utime(dst, (t, t))
+        paths.extend(slice_dsts)
     shutil.rmtree(tmp)
     return paths
 

@@ -44,10 +44,16 @@ def _spark_cell(field: T.StructField):
     if isinstance(t, (T.FloatType, T.DoubleType)):
         d = c.cast("double")
         scaled = F.floor(d * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+        # |x| >= 9e14 would overflow the x*1e4 BIGINT (DuckDB errors, Spark
+        # saturates) — above that, 4dp is noise anyway, so the canonical
+        # form degrades to floor(x) (integral doubles convert exactly in
+        # both engines up to DECIMAL(38,0) range)
+        big = F.floor(d).cast("decimal(38,0)").cast("string")
         s = (
             F.when(F.isnan(d), F.lit("NaN"))
             .when(d == F.lit(float("inf")), F.lit("Inf"))
             .when(d == F.lit(float("-inf")), F.lit("-Inf"))
+            .when(F.abs(d) >= F.lit(9.0e14), big)
             .otherwise(scaled.cast("string"))
         )
     elif isinstance(t, T.DecimalType) or isinstance(
@@ -85,6 +91,8 @@ def _duck_cell(name: str, duck_type: str) -> str:
             f"CASE WHEN isnan({d}) THEN 'NaN' "
             f"WHEN isinf({d}) AND {d} > 0 THEN 'Inf' "
             f"WHEN isinf({d}) THEN '-Inf' "
+            f"WHEN abs({d}) >= 9.0e14 "
+            f"THEN CAST(CAST(floor({d}) AS DECIMAL(38,0)) AS VARCHAR) "
             f"ELSE CAST(CAST(floor({d} * 10000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
         )
     elif t.startswith("DECIMAL") or t in (

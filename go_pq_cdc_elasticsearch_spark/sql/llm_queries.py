@@ -103,16 +103,16 @@ def _minhash_family_sql(j: int) -> str:
     """DuckDB twin of operators/dedup.py::_family — identical (a,b,p)
     constants, one md5 per shingle then integer mixing."""
     from go_pq_cdc_elasticsearch_spark.operators.dedup import (
-        MERSENNE61,
+        MERSENNE31,
         family_coeffs,
     )
 
     a, b = family_coeffs(j)
     h = HASH_SQL.format(x="s")
-    return f"list_min(list_transform(grams, s -> (({a} * {h} + {b}) % {MERSENNE61})))"
+    return f"list_min(list_transform(grams, s -> (({a} * {h} + {b}) % {MERSENNE31})))"
 
 
-def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(k: int = 16, bands: int = 8) -> str:
     rows = k // bands
     sig_entries = ",\n            ".join(
         _minhash_family_sql(j) for j in range(k)
@@ -152,7 +152,7 @@ def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
 @query(
     "q_l4_minhash_lsh",
     oracle=_minhash_oracle(),
-    doc="MinHash(16 perms)+LSH(4 bands) near-dup candidate generation: "
+    doc="MinHash(16 perms)+LSH(8 bands of 2) near-dup candidate generation: "
     "signature/bucket values are md5-derived, so the oracle computes the "
     "identical buckets — full value parity, not just counts.",
 )
@@ -160,8 +160,9 @@ def q_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # docs with <3 words simply produce no shingles (no pre-filter pass);
     # three consumers (self-join x2 + counts): persist the band rows so
-    # signatures are computed once (tiny: 4 rows/doc of (id, idx, hash))
-    band_rows = DD.minhash_band_rows(docs, k=16, bands=4).persist()
+    # signatures are computed once (tiny: 8 rows/doc of (id, idx, hash);
+    # stays cached for the session — bounded, unlike a gram-set cache)
+    band_rows = DD.minhash_band_rows(docs, k=16, bands=8).persist()
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -1064,7 +1065,7 @@ _EXT["q_l7_simhash"].oracle = f"""
 """
 
 
-def _dedup_corpus_oracle(k: int = 16, bands: int = 4, tau: float = 0.7) -> str:
+def _dedup_corpus_oracle(k: int = 16, bands: int = 8, tau: float = 0.7) -> str:
     rows = k // bands
     sig_entries = ",\n            ".join(
         _minhash_family_sql(j) for j in range(k)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import contextlib
 import os
 import tempfile
+import time
 
 from pyspark.sql import SparkSession
 
@@ -81,7 +82,15 @@ def run_cdc_stream(
             q.awaitTermination()
     else:
         with stream_partition_conf(spark):
-            writer.trigger(processingTime=processing_time).start()
+            q = writer.trigger(processingTime=processing_time).start()
+            # start() returns before batch 0 plans (async thread) and the
+            # state partition count is captured from shuffle.partitions at
+            # that planning — hold the conf until the first micro-batch
+            # reports progress so the stream can't race the restore and
+            # freeze the session-wide value into its checkpoint
+            deadline = time.time() + 60
+            while not q.recentProgress and time.time() < deadline:
+                time.sleep(0.1)
     return view
 
 

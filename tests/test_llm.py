@@ -38,7 +38,10 @@ def test_exact_dedup_normalization(spark):
 def test_minhash_lsh_finds_planted_neardups(spark):
     pairs = {
         (r["id1"], r["id2"])
-        for r in DD.minhash_lsh_candidates(_docs(spark), k=16, bands=4).collect()
+        # 8 bands of 2 rows (the default): S-curve threshold ~0.35, so the
+        # J~0.8 planted near-dup is found with near-certainty — the honest
+        # calibration for the non-degenerate permutation family
+        for r in DD.minhash_lsh_candidates(_docs(spark), k=16, bands=8).collect()
     }
     assert (1, 2) in pairs  # exact dup always collides
     assert (1, 5) in pairs  # normalization dup
@@ -335,3 +338,33 @@ def test_heavy_hitters_empty_and_validation(spark):
         heavy_hitters(empty, "k", 0, 10)
     with pytest.raises(ValueError):
         heavy_hitters(empty, "k", 1, 100000)
+
+
+def test_minhash_family_permutations_are_diverse():
+    # regression: with a modulus larger than the a*h+b range the reduction
+    # never engages and every "permutation" is monotone in the base hash —
+    # all k slots pick the SAME argmin shingle. The family must genuinely
+    # reorder: across k slots the argmin over a fixed shingle set should
+    # hit many different shingles, and slot rankings must disagree.
+    import hashlib
+
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+        MERSENNE31,
+        family_coeffs,
+    )
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    shingles = [f"tok{i} tok{i+1} tok{i+2}" for i in range(200)]
+    hs = [h64(s) for s in shingles]
+    argmins = []
+    for j in range(16):
+        a, b = family_coeffs(j)
+        vals = [(a * h + b) % MERSENNE31 for h in hs]
+        argmins.append(vals.index(min(vals)))
+    # 16 independent permutations over 200 elements: expected ~15 distinct
+    # argmins; the degenerate family gives exactly 1
+    assert len(set(argmins)) >= 8, argmins
+    base_argmin = hs.index(min(hs))
+    assert any(am != base_argmin for am in argmins)

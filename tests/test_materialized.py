@@ -169,3 +169,22 @@ def test_epoch_frontier_scoped_by_lineage(spark):
     mv2 = MaterializedView(spark, path)
     mv2.merge_batch(_batch(spark, [(5, "update", 1, 55.0)]), epoch_id=0, lineage="q2")
     assert {r["value"] for r in mv2.read().collect()} == {44.0}
+
+
+def test_unknown_lineage_does_not_reset_frontier(spark):
+    # lineage=None means "unknown caller" (interleaved batch merge, or the
+    # queryId local property invisible to the Python callback) — it must
+    # NOT wipe the frontier, or a redelivered epoch would re-apply
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_u_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 10.0)]), epoch_id=0, lineage="q1")
+    mv.merge_batch(_batch(spark, [(2, "update", 1, 11.0)]), epoch_id=1, lineage="q1")
+    # an interleaved batch merge with no lineage/epoch applies normally...
+    mv.merge_batch(_batch(spark, [(3, "update", 2, 20.0)]))
+    # ...and a redelivery of q1's epoch 1 is STILL skipped afterwards
+    mv.merge_batch(_batch(spark, [(4, "update", 1, 99.0)]), epoch_id=1, lineage="q1")
+    vals = {r["user_id"]: r["value"] for r in mv.read().collect()}
+    assert vals == {1: 11.0, 2: 20.0}
+    # a None-lineage caller WITH an epoch id is also held to the frontier
+    mv.merge_batch(_batch(spark, [(5, "update", 1, 77.0)]), epoch_id=1, lineage=None)
+    assert {r["value"] for r in mv.read().filter("user_id = 1").collect()} == {11.0}
