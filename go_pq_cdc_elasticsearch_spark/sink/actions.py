@@ -44,8 +44,14 @@ def actions_from_envelope(
     """
     is_del = F.col("op") == F.lit(delete_op)
     payload = F.when(is_del, F.col("old_data")).otherwise(F.col("new_data"))
+    # drop a pre-existing 'operation' key before the concat: the reference
+    # OVERWRITES it (msg.NewData["operation"] = msg.Type is a Go map
+    # assignment), whereas Spark's map_concat under the default
+    # mapKeyDedupPolicy=EXCEPTION would crash-loop the stream on the first
+    # table that has a real column of that name
     enriched = F.map_concat(
-        F.col("new_data"), F.create_map(F.lit("operation"), F.col("op"))
+        F.map_filter(F.col("new_data"), lambda k, _v: k != F.lit("operation")),
+        F.create_map(F.lit("operation"), F.col("op")),
     )
     return envelope.select(
         F.col("seq"),

@@ -307,7 +307,12 @@ def write_bulk_results(
     (bulk/bulk.go:392-411) dispatching OnSuccess for acked items and
     OnError for failed ones (elasticsearch/response_handler.go:8-23).
     ``ok=true`` rows are the OnSuccess stream (error null), ``ok=false``
-    rows the OnError stream; filter for either side."""
+    rows the OnError stream; filter for either side.
+
+    The returned frame is EAGERLY materialized (localCheckpoint): the bulk
+    POSTs are side effects, and a lazy plan would re-send every request on
+    each action over the result (a second count(), an AQE stage retry,
+    cache eviction) — double-applying non-idempotent script updates."""
     effective_type = resolve_type_name(type_name, es_version)
 
     def run(batches):
@@ -347,7 +352,7 @@ def write_bulk_results(
 
     return actions.mapInPandas(
         run, schema="doc_id string, index string, status int, error string, ok boolean"
-    )
+    ).localCheckpoint()
 
 
 def write_bulk_with_dlq(

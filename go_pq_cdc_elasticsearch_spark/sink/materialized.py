@@ -23,11 +23,14 @@ Engine design (no Delta in this container, so MERGE is emulated):
 
 Durability note (honest, not "atomic"): each touched bucket is swapped via
 two renames, so a crash mid-swap can leave ONE bucket briefly missing for
-concurrent readers; the marker-file protocol makes recovery re-runnable
-(the stream re-delivers the unacked batch and the seq-resolved merge is
-idempotent). A cluster deployment gets real atomicity from the table
-format's commit log (Delta/Iceberg); single-writer semantics here mirror
-the reference's one-connector-per-slot model (U3 non-goal, COVERAGE.md).
+concurrent readers. ``_recover_interrupted_swap`` (run on every open of an
+existing view) repairs ``.old`` leftovers: a swap that lost its live dir
+restores the pre-merge state, and the interrupted batch re-merges on
+redelivery (the epoch frontier is only advanced after the swap, and the
+seq-resolved merge is idempotent). A cluster deployment gets real
+atomicity from the table format's commit log (Delta/Iceberg);
+single-writer semantics here mirror the reference's one-connector-per-slot
+model (U3 non-goal, COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -90,6 +93,32 @@ class MaterializedView:
             self._drifted = bool(meta.get("drifted", False))
             self._last_epoch = meta.get("last_epoch")
             self._lineage = meta.get("lineage")
+            self._recover_interrupted_swap()
+
+    def _recover_interrupted_swap(self) -> None:
+        """Repair ``__bucket=N.old`` leftovers from a crash inside
+        ``_swap_buckets`` (rename(dst->old); rename(src->dst); rmtree(old)):
+
+        - ``.old`` present, live dir MISSING -> the crash hit between the
+          two renames; the new dir still lived under the tmp staging area
+          (gone), so the pre-merge state in ``.old`` is the only copy —
+          restore it. The interrupted batch is re-merged on redelivery
+          (at-least-once; the epoch frontier was deliberately not yet
+          advanced).
+        - ``.old`` present, live dir PRESENT -> the swap completed and
+          only the cleanup was lost — drop the garbage.
+        """
+        if not os.path.isdir(self.path):
+            return
+        for d in os.listdir(self.path):
+            if not (d.startswith(_BUCKET_COL + "=") and d.endswith(".old")):
+                continue
+            old = os.path.join(self.path, d)
+            live = old[: -len(".old")]
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
 
     # -- layout helpers ------------------------------------------------------
 
@@ -133,11 +162,15 @@ class MaterializedView:
     def _bucket_dirs(self) -> list[int]:
         if not os.path.isdir(self.path):
             return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.path)
-            if d.startswith(_BUCKET_COL + "=")
-        )
+        out = []
+        for d in os.listdir(self.path):
+            if not d.startswith(_BUCKET_COL + "="):
+                continue
+            suffix = d.split("=", 1)[1]
+            if not suffix.isdigit():
+                continue  # e.g. an in-flight swap's '<n>.old' dir
+            out.append(int(suffix))
+        return sorted(out)
 
     def _read_buckets(
         self, buckets: list[int] | None = None, merge_schema: bool = True

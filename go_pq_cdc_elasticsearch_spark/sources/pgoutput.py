@@ -289,11 +289,18 @@ class ReplicationClient:
             raise RuntimeError(f"expected CopyBothResponse, got {t!r}")
         self.started = True
 
-    def poll(self):
+    def poll(self, heartbeat: bool = False):
         """Yield decoded change dicts until the stream ends. Keepalives are
         answered inline (reply_requested => immediate status update with the
         current flushed LSN) — the liveness contract that keeps the slot
-        from timing out."""
+        from timing out.
+
+        ``heartbeat=True`` additionally yields ``None`` after each
+        keepalive frame: on an idle stream (keepalives only) a plain
+        poll() never returns control to the caller, so a consumer loop
+        could neither forward acks, nor time-flush a partial segment, nor
+        observe its stop event — the idle-slot WAL-retention failure the
+        ack forwarding exists to prevent."""
         while True:
             t, body = read_frame(self.file)
             if not t or t == b"Z":  # EOF / ReadyForQuery after CopyDone
@@ -306,6 +313,8 @@ class ReplicationClient:
                 self.last_wal_end = max(self.last_wal_end, wal_end)
                 if reply:
                     self.ack(self.flushed_lsn)
+                if heartbeat:
+                    yield None
                 continue
             if kind == b"w":
                 wal_start, wal_end, _clock = struct.unpack_from("!QQQ", body, 1)
@@ -413,6 +422,7 @@ def run_live_consumer(
     stop_event=None,
     batch_size: int = 200,
     ack_interval_sec: float = 1.0,
+    flush_interval_sec: float = 5.0,
 ) -> int:
     """The long-running consumer loop a live Connector runs in a thread:
     pump changes into segment files AND periodically forward the Spark
@@ -420,63 +430,109 @@ def run_live_consumer(
     checkpoint when ``checkpoint_dir`` is given — the durable source —
     else from the _committed record file). Returns the last acked LSN.
     Exits when the server ends the stream, the socket breaks, or
-    ``stop_event`` is set (checked between messages)."""
+    ``stop_event`` is set.
+
+    Housekeeping (ack sweep, time-based partial-segment flush — the
+    reference's batchTickerDuration analog, bulk/bulk.go:110-116 — and
+    the stop check) runs on EVERY yielded item including keepalive
+    heartbeats, so an idle stream still forwards acks, publishes a
+    partial segment within ``flush_interval_sec``, and stops promptly."""
     import time
 
     from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
 
+    committed_offset = 0
+
     def ack_sweep(last: int) -> int:
+        nonlocal committed_offset
         if checkpoint_dir is not None:
             return forward_checkpoint_acks(client, checkpoint_dir, last)
-        return forward_committed_acks(client, segments_dir, last)
+        last, committed_offset = forward_committed_acks_tail(
+            client, segments_dir, last, committed_offset
+        )
+        return last
 
     buf: list[dict] = []
     last_acked = -1
     last_ack_t = 0.0
+    last_flush_t = time.time()
     try:
-        for change in client.poll():
-            buf.append(change)
-            if len(buf) >= batch_size:
+        for change in client.poll(heartbeat=True):
+            now = time.time()
+            if change is not None:
+                buf.append(change)
+            if buf and (
+                len(buf) >= batch_size or now - last_flush_t >= flush_interval_sec
+            ):
                 write_wal_segment(segments_dir, buf)
                 buf = []
-            now = time.time()
+                last_flush_t = now
             if now - last_ack_t >= ack_interval_sec:
                 last_acked = ack_sweep(last_acked)
                 last_ack_t = now
             if stop_event is not None and stop_event.is_set():
                 break
-    except OSError:
-        pass  # socket closed under us (Connector.close) — flush what we have
+    except (OSError, ValueError, struct.error):
+        # socket closed under us (Connector.close raises ValueError on the
+        # closed file object) or a truncated frame (struct.error) — in
+        # every case flush what we have, like the reference's
+        # crash-and-replay path
+        pass
     if buf:
         write_wal_segment(segments_dir, buf)
     try:
         last_acked = ack_sweep(last_acked)
-    except OSError:
+    except (OSError, ValueError):
         pass
     return last_acked
 
 
-def forward_committed_acks(
-    client: ReplicationClient, segments_dir: str, last_acked: int = -1
-) -> int:
+def forward_committed_acks_tail(
+    client: ReplicationClient,
+    segments_dir: str,
+    last_acked: int = -1,
+    offset: int = 0,
+) -> tuple[int, int]:
     """Tail ``<segments_dir>/_committed`` (appended by the Spark source's
-    commit()) and forward the newest frontier as a StandbyStatusUpdate.
-    Returns the new last-acked LSN. Called from the consumer loop — the
-    process that owns the socket; Spark's commit() runs in the
+    commit()) FROM ``offset`` and forward the newest frontier as a
+    StandbyStatusUpdate. Returns (last_acked, new_offset). The offset
+    keeps each sweep O(appended bytes): commit() appends one record per
+    batch forever, so re-parsing the whole file made a long-running
+    processing-time stream's 1 s sweeps O(total batches ever committed).
+    A possibly-partial final line (commit mid-append) is left for the
+    next sweep by rewinding to the last newline. Called from the consumer
+    loop — the process that owns the socket; Spark's commit() runs in the
     python-streaming-source runner, which is why the handoff is a file."""
     import json
     import os
 
     p = os.path.join(segments_dir, "_committed")
     if not os.path.exists(p):
-        return last_acked
+        return last_acked, offset
     newest = last_acked
-    with open(p) as f:
-        for line in f:
-            try:
-                newest = max(newest, json.loads(line).get("lsn", -1))
-            except ValueError:
-                continue
+    with open(p, "rb") as f:
+        f.seek(offset)
+        chunk = f.read()
+    if not chunk:
+        return last_acked, offset
+    complete, sep, _tail = chunk.rpartition(b"\n")
+    if not sep:
+        return last_acked, offset  # no full line appended yet
+    offset += len(complete) + 1
+    for line in complete.splitlines():
+        try:
+            newest = max(newest, json.loads(line).get("lsn", -1))
+        except ValueError:
+            continue
     if newest > last_acked and newest >= 0:
         client.ack(newest)
+    return newest, offset
+
+
+def forward_committed_acks(
+    client: ReplicationClient, segments_dir: str, last_acked: int = -1
+) -> int:
+    """Whole-file variant of ``forward_committed_acks_tail`` (one-shot
+    callers / final sweep)."""
+    newest, _ = forward_committed_acks_tail(client, segments_dir, last_acked, 0)
     return newest

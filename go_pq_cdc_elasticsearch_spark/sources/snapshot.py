@@ -53,9 +53,16 @@ def parquet_footer_stats(path: str) -> tuple[int, int]:
 
 
 def _parse_bytes(v: str) -> int:
-    """Spark byte-size conf values: plain digits or k/m/g(b) suffixed."""
+    """Spark byte-size conf values: plain digits or k/m/g/t/p(b) suffixed
+    (the full suffix set Spark's own byteStringAs parser accepts)."""
     v = v.strip().lower().removesuffix("b")
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1:], 1)
+    mult = {
+        "k": 1 << 10,
+        "m": 1 << 20,
+        "g": 1 << 30,
+        "t": 1 << 40,
+        "p": 1 << 50,
+    }.get(v[-1:], 1)
     return int(v[:-1] if mult > 1 else v) * mult
 
 

@@ -169,3 +169,41 @@ def test_write_bulk_error_contract(spark):
         EB.write_bulk(df, bad_transport, on_error="fail")
     # handler mode => continue
     EB.write_bulk(df, bad_transport, on_error="continue")
+
+
+def test_write_bulk_results_is_eager_not_replayed(spark):
+    # regression: the bulk POSTs are side effects — a lazy result plan
+    # would re-send every request on each action over the frame (second
+    # count, AQE retry, cache eviction), double-applying non-idempotent
+    # script updates. The result must be materialized once.
+    import os as _os
+    import tempfile as _tf
+
+    rec_dir = _tf.mkdtemp(prefix="bulk_eager_")
+
+    def transport(payload: bytes) -> str:
+        import json as _json
+        import os as _os2
+        import uuid as _uuid
+
+        with open(_os2.path.join(rec_dir, f"{_uuid.uuid4().hex}.req"), "wb") as f:
+            f.write(payload)
+        items = []
+        for line in payload.decode().splitlines():
+            d = _json.loads(line)
+            for verb in ("index", "delete", "update"):
+                if verb in d and "_id" in d[verb]:
+                    items.append({verb: {"_id": d[verb]["_id"],
+                                         "_index": d[verb]["_index"], "status": 200}})
+        return _json.dumps({"errors": False, "items": items})
+
+    df = spark.createDataFrame(
+        [("index", str(i), "t", None, '{"v":1}') for i in range(10)],
+        "action string, doc_id string, index string, routing string, source string",
+    ).coalesce(1)
+    res = EB.write_bulk_results(df, transport)
+    n_after_build = len(_os.listdir(rec_dir))
+    assert res.count() == 10
+    assert res.filter("ok").count() == 10  # second action over the frame
+    res.collect()  # third
+    assert len(_os.listdir(rec_dir)) == n_after_build  # no re-sends

@@ -103,3 +103,30 @@ def test_python_handler_empty_result_filters(spark, sf_dir):
         else [{"action": "delete", "doc_id": m["old_data"]["id"], "index": m["index"]}]
     )(env.select("seq", "op", "old_data", "new_data", "index"))
     assert only_deletes.count() == env.filter(model.is_delete()).count()
+
+
+def test_enrichment_overwrites_existing_operation_key(spark):
+    # a CDC table with a real column named 'operation' must not crash the
+    # map_concat under mapKeyDedupPolicy=EXCEPTION; the reference's Go map
+    # assignment semantics overwrite it with the op type
+    from go_pq_cdc_elasticsearch_spark.sink.actions import actions_from_envelope
+
+    env = spark.createDataFrame(
+        [(1, "INSERT", None, {"id": "7", "operation": "user-column"}, "idx")],
+        "seq long, op string, old_data map<string,string>, "
+        "new_data map<string,string>, index string",
+    )
+    [row] = actions_from_envelope(env).collect()
+    import json
+
+    assert json.loads(row["source"])["operation"] == "INSERT"
+
+
+def test_parse_bytes_full_suffix_set():
+    from go_pq_cdc_elasticsearch_spark.sources.snapshot import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1gb") == 1 << 30
+    assert _parse_bytes("1tb") == 1 << 40
+    assert _parse_bytes("2p") == 2 << 50

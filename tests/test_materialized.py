@@ -188,3 +188,29 @@ def test_unknown_lineage_does_not_reset_frontier(spark):
     # a None-lineage caller WITH an epoch id is also held to the frontier
     mv.merge_batch(_batch(spark, [(5, "update", 1, 77.0)]), epoch_id=1, lineage=None)
     assert {r["value"] for r in mv.read().filter("user_id = 1").collect()} == {11.0}
+
+
+def test_interrupted_swap_recovery(spark):
+    # simulate a crash between _swap_buckets' two renames: the live bucket
+    # dir was renamed to .old, the replacement was lost with the tmp dir.
+    # Reopening the view must restore the pre-merge state (lossless) and
+    # keep every read path working; the redelivered batch then re-merges.
+    import shutil
+
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_c_"), "view")
+    mv = MaterializedView(spark, path)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 10.0), (2, "insert", 2, 20.0)]),
+                   epoch_id=0, lineage="q1")
+    [b] = [d for d in os.listdir(path) if d.startswith("__bucket=")]
+    os.rename(os.path.join(path, b), os.path.join(path, b + ".old"))
+    mv2 = MaterializedView(spark, path)  # reopen -> recovery runs
+    assert {r["value"] for r in mv2.read().collect()} == {10.0, 20.0}
+    # redelivery of the interrupted batch is a no-op / idempotent
+    mv2.merge_batch(_batch(spark, [(3, "update", 1, 11.0)]), epoch_id=1, lineage="q1")
+    assert {r["value"] for r in mv2.read().collect()} == {11.0, 20.0}
+    # completed-swap leftovers (live dir present + .old) are garbage-collected
+    live = os.path.join(path, b)
+    shutil.copytree(live, live + ".old")
+    mv3 = MaterializedView(spark, path)
+    assert not os.path.exists(live + ".old")
+    assert {r["value"] for r in mv3.read().collect()} == {11.0, 20.0}
