@@ -161,23 +161,12 @@ def minhash_band_rows(
             F.col(id_col), F.explode("grams").alias("__gram")
         )
     else:
-        words_df = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-        exploded_grams = words_df.select(
+        # word_ngrams is the slice/zip formulation — the element_at form
+        # re-evaluates the tokenize chain per gram element once Catalyst
+        # collapses the projection (measured 4-5x on the corpus pipeline)
+        exploded_grams = df.select(
             F.col(id_col),
-            F.explode(
-                F.when(
-                    F.size("__w") >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("__w") - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at("__w", i.cast("int")),
-                            F.element_at("__w", (i + 1).cast("int")),
-                            F.element_at("__w", (i + 2).cast("int")),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("__gram"),
+            F.explode(word_ngrams(F.col(text_col), 3)).alias("__gram"),
         )
     gram_hashed = exploded_grams.select(
         F.col(id_col), _hash64(F.col("__gram")).alias("__gh")
@@ -395,19 +384,14 @@ def doc_ngram_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, grams) with grams = DISTINCT word n-grams — one pass per doc.
-    Staged so pair-level similarity never re-derives the text pipeline."""
-    words_df = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("__w") - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("__w", (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return words_df.select(
+    Staged so pair-level similarity never re-derives the text pipeline.
+    Uses the slice/zip ``word_ngrams`` form: the earlier
+    ``transform(sequence, i -> element_at(w, i+j))`` version re-ran the
+    full tokenize chain per gram element after projection collapse —
+    measured 5.6s -> 0.7s on the sf0.1 corpus for this one stage."""
+    return df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.when(F.size("__w") >= n, grams).otherwise(F.array().cast("array<string>"))
-        ).alias("grams"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
 
 
