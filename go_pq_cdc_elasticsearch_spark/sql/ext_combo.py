@@ -88,6 +88,7 @@ SX3_PARTS = [
     "q_l15_winnow_candidates",
     "q_l26_token_heavy_hitters",
     "q_lx3_quantized_topk",
+    "q_lx5_incremental_dedup",
     "q_t8_continuous_agg",
 ]
 

@@ -1485,3 +1485,85 @@ def q_l10(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = SIM.lsh_topk(emb, queries_df, k=5, n_planes=8)
     return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")
+
+
+def _incremental_dedup_oracle(k: int = 16, bands: int = 8, tau: float = 0.7) -> str:
+    """Batch verified-pairs SQL: the incremental index replaying the corpus
+    must surface exactly these pairs (union over micro-batches of
+    in-batch + cross-batch discoveries == all-pairs sharing a band bucket,
+    because every pair has a later-arriving member at whose arrival the
+    earlier one is already indexed)."""
+    rows = k // bands
+    sig_entries = ",\n            ".join(_minhash_family_sql(j) for j in range(k))
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), g AS (
+            SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
+        ), gd AS (
+            SELECT doc_id, list_distinct(grams) AS grams FROM g
+        ), sig_t AS (
+            SELECT doc_id, [{sig_entries}] AS sig FROM g
+        ), banded AS (
+            SELECT doc_id, {band_cols} FROM sig_t
+        ), bands AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT id1, id2,
+               {PR('CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)'
+                   ' / len(list_distinct(ga.grams || gb.grams))', 6)} AS jaccard
+        FROM cand
+        JOIN gd ga ON ga.doc_id = id1
+        JOIN gd gb ON gb.doc_id = id2
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(ga.grams || gb.grams)) >= {tau}
+    """
+
+
+@ext_query(
+    "q_lx5_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+)
+def q_lx5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup index (streaming/incremental_dedup.py) driven
+    end-to-end: the documents corpus arrives in three out-of-id-order
+    waves; each wave is probed against the band-bucket index state
+    (partition-pruned read), verified candidate-only with exact n-gram
+    Jaccard, then indexed. The union of discovered pairs must equal the
+    batch pipeline's verified pairs — the oracle recomputes those from
+    scratch in SQL, values included."""
+    import os
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        LshDedupIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lshidx_q_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=0.7)
+    parts = []
+    for i, m in enumerate((2, 0, 1)):
+        parts.append(
+            idx.process_batch(
+                docs.filter(F.col("doc_id") % 3 == m), corpus=docs, epoch_id=i
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("id1", "id2", pround("jaccard", 6).alias("jaccard"))

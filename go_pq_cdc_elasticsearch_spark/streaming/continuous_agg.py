@@ -37,8 +37,22 @@ _DEC = "decimal(30,10)"
 class ContinuousAggregate(MaterializedView):
     """Incrementally-maintained ``GROUP BY group_cols`` with additive
     metrics: ``n`` (row count), ``sum_<c>`` / ``min_<c>`` / ``max_<c>``
-    per configured column. ``prepare`` (optional) runs on every raw batch
-    before aggregation — the place to derive the time-bucket column."""
+    per configured column, and ``hll_<c>`` mergeable distinct sketches per
+    ``distinct_cols`` entry. ``prepare`` (optional) runs on every raw batch
+    before aggregation — the place to derive the time-bucket column.
+
+    ``distinct_cols`` is the 100 TB answer to COUNT(DISTINCT) in an
+    incremental rollup: exact distinct is not mergeable (it needs the full
+    value set per group), but a DataSketches HLL sketch is ~KBs of fixed
+    state per group, merges associatively AND idempotently (register max —
+    a re-merged overlap cannot inflate it), and the merge is
+    estimate-deterministic: union-of-partial-sketches estimates equal the
+    sketch-of-the-whole estimate (bit-identical bytes too once the sketch
+    is dense; sparse/coupon-mode serialization is insertion-order-
+    dependent, so the ESTIMATE is the mode-independent invariant —
+    asserted in test_continuous_agg), keeping incremental == batch an
+    exact-equality check even though the estimate itself is approximate.
+    ``read()`` exposes ``approx_distinct_<c>`` via ``hll_sketch_estimate``."""
 
     def __init__(
         self,
@@ -48,6 +62,7 @@ class ContinuousAggregate(MaterializedView):
         sum_cols: Sequence[str] = (),
         min_cols: Sequence[str] = (),
         max_cols: Sequence[str] = (),
+        distinct_cols: Sequence[str] = (),
         prepare: Callable[[DataFrame], DataFrame] | None = None,
         n_buckets: int | None = None,
         **kwargs,
@@ -65,6 +80,7 @@ class ContinuousAggregate(MaterializedView):
         self.sum_cols = list(sum_cols)
         self.min_cols = list(min_cols)
         self.max_cols = list(max_cols)
+        self.distinct_cols = list(distinct_cols)
         self.prepare = prepare
 
     # -- merge hooks ---------------------------------------------------------
@@ -77,6 +93,9 @@ class ContinuousAggregate(MaterializedView):
         ]
         aggs += [F.min(c).alias(f"min_{c}") for c in self.min_cols]
         aggs += [F.max(c).alias(f"max_{c}") for c in self.max_cols]
+        aggs += [
+            F.hll_sketch_agg(c).alias(f"hll_{c}") for c in self.distinct_cols
+        ]
         return batch.groupBy(*self.keys).agg(*aggs)
 
     def _resolve(self, merged: DataFrame) -> DataFrame:
@@ -91,6 +110,10 @@ class ContinuousAggregate(MaterializedView):
         ]
         aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in self.min_cols]
         aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in self.max_cols]
+        aggs += [
+            F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}")
+            for c in self.distinct_cols
+        ]
         return merged.groupBy(*self.keys, _BUCKET_COL).agg(*aggs)
 
     def merge_batch(
@@ -115,6 +138,11 @@ class ContinuousAggregate(MaterializedView):
             state = state.withColumn(
                 f"avg_{c}",
                 (F.col(f"sum_{c}") / F.col("n")).cast("double"),
+            )
+        for c in self.distinct_cols:
+            state = state.withColumn(
+                f"approx_distinct_{c}",
+                F.hll_sketch_estimate(F.col(f"hll_{c}")).cast("long"),
             )
         return state
 

@@ -91,6 +91,59 @@ def test_avg_derivation(spark, sf_dir):
         assert abs(r["avg_value"] - float(r["sum_value"]) / r["n"]) < 1e-9
 
 
+def test_hll_distinct_incremental_equals_batch(spark, sf_dir):
+    """Mergeable HLL distinct sketches: the incrementally-merged view's
+    ESTIMATE equals the from-scratch batch sketch's estimate (in dense HLL
+    mode the bytes match too, but sparse/coupon-mode serialization is
+    insertion-order-dependent, so the estimate — exact in coupon mode,
+    register-derived in dense mode — is the mode-independent invariant),
+    the estimate tracks exact countDistinct within HLL error, and a
+    re-merged overlap cannot inflate the sketch (register/coupon-set
+    idempotence) even when the epoch guard is bypassed."""
+    work = tempfile.mkdtemp(prefix="cagg_hll_")
+    events = load_table(spark, sf_dir, "events")
+    ca = ContinuousAggregate(
+        spark,
+        os.path.join(work, "agg"),
+        group_cols=["event_type"],
+        distinct_cols=["user_id"],
+    )
+    for i, m in enumerate((2, 0, 1)):
+        ca.merge_batch(events.filter(F.col("event_id") % 3 == m), epoch_id=i)
+    got = {
+        r["event_type"]: r["approx_distinct_user_id"]
+        for r in ca.read().collect()
+    }
+    batch = {
+        r["event_type"]: r["e"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("e")
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == batch
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et])
+    # idempotence of the union itself: re-merge chunk 0 with a NEW epoch
+    # (so the frontier guard does not absorb it) — counts would double,
+    # but the distinct estimate must not move
+    ca.merge_batch(events.filter(F.col("event_id") % 3 == 2), epoch_id=9)
+    after = {
+        r["event_type"]: r["approx_distinct_user_id"]
+        for r in ca.read().collect()
+    }
+    assert after == batch
+
+
 def test_streaming_end_to_end(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="cagg_s_")
     staged = os.path.join(work, "staged")

@@ -1,0 +1,88 @@
+"""Incremental LSH dedup index: replaying the corpus in micro-batches must
+discover exactly the pairs the batch pipeline finds on the whole corpus."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from go_pq_cdc_elasticsearch_spark.catalog import load_table
+from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+    doc_ngram_sets,
+    jaccard_from_sets,
+    minhash_lsh_candidates,
+)
+from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+    LshDedupIndex,
+    greedy_keep_filter,
+)
+
+TAU = 0.7
+
+
+def _batch_verified_pairs(docs):
+    grams = doc_ngram_sets(docs)
+    cands = minhash_lsh_candidates(docs)
+    g1 = grams.select(F.col("doc_id").alias("id1"), F.col("grams").alias("__g1"))
+    g2 = grams.select(F.col("doc_id").alias("id2"), F.col("grams").alias("__g2"))
+    return {
+        (r["id1"], r["id2"])
+        for r in cands.join(g1, "id1")
+        .join(g2, "id2")
+        .filter(jaccard_from_sets(F.col("__g1"), F.col("__g2")) >= TAU)
+        .select("id1", "id2")
+        .collect()
+    }
+
+
+def test_replay_equals_batch_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lshidx_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=TAU)
+    got = set()
+    # three arrival waves, deliberately NOT in id order
+    for i, m in enumerate((2, 0, 1)):
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        pairs = idx.process_batch(batch, corpus=docs, epoch_id=i)
+        for r in pairs.collect():
+            got.add((r["id1"], r["id2"]))
+            assert r["jaccard"] >= TAU
+    assert got == _batch_verified_pairs(docs)
+
+
+def test_epoch_redelivery_and_reopen(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    work = tempfile.mkdtemp(prefix="lshidx_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=TAU)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx.process_batch(b0, corpus=docs, epoch_id=0)
+    # a reopened index (fresh handle over the same path) probes the same
+    # state and finds the cross-batch pairs
+    idx2 = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=TAU)
+    p1 = {
+        (r["id1"], r["id2"])
+        for r in idx2.process_batch(b1, corpus=docs, epoch_id=1).collect()
+    }
+    assert p1  # the near-dup generator plants cross-parity pairs
+    # redelivered epoch: the band merge is skipped (frontier) but the pair
+    # DETECTION is re-run — at-least-once detection is fine because the
+    # band-row upsert is idempotent, so detected pairs are identical
+    p1_again = {
+        (r["id1"], r["id2"])
+        for r in idx2.process_batch(b1, corpus=docs, epoch_id=1).collect()
+    }
+    assert p1_again == p1
+
+
+def test_greedy_keep_filter():
+    # chain a-b-c where only adjacent pairs verify: batch policy (CC) would
+    # drop b and c; first-arrival-wins keeps c because b (its only kept
+    # link) was dropped
+    pairs_by_batch = [[(1, 2)], [(2, 3)]]
+    ids = [[1, 2], [3]]
+    kept = greedy_keep_filter(pairs_by_batch, ids)
+    assert kept == {1, 3}
+    # within-batch tie: lower id wins
+    kept2 = greedy_keep_filter([[(5, 7)]], [[7, 5]])
+    assert kept2 == {5}
