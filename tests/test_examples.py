@@ -15,6 +15,7 @@ EXAMPLES = {
     "snapshot.py": "user_id",
     "live_replication.py": "user_id",
     "corpus_pipeline.py": "per-source pack summary",
+    "incremental_pipeline.py": "live rollup",
     "analytics.py": "joined_rows",
 }
 

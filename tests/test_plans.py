@@ -177,3 +177,29 @@ def test_funnel_single_shuffle(spark):
     plan = _plan(funnel_conversion(ev, ["view", "click", "purchase"]))
     # one greedy fold over per-user sorted events — NOT a re-join per step
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_index_probe_partition_prunes(spark):
+    # the incremental dedup index's cross-batch probe must read ONLY the
+    # state buckets the batch's band hashes fall in — the property that
+    # keeps probing independent of corpus size at 100 TB
+    import os
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import minhash_band_rows
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        LshDedupIndex,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    work = tempfile.mkdtemp(prefix="lshplan_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), n_buckets=8)
+    idx.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 0), corpus=docs, epoch_id=0
+    )
+    assert len(idx.view._bucket_dirs()) == 8
+    probe = minhash_band_rows(docs.filter(F.col("doc_id") == 1), "text", "doc_id")
+    plan = _plan(idx._indexed_bands(probe))
+    # the scan carries a PartitionFilters IN-list over __bucket, i.e. the
+    # untouched bucket dirs are never opened
+    assert "PartitionFilters: [__bucket" in plan and " IN " in plan
