@@ -78,6 +78,31 @@ def _warm_streaming(spark, sf_dir: str) -> None:
                 .start()
             )
             q.awaitTermination()
+
+        # JIT the Python streaming DataSource runner (a separate worker
+        # process Spark forks on first use — measured ~8 s one-time on
+        # q_t7's first run, ~3 s warm after)
+        from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+        wal_dir = os.path.join(tempfile.mkdtemp(prefix="warm_wal_"), "wal")
+        W.write_wal_segment(
+            wal_dir,
+            [
+                {"lsn": 1, "op": "INSERT", "table_schema": "public",
+                 "table_name": "t", "before": None, "after": {"id": "1"},
+                 "ts": "2026-01-01T00:00:00"},
+            ],
+        )
+        W.register(spark)
+        wstream = spark.readStream.format("pgwal").option("path", wal_dir).load()
+        with stream_partition_conf(spark):
+            q = (
+                wstream.writeStream.format("memory")
+                .queryName("warm_" + uuid.uuid4().hex[:8])
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     except Exception as e:  # noqa: BLE001 — warmup must never fail the bench
         print(f"bench: streaming warmup skipped: {e}", file=sys.stderr)
 
