@@ -38,20 +38,14 @@ def _warm_streaming(spark, sf_dir: str) -> None:
 
     from pyspark.sql import functions as F
 
-    from go_pq_cdc_elasticsearch_spark.sql.streaming_queries import _staged_stream
     from go_pq_cdc_elasticsearch_spark.streaming.pipeline import (
-        _STAGED_CACHE,
-        stage_event_files,
+        staged_events,
         stream_partition_conf,
     )
 
     try:
-        _staged_stream(spark, sf_dir)  # q_t1..t5, t9, t10 layout
-        key = (sf_dir, 4)  # q_t6 layout
-        if key not in _STAGED_CACHE:
-            staged = os.path.join(tempfile.mkdtemp(prefix="cdc_stage_"), "staged")
-            stage_event_files(spark, sf_dir, staged, n_files=4)
-            _STAGED_CACHE[key] = staged
+        staged_events(spark, sf_dir, 2)  # q_t1..t5, t9, t10 layout
+        staged_events(spark, sf_dir, 4)  # q_t6 layout
         tiny = os.path.join(tempfile.mkdtemp(prefix="warm_"), "in")
         os.makedirs(tiny)
         for i in range(2):

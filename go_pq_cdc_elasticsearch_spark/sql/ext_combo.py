@@ -88,7 +88,7 @@ SX3_PARTS = [
     "q_l15_winnow_candidates",
     "q_l26_token_heavy_hitters",
     "q_lx3_quantized_topk",
-    # q_lx5 and q_t8 are serial-stateful chains (3 epoch merges each);
+    # q_lx5 (2 waves) and q_t8 (3 merges) are serial-stateful chains;
     # measured: they tolerate THIS 8-part fold (~4-8 s) but starve to ~19 s
     # inside the 22-part q_sx2 — keep the serial chains with few neighbors
     "q_lx5_incremental_dedup",

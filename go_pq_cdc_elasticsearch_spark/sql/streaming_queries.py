@@ -15,26 +15,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_pq_cdc_elasticsearch_spark.sources.replay import (
-    read_event_stream,
-    stage_event_files,
-)
+from go_pq_cdc_elasticsearch_spark.sources.replay import read_event_stream
 from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
 
-_STAGED_CACHE: dict[tuple[str, int], str] = {}
-
-
 def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
-    """Stage (or reuse) the seq-ordered event files for this sf_dir —
-    staging is deterministic, so queries in one session share it."""
-    key = (sf_dir, n_files)
-    staged = _STAGED_CACHE.get(key)
-    if staged is None or not os.path.isdir(staged):
-        work = tempfile.mkdtemp(prefix="stream_q_")
-        staged = os.path.join(work, "staged")
-        stage_event_files(spark, sf_dir, staged, n_files=n_files)
-        _STAGED_CACHE[key] = staged
+    """Stage (or reuse) the seq-ordered event files for this sf_dir via the
+    process-wide cache in streaming/pipeline.py — staging is
+    deterministic, so every consumer shares one layout per key."""
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import staged_events
+
+    staged = staged_events(spark, sf_dir, n_files)
     return read_event_stream(spark, staged, max_files_per_trigger=1), os.path.dirname(staged)
 
 

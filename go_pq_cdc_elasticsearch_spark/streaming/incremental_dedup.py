@@ -14,9 +14,15 @@ Design (all stages scale-shaped, nothing driver-side):
   hash-bucketed ``MaterializedView`` whose LAYOUT key is
   ``(band_idx, band_hash)`` — so probing a batch reads ONLY the state
   buckets the batch's band hashes fall in (partition pruning), while row
-  identity stays ``(band_idx, band_hash, doc_id)`` (re-indexing a doc is
-  an idempotent upsert, and the insert-only band rows make merges
-  conflict-free);
+  identity stays ``(band_idx, band_hash, doc_id)`` — re-processing a doc
+  with the SAME text is an idempotent upsert, and the insert-only band
+  rows make merges conflict-free. Doc ids are immutable content handles
+  (a revision is a new id, the norm for crawl/training corpora):
+  re-indexing an EXISTING id with different text is unsupported — the old
+  text's band rows are distinct keys that would linger as stale
+  candidates (harmless for correctness, since verification reads the
+  current text and the batch side wins deterministically, but wasted
+  probe work and monotonic state growth);
 - candidates = batch band rows ⋈ pruned state buckets on
   ``(band_idx, band_hash)`` (cross-batch) ∪ batch self-join (in-batch) —
   shuffle bounded by batch size + matching bucket rows, never corpus size;
@@ -190,12 +196,16 @@ class LshDedupIndex:
             id_c,
         )
         # a doc can appear on both sides (batch doc already in the corpus
-        # store); both rows carry identical grams derived from the same
-        # text, so first() is deterministic in value
+        # store). When the texts agree the rows are identical; when they
+        # DIVERGE (a CDC update re-delivering an id with new text while
+        # the store still holds the old row, or vice versa) the batch side
+        # must win deterministically — max_by on an explicit side priority,
+        # never first() over a nondeterministic union order.
         grams = (
-            new_grams.unionByName(old_grams)
+            new_grams.withColumn("__prio", F.lit(1))
+            .unionByName(old_grams.withColumn("__prio", F.lit(0)))
             .groupBy(id_c)
-            .agg(F.first("grams").alias("grams"))
+            .agg(F.max_by("grams", "__prio").alias("grams"))
         )
         g1 = grams.select(F.col(id_c).alias("id1"), F.col("grams").alias("__g1"))
         g2 = grams.select(F.col(id_c).alias("id2"), F.col("grams").alias("__g2"))
@@ -231,16 +241,12 @@ def greedy_keep_filter(pairs_by_batch, batch_ids_in_order):
     Returns the kept-id set.
     """
     kept: set = set()
-    seen: set = set()
     for pairs, ids in zip(pairs_by_batch, batch_ids_in_order):
         adj: dict = {}
         for x, y in pairs:
             adj.setdefault(x, set()).add(y)
             adj.setdefault(y, set()).add(x)
         for doc in sorted(ids):
-            if any(nb in kept for nb in adj.get(doc, ())):
-                seen.add(doc)
-                continue
-            kept.add(doc)
-            seen.add(doc)
+            if not any(nb in kept for nb in adj.get(doc, ())):
+                kept.add(doc)
     return kept

@@ -204,6 +204,20 @@ def initial_load(
 _STAGED_CACHE: dict[tuple[str, int], str] = {}
 
 
+def staged_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Stage (or reuse) the seq-ordered event replay files for
+    ``(sf_dir, n_files)``. Staging is deterministic, so every consumer in
+    one process (declared queries, tests, bench warmup) shares one
+    read-only layout per key."""
+    key = (sf_dir, n_files)
+    staged = _STAGED_CACHE.get(key)
+    if staged is None or not os.path.isdir(staged):
+        staged = os.path.join(tempfile.mkdtemp(prefix="cdc_stage_"), "staged")
+        stage_event_files(spark, sf_dir, staged, n_files=n_files)
+        _STAGED_CACHE[key] = staged
+    return staged
+
+
 def replay_events_to_view(
     spark: SparkSession, sf_dir: str, n_files: int = 4, **kwargs
 ) -> MaterializedView:
@@ -213,14 +227,7 @@ def replay_events_to_view(
     one process reuse the staged files (fresh view + checkpoint each
     call — only the read-only input is shared)."""
     work = tempfile.mkdtemp(prefix="cdc_stream_")
-    key = (sf_dir, n_files)
-    staged = _STAGED_CACHE.get(key)
-    if staged is None or not os.path.isdir(staged):
-        staged = os.path.join(
-            tempfile.mkdtemp(prefix="cdc_stage_"), "staged"
-        )
-        stage_event_files(spark, sf_dir, staged, n_files=n_files)
-        _STAGED_CACHE[key] = staged
+    staged = staged_events(spark, sf_dir, n_files)
     return run_cdc_stream(
         spark,
         staged_dir=staged,

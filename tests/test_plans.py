@@ -198,7 +198,11 @@ def test_lsh_index_probe_partition_prunes(spark):
         docs.filter(F.col("doc_id") % 2 == 0), corpus=docs, epoch_id=0
     )
     assert len(idx.view._bucket_dirs()) == 8
-    probe = minhash_band_rows(docs.filter(F.col("doc_id") == 1), "text", "doc_id")
+    # probe with the INDEX's band layout (k=16, bands=8) — a mismatched
+    # family would still produce an IN-list but could never hit state rows
+    probe = minhash_band_rows(
+        docs.filter(F.col("doc_id") == 1), "text", "doc_id", k=16, bands=8
+    )
     plan = _plan(idx._indexed_bands(probe))
     # the scan carries a PartitionFilters IN-list over __bucket, i.e. the
     # untouched bucket dirs are never opened
