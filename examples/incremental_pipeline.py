@@ -5,10 +5,11 @@ ingested WITHOUT recomputing the corpus, while maintaining a live rollup
 with approximate-distinct columns:
 
     wave_i
-      -> LshDedupIndex.process_batch   (probe band-bucket index: the state
-         read partition-prunes to the buckets the wave hashes into;
-         candidates verified with exact n-gram Jaccard, candidate-only)
-      -> greedy first-arrival-wins keep/drop fold
+      -> IncrementalDeduper.dedup_batch (probe band-bucket index: the
+         state read partition-prunes to the buckets the wave hashes into;
+         candidates verified with exact n-gram Jaccard, candidate-only;
+         keep/drop folded DISTRIBUTED: cross-batch anti-join against the
+         kept view, then min-id-per-component within the wave)
       -> ContinuousAggregate.merge_batch (per-source doc counts, token
          sums, and HLL approx-distinct languages — mergeable sketches, so
          the incremental view equals the batch recomputation)
@@ -37,8 +38,7 @@ from go_pq_cdc_elasticsearch_spark.streaming.continuous_agg import (
     ContinuousAggregate,
 )
 from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
-    LshDedupIndex,
-    greedy_keep_filter,
+    IncrementalDeduper,
 )
 
 
@@ -48,7 +48,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = load_table(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="incr_pipe_")
 
-    idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=0.7)
+    dd = IncrementalDeduper(spark, os.path.join(work, "idx"), jaccard_threshold=0.7)
     rollup = ContinuousAggregate(
         spark,
         os.path.join(work, "rollup"),
@@ -57,29 +57,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         distinct_cols=["lang"],
     )
 
-    pairs_by_wave, ids_by_wave = [], []
+    n_kept = 0
     for epoch, m in enumerate((0, 1, 2)):  # three arrival waves
         wave = docs.filter(F.col("doc_id") % 3 == m)
-        pairs = idx.process_batch(wave, corpus=docs, epoch_id=epoch)
-        pairs_by_wave.append([(r["id1"], r["id2"]) for r in pairs.collect()])
-        ids_by_wave.append([r["doc_id"] for r in wave.select("doc_id").collect()])
-        kept_now = greedy_keep_filter(pairs_by_wave, ids_by_wave)
-        kept_wave = wave.filter(F.col("doc_id").isin(
-            [d for d in ids_by_wave[-1] if d in kept_now]
-        ))
+        kept_wave = dd.dedup_batch(wave, corpus=docs, epoch_id=epoch)
         enriched = kept_wave.withColumn(
             "n_tokens", TX.token_count_ws(F.col("text"))
         )
         rollup.merge_batch(
             enriched.select("source", "lang", "n_tokens"), epoch_id=epoch
         )
+        n_arrived, n_wave_kept = wave.count(), kept_wave.count()
+        n_kept += n_wave_kept
         print(
-            f"wave {epoch}: {len(ids_by_wave[-1])} arrived, "
-            f"{len(pairs_by_wave[-1])} dup pairs"
+            f"wave {epoch}: {n_arrived} arrived, "
+            f"{n_arrived - n_wave_kept} dropped as near-dups"
         )
 
-    kept = greedy_keep_filter(pairs_by_wave, ids_by_wave)
-    print(f"kept {len(kept)} of {docs.count()} docs after incremental dedup")
+    print(f"kept {n_kept} of {docs.count()} docs after incremental dedup")
     print("live rollup (per source):")
     for r in (
         rollup.read()

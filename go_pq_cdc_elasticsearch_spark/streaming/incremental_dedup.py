@@ -230,6 +230,97 @@ class LshDedupIndex:
         return out
 
 
+class IncrementalDeduper(LshDedupIndex):
+    """LshDedupIndex plus a DISTRIBUTED keep/drop fold — the end-to-end
+    "only keep novel documents" pipeline with no driver-side state.
+
+    Policy (deterministic, order-defined):
+    1. cross-batch: a batch doc pairing with a doc in the KEPT view (kept
+       by an earlier batch) is dropped — first arrival wins;
+    2. in-batch: connected components over the verified pairs among the
+       surviving batch docs, keep the min-id representative per component
+       (exactly ``dedup_corpus``'s policy — a corpus arriving as ONE batch
+       keeps the identical set, asserted in tests).
+
+    Kept ids live in a second hash-bucketed view, so the whole fold is
+    joins + the existing distributed CC: nothing driver-side, per-batch
+    cost scales with the batch and its candidates.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, **kwargs):
+        super().__init__(spark, path, **kwargs)
+        self.kept = MaterializedView(
+            spark,
+            os.path.join(path, "kept"),
+            keys=(self.id_col,),
+            seq_col="seq",
+            op_col="op",
+            delete_op="delete",
+        )
+
+    def dedup_batch(
+        self,
+        batch: DataFrame,
+        corpus: DataFrame,
+        epoch_id: int | None = None,
+    ) -> DataFrame:
+        """Detect, fold, index: returns the KEPT rows of ``batch`` (full
+        rows, not just ids) and records them in the kept view."""
+        from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+            connected_components,
+        )
+
+        id_c = self.id_col
+        pairs = self.process_batch(batch, corpus, epoch_id=epoch_id)
+
+        # 1. cross-batch drop: either pair end that is already kept
+        # condemns the OTHER end if it belongs to this batch
+        kept_prior = (
+            self.kept.read().select(id_c)
+            if self.kept.exists() and self.kept._bucket_dirs()
+            else None
+        )
+        surviving = batch
+        if kept_prior is not None:
+            kp1 = kept_prior.select(F.col(id_c).alias("id1"))
+            kp2 = kept_prior.select(F.col(id_c).alias("id2"))
+            condemned = (
+                pairs.join(kp1, "id1").select(F.col("id2").alias(id_c))
+                .unionByName(
+                    pairs.join(kp2, "id2").select(F.col("id1").alias(id_c))
+                )
+                .distinct()
+            )
+            surviving = batch.join(condemned, on=id_c, how="left_anti")
+
+        # 2. in-batch fold: CC over pairs whose BOTH ends survived, keep
+        # min id per component (the batch-pipeline policy)
+        surv_ids = surviving.select(id_c)
+        s1 = surv_ids.select(F.col(id_c).alias("id1"))
+        s2 = surv_ids.select(F.col(id_c).alias("id2"))
+        intra_pairs = pairs.join(s1, "id1").join(s2, "id2").select("id1", "id2")
+        comp = connected_components(intra_pairs)
+        drop = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_c)
+        )
+        # pin the result BEFORE the kept-view merge rewrites the bucket
+        # files the lazy kept_prior read depends on — a caller executing
+        # the returned frame after the merge would otherwise see this
+        # batch's own kept ids as "prior" and re-condemn against them
+        kept_batch = surviving.join(drop, on=id_c, how="left_anti").localCheckpoint(
+            eager=True
+        )
+
+        seq = 0 if epoch_id is None else int(epoch_id)
+        self.kept.merge_batch(
+            kept_batch.select(id_c)
+            .withColumn("seq", F.lit(seq))
+            .withColumn("op", F.lit("upsert")),
+            epoch_id=epoch_id,
+        )
+        return kept_batch
+
+
 def greedy_keep_filter(pairs_by_batch, batch_ids_in_order):
     """Reference policy fold (driver-side over SMALL per-batch id lists in
     tests/examples; a production pipeline expresses the same fold as an

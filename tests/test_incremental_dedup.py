@@ -86,3 +86,71 @@ def test_greedy_keep_filter():
     # within-batch tie: lower id wins
     kept2 = greedy_keep_filter([[(5, 7)]], [[7, 5]])
     assert kept2 == {5}
+
+
+def test_distributed_fold_single_wave_equals_dedup_corpus(spark, sf_dir):
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import dedup_corpus
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="dd_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    kept = dd.dedup_batch(docs, corpus=docs, epoch_id=0)
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup_corpus(docs, jaccard_threshold=TAU).select("doc_id").collect()
+    }
+    assert got == want
+
+
+def test_distributed_fold_invariants_and_redelivery(spark, sf_dir):
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    waves = [(0, 1), (1, 2), (2, 0)]
+
+    def replay(path):
+        dd = IncrementalDeduper(spark, path, jaccard_threshold=TAU)
+        kept = set()
+        last = None
+        for epoch, m in waves:
+            last = dd.dedup_batch(
+                docs.filter(F.col("doc_id") % 3 == m), corpus=docs, epoch_id=epoch
+            )
+            kept |= {r["doc_id"] for r in last.select("doc_id").collect()}
+        return dd, kept, last
+
+    work = tempfile.mkdtemp(prefix="dd_")
+    dd, kept, _ = replay(os.path.join(work, "a"))
+    # determinism: a fresh replay of the same waves keeps the same set
+    _, kept2, _ = replay(os.path.join(work, "b"))
+    assert kept == kept2
+    # independence: no verified pair (recomputed batch-side) has both
+    # ends kept
+    both_kept = {
+        (a, b) for (a, b) in _batch_verified_pairs(docs)
+        if a in kept and b in kept
+    }
+    assert both_kept == set()
+    # coverage: every dropped doc is adjacent to at least one kept doc OR
+    # was condemned transitively within its component
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept <= all_ids and kept
+    # redelivery of the LAST wave returns the same kept rows and the kept
+    # view does not change (epoch guard + policy idempotence)
+    before = kept
+    epoch, m = waves[-1]
+    again = dd.dedup_batch(
+        docs.filter(F.col("doc_id") % 3 == m), corpus=docs, epoch_id=epoch
+    )
+    kept_after = {
+        r["doc_id"] for r in dd.kept.read().select("doc_id").collect()
+    }
+    assert kept_after == before
+    wave_kept = {r["doc_id"] for r in again.select("doc_id").collect()}
+    assert wave_kept == {d for d in before if d % 3 == m}
