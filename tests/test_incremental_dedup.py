@@ -154,3 +154,44 @@ def test_distributed_fold_invariants_and_redelivery(spark, sf_dir):
     assert kept_after == before
     wave_kept = {r["doc_id"] for r in again.select("doc_id").collect()}
     assert wave_kept == {d for d in before if d % 3 == m}
+
+
+def test_segment_index_compaction(spark, sf_dir):
+    """compact() = the deferred LSM merge: appended segments collapse to
+    one file per bucket, duplicate rows from crash-redelivered appends are
+    dropped, and probe results are unchanged."""
+    import glob
+
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import minhash_band_rows
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    work = tempfile.mkdtemp(prefix="lshc_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), n_buckets=4)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx.process_batch(b0, corpus=docs, epoch_id=0)
+    idx.process_batch(b1, corpus=docs, epoch_id=1)
+    # simulate a crash-redelivery that slipped past the frontier (fresh
+    # handle whose meta was written before the frontier advanced)
+    idx.view._last_epoch = 0
+    idx.view.append_batch(
+        minhash_band_rows(b1, "text", "doc_id", idx.k, idx.bands), epoch_id=1
+    )
+    n_rows_dup = idx.view.read_buckets().count()
+    n_distinct = idx.view.read_buckets().distinct().count()
+    assert n_rows_dup > n_distinct  # duplicates really exist pre-compact
+    probe = minhash_band_rows(
+        docs.filter(F.col("doc_id") <= 20), "text", "doc_id", idx.k, idx.bands
+    )
+    before = {
+        tuple(r) for r in idx._indexed_bands(probe).distinct().collect()
+    }
+    idx.view.compact()
+    files = glob.glob(os.path.join(work, "idx", "bands", "__bucket=*", "*.parquet"))
+    per_bucket = {}
+    for f in files:
+        per_bucket.setdefault(os.path.dirname(f), []).append(f)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    assert idx.view.read_buckets().count() == n_distinct
+    after = {tuple(r) for r in idx._indexed_bands(probe).collect()}
+    assert after == before
