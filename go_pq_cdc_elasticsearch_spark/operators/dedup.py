@@ -252,7 +252,11 @@ def connected_components(
     # strictly decreases until the fixpoint: the convergence check is one
     # tiny agg over the label frame instead of a labels⋈labels join+count
     # per round (r2 perf item — two jobs per iteration down to one-and-a-bit)
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # decimal sum: a BIGINT sum overflows under ANSI mode for realistic
+    # 64-bit ids (snowflake-scale ids crash on the FIRST agg; non-ANSI
+    # would silently wrap and risk a false-equal early exit)
+    _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
     for _ in range(max_iterations):
         # neighbor's current label, per edge
         prop = (
@@ -265,7 +269,7 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        new_sum = new_labels.agg(_label_sum).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -50,6 +50,59 @@ _META = "_VIEW_META.json"
 _BUCKET_COL = "__bucket"
 
 
+def list_bucket_dirs(path: str) -> list[int]:
+    """Bucket ids present under ``path`` (``__bucket=N`` dirs; in-flight
+    ``N.old`` swap leftovers excluded)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if not d.startswith(_BUCKET_COL + "="):
+            continue
+        suffix = d.split("=", 1)[1]
+        if suffix.isdigit():
+            out.append(int(suffix))
+    return sorted(out)
+
+
+def recover_interrupted_swap(path: str) -> None:
+    """Repair ``__bucket=N.old`` leftovers from a crash inside
+    ``swap_bucket_dir`` (rename(dst->old); rename(src->dst); rmtree(old)):
+
+    - ``.old`` present, live dir MISSING -> the crash hit between the two
+      renames; the new dir still lived under the tmp staging area (gone),
+      so the pre-swap state in ``.old`` is the only copy — restore it.
+    - ``.old`` present, live dir PRESENT -> the swap completed and only
+      the cleanup was lost — drop the garbage.
+    """
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        if not (d.startswith(_BUCKET_COL + "=") and d.endswith(".old")):
+            continue
+        old = os.path.join(path, d)
+        live = old[: -len(".old")]
+        if os.path.exists(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+
+
+def swap_bucket_dir(path: str, src: str, b: int) -> None:
+    """Swap one bucket dir into place with the crash-recoverable two-rename
+    protocol (``recover_interrupted_swap`` repairs any interruption)."""
+    dst = os.path.join(path, f"{_BUCKET_COL}={b}")
+    old = dst + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    if os.path.exists(src):
+        os.rename(src, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 class MaterializedView:
     """A keyed last-write-wins table backed by a hash-bucketed parquet
     directory."""
@@ -96,29 +149,18 @@ class MaterializedView:
             self._recover_interrupted_swap()
 
     def _recover_interrupted_swap(self) -> None:
-        """Repair ``__bucket=N.old`` leftovers from a crash inside
-        ``_swap_buckets`` (rename(dst->old); rename(src->dst); rmtree(old)):
-
-        - ``.old`` present, live dir MISSING -> the crash hit between the
-          two renames; the new dir still lived under the tmp staging area
-          (gone), so the pre-merge state in ``.old`` is the only copy —
-          restore it. The interrupted batch is re-merged on redelivery
-          (at-least-once; the epoch frontier was deliberately not yet
-          advanced).
-        - ``.old`` present, live dir PRESENT -> the swap completed and
-          only the cleanup was lost — drop the garbage.
-        """
-        if not os.path.isdir(self.path):
-            return
-        for d in os.listdir(self.path):
-            if not (d.startswith(_BUCKET_COL + "=") and d.endswith(".old")):
-                continue
-            old = os.path.join(self.path, d)
-            live = old[: -len(".old")]
-            if os.path.exists(live):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, live)
+        """Per-bucket repair of an interrupted swap (module-level
+        ``recover_interrupted_swap``). The interrupted batch re-merges on
+        redelivery (at-least-once; the epoch frontier was deliberately not
+        yet advanced). Recovery is per-BUCKET, not per-batch: buckets whose
+        swap completed before the crash keep the merged state while the
+        restored ones roll back, so the redelivered batch re-applies to a
+        MIXED view. The LWW base class is idempotent under that (seq
+        decides); an additive subclass (ContinuousAggregate) would
+        double-count the already-swapped buckets — quantified in its
+        module docstring, closed for real by a table format's atomic
+        multi-file commit (Delta/Iceberg) on a cluster."""
+        recover_interrupted_swap(self.path)
 
     # -- layout helpers ------------------------------------------------------
 
@@ -160,17 +202,7 @@ class MaterializedView:
         return self._read_buckets().drop(_BUCKET_COL)
 
     def _bucket_dirs(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        out = []
-        for d in os.listdir(self.path):
-            if not d.startswith(_BUCKET_COL + "="):
-                continue
-            suffix = d.split("=", 1)[1]
-            if not suffix.isdigit():
-                continue  # e.g. an in-flight swap's '<n>.old' dir
-            out.append(int(suffix))
-        return sorted(out)
+        return list_bucket_dirs(self.path)
 
     def _read_buckets(
         self, buckets: list[int] | None = None, merge_schema: bool = True
@@ -335,17 +367,7 @@ class MaterializedView:
             ]
         )
         for b in todo:
-            src = os.path.join(out, f"{_BUCKET_COL}={b}")
-            dst = self._bucket_dir(b)
-            old = dst + ".old"
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            if os.path.exists(src):
-                os.rename(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
+            swap_bucket_dir(self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def vacuum(self, watermark_seq: int) -> None:

@@ -472,12 +472,23 @@ def run_live_consumer(
                 last_ack_t = now
             if stop_event is not None and stop_event.is_set():
                 break
-    except (OSError, ValueError, struct.error):
-        # socket closed under us (Connector.close raises ValueError on the
-        # closed file object) or a truncated frame (struct.error) — in
-        # every case flush what we have, like the reference's
-        # crash-and-replay path
+    except OSError:
+        # socket closed under us — flush what we have, like the
+        # reference's crash-and-replay path
         pass
+    except (ValueError, struct.error) as e:
+        # only the SHUTDOWN shapes may be absorbed: Connector.close raises
+        # ValueError on the closed file object, and a socket torn down
+        # mid-frame yields a truncated-buffer struct.error. Any other
+        # ValueError/struct.error is a protocol/decode bug — swallowing it
+        # here would silently halt replication behind a healthy-looking
+        # Connector (the consumer runs as an unsupervised daemon thread),
+        # so it must surface.
+        stopping = (stop_event is not None and stop_event.is_set()) or (
+            getattr(client, "file", None) is not None and client.file.closed
+        )
+        if not (stopping or "closed file" in str(e).lower()):
+            raise
     if buf:
         write_wal_segment(segments_dir, buf)
     try:

@@ -46,9 +46,17 @@ def _spark_cell(field: T.StructField):
         scaled = F.floor(d * F.lit(10_000.0) + F.lit(0.5)).cast("long")
         # |x| >= 9e14 would overflow the x*1e4 BIGINT (DuckDB errors, Spark
         # saturates) — above that, 4dp is noise anyway, so the canonical
-        # form degrades to floor(x) (integral doubles convert exactly in
-        # both engines up to DECIMAL(38,0) range)
-        big = F.floor(d).cast("decimal(38,0)").cast("string")
+        # form degrades to floor(x). Spark's floor(double) returns BIGINT
+        # and SATURATES at ±2^63 (DuckDB computes the true integer), so the
+        # long-intermediate floor is only used below 2^52 — where doubles
+        # can still be fractional but always fit a long — and above 2^52
+        # every double is integral, so a direct double->decimal(38,0) cast
+        # IS the floor, exact in both engines (both error past 1e38).
+        big = (
+            F.when(F.abs(d) < F.lit(4.5e15), F.floor(d).cast("decimal(38,0)"))
+            .otherwise(d.cast("decimal(38,0)"))
+            .cast("string")
+        )
         s = (
             F.when(F.isnan(d), F.lit("NaN"))
             .when(d == F.lit(float("inf")), F.lit("Inf"))
@@ -91,8 +99,13 @@ def _duck_cell(name: str, duck_type: str) -> str:
             f"CASE WHEN isnan({d}) THEN 'NaN' "
             f"WHEN isinf({d}) AND {d} > 0 THEN 'Inf' "
             f"WHEN isinf({d}) THEN '-Inf' "
+            # shortest-repr parity with Spark: Spark's double->decimal cast
+            # parses the double's shortest decimal string, while DuckDB's
+            # direct cast converts the exact binary value (1.7e25 ->
+            # ...999177916416) — route through VARCHAR so both engines
+            # canonicalize the same integer
             f"WHEN abs({d}) >= 9.0e14 "
-            f"THEN CAST(CAST(floor({d}) AS DECIMAL(38,0)) AS VARCHAR) "
+            f"THEN CAST(CAST(CAST(floor({d}) AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR) "
             f"ELSE CAST(CAST(floor({d} * 10000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
         )
     elif t.startswith("DECIMAL") or t in (

@@ -1564,23 +1564,19 @@ def q_lx5(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="lshidx_q_")
     idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=0.7)
     parts = []
-    # micro-batch-sized state: plan the per-wave jobs under the replay
-    # partition count (the 32-partition default costs ~15 near-empty
-    # shuffle tasks per job across this path's ~15 small jobs)
-    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import (
-        stream_partition_conf,
-    )
-
     # two waves: one cross-batch + one in-batch discovery per pair class
     # (~4.5 s of fixed job overhead per wave measured at sf0.1; the
-    # three-wave, uncapped variant runs in the local parity test)
-    with stream_partition_conf(spark):
-        for i, m in enumerate((1, 0)):
-            parts.append(
-                idx.process_batch(
-                    docs.filter(F.col("doc_id") % 2 == m), corpus=docs, epoch_id=i
-                )
+    # three-wave, uncapped variant runs in the local parity test). NO
+    # stream_partition_conf here: this query runs INSIDE the q_sx3
+    # concurrent fold, and that ctx mutates the session-global shuffle
+    # partition conf — concurrent sibling parts would plan under it
+    # (measured: no speedup from the smaller partition count anyway).
+    for i, m in enumerate((1, 0)):
+        parts.append(
+            idx.process_batch(
+                docs.filter(F.col("doc_id") % 2 == m), corpus=docs, epoch_id=i
             )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -13,9 +13,15 @@ special casing: additive combine is order-independent.
 Exactly-once: additive combine is NOT idempotent, so redelivered batches
 must not re-merge. ``foreachBatch`` redelivers with the SAME epoch id after
 a failure; the view records the merged-epoch frontier in its meta file and
-skips epochs at or below it (see ``MaterializedView.merge_batch``). The
-one-batch window between bucket swap and meta write is the documented
-residual risk (a table format's atomic commit closes it on a cluster).
+skips epochs at or below it (see ``MaterializedView.merge_batch``). Two
+documented residual risks, both closed for real by a table format's atomic
+multi-file commit (Delta/Iceberg) on a cluster: (1) the one-batch window
+between bucket swap and meta write redelivers an already-merged batch;
+(2) a crash MID-multi-bucket-swap leaves already-swapped buckets at
+post-merge state while recovery rolls the interrupted one back, so the
+redelivered batch double-counts the swapped buckets (swap recovery is
+per-bucket, see ``MaterializedView._recover_interrupted_swap``). The LWW
+base class is immune to both (seq-resolved merge is idempotent).
 
 Sums are carried as DECIMAL(30,10): exact and associative, so the view
 equals the batch recomputation bit-for-bit regardless of merge order —

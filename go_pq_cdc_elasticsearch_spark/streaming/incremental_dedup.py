@@ -49,6 +49,9 @@ from go_pq_cdc_elasticsearch_spark.operators.dedup import (
 from go_pq_cdc_elasticsearch_spark.sink.materialized import (
     _BUCKET_COL,
     MaterializedView,
+    list_bucket_dirs,
+    recover_interrupted_swap,
+    swap_bucket_dir,
 )
 
 
@@ -93,6 +96,9 @@ class _BandSegmentIndex:
         if meta is not None:
             self.n_buckets = int(meta["n_buckets"])
             self._last_epoch = meta.get("last_epoch")
+            # repair a compact() interrupted mid-swap (shared two-rename
+            # protocol with the materialized views)
+            recover_interrupted_swap(self.path)
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_INDEX_META.json")
@@ -119,15 +125,7 @@ class _BandSegmentIndex:
         return os.path.exists(self._meta_path())
 
     def _bucket_dirs(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        out = []
-        for d in os.listdir(self.path):
-            if d.startswith(_BUCKET_COL + "="):
-                suffix = d.split("=", 1)[1]
-                if suffix.isdigit():
-                    out.append(int(suffix))
-        return sorted(out)
+        return list_bucket_dirs(self.path)
 
     def _bucket_expr(self):
         return F.pmod(
@@ -162,7 +160,11 @@ class _BandSegmentIndex:
     def compact(self) -> None:
         """Deferred merge: one file per bucket, duplicates (from
         crash-redelivered appends) dropped. A maintenance op like the
-        LWW view's vacuum — run rarely, never per batch."""
+        LWW view's vacuum — run rarely, never per batch. Buckets swap in
+        via the shared crash-recoverable two-rename protocol: an earlier
+        delete-then-rename version silently lost the WHOLE index when
+        killed between the two loops (meta intact, zero band rows — every
+        later probe would quietly report no cross-batch dups)."""
         if not self.exists() or not self._bucket_dirs():
             return
         state = self.read_buckets().distinct()
@@ -175,11 +177,11 @@ class _BandSegmentIndex:
         state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
             self.n_buckets, F.col(_BUCKET_COL)
         ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+        # the rewritten copy is complete on disk before any live dir moves
         for b in self._bucket_dirs():
-            shutil.rmtree(os.path.join(self.path, f"{_BUCKET_COL}={b}"))
-        for d in os.listdir(out):
-            if d.startswith(_BUCKET_COL + "="):
-                os.rename(os.path.join(out, d), os.path.join(self.path, d))
+            swap_bucket_dir(
+                self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b
+            )
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -43,7 +43,14 @@ STREAM_STATE_PARTITIONS = int(
 @contextlib.contextmanager
 def stream_partition_conf(spark: SparkSession):
     """Temporarily size shuffle partitions for a streaming query's plan
-    (state partition count is captured at query start)."""
+    (state partition count is captured at query start).
+
+    SESSION-GLOBAL mutation: hold this only from a serial driver path
+    (the q_t* declared queries, run_cdc_stream, bench warmup). Inside a
+    concurrent fan-out (the q_sx combo ThreadPoolExecutor) sibling
+    queries planned during the window would inherit the small count, and
+    two concurrent holders could race the get/restore and leave the
+    session mis-sized permanently."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, str(STREAM_STATE_PARTITIONS))

@@ -109,6 +109,22 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_snowflake_scale_ids(spark):
+    # regression: the sum-based convergence witness overflowed BIGINT
+    # under ANSI mode for realistic 64-bit ids (a handful of ~4e18 ids
+    # crashed the FIRST labels agg); the witness now sums DECIMAL(38,0)
+    B = 4_000_000_000_000_000_000
+    pairs = spark.createDataFrame(
+        [(B + 1, B + 2), (B + 2, B + 3), (B + 10, B + 11)],
+        "id1 long, id2 long",
+    )
+    comp = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert comp == {
+        B + 1: B + 1, B + 2: B + 1, B + 3: B + 1,
+        B + 10: B + 10, B + 11: B + 10,
+    }
+
+
 def test_simhash_hamming(spark):
     d = _docs(spark).select("doc_id", DD.simhash16(F.col("text")).alias("h"))
     h = {r["doc_id"]: r["h"] for r in d.collect()}

@@ -49,8 +49,15 @@ def test_canon_double_form_is_engine_portable_on_ties(spark, con):
 
     from go_pq_cdc_elasticsearch_spark.sql.canon import _duck_cell, _spark_cell
 
+    # tail of the list: the big-double branch. Spark's floor(double)
+    # returns BIGINT and saturates at +/-2^63 (found by review: 1e20
+    # canonicalized to 9223372036854775807 while DuckDB computed the true
+    # integer) — the branch must route through decimal, with true floor
+    # preserved for the still-fractional [9e14, 2^52) range.
     vals = [0.00565, 0.15625, -0.00565, 0.0056499999999999996, 1.0 / 3,
-            0.99995, -2.5, 0.0, 123456.78125]
+            0.99995, -2.5, 0.0, 123456.78125,
+            9.0e14 + 0.125, -9.0e14 - 0.125, 4.4e15 + 0.5, 4.6e15,
+            9.3e18, -9.3e18, 1e20, -1e20, 1.7e25]
     sdf = spark.createDataFrame([(v,) for v in vals], "x double")
     got_spark = [
         r[0]
