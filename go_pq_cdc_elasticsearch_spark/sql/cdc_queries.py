@@ -80,7 +80,8 @@ def q_c3_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_c4_scripted_update",
     oracle="""
-        SELECT user_id, count(*) AS version, sum(value) AS stock
+        SELECT user_id, count(*) AS version,
+               sum(CAST(value AS DECIMAL(30,10))) AS stock
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
     """,

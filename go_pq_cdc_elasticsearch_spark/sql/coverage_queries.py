@@ -223,20 +223,31 @@ def q_c12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS VARCHAR) AS total_d,
                CAST(max(CAST(o_totalprice AS DECIMAL(10,2))) AS VARCHAR) AS max_d,
-               CAST(round(avg(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS VARCHAR) AS avg_d
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) * 100 AS BIGINT)
+                    // count(*) AS BIGINT) AS avg_cents
         FROM orders
     """,
     doc="DECIMAL(10,2) handling (the reference's price columns, "
     "integration_test/connector_test.go:440): exact decimal aggregation, "
-    "string form compared so scale/precision must match too.",
+    "string form compared so scale/precision must match too. The average "
+    "is emitted as FLOOR-DIVIDED integer cents: Spark's round(avg(dec),2) "
+    "yields a scale-2 decimal string ('1.70') while DuckDB's avg(DECIMAL) "
+    "computes in DOUBLE and prints shortest-repr ('1.7') — any seed whose "
+    "rounded average ends in a zero digit would mismatch on the string.",
 )
 def q_s33_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     d = F.col("o_totalprice").cast("decimal(10,2)")
-    return orders.agg(
+    agg = orders.agg(
         F.sum(d).cast("string").alias("total_d"),
         F.max(d).cast("string").alias("max_d"),
-        F.round(F.avg(d), 2).cast("string").alias("avg_d"),
+        (F.sum(d) * 100).cast("long").alias("__cents"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return agg.select(
+        "total_d",
+        "max_d",
+        F.expr("CAST(__cents DIV __n AS BIGINT)").alias("avg_cents"),
     )
 
 
@@ -479,21 +490,34 @@ def q_s39(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s40_correlated_agg",
     oracle="""
         SELECT count(*) AS n FROM orders o
-        WHERE o_totalprice > (
-            SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
-            WHERE o2.o_custkey = o.o_custkey)
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 * (
+                SELECT count(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (
+                SELECT sum(CAST(CAST(o2.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT))
+                FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def q_s40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery with aggregation — Catalyst decorrelates
-    to an aggregate + self-join."""
+    """Correlated scalar subqueries with aggregation — Catalyst
+    decorrelates to aggregates + self-joins. The predicate is
+    ``price > 1.5 * avg(per-customer)`` multiplied through to exact
+    integer-cents arithmetic (``2*cents*n > 3*sum_cents``): the naive
+    DOUBLE avg differs between engines by accumulation order, and a
+    regenerated seed can land a price inside that wobble of the
+    threshold — an unprotected integer-count divergence."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT count(*) AS n FROM orders o
-        WHERE o_totalprice > (
-            SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
-            WHERE o2.o_custkey = o.o_custkey)
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 * (
+                SELECT count(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (
+                SELECT sum(CAST(CAST(o2.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT))
+                FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
 
@@ -879,7 +903,8 @@ def q_s46(spark: SparkSession, sf_dir: str) -> DataFrame:
 @ext_query(
     "q_s47_fuzzy_join",
     oracle="""
-        WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        WITH n AS (SELECT DISTINCT p_name AS s FROM part
+                   WHERE length(p_name) >= 6)
         SELECT a.s AS s1, b.s AS s2,
                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         FROM n a JOIN n b ON a.s < b.s
@@ -890,12 +915,20 @@ def q_s47(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string self-join on part names (edit distance <= 2) via
     q-gram blocking + candidate-only levenshtein verify; the oracle runs
     the naive quadratic form, so a hash match also certifies the blocking
-    is complete on this data (operators/fuzzy.py)."""
+    is complete. Both sides restrict to length >= 6 — the q-gram pigeonhole
+    guarantee (some bigram survives max_dist edits) only holds from
+    max_dist*q + q - 1 + 1 chars; a regenerated seed with one shorter name
+    near another would otherwise silently drop the pair on the Spark side
+    while the quadratic oracle finds it (operators/fuzzy.py documents the
+    broadcast fallback a caller wires for the short-string remainder)."""
     from go_pq_cdc_elasticsearch_spark.operators.fuzzy import fuzzy_self_join
 
-    names = load_table(spark, sf_dir, "part").select(
-        F.col("p_name").alias("s")
-    ).distinct()
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("s"))
+        .filter(F.length("s") >= 6)
+        .distinct()
+    )
     out = fuzzy_self_join(names, text_col="s", id_col="s", max_dist=2, q=2)
     return out.select("s1", "s2", "dist")
 

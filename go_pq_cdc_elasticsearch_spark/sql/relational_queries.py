@@ -512,17 +512,28 @@ def q_s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s21_subquery",
     oracle="""
         SELECT count(*) AS n FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              * (SELECT count(*) FROM orders)
+            > (SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) FROM orders)
     """,
 )
 def q_s21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery (Catalyst decorrelates; avg is broadcast)."""
+    """Scalar subqueries (Catalyst decorrelates; the aggregates are
+    broadcast). The predicate is ``price > avg(price)`` multiplied through
+    to exact integer cents (``cents*n > sum_cents``): a raw DOUBLE avg is
+    accumulation-order-sensitive between engines, and a regenerated seed
+    can land a price inside the wobble of the threshold — an integer count
+    has no rounding canonicalization to absorb that."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT count(*) AS n FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              * (SELECT count(*) FROM orders)
+            > (SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) FROM orders)
         """
     )
 
