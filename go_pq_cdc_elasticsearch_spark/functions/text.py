@@ -44,9 +44,14 @@ def stopword_ratio(col) -> Column:
 
 
 def punct_ratio(col) -> Column:
-    """Punctuation chars / total chars."""
+    """Punctuation chars / total chars; NULL for the empty string — ANSI
+    mode would raise DIVIDE_BY_ZERO on the bare division, and DuckDB's
+    x/0 is NULL, so NULL keeps the oracles' unguarded form in parity
+    (quality rules already coalesce(rule, false))."""
     n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))
-    return n_punct.cast("double") / F.length(col)
+    return F.when(
+        F.length(col) > 0, n_punct.cast("double") / F.length(col)
+    )
 
 
 def mean_word_len(col) -> Column:

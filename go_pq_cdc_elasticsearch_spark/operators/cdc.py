@@ -61,6 +61,14 @@ def cdc_apply(
 
     This is the semantic content of the reference's keyed upsert/delete sink
     (bulk/bulk.go:208-245 + in-batch dedup), expressed as one window + filter.
+
+    NULL-op contract (explicit, three-valued logic): a key whose LATEST
+    event carries a NULL op is EXCLUDED from the state — ``NULL !=
+    'delete'`` is NULL, which the filter drops, and the SQL oracles'
+    ``op <> 'delete'`` agrees. A NULL op is a malformed envelope (the
+    reference's MessageType is never absent, message.go:71-78); excluding
+    it is the defined behavior, not an accident — same contract in
+    ``MaterializedView.read()`` and ``vacuum``.
     """
     latest = cdc_dedup(df, keys=keys, seq_col=seq_col)
     return latest.filter(F.col(op_col) != F.lit(delete_op))

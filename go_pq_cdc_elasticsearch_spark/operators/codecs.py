@@ -179,8 +179,16 @@ def image_features(pixels: np.ndarray, dim: int) -> list[float]:
 
 
 def audio_features(samples: np.ndarray, rate: int, dim: int) -> list[float]:
-    """[n_samples, rate, mean, std, min, max, rms, zero_crossings]."""
-    mono = samples.astype(np.float64).mean(axis=1)
+    """[n_samples, rate, mean, std, min, max, rms, zero_crossings].
+
+    A zero-frame WAV is valid — all sample-derived stats are 0.0 instead
+    of the ValueError numpy's min()/max() raise on empty arrays (and the
+    NaNs mean()/std() would emit)."""
+    mono = samples.astype(np.float64).mean(axis=1) if len(samples) else (
+        np.zeros(0)
+    )
+    if len(mono) == 0:
+        return ([0.0, float(rate)] + [0.0] * dim)[:dim]
     feats = [
         float(len(mono)),
         float(rate),
@@ -188,7 +196,7 @@ def audio_features(samples: np.ndarray, rate: int, dim: int) -> list[float]:
         float(mono.std()),
         float(mono.min()),
         float(mono.max()),
-        float(np.sqrt((mono**2).mean())) if len(mono) else 0.0,
+        float(np.sqrt((mono**2).mean())),
         float(((mono[:-1] * mono[1:]) < 0).sum()),
     ]
     return (feats + [0.0] * dim)[:dim]

@@ -429,7 +429,12 @@ def cosine(col_a, col_b) -> Column:
             lambda acc, v: acc + v,
         )
     )
-    return dot / (na * nb)
+    # zero-norm/empty vectors: NULL, not a crash — Spark 4's default ANSI
+    # mode raises DIVIDE_BY_ZERO on the bare division, while DuckDB's
+    # x/0.0 is NULL (the oracle COS_SQL has no guard), so NULL is both the
+    # safe and the parity-preserving value
+    denom = na * nb
+    return F.when(denom != F.lit(0.0), dot / denom)
 
 
 def winnow_fingerprints(

@@ -190,7 +190,11 @@ def resize_images(
         for pdf in batches:
             pdf = pdf.copy()
             if not decode_stub:
-                pdf["content"] = [real_resize(bytes(b)) for b in pdf["content"]]
+                # b or b"": content is nullable in MEDIA_SCHEMA (same
+                # guard as extract_features / sample_frames)
+                pdf["content"] = [
+                    real_resize(bytes(b or b"")) for b in pdf["content"]
+                ]
             pdf["meta"] = [
                 {**(m or {}), "resized": f"{width}x{height}"} for m in pdf["meta"]
             ]

@@ -82,8 +82,16 @@ def mixture_rates(
         .select(
             strata_col,
             F.col("group_tokens").cast("long").alias("group_tokens"),
-            F.least(
-                F.lit(1.0), F.col("__w") * budget_tokens / F.col("group_tokens")
+            # zero/NULL-token strata: NULL rate (nothing to sample toward a
+            # token budget; mixture_sample then keeps no rows of it). ANSI
+            # mode would raise DIVIDE_BY_ZERO on the bare division; DuckDB
+            # computes NULL, so NULL is also the oracle-parity value.
+            F.when(
+                F.col("group_tokens") != 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("__w") * budget_tokens / F.col("group_tokens"),
+                ),
             ).alias("rate"),
         )
     )

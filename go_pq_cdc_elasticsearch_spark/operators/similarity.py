@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 from go_pq_cdc_elasticsearch_spark.operators.dedup import _hash64, cosine
 
 
+def _empty_topk_result(spark, id_col: str) -> DataFrame:
+    """Empty (qid, vec_id, sim, rank) frame — the degenerate-input result
+    shared by every top-k operator."""
+    return spark.createDataFrame(
+        [], f"qid long, {id_col} long, sim double, rank int"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,6 +57,10 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # an upstream filter matching nothing must yield an empty result,
+        # not a driver AxisError from norm() over a shape-(0,) array
+        return _empty_topk_result(queries.sparkSession, id_col)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -156,6 +168,12 @@ def train_ivf_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        # empty/fully-filtered corpus: no centroids (np.array([]) is 1-D
+        # and norm(axis=1) would raise AxisError — the sibling of the
+        # round-2 write_zordered empty-input bug); callers return empty
+        # results for an empty centroid set
+        return np.zeros((0, 0), dtype=np.float64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -426,6 +444,10 @@ def quantized_topk(
     from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # an upstream filter matching nothing must yield an empty result,
+        # not a driver AxisError from norm() over a shape-(0,) array
+        return _empty_topk_result(queries.sparkSession, id_col)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
