@@ -44,18 +44,36 @@ def _spark_cell(field: T.StructField):
     if isinstance(t, (T.FloatType, T.DoubleType)):
         d = c.cast("double")
         scaled = F.floor(d * F.lit(10_000.0) + F.lit(0.5)).cast("long")
-        # |x| >= 9e14 would overflow the x*1e4 BIGINT (DuckDB errors, Spark
-        # saturates) — above that, 4dp is noise anyway, so the canonical
-        # form degrades to floor(x). Spark's floor(double) returns BIGINT
-        # and SATURATES at ±2^63 (DuckDB computes the true integer), so the
-        # long-intermediate floor is only used below 2^52 — where doubles
-        # can still be fractional but always fit a long — and above 2^52
-        # every double is integral, so a direct double->decimal(38,0) cast
-        # IS the floor, exact in both engines (both error past 1e38).
+        # |x| >= 9e14 would overflow the x*1e4 BIGINT — above that, 4dp is
+        # noise anyway, so the canonical form degrades to a scaled integer.
+        # Engine traps that rule out the obvious forms: Spark's
+        # floor(double) returns BIGINT and SATURATES at ±2^63; Spark's
+        # double->decimal cast parses the JAVA shortest repr while DuckDB
+        # converts the exact binary value; and Java vs C++ shortest-repr
+        # algorithms pick different digit counts for the same double
+        # (-1.90468228081908352e18 prints 18 digits in Java, 17 in DuckDB),
+        # so no string/decimal path is portable. What IS portable: basic
+        # IEEE ops (correctly rounded everywhere) on exactly-representable
+        # literals. The ladder floors x divided by an EXACT power of ten
+        # (10^k is exact for k <= 22) chosen so the quotient fits a long —
+        # identical division, identical floor, identical long in both
+        # engines; past 9e36 the form collapses to a sign bucket
+        # (deterministic; DECIMAL overflow there was an error anyway).
+        def _rung(div: float | None, tag: str):
+            q = F.floor(d / F.lit(div)).cast("long") if div else F.floor(d).cast("long")
+            return F.concat(F.lit(tag), q.cast("string"))
+
         big = (
-            F.when(F.abs(d) < F.lit(4.5e15), F.floor(d).cast("decimal(38,0)"))
-            .otherwise(d.cast("decimal(38,0)"))
-            .cast("string")
+            F.when(F.abs(d) < F.lit(9.0e18), _rung(None, "e0:"))
+            .when(F.abs(d) < F.lit(9.0e24), _rung(1.0e6, "e6:"))
+            .when(F.abs(d) < F.lit(9.0e30), _rung(1.0e12, "e12:"))
+            .when(F.abs(d) < F.lit(9.0e36), _rung(1.0e18, "e18:"))
+            .otherwise(
+                F.concat(
+                    F.lit("huge:"),
+                    F.when(d > 0, F.lit("+")).otherwise(F.lit("-")),
+                )
+            )
         )
         s = (
             F.when(F.isnan(d), F.lit("NaN"))
@@ -99,13 +117,15 @@ def _duck_cell(name: str, duck_type: str) -> str:
             f"CASE WHEN isnan({d}) THEN 'NaN' "
             f"WHEN isinf({d}) AND {d} > 0 THEN 'Inf' "
             f"WHEN isinf({d}) THEN '-Inf' "
-            # shortest-repr parity with Spark: Spark's double->decimal cast
-            # parses the double's shortest decimal string, while DuckDB's
-            # direct cast converts the exact binary value (1.7e25 ->
-            # ...999177916416) — route through VARCHAR so both engines
-            # canonicalize the same integer
-            f"WHEN abs({d}) >= 9.0e14 "
-            f"THEN CAST(CAST(CAST(floor({d}) AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR) "
+            # exact-ladder parity with _spark_cell (see its comment): floor
+            # of x divided by an exactly-representable power of ten — basic
+            # IEEE ops only, no decimal/string conversion of the double
+            f"WHEN abs({d}) >= 9.0e14 THEN CASE "
+            f"WHEN abs({d}) < 9.0e18 THEN concat('e0:', CAST(CAST(floor({d}) AS BIGINT) AS VARCHAR)) "
+            f"WHEN abs({d}) < 9.0e24 THEN concat('e6:', CAST(CAST(floor({d} / 1.0e6) AS BIGINT) AS VARCHAR)) "
+            f"WHEN abs({d}) < 9.0e30 THEN concat('e12:', CAST(CAST(floor({d} / 1.0e12) AS BIGINT) AS VARCHAR)) "
+            f"WHEN abs({d}) < 9.0e36 THEN concat('e18:', CAST(CAST(floor({d} / 1.0e18) AS BIGINT) AS VARCHAR)) "
+            f"ELSE concat('huge:', CASE WHEN {d} > 0 THEN '+' ELSE '-' END) END "
             f"ELSE CAST(CAST(floor({d} * 10000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
         )
     elif t.startswith("DECIMAL") or t in (

@@ -121,3 +121,45 @@ def test_pround_parity_random_and_adversarial(spark, con):
             assert got_s == got_d, f"scale {n}"
     finally:
         con.unregister("pround_probe")
+
+
+def test_canon_big_double_branch_random_parity(spark, con):
+    # property sweep of the >= 9e14 branch: log-uniform magnitudes across
+    # the still-fractional band [9e14, 2^52), the integral band up to
+    # 1e30, and ulp neighbors of the 9e14 and 2^52 branch boundaries —
+    # _spark_cell and _duck_cell must produce identical strings for every
+    # native float64
+    import math
+    import random
+    import struct
+
+    import pandas as pd
+
+    from go_pq_cdc_elasticsearch_spark.sql.canon import _duck_cell, _spark_cell
+
+    rng = random.Random(20260815)
+
+    def ulp_neighbors(x):
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return [struct.unpack("<d", struct.pack("<q", b + d))[0] for d in (-1, 0, 1)]
+
+    vals = []
+    for _ in range(500):
+        mag = 10 ** rng.uniform(14.0, 40.0)  # spans every ladder rung + huge
+        vals.append(mag if rng.random() < 0.5 else -mag)
+    for edge in (9.0e14, 4.5e15, float(2**52), 9.0e18, 9.0e24, 9.0e30, 9.0e36):
+        for v in ulp_neighbors(edge):
+            vals.extend([v, -v])
+    assert all(math.isfinite(v) for v in vals)
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r[0] for r in sdf.select(_spark_cell(sdf.schema.fields[0])).collect()
+    ]
+    probe = pd.DataFrame({"x": pd.Series(vals, dtype="float64")})
+    con.register("canon_big_probe", probe)
+    cell = _duck_cell("x", "DOUBLE")
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {cell} FROM canon_big_probe"
+    ).fetchall()]
+    assert got_spark == got_duck
