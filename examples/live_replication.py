@@ -53,7 +53,10 @@ def start_fake_postgres(transactions):
                 if t == b"Q":
                     sql = body.rstrip(b"\x00").decode()
                     if sql.startswith("CREATE_REPLICATION_SLOT"):
+                        # real servers answer with a result set ending in
+                        # ReadyForQuery; the client drains to 'Z'
                         f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                        f.write(PG.frame(b"Z", b"I"))
                     elif sql.startswith("START_REPLICATION"):
                         f.write(PG.copy_both_response())
                         for txn in transactions:

@@ -40,6 +40,9 @@ class ReplicationSettings:
     port: int
     slot: str
     publication: str = "pub"
+    user: str = "postgres"
+    database: str = "postgres"
+    password: str | None = None
     create_slot: bool = True
     batch_size: int = 200
     ack_interval_sec: float = 0.5
@@ -126,6 +129,10 @@ class Connector:
         sock = socket.create_connection((rs.host, rs.port))
         self._repl_client = PG.ReplicationClient(
             sock, slot=rs.slot, publication=rs.publication
+        )
+        # a backend rejects any command before the startup handshake
+        self._repl_client.startup(
+            user=rs.user, database=rs.database, password=rs.password
         )
         if rs.create_slot:
             self._repl_client.create_slot()

@@ -4,9 +4,15 @@ connector.go:129-172, README.md:186-198).
 
 Implements the documented protocol surface a slot consumer needs:
 
+- connection handshake: the untyped StartupMessage with
+  ``replication=database`` plus AuthenticationOk/cleartext-password
+  handling (a backend rejects any command before this);
 - libpq message framing (type byte + int32 length): Query for
-  CREATE_REPLICATION_SLOT / START_REPLICATION, CopyBothResponse,
-  CopyData both ways;
+  CREATE_REPLICATION_SLOT (whose reply is a one-row RESULT SET drained to
+  ReadyForQuery; duplicate_object 42710 treated as idempotent create) /
+  START_REPLICATION, CopyBothResponse, CopyData both ways; ErrorResponse
+  surfaces as an exception everywhere (a mid-stream 'E' is a fatal stop,
+  never a clean end of stream);
 - replication sub-protocol frames inside CopyData: XLogData ('w'),
   primary keepalive ('k'), standby status update ('r' — the ACK that
   advances the slot's restart LSN, sent on commit like the reference's
@@ -52,12 +58,50 @@ def query_message(sql: str) -> bytes:
     return frame(b"Q", sql.encode() + b"\x00")
 
 
+def startup_message(
+    user: str, database: str, replication: str = "database"
+) -> bytes:
+    """The UNTYPED startup packet (length + protocol 3.0 + key/value
+    pairs + terminator) a backend requires before any command —
+    ``replication=database`` selects the walsender/logical-replication
+    command set."""
+    params = b""
+    for k, v in (
+        ("user", user),
+        ("database", database),
+        ("replication", replication),
+    ):
+        params += k.encode() + b"\x00" + v.encode() + b"\x00"
+    body = struct.pack("!I", 196608) + params + b"\x00"
+    return struct.pack("!I", len(body) + 4) + body
+
+
+def parse_error_response(body: bytes) -> dict[str, str]:
+    """ErrorResponse/NoticeResponse field map (S severity, C sqlstate,
+    M message, ...)."""
+    fields: dict[str, str] = {}
+    pos = 0
+    while pos < len(body):
+        code = body[pos : pos + 1]
+        if code in (b"\x00", b""):
+            break
+        end = body.index(b"\x00", pos + 1)
+        fields[code.decode()] = body[pos + 1 : end].decode(errors="replace")
+        pos = end + 1
+    return fields
+
+
 def copy_data(payload: bytes) -> bytes:
     return frame(b"d", payload)
 
 
 def copy_both_response(n_cols: int = 0) -> bytes:
-    return frame(b"W", struct.pack("!BH", 0, n_cols))
+    # spec: Int8 overall format, Int16 numcols, Int16[numcols] per-column
+    # format codes — the per-column array is REQUIRED when numcols > 0
+    return frame(
+        b"W",
+        struct.pack("!BH", 0, n_cols) + struct.pack(f"!{n_cols}H", *([0] * n_cols)),
+    )
 
 
 # ---- replication sub-protocol frames (inside CopyData) ---------------------
@@ -103,11 +147,15 @@ def encode_relation(relid: int, namespace: str, relname: str, columns: list[str]
     return b"R" + body
 
 
-def encode_tuple(values: list[str | None]) -> bytes:
+def encode_tuple(values: list) -> bytes:
+    """Test-side encoder; ``None`` -> 'n' (NULL), ``UNCHANGED`` -> 'u'
+    (elided TOASTed value), else 't' + text."""
     out = struct.pack("!H", len(values))
     for v in values:
         if v is None:
             out += b"n"
+        elif v is UNCHANGED:
+            out += b"u"
         else:
             b = str(v).encode()
             out += b"t" + struct.pack("!I", len(b)) + b
@@ -139,15 +187,26 @@ def encode_delete(relid: int, old_values: list[str | None]) -> bytes:
     return b"D" + struct.pack("!I", relid) + b"K" + encode_tuple(old_values)
 
 
-def _parse_tuple(buf: bytes, pos: int) -> tuple[list[str | None], int]:
+# TupleData column sentinel: 'u' = unchanged TOASTed value (the server
+# elided a large column NOT covered by the replica identity). It must stay
+# distinguishable from 'n' (SQL NULL): conflating them nulls the column in
+# the materialized document — silent data loss. Decoded rows OMIT unchanged
+# columns (absent key = unchanged/unknown, explicit None = NULL), which the
+# keyed merge semantics handle as "don't touch".
+UNCHANGED = object()
+
+
+def _parse_tuple(buf: bytes, pos: int) -> tuple[list, int]:
     (ncols,) = struct.unpack_from("!H", buf, pos)
     pos += 2
-    out: list[str | None] = []
+    out: list = []
     for _ in range(ncols):
         kind = buf[pos : pos + 1]
         pos += 1
-        if kind in (b"n", b"u"):
+        if kind == b"n":
             out.append(None)
+        elif kind == b"u":
+            out.append(UNCHANGED)
         elif kind == b"t":
             (n,) = struct.unpack_from("!I", buf, pos)
             pos += 4
@@ -202,7 +261,12 @@ class PgOutputDecoder:
                 tag = payload[pos : pos + 1]
                 pos += 1
                 values, pos = _parse_tuple(payload, pos)
-                row = dict(zip(rel["cols"], values))
+                # unchanged-TOAST columns are OMITTED (see UNCHANGED)
+                row = {
+                    c: v
+                    for c, v in zip(rel["cols"], values)
+                    if v is not UNCHANGED
+                }
                 if tag in (b"K", b"O"):
                     before = row
                 elif tag == b"N":
@@ -239,6 +303,7 @@ class ReplicationClient:
 
     Usage: connect a socket to the server, then
         client = ReplicationClient(sock, slot="cdc", publication="pub")
+        client.startup("app", "appdb")  # StartupMessage + auth handshake
         client.create_slot()            # CREATE_REPLICATION_SLOT ... LOGICAL
         client.start()                  # START_REPLICATION -> CopyBoth
         for change in client.poll():    # decoded change dicts
@@ -266,16 +331,73 @@ class ReplicationClient:
             self.file.write(data)
             self.file.flush()
 
+    def startup(
+        self,
+        user: str = "postgres",
+        database: str = "postgres",
+        password: str | None = None,
+    ) -> None:
+        """StartupMessage handshake (``replication=database``): a backend
+        rejects ANY command before this — the first write on a fresh
+        connection must be the untyped startup packet, not a Query frame.
+        Handles AuthenticationOk (0) and AuthenticationCleartextPassword
+        (3); SCRAM is out of scope (use a trust/password hba entry for the
+        replication role, as the reference's docs assume)."""
+        self._send(startup_message(user, database))
+        while True:
+            t, body = read_frame(self.file)
+            if not t:
+                raise RuntimeError("connection closed during startup")
+            if t == b"R":
+                (auth,) = struct.unpack_from("!I", body, 0)
+                if auth == 0:  # AuthenticationOk
+                    continue
+                if auth == 3:  # cleartext password
+                    if password is None:
+                        raise RuntimeError(
+                            "server requests a password; none configured"
+                        )
+                    self._send(frame(b"p", password.encode() + b"\x00"))
+                    continue
+                raise RuntimeError(f"unsupported authentication method {auth}")
+            if t in (b"S", b"K", b"N"):  # ParameterStatus/BackendKeyData/Notice
+                continue
+            if t == b"Z":  # ReadyForQuery
+                return
+            if t == b"E":
+                raise RuntimeError(f"startup failed: {parse_error_response(body)}")
+            raise RuntimeError(f"unexpected startup frame {t!r}")
+
     def create_slot(self) -> None:
-        """CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput — idempotent on
-        the fake (and guarded by IF NOT EXISTS-style error tolerance on a
-        real server)."""
+        """CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput.
+
+        A real server answers with a one-row RESULT SET
+        (RowDescription/DataRow/CommandComplete/ReadyForQuery), so the
+        response is drained to ReadyForQuery — consuming only one frame
+        left 'D','C','Z' in the buffer and desynced the subsequent
+        START_REPLICATION. An ErrorResponse is raised after the drain
+        unless it is duplicate_object (SQLSTATE 42710: slot exists —
+        idempotent create, like the reference's recoverable start)."""
         self._send(
             query_message(f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL pgoutput")
         )
-        t, _ = read_frame(self.file)
-        if t not in (b"C", b"E"):  # CommandComplete | slot already exists
-            raise RuntimeError(f"unexpected response to CREATE_REPLICATION_SLOT: {t!r}")
+        err: dict[str, str] | None = None
+        while True:
+            t, body = read_frame(self.file)
+            if not t:
+                raise RuntimeError("connection closed during CREATE_REPLICATION_SLOT")
+            if t in (b"T", b"D", b"C", b"S", b"N"):
+                continue
+            if t == b"E":
+                err = parse_error_response(body)
+                continue
+            if t == b"Z":
+                break
+            raise RuntimeError(
+                f"unexpected response to CREATE_REPLICATION_SLOT: {t!r}"
+            )
+        if err is not None and err.get("C") != "42710":
+            raise RuntimeError(f"CREATE_REPLICATION_SLOT failed: {err}")
 
     def start(self, start_lsn: int = 0) -> None:
         self._send(
@@ -284,9 +406,17 @@ class ReplicationClient:
                 f"(proto_version '1', publication_names '{self.publication}')"
             )
         )
-        t, _ = read_frame(self.file)
-        if t != b"W":
-            raise RuntimeError(f"expected CopyBothResponse, got {t!r}")
+        while True:
+            t, body = read_frame(self.file)
+            if t in (b"S", b"N"):
+                continue
+            if t == b"E":
+                raise RuntimeError(
+                    f"START_REPLICATION failed: {parse_error_response(body)}"
+                )
+            if t != b"W":
+                raise RuntimeError(f"expected CopyBothResponse, got {t!r}")
+            break
         self.started = True
 
     def poll(self, heartbeat: bool = False):
@@ -305,6 +435,14 @@ class ReplicationClient:
             t, body = read_frame(self.file)
             if not t or t == b"Z":  # EOF / ReadyForQuery after CopyDone
                 return
+            if t == b"E":
+                # slot invalidation / wal_sender_timeout / decode errors end
+                # CopyBoth with an ErrorResponse; swallowing it would make a
+                # fatal stop look like a clean end of stream (the silent-halt
+                # failure mode run_live_consumer exists to surface)
+                raise RuntimeError(
+                    f"replication stream error: {parse_error_response(body)}"
+                )
             if t != b"d":
                 continue
             kind = body[:1]

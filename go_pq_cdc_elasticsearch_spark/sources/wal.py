@@ -50,14 +50,22 @@ def segment_start_lsn(fname: str) -> int:
 
 
 def write_wal_segment(path: str, messages: list[dict]) -> str:
-    """Test/demo helper: append one WAL segment (messages must carry
-    increasing lsn)."""
+    """Append one WAL segment (messages must carry increasing lsn).
+
+    Written to a dot-prefixed temp name and renamed into place: the live
+    producer (run_live_consumer's thread) races the Spark reader —
+    latestOffset()/read() scanning ``wal_*.ndjson`` must never observe a
+    half-flushed final line (json.loads on a truncated line killed the
+    stream). rename() is atomic on one filesystem, and the ``wal_``
+    prefix filter ignores the in-flight temp name."""
     os.makedirs(path, exist_ok=True)
     start = messages[0]["lsn"]
     fpath = os.path.join(path, f"wal_{start:016d}.ndjson")
-    with open(fpath, "w") as f:
+    tmp = os.path.join(path, f".wal_{start:016d}.ndjson.tmp")
+    with open(tmp, "w") as f:
         for m in messages:
             f.write(json.dumps(m) + "\n")
+    os.rename(tmp, fpath)
     return fpath
 
 

@@ -87,6 +87,7 @@ class FakeReplicationServer:
         self.max_connections = max_connections
         self.acks: list[dict] = []
         self.slots: list[str] = []
+        self.startups: list[dict] = []
         self.server = socket.create_server(("127.0.0.1", 0))
         self.port = self.server.getsockname()[1]
         self.done = threading.Event()
@@ -107,17 +108,88 @@ class FakeReplicationServer:
             finally:
                 self.done.set()
 
+    def _maybe_handle_startup(self, f, first: bytes) -> bytes:
+        """Speak the real connection handshake: the first packet on a fresh
+        connection is the UNTYPED StartupMessage (its first byte is 0x00 —
+        a length prefix — never an ASCII frame type). Replies
+        AuthenticationOk + ParameterStatus + ReadyForQuery, like a
+        trust-auth walsender. Returns the next frame's type byte (b'' on
+        EOF) so _handle continues uniformly; a legacy client that skips
+        startup still works (its first byte is a typed frame)."""
+        import struct
+
+        PG = self._PG
+        if first != b"\x00":
+            return first
+        rest = f.read(3)
+        (n,) = struct.unpack("!I", first + rest)
+        body = f.read(n - 4)
+        params = body[4:].rstrip(b"\x00").split(b"\x00")
+        self.startups.append(
+            dict(zip([p.decode() for p in params[0::2]],
+                     [p.decode() for p in params[1::2]]))
+        )
+        f.write(PG.frame(b"R", struct.pack("!I", 0)))  # AuthenticationOk
+        f.write(PG.frame(b"S", b"server_version\x0016.3\x00"))
+        f.write(PG.frame(b"Z", b"I"))
+        f.flush()
+        nxt = f.read(1)
+        return nxt if nxt else b""
+
     def _handle(self, f):
         PG = self._PG
+        first = f.read(1)
+        t0 = self._maybe_handle_startup(f, first)
+        pending = t0
         while True:
-            t, body = PG.read_frame(f)
+            if pending:
+                t = pending
+                pending = None
+                import struct
+
+                (n,) = struct.unpack("!I", f.read(4))
+                body = f.read(n - 4)
+            else:
+                t, body = PG.read_frame(f)
             if not t:
                 return
             if t == b"Q":
                 sql = body.rstrip(b"\x00").decode()
                 if sql.startswith("CREATE_REPLICATION_SLOT"):
-                    self.slots.append(sql.split()[1])
+                    # realistic reply: a ONE-ROW RESULT SET, not a bare
+                    # CommandComplete — RowDescription/DataRow/
+                    # CommandComplete/ReadyForQuery (duplicate slot: an
+                    # ErrorResponse 42710 then ReadyForQuery)
+                    slot = sql.split()[1]
+                    if slot in self.slots:
+                        f.write(
+                            PG.frame(
+                                b"E",
+                                b"SERROR\x00C42710\x00"
+                                b"Mreplication slot already exists\x00\x00",
+                            )
+                        )
+                        f.write(PG.frame(b"Z", b"I"))
+                        f.flush()
+                        continue
+                    self.slots.append(slot)
+                    f.write(
+                        PG.frame(
+                            b"T",
+                            b"\x00\x01slot_name\x00"
+                            + b"\x00" * 18,  # minimal single-col descriptor
+                        )
+                    )
+                    f.write(
+                        PG.frame(
+                            b"D",
+                            b"\x00\x01"
+                            + len(slot).to_bytes(4, "big")
+                            + slot.encode(),
+                        )
+                    )
                     f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                    f.write(PG.frame(b"Z", b"I"))
                     f.flush()
                 elif sql.startswith("START_REPLICATION"):
                     # resume contract: logical replication re-delivers WHOLE

@@ -61,6 +61,12 @@ def test_tuple_null_and_unchanged_columns():
     dec.decode(PG.encode_begin(1, 0, 1), 0)
     row = dec.decode(PG.encode_insert(2, [None, "x"]), 5)
     assert row["after"] == {"a": None, "b": "x"}
+    # 'u' (unchanged TOASTed value) must stay distinguishable from 'n'
+    # (NULL): the column is OMITTED from the row — conflating it with
+    # None would null a large column on every non-covering UPDATE
+    upd = dec.decode(PG.encode_update(2, [ "1", PG.UNCHANGED]), 6)
+    assert upd["after"] == {"a": "1"}
+    assert "b" not in upd["after"]
 
 
 # ---- scripted fake replication server (shared with examples/connector) -----
@@ -300,3 +306,46 @@ def test_socket_to_segments_to_spark_pgwal(spark):
     assert len(server.acks) > before
     assert server.acks[-1]["flushed"] == last
     client.close()
+
+
+def test_startup_handshake_and_realistic_slot_create():
+    """The live path against a realistic server: StartupMessage handshake
+    (AuthenticationOk/ParameterStatus/ReadyForQuery), then
+    CREATE_REPLICATION_SLOT answered with a one-row RESULT SET
+    (RowDescription/DataRow/CommandComplete/ReadyForQuery) — consuming
+    only one frame desynced the subsequent START_REPLICATION. Re-creating
+    the same slot gets ErrorResponse 42710 and must be idempotent."""
+    import socket
+
+    relid, cols = 7, ["id", "v"]
+    txns = [_txn(relid, cols, 0, [("I", ["1", "x"])])]
+    srv = FakeReplicationServer(txns, keepalive_each_txn=False, max_connections=2)
+    for _round in range(2):  # second round: slot already exists (42710)
+        sock = socket.create_connection(("127.0.0.1", srv.port))
+        c = PG.ReplicationClient(sock, slot="s1")
+        c.startup(user="app", database="appdb")
+        c.create_slot()
+        c.start()
+        changes = [ch for ch in c.poll() if ch is not None]
+        assert [ch["after"]["id"] for ch in changes] == ["1"]
+        sock.close()
+    assert srv.slots == ["s1"]
+    assert srv.startups[0]["user"] == "app"
+    assert srv.startups[0]["replication"] == "database"
+
+
+def test_poll_raises_on_error_response():
+    """A mid-stream ErrorResponse (slot invalidation, wal_sender_timeout)
+    must surface, not read as a clean end of stream."""
+    import io
+
+    c = PG.ReplicationClient.__new__(PG.ReplicationClient)
+    c.decoder = PG.PgOutputDecoder()
+    c.flushed_lsn = 0
+    c.last_wal_end = 0
+    buf = PG.frame(b"E", b"SERROR\x00C57P01\x00Mterminating connection\x00\x00")
+    c.file = io.BytesIO(buf)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="57P01"):
+        list(c.poll())
