@@ -40,10 +40,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp passes through untouched.
         from pyspark.sql import functions as F
 
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            # genuinely NANOS data: the conf must STAY set (execution
+            # re-reads footers under the current conf)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif prev is None:
+            # us-precision data: restore the session conf — leaving it set
+            # would make UNRELATED parquet reads in this session decode
+            # TIMESTAMP(NANOS) columns as raw longs
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -146,8 +146,13 @@ def es_settings_from_dict(es: dict[str, Any]) -> EsSinkSettings:
         if k in es
     }
     rej = es.get("rejectionLog") or {}
+    raw_urls = es.get("urls") or ("http://127.0.0.1:9200",)
+    if isinstance(raw_urls, str):
+        # a scalar where the Go decoder expects []string — tuple() would
+        # silently explode it into per-character "urls"
+        raw_urls = (raw_urls,)
     return EsSinkSettings(
-        urls=tuple(es.get("urls") or ("http://127.0.0.1:9200",)),
+        urls=tuple(raw_urls),
         username=es.get("username") or None,
         password=es.get("password") or None,
         type_name=es.get("typeName") or None,
@@ -196,6 +201,12 @@ def from_reference_config(
             port=int(cdc.get("port") or 5432),
             slot=slot.get("name") or "cdc_slot",
             publication=pub.get("name") or "pub",
+            # the reference's cdc block carries the connection credentials
+            # (README.md:186-198) — dropping them authenticated as
+            # postgres/postgres against the wrong database
+            user=cdc.get("username") or "postgres",
+            database=cdc.get("database") or "postgres",
+            password=cdc.get("password"),
             create_slot=bool(slot.get("createIfNotExists", True)),
         )
     conn = ConnectorConfig(

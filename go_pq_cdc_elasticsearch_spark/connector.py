@@ -157,8 +157,20 @@ class Connector:
             if self.snapshot_df is None:
                 raise ValueError(f"snapshot_mode={mode} requires snapshot_df")
             # U1: chunked consistent snapshot == batch merge (sync, like the
-            # reference's snapshot-only synchronous Start path)
-            self.view.merge_batch(self.snapshot_df)
+            # reference's snapshot-only synchronous Start path). With the
+            # DEFAULT transform the stream side extracts key columns as
+            # STRINGS (pgoutput text format) — cast the snapshot's key
+            # columns to match, or the initial-mode handoff would merge
+            # long keys against string keys (union type conflict / silent
+            # non-matching keys on the first stream batch). A custom
+            # transform owns its own typing and gets the snapshot as-is.
+            snap = self.snapshot_df
+            if self.transform is None and self.cfg.replication is not None:
+                from pyspark.sql import functions as F
+
+                for k in self.cfg.keys:
+                    snap = snap.withColumn(k, F.col(k).cast("string"))
+            self.view.merge_batch(snap)
             if mode == "snapshot_only":
                 return self
         if self.cfg.replication is not None:
@@ -225,6 +237,10 @@ class Connector:
             # thread may be blocked reading; _send is lock-protected) — the
             # checkpoint's commits/ dir is the durable frontier, covering
             # the last batch (commit() callbacks lag one batch)
+            # (OSError, ValueError): the sweep on an ALREADY-closed file
+            # object raises ValueError — close() must be re-enterable like
+            # the reference's Close, and a failed sweep must never skip
+            # the client close / thread join below (thread leak)
             try:
                 from go_pq_cdc_elasticsearch_spark.sources.pgoutput import (
                     forward_checkpoint_acks,
@@ -233,9 +249,12 @@ class Connector:
                 forward_checkpoint_acks(
                     self._repl_client, self.cfg.checkpoint_dir
                 )
-            except OSError:
+            except (OSError, ValueError):
                 pass
-            self._repl_client.close()  # breaks the blocked poll read
+            try:
+                self._repl_client.close()  # breaks the blocked poll read
+            except (OSError, ValueError):
+                pass
         if self._repl_thread is not None:
             self._repl_thread.join(timeout=5)
 

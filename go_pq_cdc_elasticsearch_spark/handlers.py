@@ -49,11 +49,17 @@ def script_update_handler(
     params (passed through verbatim in live-ES mode; the materialized-view
     engine evaluates the equivalent merge expressions, Q-C4)."""
     upd = envelope.filter(model.is_update())
+    # params.delta must serialize as a NUMBER: new_data is
+    # map<string,string>, and a map-valued params emitted {"delta":"5.0"}
+    # — Painless then executes `stock += "5.0"` (string concat /
+    # ClassCastException) in live-ES passthrough. A typed struct with a
+    # double cast makes to_json emit {"delta":5.0}, matching the numeric
+    # param the reference example sends (example/script-update/main.go).
     script = F.to_json(
         F.struct(
             F.lit(script_source).alias("source"),
-            F.create_map(
-                F.lit("delta"), F.col("new_data").getItem(delta_field)
+            F.struct(
+                F.col("new_data").getItem(delta_field).cast("double").alias("delta")
             ).alias("params"),
         )
     )

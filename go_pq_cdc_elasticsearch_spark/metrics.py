@@ -26,10 +26,17 @@ def observed_actions(
     to a write-plan DataFrame; read them from the Observation after the
     sink action runs."""
     obs = Observation(name)
+    # every action increments exactly ONE per-op counter (metric.go: each
+    # action is either index or delete), so the counters must sum to
+    # actions_total: a NULL op (malformed envelope) is counted on the
+    # index side — `op != delete` alone is NULL for NULL ops and count_if
+    # skipped the row in BOTH buckets, silently undercounting
     out = df.observe(
         obs,
         F.count(F.lit(1)).alias("actions_total"),
-        F.count_if(F.col(op_col) != F.lit(delete_op)).alias("index_total"),
+        F.count_if(
+            F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
+        ).alias("index_total"),
         F.count_if(F.col(op_col) == F.lit(delete_op)).alias("delete_total"),
     )
     return out, obs

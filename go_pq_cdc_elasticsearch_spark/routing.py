@@ -21,7 +21,6 @@ Python in the row path.
 from __future__ import annotations
 
 from functools import lru_cache
-from itertools import chain
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -87,11 +86,27 @@ class IndexRouter:
         # Enumerate every table name the mapping can possibly resolve:
         # mapping keys themselves plus hypertable chunk names we know about.
         known = {}
-        for full in chain(self.mapping, self.hypertable_parents):
+        for full in self.mapping:
             schema_name, _, name = full.rpartition(".")
             resolved = self._resolve(schema_name or "public", name)
             if resolved is not None:
                 known[f"{schema_name or 'public'}.{name}"] = resolved
+        # Hypertable chunks: a NAME-ONLY chunk key must match under ANY
+        # schema — TimescaleDB puts chunks in _timescaledb_internal, not
+        # the parent's schema, and pinning the lookup to 'public.<chunk>'
+        # silently dropped every real chunk event in the column path while
+        # resolve() (whose name-only fallback ignores the schema) routed
+        # it. Schema-qualified chunk keys stay exact.
+        ht_by_name = {}
+        for chunk, parent in self.hypertable_parents.items():
+            parent_full = parent if "." in parent else f"public.{parent}"
+            target = self.mapping.get(parent_full)
+            if target is None:
+                continue
+            if "." in chunk:
+                known[chunk] = target
+            else:
+                ht_by_name[chunk] = target
         # Unknown-at-config-time partition children (e.g. orders_2024_01)
         # can't be pre-enumerated; handle them with a chain of prefix
         # candidates evaluated as column expressions.
@@ -99,23 +114,33 @@ class IndexRouter:
         map_col = F.create_map(*[F.lit(x) for x in mapping_items]) if mapping_items else None
 
         full_col = F.concat_ws(".", F.col(schema_col), F.col(table_col))
+        candidates = []
         if map_col is not None:
-            exact = map_col.getItem(full_col)
+            candidates.append(map_col.getItem(full_col))
+        if ht_by_name:
+            ht_items = [x for kv in ht_by_name.items() for x in kv]
+            ht_map = F.create_map(*[F.lit(x) for x in ht_items])
+            candidates.append(ht_map.getItem(F.col(table_col)))
+        if map_col is not None:
             # prefix probe, SHORTEST proper prefix first to match
             # findParentTable (connector.go:239-246): extract the first i
             # _-segments, requiring a trailing '_' so only proper prefixes
-            # match (bounded depth; config table names are short)
-            candidates = [exact]
-            for i in range(1, 5):
+            # match. Depth = the longest mapping table name's segment count
+            # (a deeper probe can never hit) — a fixed cap silently dropped
+            # children of mapping entries with more segments than the cap.
+            max_depth = max(
+                k.rpartition(".")[2].count("_") + 1 for k in self.mapping
+            ) if self.mapping else 0
+            for i in range(1, max_depth + 1):
                 probe = F.regexp_extract(
                     F.col(table_col), "^([^_]+" + "_[^_]+" * (i - 1) + ")_", 1
                 )
                 candidates.append(
                     map_col.getItem(F.concat_ws(".", F.col(schema_col), probe))
                 )
-            resolved = F.coalesce(*candidates)
-        else:
-            resolved = F.lit(None).cast("string")
+        resolved = (
+            F.coalesce(*candidates) if candidates else F.lit(None).cast("string")
+        )
         out = df.withColumn(out_col, resolved)
         if drop_unmapped:
             out = out.filter(F.col(out_col).isNotNull())

@@ -20,7 +20,11 @@ def running_totals(
     value_col: str = "value",
 ) -> DataFrame:
     """(key, n_events, total_value) updated per micro-batch; state is one
-    (count, sum) pair per key — O(keys) state, no raw-event retention."""
+    (count, sum) pair per key — O(keys) state, no raw-event retention.
+    The output key column carries the INPUT key column's type (a
+    hardcoded ``key long`` crashed the Arrow conversion for any non-long
+    key the signature advertises)."""
+    key_type = stream.schema[key_col].dataType.simpleString()
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -38,7 +42,7 @@ def running_totals(
         stream.groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType="key long, n_events long, total_value double",
+            outputStructType=f"key {key_type}, n_events long, total_value double",
             stateStructType="n long, total double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -127,3 +127,35 @@ def test_transports_built_from_settings():
     s = EsSinkSettings(urls=("http://127.0.0.1:1",), compression_enabled=True)
     bulk, info = s.transports()
     assert callable(bulk) and callable(info)
+
+
+def test_reference_config_carries_replication_credentials():
+    from go_pq_cdc_elasticsearch_spark.config import from_reference_config
+
+    conn, _es = from_reference_config(
+        {
+            "cdc": {
+                "host": "pg",
+                "username": "cdc_user",
+                "password": "cdc_pass",
+                "database": "cdc_db",
+                "slot": {"name": "s"},
+                "publication": {"name": "p"},
+            },
+            "elasticsearch": {"urls": ["http://127.0.0.1:9200"]},
+        },
+        staged_dir="/tmp/x",
+        view_path="/tmp/y",
+        checkpoint_dir="/tmp/z",
+    )
+    rs = conn.replication
+    # dropping these authenticated as postgres/postgres with no password
+    assert (rs.user, rs.database, rs.password) == ("cdc_user", "cdc_db", "cdc_pass")
+
+
+def test_es_urls_scalar_string_not_exploded():
+    from go_pq_cdc_elasticsearch_spark.config import es_settings_from_dict
+
+    es = es_settings_from_dict({"urls": "http://127.0.0.1:9200"})
+    # tuple(str) would have produced per-character "urls"
+    assert es.urls == ("http://127.0.0.1:9200",)

@@ -130,3 +130,27 @@ def test_parse_bytes_full_suffix_set():
     assert _parse_bytes("1gb") == 1 << 30
     assert _parse_bytes("1tb") == 1 << 40
     assert _parse_bytes("2p") == 2 << 50
+
+
+def test_script_update_params_delta_is_numeric(spark):
+    """Painless `stock += params.delta` needs a NUMBER: a map-valued
+    params serialized {"delta":"5.0"} and live ES would string-concat or
+    throw — the typed struct must emit {"delta":5.0}."""
+    import json
+
+    from go_pq_cdc_elasticsearch_spark import model
+    from go_pq_cdc_elasticsearch_spark.handlers import script_update_handler
+
+    import datetime
+
+    events = spark.createDataFrame(
+        [(1, "purchase", 5.0, 42, datetime.datetime(2026, 1, 1), "{}")],
+        "event_id long, event_type string, value double, user_id long, "
+        "ts timestamp, props string",
+    )
+    env = model.envelope_from_events(events, table="public.events").withColumn(
+        "op", F.lit(model.UPDATE)
+    )
+    row = script_update_handler(env).collect()[0]
+    params = json.loads(row["source"])["params"]
+    assert isinstance(params["delta"], float) and params["delta"] == 5.0

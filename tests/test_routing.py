@@ -87,3 +87,36 @@ def test_route_keep_unmapped(spark):
     )
     out = router().route(df, drop_unmapped=False).collect()
     assert out[0]["index"] is None
+
+
+def test_route_hypertable_chunk_under_real_schema(spark):
+    # TimescaleDB puts chunk tables in _timescaledb_internal, NOT the
+    # parent's schema: a name-only chunk key must match under any schema
+    # in the COLUMN path too (resolve() already did via its name-only
+    # fallback — the two paths diverged and every real chunk event was
+    # silently dropped)
+    r = IndexRouter(
+        {"public.cpu_metrics": "cpu-idx"},
+        hypertable_parents={"_hyper_1_2_chunk": "public.cpu_metrics"},
+    )
+    df = spark.createDataFrame(
+        [("_timescaledb_internal", "_hyper_1_2_chunk", 1)],
+        "table_schema string, table_name string, v int",
+    )
+    out = r.route(df).collect()
+    assert out[0]["index"] == "cpu-idx"
+    assert r.resolve("_timescaledb_internal", "_hyper_1_2_chunk") == "cpu-idx"
+
+
+def test_route_prefix_probe_depth_matches_mapping(spark):
+    # the probe depth derives from the longest mapping name's segment
+    # count — a fixed cap dropped children of deeper mapping entries
+    # while resolve() routed them
+    r = IndexRouter({"public.a_b_c_d_e": "deep-idx"})
+    df = spark.createDataFrame(
+        [("public", "a_b_c_d_e_2024", 1)],
+        "table_schema string, table_name string, v int",
+    )
+    out = r.route(df).collect()
+    assert out[0]["index"] == "deep-idx"
+    assert r.resolve("public", "a_b_c_d_e_2024") == "deep-idx"
