@@ -48,4 +48,16 @@ def asof_join(
         out_col,
         F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True).over(w),
     )
-    return carried.filter(F.col("__side") == 1).drop("__t", "__side")
+    # SQL equi-join semantics: NULL never equals NULL. Window.partitionBy
+    # groups NULL keys into ONE partition, which would let NULL-keyed left
+    # rows inherit values from NULL-keyed right rows — null the result for
+    # any row with a NULL join key (matches the q_s8 correlated-subquery
+    # oracle, where the equality predicate filters those rows out).
+    null_key = None
+    for c in on:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    out = carried.withColumn(
+        out_col, F.when(null_key, F.lit(None)).otherwise(F.col(out_col))
+    )
+    return out.filter(F.col("__side") == 1).drop("__t", "__side")

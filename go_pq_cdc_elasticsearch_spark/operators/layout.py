@@ -24,13 +24,16 @@ from pyspark.sql import functions as F
 
 
 def _normalize(col: Column, cmin: float, cmax: float, bits: int) -> Column:
-    """Map a numeric column to an integer grid [0, 2^bits)."""
+    """Map a numeric column to an integer grid [0, 2^bits); NULL -> cell 0
+    (least/greatest SKIP null inputs, so without the coalesce a NULL
+    value floated to the TOP cell — clustered with max-value rows,
+    spanning those files' min/max stats full-width)."""
     span = (cmax - cmin) or 1.0
     scaled = (col.cast("double") - F.lit(float(cmin))) / F.lit(float(span))
-    grid = F.floor(scaled * F.lit(float(2**bits)))
-    return F.greatest(
-        F.lit(0), F.least(grid.cast("long"), F.lit(2**bits - 1))
+    grid = F.coalesce(
+        F.floor(scaled * F.lit(float(2**bits))).cast("long"), F.lit(0)
     )
+    return F.greatest(F.lit(0), F.least(grid, F.lit(2**bits - 1)))
 
 
 def zorder_key(

@@ -62,8 +62,14 @@ def bm25_topk(
     makes the tie-break engine-portable. Returns ``(id_col, score)`` with
     score rounded to 6 decimals.
     """
+    from collections import Counter
+
     tf, dl = term_stats(df, text_col, id_col)
-    hits = tf.filter(F.col("term").isin(query_terms))
+    # bag-of-terms: a term repeated in the QUERY contributes once per
+    # occurrence (Lucene scores duplicate clauses additively) — an isin
+    # filter alone silently deduplicated the query
+    term_mult = Counter(query_terms)
+    hits = tf.filter(F.col("term").isin(list(term_mult)))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -83,11 +89,16 @@ def bm25_topk(
             * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    mult_pairs = [x for t, n in sorted(term_mult.items()) for x in (t, n)]
+    mult_map = F.create_map(*[F.lit(x) for x in mult_pairs])
     scored = (
         hits.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
-        .withColumn("__s", idf * tf_part)
+        .withColumn(
+            "__s",
+            idf * tf_part * mult_map.getItem(F.col("term")).cast("double"),
+        )
         .groupBy(id_col)
         .agg(pround(F.sum("__s"), 6).alias("score"))
     )

@@ -31,12 +31,32 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``on`` with the left side salted and the right side
     replicated n_salts times. Result columns = left columns + right's
-    non-key columns (same as df.join(right, on))."""
+    non-key columns (same as df.join(right, on)).
+
+    Supported ``how``: inner / left / left_semi / left_anti — the joins
+    where each LEFT row carries exactly one salt, so its match set against
+    the replicated right is identical to the unsalted join. right/full
+    outer are REJECTED: every right row is replicated n_salts times and
+    only one replica can match a given left row, so the other n_salts-1
+    replicas would emit spurious null-extended rows (verified: a 2-row
+    full join came back as 8 rows). Salt the other side instead.
+    """
     on = list(on)
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}"
+            " — replicate-right salting breaks right/full outer semantics"
+        )
     # deterministic salt from the whole left row (no RNG: reruns and
-    # retried tasks must salt identically)
+    # retried tasks must salt identically). MAP columns are unhashable
+    # (Spark raises HASH_MAP_TYPE — the CDC envelope's payload maps hit
+    # this); the salt only needs per-row dispersion, so hash the hashable
+    # columns.
+    hashable = [c for c, t in left.dtypes if not t.startswith("map<")]
+    if not hashable:
+        raise ValueError("salted_join needs at least one non-map left column")
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        F.hash(*[F.col(c) for c in hashable]), F.lit(n_salts)
     ).alias("__salt")
     l_salted = left.select("*", salt)
     r_replicated = right.select(

@@ -57,7 +57,9 @@ def actions_from_envelope(
         F.col("seq"),
         F.when(is_del, F.lit(DELETE)).otherwise(F.lit(INDEX)).alias("action"),
         payload.getItem(id_field).alias("doc_id"),
-        F.col(index_col),
+        # alias: ACTION_SCHEMA and the bulk writer address the column as
+        # 'index' — a custom index_col crashed frame_actions otherwise
+        F.col(index_col).alias("index"),
         F.lit(None).cast("string").alias("routing"),
         F.when(is_del, F.lit(None).cast("string"))
         .otherwise(F.to_json(enriched))

@@ -90,3 +90,82 @@ def test_resize_images_null_content(spark):
     )
     out = MM.resize_images(media, 2, 2, decode_stub=True).collect()
     assert len(out) == 1  # stub path; the real path guards bytes(None)
+
+
+def test_salted_join_rejects_outer_and_tolerates_maps(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("a", 1, {"k": "v"})], "k string, lv int, payload map<string,string>"
+    )
+    right = spark.createDataFrame([("a", 10), ("b", 20)], "k string, rv int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, ["k"], how="full")
+    # a MAP column on the left (the CDC envelope case) must not crash the
+    # salt hash; left-join parity with the unsalted join
+    got = {(r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, ["k"], how="left").collect()}
+    want = {
+        (r["k"], r["lv"], r["rv"])
+        for r in left.join(right, ["k"], "left").collect()
+    }
+    assert got == want
+
+
+def test_asof_join_null_keys_do_not_match(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), (1, 10)], "user_id int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(None, 5), (1, 7)], "user_id int, rts int"
+    )
+    got = {
+        r["user_id"]: r["asof_ts"]
+        for r in asof_join(left, right, ["user_id"], "lts", "rts").collect()
+    }
+    # SQL equi-join: NULL never equals NULL — no inherited timestamp
+    assert got[None] is None and got[1] == 7
+
+
+def test_actions_from_envelope_custom_index_col(spark):
+    from go_pq_cdc_elasticsearch_spark import model
+    from go_pq_cdc_elasticsearch_spark.sink.actions import actions_from_envelope
+
+    env = spark.createDataFrame(
+        [(1, "INSERT", {"id": "7", "v": "x"}, None, "idx-a")],
+        "seq long, op string, new_data map<string,string>, "
+        "old_data map<string,string>, target string",
+    )
+    out = actions_from_envelope(env, index_col="target")
+    assert "index" in out.columns  # ACTION_SCHEMA contract
+    assert out.collect()[0]["index"] == "idx-a"
+
+
+def test_bm25_duplicate_query_terms_weighted(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort tree"), (2, "vector index scan")],
+        "doc_id long, text string",
+    )
+    s1 = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["merge", "vector"]).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["merge", "merge", "vector"]).collect()}
+    assert s2[1] > s1[1]  # doubled term contributes twice
+    assert s2[2] == s1[2]
+
+
+def test_zorder_null_maps_to_cell_zero(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(None,), (0.0,), (100.0,)], "x double")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key([F.col("x")], [(0.0, 100.0)], bits=4).alias("z")
+        ).collect()
+    ]
+    assert got[0] == got[1] == 0  # NULL clusters with the MIN cell
+    assert got[2] == 15
