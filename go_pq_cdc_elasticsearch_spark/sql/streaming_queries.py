@@ -168,25 +168,31 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w_epoch, max_sec
     """,
     doc="Watermark late-data drop (Q-T4, SURVEY.md:196): the replay delivers "
-    "the newest 24h of events in two micro-batches, then every older "
-    "event as one deliberately-late batch. The late-event filter in "
-    "Spark's stateful aggregation uses the watermark the PREVIOUS batch "
-    "evicted with (one batch of lag — measured: a late file in batch 1 is "
-    "emitted, in batch 2 it is dropped, numRowsDroppedByWatermark "
-    "confirms), so the on-time data spans two batches to let the "
-    "10-minute watermark reach max(ts)-10min before the late batch "
-    "arrives; the late rows are then dropped from the append-mode hourly "
-    "aggregation, and the emitted windows are exactly the on-time hours "
-    "closed by the final watermark — which is what the batch oracle "
-    "computes by excluding the same rows. All event-time arithmetic is "
-    "NTZ-derived epoch seconds (functions/time.py), identical under any "
-    "session timezone; the 24h/1h/10min margins keep every comparison "
-    "thousands of seconds from the emit/evict boundary, so <= vs < "
-    "conventions cannot matter. Mirrors the late-arrival contract the "
-    "reference inherits from WAL total order (connector.go:129-172: "
-    "events are applied in LSN order, never retroactively).",
+    "all on-time events (newest 24h) as batch 0, an EMPTY batch 1, then "
+    "every older event as one deliberately-late batch 2. The late-event "
+    "filter in Spark's stateful aggregation uses the watermark the "
+    "PREVIOUS batch evicted with (one batch of lag — measured: a late "
+    "file in batch 1 is emitted, in batch 2 it is dropped, "
+    "numRowsDroppedByWatermark confirms), so the empty middle batch "
+    "exists solely to propagate batch 0's max(ts)-10min watermark into "
+    "the filter before the late batch arrives (an earlier parity split "
+    "of the on-time rows left an empty SLICE whenever only one event was "
+    "on-time, collapsing on-time data into one batch and emitting the "
+    "late rows). The late rows are then dropped from the append-mode "
+    "hourly aggregation, and the emitted windows are exactly the on-time "
+    "hours closed by the final watermark — which is what the batch "
+    "oracle computes by excluding the same rows. All event-time "
+    "arithmetic is NTZ-derived epoch seconds (functions/time.py), "
+    "identical under any session timezone; the 24h/1h/10min margins keep "
+    "every comparison thousands of seconds from the emit/evict boundary, "
+    "so <= vs < conventions cannot matter. Mirrors the late-arrival "
+    "contract the reference inherits from WAL total order "
+    "(connector.go:129-172: events are applied in LSN order, never "
+    "retroactively).",
 )
 def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
     from go_pq_cdc_elasticsearch_spark.catalog import load_table
     from go_pq_cdc_elasticsearch_spark.functions.time import ntz_epoch_seconds
     from go_pq_cdc_elasticsearch_spark.sources.replay import stage_slices
@@ -197,23 +203,37 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_sec = events.agg(
         F.max(ntz_epoch_seconds(F.col("ts"))).alias("m")
     ).first()["m"]
+    if max_sec is None:  # empty events table: the oracle's empty result
+        return spark.createDataFrame([], "w_epoch long, n long")
     cut = max_sec - 86400
     work = tempfile.mkdtemp(prefix="wm_q_")
     staged = os.path.join(work, "staged")
-    # slices 0/1 (replayed first) = the newest 24h split by seq parity —
-    # two batches so the advanced watermark is already the *previous*
-    # batch's eviction watermark when slice 2 (everything older) arrives
+    # batch 0 = ALL on-time rows (carries max(ts), so its eviction
+    # watermark is max-10min), batch 1 = an EMPTY file (a 0-row
+    # micro-batch whose only job is propagating batch 0's watermark into
+    # the late-record filter — the filter lags eviction by one batch),
+    # batch 2 = everything older than 24h, now dropped as late. An
+    # earlier parity split of the on-time rows produced an EMPTY slice
+    # whenever only one event fell within 24h of max(ts) (a regenerated-
+    # data shape): the on-time data then collapsed into one batch and the
+    # late rows were aggregated instead of dropped.
     epoch = ntz_epoch_seconds(F.col("ts"))
     stage_slices(
-        events.withColumn(
-            "__f",
-            F.when(epoch < cut, 2)
-            .when(F.col("event_id") % 2 == 0, 0)
-            .otherwise(1),
-        ),
+        events.withColumn("__f", F.when(epoch < cut, 2).otherwise(0)),
         staged,
         n_files=3,
     )
+    empty_dir = os.path.join(work, "empty")
+    events.filter(F.lit(False)).coalesce(1).write.parquet(empty_dir)
+    (part,) = [f for f in os.listdir(empty_dir) if f.endswith(".parquet")]
+    middle = os.path.join(staged, "events_0001.parquet")
+    os.rename(os.path.join(empty_dir, part), middle)
+    stamps = sorted(
+        os.path.getmtime(p)
+        for p in glob.glob(os.path.join(staged, "events_000[02]*.parquet"))
+    )
+    mid_t = (stamps[0] + stamps[-1]) / 2 if len(stamps) > 1 else stamps[0] + 1
+    os.utime(middle, (mid_t, mid_t))
     stream = read_event_stream(spark, staged, max_files_per_trigger=1)
     # watermark needs an instant: epoch-seconds reassembly is tz-free
     # (never converts through the session zone, unlike a straight cast)

@@ -211,12 +211,32 @@ def initial_load(
 _STAGED_CACHE: dict[tuple[str, int], str] = {}
 
 
+def _events_fingerprint(sf_dir: str) -> tuple:
+    """(mtime, size) fingerprint of the events parquet (file or dir) — the
+    staging cache must invalidate when the SOURCE is regenerated in-place
+    within one process, or streams would silently replay stale data while
+    the oracle reads the new file."""
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+
+    p = table_path(sf_dir, "events")
+    try:
+        if os.path.isdir(p):
+            parts = sorted(
+                os.path.join(p, f) for f in os.listdir(p) if not f.startswith(".")
+            )
+            return tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in parts)
+        return (p, os.path.getmtime(p), os.path.getsize(p))
+    except OSError:
+        return ("missing",)
+
+
 def staged_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """Stage (or reuse) the seq-ordered event replay files for
     ``(sf_dir, n_files)``. Staging is deterministic, so every consumer in
     one process (declared queries, tests, bench warmup) shares one
-    read-only layout per key."""
-    key = (sf_dir, n_files)
+    read-only layout per key; the key carries the source fingerprint so a
+    regenerated events table restages instead of replaying stale files."""
+    key = (sf_dir, n_files, _events_fingerprint(sf_dir))
     staged = _STAGED_CACHE.get(key)
     if staged is None or not os.path.isdir(staged):
         staged = os.path.join(tempfile.mkdtemp(prefix="cdc_stage_"), "staged")

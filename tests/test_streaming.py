@@ -95,3 +95,63 @@ def test_checkpoint_resume_loses_nothing(spark, sf_dir):
         for r in cdc_apply(load_table(spark, sf_dir, "events")).collect()
     )
     assert stream_state == batch_state
+
+
+def test_q_t4_single_on_time_event_drops_late_rows(spark):
+    """Regenerated-data shape that broke the old parity split: ONE event
+    within 24h of max(ts), everything else deliberately late — the late
+    rows must be dropped (empty middle batch propagates the watermark
+    into the late-record filter), matching the oracle's empty result."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.sql import REGISTRY
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i * 28), i % 50, "view", 1.0, "{}")
+        for i in range(1, 301)
+    ]
+    rows.append((999, base + datetime.timedelta(hours=42), 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    fake_sf = tempfile.mkdtemp(prefix="wm_adv_")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        os.path.join(fake_sf, "events.parquet")
+    )
+    out = REGISTRY["q_t4_stream_watermark"].spark(spark, fake_sf)
+    assert out.count() == 0  # every pre-cut row dropped as late
+
+
+def test_staged_events_cache_invalidates_on_regeneration(spark, sf_dir):
+    """The staging cache must restage when the SOURCE parquet changes
+    in-process — a stale layout silently replays old data while the
+    oracle reads the new file. Runs against a /tmp COPY of the sf dir
+    (testdata itself is read-only by contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import staged_events
+
+    work = tempfile.mkdtemp(prefix="regen_sf_")
+    src = table_path(sf_dir, "events")
+    dst = os.path.join(work, "events.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    a = staged_events(spark, work, 2)
+    assert a == staged_events(spark, work, 2)  # same fingerprint: reuse
+    target = dst if os.path.isfile(dst) else os.path.join(
+        dst, sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))[0]
+    )
+    st = os.stat(target)
+    os.utime(target, (st.st_atime, st.st_mtime + 1))  # simulate regeneration
+    b = staged_events(spark, work, 2)
+    assert b != a  # new fingerprint: restaged
