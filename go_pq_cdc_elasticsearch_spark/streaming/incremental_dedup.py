@@ -434,6 +434,39 @@ class IncrementalDeduper(LshDedupIndex):
         )
         return kept_batch
 
+    def foreach_batch_writer(self, corpus_path: str):
+        """Adapter for ``writeStream.foreachBatch`` — the full streaming
+        ingestion loop: dedup the arriving micro-batch against everything
+        ingested so far, APPEND the kept rows to the corpus store at
+        ``corpus_path`` (parquet; created on first batch), index the
+        batch. The corpus store doubles as the verification text source,
+        so the pipeline is self-contained: stream in, deduplicated corpus
+        out. Exactly-once on the kept view and band index via their epoch
+        frontiers; the corpus append on a redelivered epoch is skipped by
+        the same guard (kept view's frontier is checked FIRST)."""
+        import os
+
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            if (
+                epoch_id is not None
+                and self.kept._last_epoch is not None
+                and epoch_id <= self.kept._last_epoch
+            ):
+                return  # redelivered epoch: corpus already appended
+            spark = batch_df.sparkSession
+            if os.path.isdir(corpus_path):
+                corpus = spark.read.parquet(corpus_path).unionByName(
+                    batch_df, allowMissingColumns=True
+                )
+            else:
+                corpus = batch_df
+            kept = self.dedup_batch(batch_df, corpus=corpus, epoch_id=epoch_id)
+            # kept is localCheckpoint-pinned, so appending to the corpus
+            # it was derived from cannot feed back into this batch
+            kept.write.mode("append").parquet(corpus_path)
+
+        return write
+
 
 def greedy_keep_filter(pairs_by_batch, batch_ids_in_order):
     """Reference policy fold (driver-side over SMALL per-batch id lists in

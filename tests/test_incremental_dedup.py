@@ -195,3 +195,65 @@ def test_segment_index_compaction(spark, sf_dir):
     assert idx.view.read_buckets().count() == n_distinct
     after = {tuple(r) for r in idx._indexed_bands(probe).collect()}
     assert after == before
+
+
+def test_streaming_foreach_batch_end_to_end(spark, sf_dir):
+    """The full writeStream loop: documents arrive as a 3-file stream,
+    each micro-batch is deduplicated against the growing corpus store,
+    kept rows append to it — the final store equals the batch pipeline's
+    policy applied wave by wave (single-source-of-truth check: union of
+    kept ids == a fresh IncrementalDeduper replay over the same waves)."""
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import dedup_corpus
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    work = tempfile.mkdtemp(prefix="dd_stream_")
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    # stage three waves as parquet files with increasing mtimes
+    import time as _time
+
+    for i, m in enumerate((0, 1, 2)):
+        part_dir = os.path.join(work, f"w{i}")
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(part_dir)
+        (part,) = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        dst = os.path.join(staged, f"docs_{i:02d}.parquet")
+        os.rename(os.path.join(part_dir, part), dst)
+        t = _time.time() + i * 2
+        os.utime(dst, (t, t))
+
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus_path = os.path.join(work, "corpus")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(dd.foreach_batch_writer(corpus_path))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    store_ids = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    }
+    kept_view_ids = {
+        r["doc_id"] for r in dd.kept.read().select("doc_id").collect()
+    }
+    assert store_ids == kept_view_ids and store_ids
+    # replaying the same waves through a fresh deduper keeps the same set
+    dd2 = IncrementalDeduper(spark, os.path.join(work, "dd2"), jaccard_threshold=TAU)
+    kept2 = set()
+    for i, m in enumerate((0, 1, 2)):
+        w = docs.filter(F.col("doc_id") % 3 == m)
+        kept2 |= {
+            r["doc_id"]
+            for r in dd2.dedup_batch(w, corpus=docs, epoch_id=i)
+            .select("doc_id")
+            .collect()
+        }
+    assert store_ids == kept2
