@@ -84,17 +84,24 @@ def scripted_update_merge(
     the canonical Painless script maintains a version counter and a stock
     delta per document. Re-expressed as aggregation: per key, version =
     count of updates, stock = sum of update values. The stock sum runs on
-    DECIMAL(30,10) per the repo's money-sum policy: a raw double sum is
+    the integer quantization ladder (floor(value·10⁴ + 0.5) summed as
+    BIGINT, then one exact division back to DOUBLE): a raw double sum is
     accumulation-order-sensitive (measured: ~70% of per-user sums change
     bits between Spark's partial-agg merge order and a sequential fold),
-    so oracle parity would rest on rounding luck instead of exactness.
+    and a per-row double→DECIMAL cast is engine-divergent (Java
+    shortest-repr parse vs exact-binary conversion). Every ladder step is
+    a single correctly-rounded IEEE op or exact integer arithmetic, so the
+    result is bit-identical across engines AND the output type is plain
+    DOUBLE — never DECIMAL, which external harnesses canonicalize
+    differently than Spark does.
     """
+    quantized = F.floor(F.col("value").cast("double") * F.lit(10000.0) + F.lit(0.5))
     return (
         events.filter(F.col(op_col) == F.lit(update_op))
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("version"),
-            F.sum(F.col("value").cast("decimal(30,10)")).alias("stock"),
+            (F.sum(quantized).cast("double") / F.lit(10000.0)).alias("stock"),
         )
     )
 

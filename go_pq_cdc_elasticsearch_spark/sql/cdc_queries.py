@@ -81,7 +81,8 @@ def q_c3_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_c4_scripted_update",
     oracle="""
         SELECT user_id, count(*) AS version,
-               sum(CAST(value AS DECIMAL(30,10))) AS stock
+               CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 10000.0 AS stock
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
     """,

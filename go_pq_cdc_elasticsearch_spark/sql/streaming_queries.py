@@ -105,7 +105,7 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_t3_stream_session",
     oracle="""
-        SELECT user_id, sum(new_session) AS n_sessions FROM (
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -380,6 +380,20 @@ class IncrementalDeduper(LshDedupIndex):
     ) -> DataFrame:
         """Detect, fold, index: returns the KEPT rows of ``batch`` (full
         rows, not just ids) and records them in the kept view."""
+        kept_batch = self._compute_kept(batch, corpus, epoch_id=epoch_id)
+        self._merge_kept(kept_batch, epoch_id=epoch_id)
+        return kept_batch
+
+    def _compute_kept(
+        self,
+        batch: DataFrame,
+        corpus: DataFrame,
+        epoch_id: int | None = None,
+    ) -> DataFrame:
+        """Detect + fold WITHOUT advancing the kept-view frontier: the
+        foreachBatch adapter needs the kept rows before the frontier
+        commit so the corpus append can be ordered crash-safely (append
+        first, frontier last — see ``foreach_batch_writer``)."""
         from go_pq_cdc_elasticsearch_spark.operators.dedup import (
             connected_components,
         )
@@ -424,46 +438,80 @@ class IncrementalDeduper(LshDedupIndex):
         kept_batch = surviving.join(drop, on=id_c, how="left_anti").localCheckpoint(
             eager=True
         )
+        return kept_batch
 
+    def _merge_kept(self, kept_batch: DataFrame, epoch_id: int | None) -> None:
         seq = 0 if epoch_id is None else int(epoch_id)
         self.kept.merge_batch(
-            kept_batch.select(id_c)
+            kept_batch.select(self.id_col)
             .withColumn("seq", F.lit(seq))
             .withColumn("op", F.lit("upsert")),
             epoch_id=epoch_id,
         )
-        return kept_batch
 
     def foreach_batch_writer(self, corpus_path: str):
         """Adapter for ``writeStream.foreachBatch`` — the full streaming
         ingestion loop: dedup the arriving micro-batch against everything
-        ingested so far, APPEND the kept rows to the corpus store at
-        ``corpus_path`` (parquet; created on first batch), index the
-        batch. The corpus store doubles as the verification text source,
-        so the pipeline is self-contained: stream in, deduplicated corpus
-        out. Exactly-once on the kept view and band index via their epoch
-        frontiers; the corpus append on a redelivered epoch is skipped by
-        the same guard (kept view's frontier is checked FIRST)."""
+        ingested so far, append the kept rows to the corpus store at
+        ``corpus_path``, index the batch. The corpus store doubles as the
+        verification text source, so the pipeline is self-contained:
+        stream in, deduplicated corpus out.
+
+        Exactly-once, with the corpus append ordered BEFORE the kept-view
+        frontier commit (the commit point). Each epoch's kept rows land in
+        their own ``epoch=<id>`` directory written with overwrite — the
+        append is idempotent under redelivery, so every crash window is
+        safe: a crash before/during the corpus write leaves the frontier
+        unadvanced and redelivery recomputes the identical kept set
+        (deterministic fold) and overwrites the partial directory; a crash
+        after ``merge_batch`` is caught by the frontier guard with the
+        corpus already durable. The earlier ordering (merge first, append
+        after) could permanently LOSE an epoch's text: the frontier guard
+        skipped the redelivered epoch, so later near-dups of those docs
+        could never be verified against them. The in-flight epoch's
+        directory is excluded from the corpus read (only ``epoch < seq``),
+        so a partial previous attempt can neither corrupt the read nor
+        feed the batch's own rows back into its verification corpus."""
         import os
 
+        def _prior_epoch_dirs(seq: int) -> list:
+            if not os.path.isdir(corpus_path):
+                return []
+            out = []
+            for name in os.listdir(corpus_path):
+                if name.startswith("epoch="):
+                    try:
+                        e = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if e < seq:
+                        out.append(os.path.join(corpus_path, name))
+            return sorted(out)
+
         def write(batch_df: DataFrame, epoch_id: int) -> None:
+            seq = 0 if epoch_id is None else int(epoch_id)
             if (
-                epoch_id is not None
-                and self.kept._last_epoch is not None
-                and epoch_id <= self.kept._last_epoch
+                self.kept._last_epoch is not None
+                and seq <= self.kept._last_epoch
             ):
-                return  # redelivered epoch: corpus already appended
+                return  # fully-committed epoch redelivered: nothing to do
             spark = batch_df.sparkSession
-            if os.path.isdir(corpus_path):
-                corpus = spark.read.parquet(corpus_path).unionByName(
+            prior = _prior_epoch_dirs(seq)
+            if prior:
+                # explicit partition-dir paths: files sit directly under
+                # each path, so the read carries the batch schema (no
+                # discovered `epoch` column leaks into the text corpus)
+                corpus = spark.read.parquet(*prior).unionByName(
                     batch_df, allowMissingColumns=True
                 )
             else:
                 corpus = batch_df
-            kept = self.dedup_batch(batch_df, corpus=corpus, epoch_id=epoch_id)
-            # kept is localCheckpoint-pinned, so appending to the corpus
-            # it was derived from cannot feed back into this batch
-            kept.write.mode("append").parquet(corpus_path)
+            kept = self._compute_kept(batch_df, corpus=corpus, epoch_id=seq)
+            # corpus first (idempotent overwrite), frontier commit last
+            kept.write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"epoch={seq}")
+            )
+            self._merge_kept(kept, epoch_id=seq)
 
         return write
 

@@ -257,3 +257,56 @@ def test_streaming_foreach_batch_end_to_end(spark, sf_dir):
             .collect()
         }
     assert store_ids == kept2
+
+
+def test_foreach_batch_crash_between_corpus_write_and_frontier(spark, sf_dir):
+    """ADVICE r3 regression: a crash AFTER the corpus append but BEFORE the
+    kept-view frontier commit must lose nothing and duplicate nothing on
+    redelivery. (The inverse ordering — frontier first — permanently lost
+    the epoch's corpus text: the guard skipped the redelivered epoch, so
+    later near-dups of those docs could never be verified.)"""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    work = tempfile.mkdtemp(prefix="dd_crash_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus_path = os.path.join(work, "corpus")
+    write = dd.foreach_batch_writer(corpus_path)
+
+    w0 = docs.filter(F.col("doc_id") % 2 == 0)
+    w1 = docs.filter(F.col("doc_id") % 2 == 1)
+    write(w0, 0)
+
+    # crash window: corpus for epoch 1 is written, frontier commit dies
+    real_merge = dd._merge_kept
+    calls = {"n": 0}
+
+    def dying_merge(kept, epoch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before frontier commit")
+        real_merge(kept, epoch_id=epoch_id)
+
+    dd._merge_kept = dying_merge
+    try:
+        write(w1, 1)
+        raise AssertionError("injected crash did not surface")
+    except RuntimeError:
+        pass
+    assert dd.kept._last_epoch == 0  # frontier NOT advanced
+    # epoch-1 corpus dir exists from the failed attempt (the window)
+    assert os.path.isdir(os.path.join(corpus_path, "epoch=1"))
+
+    # redelivery of epoch 1: overwrite-idempotent append + frontier commit
+    write(w1, 1)
+    dd._merge_kept = real_merge
+    # a second redelivery after full commit is a no-op
+    write(w1, 1)
+
+    store = spark.read.parquet(corpus_path).select("doc_id")
+    store_ids = [r["doc_id"] for r in store.collect()]
+    kept_ids = {r["doc_id"] for r in dd.kept.read().select("doc_id").collect()}
+    assert len(store_ids) == len(set(store_ids))  # no duplicates
+    assert set(store_ids) == kept_ids and kept_ids  # no loss

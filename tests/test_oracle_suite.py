@@ -27,8 +27,36 @@ def con():
 @pytest.mark.parametrize("name", sorted(n for n, q in ALL.items() if q.oracle))
 def test_query_matches_oracle(spark, con, name):
     q = ALL[name]
-    problems = compare(q.spark(spark, SF), con, q.oracle)
+    df = q.spark(spark, SF)
+    if name in REGISTRY:
+        # driver-facing invariant (round-3 judge finding): the external
+        # harness canonicalizes DECIMAL differently than a local Arrow/str
+        # fetch — the only two decimal-emitting registry rows were exactly
+        # the two driver hash failures while green locally. Driver-facing
+        # Spark outputs must stay on plain types.
+        bad = [(c, t) for c, t in df.dtypes if "decimal" in t]
+        assert not bad, f"{name}: driver-facing Spark output has DECIMAL {bad}"
+    problems = compare(df, con, q.oracle)
     assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(n for n, q in REGISTRY.items() if q.oracle))
+def test_driver_oracle_output_types_are_plain(con, name):
+    # Same invariant, oracle side: DuckDB must not hand the driver a
+    # DECIMAL/HUGEINT column (sum(INTEGER) silently returns HUGEINT →
+    # decimal128 in Arrow, sum(DECIMAL) returns DECIMAL(38,s)). Schema-only
+    # probe: LIMIT 0 wrap keeps this test at parse cost.
+    import pyarrow as pa
+
+    schema = con.execute(
+        f"SELECT * FROM ({ALL[name].oracle}) AS __probe LIMIT 0"
+    ).arrow().schema
+    bad = [
+        (f.name, str(f.type))
+        for f in schema
+        if pa.types.is_decimal(f.type) or str(f.type) == "int128"
+    ]
+    assert not bad, f"{name}: oracle emits non-plain driver types {bad}"
 
 
 @pytest.mark.parametrize(
