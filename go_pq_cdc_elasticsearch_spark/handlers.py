@@ -59,7 +59,13 @@ def script_update_handler(
         F.struct(
             F.lit(script_source).alias("source"),
             F.struct(
-                F.col("new_data").getItem(delta_field).cast("double").alias("delta")
+                # try_cast, not cast: under the session's default ANSI
+                # mode a malformed (non-numeric) delta string in one
+                # envelope would otherwise kill the whole micro-batch
+                # with CAST_INVALID_INPUT — degrade it to a NULL param
+                # like the other ANSI guards, and let the sink's error
+                # routing (R13) handle the document-level failure.
+                F.col("new_data").getItem(delta_field).try_cast("double").alias("delta")
             ).alias("params"),
         )
     )

@@ -52,7 +52,14 @@ class IndexRouter:
             table_name
         )
         if parent is not None:
-            parent_full = parent if "." in parent else f"{table_schema}.{parent}"
+            # A bare (schema-less) parent name defaults to public — the
+            # SAME normalization route() applies. Qualifying with the
+            # CHUNK's schema was wrong twice over: the chunk lives in
+            # _timescaledb_internal, never the parent's schema, and the
+            # two paths disagreed (route() found public.<parent>,
+            # resolve() probed _timescaledb_internal.<parent> and missed).
+            # Parents outside public must use a qualified mapping value.
+            parent_full = parent if "." in parent else f"public.{parent}"
             if parent_full in self.mapping:
                 return self.mapping[parent_full]
         # 3. partition-parent prefix probe (connector.go:233-249):

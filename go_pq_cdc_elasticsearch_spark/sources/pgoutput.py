@@ -46,12 +46,28 @@ def frame(msg_type: bytes, body: bytes) -> bytes:
 
 
 def read_frame(sock_file) -> tuple[bytes, bytes]:
-    """Read one libpq message from a file-like socket; ('', b'') on EOF."""
+    """Read one libpq message from a file-like socket; ('', b'') on EOF.
+
+    A TRUNCATED frame (peer died mid-message: short length header or
+    short body) is also reported as EOF rather than letting a
+    struct.error escape from half-parsed bytes: an abrupt disconnect is
+    end-of-stream as far as the consumer is concerned, and signaling it
+    as such lets run_live_consumer fall through to its final
+    segment-flush + ack sweep instead of aborting them (crash-and-replay
+    still covers the unflushed tail either way; this keeps the flush
+    contract and the clean thread exit). Genuine decode errors on a
+    healthy socket still surface from the per-message parsers."""
     t = sock_file.read(1)
     if not t:
         return b"", b""
-    (n,) = struct.unpack("!I", sock_file.read(4))
-    return t, sock_file.read(n - 4)
+    header = sock_file.read(4)
+    if len(header) < 4:
+        return b"", b""
+    (n,) = struct.unpack("!I", header)
+    body = sock_file.read(n - 4)
+    if len(body) < n - 4:
+        return b"", b""
+    return t, body
 
 
 def query_message(sql: str) -> bytes:
@@ -85,7 +101,15 @@ def parse_error_response(body: bytes) -> dict[str, str]:
         code = body[pos : pos + 1]
         if code in (b"\x00", b""):
             break
-        end = body.index(b"\x00", pos + 1)
+        end = body.find(b"\x00", pos + 1)
+        if end < 0:
+            # truncated/malformed final field: keep what parsed so far —
+            # this runs on the error-REPORTING path, where raising
+            # ValueError would replace the server's diagnostic with an
+            # unrelated exception (and could be mis-absorbed by
+            # run_live_consumer's shutdown filter)
+            fields[code.decode()] = body[pos + 1 :].decode(errors="replace")
+            break
         fields[code.decode()] = body[pos + 1 : end].decode(errors="replace")
         pos = end + 1
     return fields
@@ -616,8 +640,10 @@ def run_live_consumer(
         pass
     except (ValueError, struct.error) as e:
         # only the SHUTDOWN shapes may be absorbed: Connector.close raises
-        # ValueError on the closed file object, and a socket torn down
-        # mid-frame yields a truncated-buffer struct.error. Any other
+        # ValueError on the closed file object. (A PEER-initiated
+        # disconnect mid-frame no longer lands here — read_frame reports
+        # truncation as EOF, so poll() ends cleanly and the trailing
+        # segment flush below still runs.) Any other
         # ValueError/struct.error is a protocol/decode bug — swallowing it
         # here would silently halt replication behind a healthy-looking
         # Connector (the consumer runs as an unsupervised daemon thread),

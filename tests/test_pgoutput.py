@@ -349,3 +349,26 @@ def test_poll_raises_on_error_response():
 
     with _pytest.raises(RuntimeError, match="57P01"):
         list(c.poll())
+
+
+def test_read_frame_truncated_is_eof():
+    # ADVICE r3: a peer dying mid-frame (short header or short body) is
+    # end-of-stream, not a struct.error — so run_live_consumer's trailing
+    # segment flush still runs on an abrupt server crash.
+    import io
+
+    # truncated length header
+    assert PG.read_frame(io.BytesIO(b"d\x00\x00")) == (b"", b"")
+    # truncated body: header promises 16 payload bytes, 3 arrive
+    frame = b"d" + __import__("struct").pack("!I", 20) + b"abc"
+    assert PG.read_frame(io.BytesIO(frame)) == (b"", b"")
+
+
+def test_parse_error_response_truncated_field():
+    # ADVICE r3: a malformed ErrorResponse (no NUL terminator on the last
+    # field) must not raise from the error-REPORTING path — the partial
+    # diagnostic is returned instead.
+    body = b"SFATAL\x00Mterminating conn"  # M field lost its terminator
+    fields = PG.parse_error_response(body)
+    assert fields["S"] == "FATAL"
+    assert fields["M"] == "terminating conn"

@@ -120,3 +120,20 @@ def test_route_prefix_probe_depth_matches_mapping(spark):
     out = r.route(df).collect()
     assert out[0]["index"] == "deep-idx"
     assert r.resolve("public", "a_b_c_d_e_2024") == "deep-idx"
+
+
+def test_bare_hypertable_parent_agrees_between_paths(spark):
+    # ADVICE r3: a BARE (schema-less) parent must normalize to public in
+    # BOTH paths — _resolve() used to qualify it with the CHUNK's schema
+    # (_timescaledb_internal.<parent>, a guaranteed miss) while route()
+    # used public.<parent>, so the two paths disagreed on real chunks.
+    r = IndexRouter(
+        {"public.cpu_metrics": "cpu-idx"},
+        hypertable_parents={"_hyper_1_2_chunk": "cpu_metrics"},
+    )
+    assert r.resolve("_timescaledb_internal", "_hyper_1_2_chunk") == "cpu-idx"
+    df = spark.createDataFrame(
+        [("_timescaledb_internal", "_hyper_1_2_chunk", 1)],
+        "table_schema string, table_name string, v int",
+    )
+    assert r.route(df).collect()[0]["index"] == "cpu-idx"
