@@ -142,6 +142,18 @@ def run(out) -> int:
             timings[name] = min(timings[name], second)
     print(f"bench: re-measured {len(retry)} queries for min-of-2", file=sys.stderr)
 
+    # Per-query regression gate: compare against the recorded per-query
+    # minimum ON THIS BOX (host-fingerprinted history — the driver's box
+    # changes between rounds, and cross-box numbers aren't comparable).
+    # A would-be regression (>3x recorded min, min >= 0.2 s to skip
+    # noise-dominated trivia) is re-measured once more before flagging —
+    # this host shows 1 s <-> 6 s single-query swings under hypervisor
+    # steal, and the gate must catch plan/state regressions (the r2
+    # streaming-partition class), not weather. Advisory: reported in the
+    # JSON + stderr; exits nonzero only under SPARK_GRAFT_BENCH_STRICT=1
+    # so a noisy box can never make the driver discard the bench artifact.
+    regressions = _regression_gate(timings, sf, run_one)
+
     total = round(sum(v for v in timings.values() if v >= 0), 2)
 
     # BASELINE.md throughput targets, measured warm (post-suite — fully
@@ -179,6 +191,7 @@ def run(out) -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"regressions": regressions} if regressions else {}),
                 **extra,
             },
             separators=(",", ":"),
@@ -186,7 +199,55 @@ def run(out) -> int:
         file=out,
         flush=True,
     )
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        return 1
     return 0 if all(v >= 0 for v in timings.values()) else 1
+
+
+def _regression_gate(timings, sf, run_one) -> dict:
+    import platform
+
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_minimums.json"
+    )
+    fingerprint = f"{platform.machine()}|{os.cpu_count()}|{sf}"
+    recorded: dict[str, float] = {}
+    try:
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                data = json.load(f)
+            if data.get("fingerprint") == fingerprint:
+                recorded = data.get("mins", {})
+    except Exception as e:  # noqa: BLE001 — the gate must never kill the bench
+        print(f"bench: minimum history unreadable: {e}", file=sys.stderr)
+
+    regressions: dict[str, dict] = {}
+    for name in sorted(timings):
+        prior = recorded.get(name)
+        if timings[name] < 0 or prior is None or prior < 0.2:
+            continue
+        if timings[name] > 3.0 * prior:
+            third = run_one(name)  # one more chance: steal-burst rejection
+            if third >= 0:
+                timings[name] = min(timings[name], third)
+            if timings[name] > 3.0 * prior:
+                regressions[name] = {"sec": timings[name], "min": prior}
+                print(
+                    f"bench: REGRESSION {name}: {timings[name]}s vs recorded "
+                    f"min {prior}s (>3x)",
+                    file=sys.stderr,
+                )
+    mins = {
+        n: round(min(v, recorded.get(n, v)), 2)
+        for n, v in timings.items()
+        if v >= 0
+    }
+    try:
+        with open(hist_path, "w") as f:
+            json.dump({"fingerprint": fingerprint, "mins": mins}, f)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: minimum history not writable: {e}", file=sys.stderr)
+    return regressions
 
 
 def main() -> int:

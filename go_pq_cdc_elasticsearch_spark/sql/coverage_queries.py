@@ -419,7 +419,7 @@ def q_s30(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                count(*) AS n,
-               sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_first,
+               CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
                CAST(sum(CAST(coalesce(prev, 0.0) AS DECIMAL(30,10))) AS DOUBLE) AS prev_sum
         FROM (
             SELECT user_id,

@@ -91,3 +91,41 @@ def test_chunking_reconstructs_documents(spark):
     bad = joined.filter(F.col("norm") != F.col("rebuilt")).count()
     assert bad == 0
     assert joined.count() == 101
+
+
+def test_bench_regression_gate(tmp_path, monkeypatch):
+    """The per-query bench gate flags >3x-of-recorded-min only after a
+    confirming re-measure, tolerates noise bursts (re-measure recovers),
+    and records new minimums under a host fingerprint."""
+    import importlib.util
+    import json as _json
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(
+        _os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+
+    # pass 1: no history -> no flags, minimums recorded
+    t1 = {"q_a": 1.0, "q_b": 0.5}
+    assert bench._regression_gate(t1, 0.01, lambda n: -1.0) == {}
+    hist = _json.loads((tmp_path / ".bench_minimums.json").read_text())
+    assert hist["mins"] == {"q_a": 1.0, "q_b": 0.5}
+
+    # noise burst: 4x slower but the confirming re-measure comes back fast
+    t2 = {"q_a": 4.0, "q_b": 0.5}
+    assert bench._regression_gate(t2, 0.01, lambda n: 1.1) == {}
+    assert t2["q_a"] == 1.1  # re-measure folded into the timing
+
+    # genuine regression: re-measure confirms it
+    t3 = {"q_a": 4.0, "q_b": 0.5}
+    flagged = bench._regression_gate(t3, 0.01, lambda n: 4.2)
+    assert flagged == {"q_a": {"sec": 4.0, "min": 1.0}}
+
+    # different fingerprint (sf changes) -> history discarded, no flags
+    t4 = {"q_a": 9.0}
+    assert bench._regression_gate(t4, 0.1, lambda n: -1.0) == {}

@@ -36,8 +36,67 @@ def test_query_matches_oracle(spark, con, name):
         # Spark outputs must stay on plain types.
         bad = [(c, t) for c, t in df.dtypes if "decimal" in t]
         assert not bad, f"{name}: driver-facing Spark output has DECIMAL {bad}"
+    mismatches = _type_class_mismatches(df, con, q.oracle)
+    assert not mismatches, f"{name}: oracle/Spark type-class drift {mismatches}"
     problems = compare(df, con, q.oracle)
     assert not problems, f"{name}: {problems}"
+
+
+def _duck_type_class(t: str) -> str:
+    t = t.upper()
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal,s=" + t.rstrip(")").rsplit(",", 1)[1]
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "string"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return t
+
+
+def _spark_type_class(t: str) -> str:
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal,s=" + t.rstrip(")").rsplit(",", 1)[1]
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    return t
+
+
+def _type_class_mismatches(df, con, oracle: str) -> list:
+    """Canon-layer type guard for EVERY oracle pair (driver + folded EXT):
+    both the driver's hash canonicalization and sql/canon.py's checksum
+    cells stringify by TYPE, so a query whose two sides sit in different
+    type classes (hugeint vs long, decimal scales differing, decimal vs
+    double) can pass on today's data and diverge on tomorrow's — e.g.
+    DuckDB's silent sum(INTEGER)→HUGEINT holds >2^63 where the Spark long
+    twin would overflow, and a scale mismatch prints '42.5' vs '42.50'.
+    Checked at DESCRIBE cost (no execution)."""
+    duck = {
+        r[0]: _duck_type_class(r[1])
+        for r in con.execute(f"DESCRIBE {oracle}").fetchall()
+    }
+    spark_t = {c: _spark_type_class(t) for c, t in df.dtypes}
+    return [
+        (c, duck[c], spark_t.get(c))
+        for c in sorted(duck)
+        if duck[c] != spark_t.get(c)
+    ]
 
 
 @pytest.mark.parametrize("name", sorted(n for n, q in REGISTRY.items() if q.oracle))
