@@ -324,14 +324,44 @@ def q_s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@ext_query("q_s26_approx_percentile", oracle=None)
+@ext_query(
+    "q_s26_approx_percentile",
+    oracle="SELECT count(*) AS n, TRUE AS rank_ok_p50, TRUE AS rank_ok_p95 FROM orders",
+)
 def q_s26b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch percentiles (the 100 TB path; rel-err bounded by the
-    accuracy parameter, checked rows-only)."""
+    """Mergeable-sketch percentiles (the 100 TB path), oracle-checked as a
+    BOUNDED claim instead of rows-only: the GK sketch's contract is a RANK
+    guarantee (error <= eps*n with eps = 1/accuracy = 1e-4), so the query
+    re-ranks the sketch's answers against the data — count of rows <= the
+    reported quantile must sit within 0.001*n + 5 ranks of the target rank
+    (10x the sketch's own bound, plus slack for ties on 2-decimal money
+    values) — and emits booleans the oracle's TRUE must hash-match.
+    Integer rank arithmetic only: no cross-engine interpolation parity to
+    maintain, unlike comparing the quantile VALUES."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
+    approx = orders.agg(
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )
+    agg = orders.crossJoin(F.broadcast(approx)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)
+        ).alias("__le50"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)
+        ).alias("__le95"),
+    )
+    n_d = F.col("n").cast("double")
+    tol = n_d * F.lit(0.001) + F.lit(5.0)
+    return agg.select(
+        "n",
+        (F.abs(F.col("__le50").cast("double") - F.lit(0.5) * n_d) <= tol).alias(
+            "rank_ok_p50"
+        ),
+        (F.abs(F.col("__le95").cast("double") - F.lit(0.95) * n_d) <= tol).alias(
+            "rank_ok_p95"
+        ),
     )
 
 

@@ -255,13 +255,35 @@ def q_s10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_s10_approx_distinct",
-    oracle=None,  # approximate — checked by rel-err unit test (test_approx.py)
+    oracle="""
+        SELECT count(DISTINCT l_partkey) AS n_exact, TRUE AS within_3sigma
+        FROM lineitem
+    """,
 )
 def q_s10_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (single pass, mergeable sketches —
-    the 100 TB path where exact distinct would shuffle every key)."""
+    the 100 TB path where exact distinct would shuffle every key).
+
+    Oracle-checked as a BOUNDED claim instead of rows-only: the query
+    emits the exact count plus a boolean asserting the sketch landed
+    within 3 sigma of it (rsd=0.02 -> 6%); the oracle's TRUE hash-matches
+    only when the bound actually held on this engine and data. The exact
+    twin runs alongside purely as verification — at 100 TB you'd run only
+    the sketch (that's its point)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey", 0.02).alias("n_approx"))
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("__a"),
+        F.countDistinct("l_partkey").alias("n_exact"),
+    ).select(
+        "n_exact",
+        (
+            F.abs(
+                F.col("__a").cast("double") / F.col("n_exact").cast("double")
+                - F.lit(1.0)
+            )
+            <= F.lit(0.06)
+        ).alias("within_3sigma"),
+    )
 
 
 @query(

@@ -384,3 +384,69 @@ def test_minhash_family_permutations_are_diverse():
     assert len(set(argmins)) >= 8, argmins
     base_argmin = hs.index(min(hs))
     assert any(am != base_argmin for am in argmins)
+
+
+def test_ivf_recall_drift_bounds_sf01(spark):
+    """Drift canaries for the q_lx1 approximate config at sf0.1 (VERDICT r3
+    item 4): quantitative floors so a silent recall collapse (centroid
+    training bug, cell-assignment regression) fails loudly. The testdata
+    embeddings are RANDOM, i.e. near-orthogonal — IVF's worst case — so
+    the floors are measured-minus-margin (declared n_probe=3/8 measured
+    0.60; n_probe=6/8 measured 0.92 on 2026-08 data), not the >=0.9 a
+    clustered real-world corpus would give the declared config."""
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_sets = {}
+    for r in SIM.brute_force_topk(emb, queries, k=5).collect():
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def recall(n_probe):
+        got = {}
+        for r in SIM.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=n_probe
+        ).collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        rs = [
+            len(exact_sets[q] & got.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        return sum(rs) / len(rs)
+
+    assert recall(3) >= 0.35  # declared q_lx1 config
+    assert recall(6) >= 0.75  # scale path: recall climbs with probes
+
+
+def test_semantic_dedup_recall_drift_on_planted_dups_sf01(spark):
+    """q_lx4 drift bound (VERDICT r3 item 4): the raw sf0.1 table has NO
+    pairs above tau=0.99 (random vectors), so the zero-vs-zero agreement
+    was vacuous. Plant exact-direction duplicates (scaled copies — cell
+    argmax is scale-invariant, cosine == 1) and require the
+    cluster-approximate config to find >= 0.9 of what the n_centroids=1
+    exact anchor drops."""
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    dups = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.0001)
+        ).alias("embedding"),
+        "label",
+    )
+    planted = emb.unionByName(dups)
+    all_ids = {r["vec_id"] for r in planted.select("vec_id").collect()}
+    kept_exact = {
+        r["vec_id"]
+        for r in SIM.semantic_dedup(planted, tau=0.99, n_centroids=1)
+        .select("vec_id")
+        .collect()
+    }
+    kept_approx = {
+        r["vec_id"]
+        for r in SIM.semantic_dedup(planted, tau=0.99, n_centroids=8)
+        .select("vec_id")
+        .collect()
+    }
+    dropped_exact = all_ids - kept_exact
+    dropped_approx = all_ids - kept_approx
+    assert len(dropped_exact) >= 40  # the planted copies are found
+    assert len(dropped_approx & dropped_exact) / len(dropped_exact) >= 0.9
