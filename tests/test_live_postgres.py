@@ -1,0 +1,258 @@
+"""OPT-IN live-PostgreSQL integration: the real pgoutput encoder end to end
+(reference integration_test/connector_test.go:25-146 is the mirrored
+contract — table, publication, slot, DML round-trip, ack progression).
+
+The FakeReplicationServer fuzz tests cover FRAMING; this module is the one
+place the consumer talks to a genuine walsender: a throwaway initdb'd
+server (wal_level=logical) under /tmp, running as the ``postgres`` system
+user, trust auth, torn down after the module.
+
+Run with:  SPARK_GRAFT_LIVE_PG=1 python -m pytest tests/test_live_postgres.py -v
+Skipped by default — CI boxes aren't guaranteed a postgres install, and the
+driver's gate must stay deterministic.
+"""
+
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
+import time
+
+import pytest
+
+from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE_PG") != "1",
+    reason="live Postgres integration is opt-in: set SPARK_GRAFT_LIVE_PG=1",
+)
+
+PORT = 55439
+
+
+def _su(cmd: str, timeout: int = 120) -> subprocess.CompletedProcess:
+    # the repo dir is unreadable by the postgres system user; run from /tmp
+    return subprocess.run(
+        ["su", "-s", "/bin/bash", "postgres", "-c", f"cd /tmp && {cmd}"],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    if not (shutil.which("initdb") and shutil.which("pg_ctl") and shutil.which("psql")):
+        pytest.skip("postgres binaries not installed")
+    work = tempfile.mkdtemp(prefix="pg_live_")
+    os.chmod(work, 0o777)
+    data = os.path.join(work, "data")
+    r = _su(f"initdb -D {data} --auth=trust -U postgres")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    with open(os.path.join(data, "postgresql.conf"), "a") as f:
+        f.write(
+            "\nwal_level=logical\nmax_replication_slots=4\nmax_wal_senders=4\n"
+            f"port={PORT}\nlisten_addresses='127.0.0.1'\n"
+            f"unix_socket_directories='{work}'\nlogging_collector=off\n"
+        )
+    r = _su(f"pg_ctl -D {data} -l {work}/server.log -w start")
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+
+    def sql(q: str, db: str = "postgres") -> str:
+        q = q.replace('"', '\\"')
+        rr = _su(
+            f'psql -h 127.0.0.1 -p {PORT} -U postgres -d {db} '
+            f'-v ON_ERROR_STOP=1 -Atc "{q}"'
+        )
+        assert rr.returncode == 0, f"psql failed: {rr.stderr}"
+        return rr.stdout.strip()
+
+    sql("CREATE DATABASE cdc_db")
+    # the reference's users table (connector_test.go:33-41), REPLICA
+    # IDENTITY FULL so update/delete carry before-images
+    sql(
+        "CREATE TABLE users (id serial PRIMARY KEY, name text NOT NULL, email text)",
+        db="cdc_db",
+    )
+    sql("ALTER TABLE users REPLICA IDENTITY FULL", db="cdc_db")
+    sql("CREATE PUBLICATION cdc_pub FOR TABLE users", db="cdc_db")
+    yield {"sql": sql, "work": work}
+    _su(f"pg_ctl -D {data} -m immediate stop")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _connect(slot: str) -> PG.ReplicationClient:
+    sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+    sock.settimeout(30)  # a hung read fails the test instead of the session
+    client = PG.ReplicationClient(sock, slot=slot, publication="cdc_pub")
+    client.startup(user="postgres", database="cdc_db")
+    return client
+
+
+def _collect(client: PG.ReplicationClient, n: int, deadline_sec: float = 30.0):
+    got = []
+    end = time.time() + deadline_sec
+    for change in client.poll(heartbeat=True):
+        if change is not None:
+            got.append(change)
+        if len(got) >= n or time.time() > end:
+            break
+    return got
+
+
+def test_live_insert_update_delete_roundtrip(pg):
+    client = _connect("live_slot_rt")
+    client.create_slot()
+    client.start()
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('alice', 'a@example.com')",
+        db="cdc_db",
+    )
+    pg["sql"](
+        "UPDATE users SET email = 'a2@example.com' WHERE name = 'alice'",
+        db="cdc_db",
+    )
+    pg["sql"]("DELETE FROM users WHERE name = 'alice'", db="cdc_db")
+    try:
+        got = _collect(client, 3)
+        assert [c["op"] for c in got] == ["INSERT", "UPDATE", "DELETE"]
+        ins, upd, dele = got
+        assert ins["table_schema"] == "public" and ins["table_name"] == "users"
+        assert ins["after"]["name"] == "alice"
+        assert ins["after"]["email"] == "a@example.com"
+        assert ins["before"] is None
+        # REPLICA IDENTITY FULL: real before-images from a real encoder
+        assert upd["before"]["email"] == "a@example.com"
+        assert upd["after"]["email"] == "a2@example.com"
+        assert dele["before"]["name"] == "alice" and dele["after"] is None
+        assert all(c["lsn"] > 0 for c in got)
+        assert all(c["ts"].startswith("20") for c in got)  # real commit ts
+    finally:
+        client.close()
+
+
+def test_live_ack_advances_slot_and_resume_skips_redelivery(pg):
+    client = _connect("live_slot_ack")
+    client.create_slot()
+    client.start()
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('bob', 'b@example.com')",
+        db="cdc_db",
+    )
+    got = _collect(client, 1)
+    assert got and got[0]["after"]["name"] == "bob"
+    # R12 contract: the StandbyStatusUpdate moves the slot's confirmed
+    # flush position on the SERVER. Two real-server subtleties this test
+    # documents: (a) confirmed_flush_lsn is non-zero right after
+    # CREATE_REPLICATION_SLOT, so "non-zero" is NOT evidence the ack
+    # landed — compare to the acked position itself; (b) breaking out of
+    # poll() right after the INSERT leaves the Commit frame unread, so
+    # client.last_wal_end is MID-transaction — acking it does not skip
+    # the txn on redelivery (logical decoding resends any transaction
+    # whose commit is above confirmed_flush: genuine at-least-once).
+    # Ack a position past the commit record (the server's current WAL),
+    # exactly what the production consumer does after a full flush.
+    cur = pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db")
+    hi, lo = cur.split("/")
+    target = (int(hi, 16) << 32) | int(lo, 16)
+    client.ack(target)
+    flushed_int = 0
+    for _ in range(100):
+        flushed = pg["sql"](
+            "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+            "WHERE slot_name = 'live_slot_ack'"
+        )
+        if flushed:
+            hi, lo = flushed.split("/")
+            flushed_int = (int(hi, 16) << 32) | int(lo, 16)
+            if flushed_int >= target:
+                break
+        time.sleep(0.2)
+    client.close()
+    assert flushed_int >= target >= got[0]["lsn"]
+
+    # resume from the confirmed position: bob must NOT be redelivered
+    client2 = _connect("live_slot_ack")
+    client2.start(start_lsn=flushed_int)
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('carol', 'c@example.com')",
+        db="cdc_db",
+    )
+    try:
+        got2 = _collect(client2, 1)
+        assert got2 and got2[0]["after"]["name"] == "carol"
+    finally:
+        client2.close()
+
+
+def test_live_consumer_to_spark_view(pg, spark):
+    """The full production path against the real encoder: walsender ->
+    run_live_consumer -> wal segment files -> pgwal Spark source ->
+    keyed materialized view (the same chain test_wal_source drives from
+    synthetic segments)."""
+    import threading
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    client = _connect("live_slot_e2e")
+    client.create_slot()
+    client.start()
+    work = tempfile.mkdtemp(prefix="live_e2e_")
+    seg_dir = os.path.join(work, "wal")
+    stop = threading.Event()
+    t = threading.Thread(
+        target=PG.run_live_consumer,
+        args=(client, seg_dir),
+        kwargs={"batch_size": 2, "flush_interval_sec": 0.5, "stop_event": stop},
+        daemon=True,
+    )
+    t.start()
+    for i in range(5):
+        pg["sql"](
+            f"INSERT INTO users (name, email) VALUES ('u{i}', 'u{i}@example.com')",
+            db="cdc_db",
+        )
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if os.path.isdir(seg_dir) and any(
+            f.endswith(".jsonl") or f.endswith(".json") for f in os.listdir(seg_dir)
+        ):
+            time.sleep(1.0)  # allow the tail flush
+            break
+        time.sleep(0.2)
+    stop.set()
+    t.join(timeout=30)
+    client.close()
+
+    W.register(spark)
+    stream = spark.readStream.format("pgwal").option("path", seg_dir).load()
+    view = MaterializedView(
+        spark,
+        os.path.join(work, "view"),
+        keys=("key",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+    )
+    from pyspark.sql import functions as F
+
+    shaped = stream.select(
+        "lsn",
+        "op",
+        F.coalesce(F.col("after"), F.col("before")).getItem("name").alias("key"),
+        F.coalesce(F.col("after"), F.col("before")).getItem("email").alias("email"),
+    )
+    q = (
+        shaped.writeStream.foreachBatch(view.foreach_batch_writer())
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {r["key"]: r["email"] for r in view.read().collect()}
+    for i in range(5):
+        assert state.get(f"u{i}") == f"u{i}@example.com"
