@@ -1256,7 +1256,11 @@ def q_lx2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_lx1_ann_ivf",
-    oracle=None,  # approximate by construction; recall measured in tests
+    # approximate by construction — no SQL oracle can hash-match it, but it
+    # is NOT unbounded: exactness anchor q_lx1b (n_probe == n_centroids ==
+    # brute force, full generated oracle) + quantitative recall-drift
+    # floors at sf0.1 (test_llm.py::test_ivf_recall_drift_bounds_sf01)
+    oracle=None,
 )
 def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF-Flat (coarse k-means cells + n_probe search) — the
@@ -1271,7 +1275,11 @@ def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_lx4_semantic_dedup",
-    oracle=None,  # cluster-approximate by construction; anchored in tests
+    # cluster-approximate by construction: anchored by q_lx4b
+    # (n_centroids=1 == exact, oracle-checked) + a planted-duplicate
+    # recall >= 0.9 drift bound at sf0.1
+    # (test_llm.py::test_semantic_dedup_recall_drift_on_planted_dups_sf01)
+    oracle=None,
 )
 def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding near-dup removal: k-means cells -> within-
