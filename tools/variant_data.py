@@ -1,0 +1,97 @@
+"""Physical-layout robustness harness for the oracle gate.
+
+The driver REGENERATES /root/testdata between rounds. Seed=42 keeps the
+VALUES stable, but the physical parquet layout has already changed once
+(round 1 shipped events.ts as TIMESTAMP(NANOS); round 2 as plain
+timestamp[us]) — and layout is exactly what the engine must be invariant
+to: row order feeds every top-k tie, window order, and "first" aggregate;
+row-group size feeds the snapshot source's footer-based chunk sizing and
+Spark's partition assignment; the timestamp physical unit feeds the
+catalog.load_table ns/us branch.
+
+This tool rewrites a testdata dir into perturbed variants under /tmp and
+the gate is then run against each:
+
+    python tools/variant_data.py /root/testdata/sf0.001
+    python tools/check.py /tmp/spark_graft_variants/sf0.001/rowshuffle
+    python tools/check.py /tmp/spark_graft_variants/sf0.001/rg_small
+    python tools/check.py /tmp/spark_graft_variants/sf0.001/ts_ns
+
+Variants (values identical to the source in every case):
+- ``rowshuffle``: every table's rows shuffled with a fixed seed. Catches
+  any result that silently depends on the generator's row order.
+- ``rg_small``: row_group_size=2000. Catches footer-sizing and
+  per-row-group statistics dependence.
+- ``ts_ns``: events.ts written as TIMESTAMP(NANOS) (parquet 2.6), the
+  round-1 physical type; other tables single-row-group. Exercises the
+  nanosAsLong read branch end-to-end. NOTE: ns values are the us values
+  scaled — DuckDB and catalog.load_table both truncate back to us, so
+  oracle parity must hold bit-for-bit.
+
+/root/testdata itself is never touched.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
+
+VARIANTS = ("rowshuffle", "rg_small", "ts_ns")
+
+
+def _shuffled(table: pa.Table, seed: int) -> pa.Table:
+    idx = np.random.RandomState(seed).permutation(table.num_rows)
+    return table.take(pa.array(idx))
+
+
+def _events_ns(table: pa.Table) -> pa.Table:
+    i = table.schema.get_field_index("ts")
+    if i < 0:
+        return table
+    col = table.column(i)
+    if not pa.types.is_timestamp(col.type):
+        return table
+    return table.set_column(i, "ts", col.cast(pa.timestamp("ns", tz=col.type.tz)))
+
+
+def generate(src_dir: str, out_root: str) -> list[str]:
+    sf_name = os.path.basename(os.path.normpath(src_dir))
+    out_dirs = []
+    for variant in VARIANTS:
+        out_dir = os.path.join(out_root, sf_name, variant)
+        os.makedirs(out_dir, exist_ok=True)
+        for seed, name in enumerate(TABLES, start=7):
+            t = pq.read_table(table_path(src_dir, name))
+            kw: dict = {}
+            if variant == "rowshuffle":
+                t = _shuffled(t, seed)
+            elif variant == "rg_small":
+                kw["row_group_size"] = 2000
+            elif variant == "ts_ns" and name == "events":
+                t = _events_ns(t)
+                # parquet 2.6 is required for a real TIMESTAMP(NANOS)
+                # physical annotation (1.0/2.4 would silently coerce to us)
+                kw.update(version="2.6", coerce_timestamps=None)
+            pq.write_table(t, table_path(out_dir, name), **kw)
+        out_dirs.append(out_dir)
+    return out_dirs
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_variants"
+    for d in generate(src, out_root):
+        print(d)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
