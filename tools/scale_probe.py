@@ -1,0 +1,223 @@
+"""Measured scaling study: do the headline operators actually scale the
+way the 100 TB design argument claims?
+
+PERF.md argues from plan shape (bucketed candidate generation, partial
+aggregation, broadcast small sides). This tool adds MEASURED slopes: it
+upscales the sf0.1 tables x1/x4/x16 into /tmp (values derived from the
+real testdata, keys remapped per replica so key cardinality scales with
+the data and replicas aren't degenerate duplicates of each other), runs
+each headline operator at every scale, and reports seconds plus the
+log-log slope between the x4 and x16 points (1.0 = linear in rows;
+< 1 = fixed overhead still dominates; >> 1 = superlinear red flag).
+
+Replica remapping, per table:
+- lineitem: l_orderkey offset per replica (group/join cardinality scales)
+- events:   event_id + user_id offset per replica (CDC key space scales)
+- documents: doc_id offset; text word-shuffled per replica (seeded) so
+  cross-replica pairs are NOT near-dups (the LSH candidate structure
+  scales like a real corpus instead of one giant duplicate cluster)
+- embeddings: vec_id offset (corpus side of top-k scales; the fixed
+  query set comes from the original replica)
+
+Usage: python tools/scale_probe.py [sf_dir] [out_json]
+Writes one JSON object with per-probe {scale: sec} maps and slopes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = (1, 4, 16)
+ROOT = "/tmp/spark_graft_scale"
+
+
+def _shuffle_words(text: str, seed: int) -> str:
+    """Per-replica seeded word shuffle: destroys nearly all word n-grams,
+    so cross-replica pairs are genuinely NOT near-dups and the LSH
+    candidate structure scales like a real corpus. (A cyclic word
+    ROTATION does the opposite — it preserves all but n-1 shingles, so
+    every replica is a true near-dup of its original and clusters of
+    size = replica count form: measured, that worst case costs ~1.4x the
+    shuffled workload at x16 (26.25 s vs 18.52 s) — a useful skew bound,
+    see PERF.md.)"""
+    if seed == 0:
+        return text
+    import random
+
+    w = text.split(" ")
+    if len(w) < 2:
+        return text
+    random.Random(seed).shuffle(w)
+    return " ".join(w)
+
+
+def build(sf_dir: str) -> None:
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+
+    src = {
+        name: pq.read_table(table_path(sf_dir, name))
+        for name in ("lineitem", "events", "documents", "embeddings")
+    }
+    max_ok = pc.max(src["lineitem"].column("l_orderkey")).as_py() + 1
+    max_ev = pc.max(src["events"].column("event_id")).as_py() + 1
+    max_us = pc.max(src["events"].column("user_id")).as_py() + 1
+    max_doc = pc.max(src["documents"].column("doc_id")).as_py() + 1
+    max_vec = pc.max(src["embeddings"].column("vec_id")).as_py() + 1
+
+    for scale in SCALES:
+        out_dir = os.path.join(ROOT, f"x{scale}")
+        os.makedirs(out_dir, exist_ok=True)
+        done = os.path.join(out_dir, ".complete")
+        if os.path.exists(done):
+            continue
+
+        def replicas(name, remap):
+            parts = []
+            for r in range(scale):
+                t = src[name]
+                parts.append(remap(t, r))
+            return pa.concat_tables(parts)
+
+        def shift(t, col, off):
+            i = t.schema.get_field_index(col)
+            return t.set_column(
+                i, col, pc.add(t.column(col), pa.scalar(off, t.column(col).type))
+            )
+
+        li = replicas("lineitem", lambda t, r: shift(t, "l_orderkey", r * max_ok))
+        ev = replicas(
+            "events",
+            lambda t, r: shift(
+                shift(t, "event_id", r * max_ev), "user_id", r * max_us
+            ),
+        )
+
+        def doc_remap(t, r):
+            t = shift(t, "doc_id", r * max_doc)
+            if r == 0:
+                return t
+            texts = [_shuffle_words(x, r) for x in t.column("text").to_pylist()]
+            i = t.schema.get_field_index("text")
+            return t.set_column(i, "text", pa.array(texts, pa.string()))
+
+        docs = replicas("documents", doc_remap)
+        emb = replicas("embeddings", lambda t, r: shift(t, "vec_id", r * max_vec))
+
+        for name, t in (
+            ("lineitem", li),
+            ("events", ev),
+            ("documents", docs),
+            ("embeddings", emb),
+        ):
+            pq.write_table(t, table_path(out_dir, name))
+        with open(done, "w") as f:
+            f.write("ok")
+
+
+def probes(spark):
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_apply
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+        dedup_corpus,
+        exact_dedup,
+    )
+    from go_pq_cdc_elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    def tpch_q1(dfs):
+        li = dfs["lineitem"]
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+        )
+
+    def cdc(dfs):
+        return cdc_apply(dfs["events"])
+
+    def exact(dfs):
+        return exact_dedup(dfs["documents"])
+
+    def neardup(dfs):
+        return dedup_corpus(dfs["documents"]).agg(F.count(F.lit(1)))
+
+    def topk(dfs):
+        qs = dfs["embeddings_q"]
+        return brute_force_topk(dfs["embeddings"], qs, k=5)
+
+    return {
+        "tpch_q1_scan_agg": tpch_q1,
+        "cdc_apply": cdc,
+        "exact_dedup": exact,
+        "neardup_corpus": neardup,
+        "cosine_topk_corpus_side": topk,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe.json"
+    build(sf_dir)
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    results: dict[str, dict] = {}
+    for scale in SCALES:
+        d = os.path.join(ROOT, f"x{scale}")
+        dfs = {
+            name: load_table(spark, d, name)
+            for name in ("lineitem", "events", "documents", "embeddings")
+        }
+        # fixed query set: 25 vectors from the ORIGINAL replica, so only
+        # the corpus side of top-k scales (the realistic shape: corpus
+        # >> query batch)
+        dfs["embeddings_q"] = (
+            load_table(spark, os.path.join(ROOT, "x1"), "embeddings")
+            .orderBy("vec_id")
+            .limit(25)
+        )
+        for name, fn in probes(spark).items():
+            best = None
+            for _ in range(2):  # min-of-2: host-steal damping
+                t0 = time.time()
+                fn(dfs).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[f"x{scale}"] = round(best, 2)
+            print(f"x{scale} {name}: {best:.2f}s", file=sys.stderr)
+
+    import math
+
+    for name, r in results.items():
+        if r.get("x4") and r.get("x16") and r["x4"] > 0:
+            r["slope_x4_x16"] = round(
+                math.log(r["x16"] / r["x4"]) / math.log(4.0), 2
+            )
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps(results, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
