@@ -207,10 +207,15 @@ def run(out) -> int:
 def _regression_gate(timings, sf, run_one) -> dict:
     import platform
 
+    from go_pq_cdc_elasticsearch_spark.session import cpu_count
+
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_minimums.json"
     )
-    fingerprint = f"{platform.machine()}|{os.cpu_count()}|{sf}"
+    # fingerprint must include the RESOLVED Spark parallelism, not just the
+    # physical core count: the same box run with SPARK_GRAFT_CPUS=4 vs 32
+    # produces ~8x different timings that must never share a history
+    fingerprint = f"{platform.machine()}|{os.cpu_count()}|local[{cpu_count()}]|{sf}"
     recorded: dict[str, float] = {}
     try:
         if os.path.exists(hist_path):
@@ -237,11 +242,14 @@ def _regression_gate(timings, sf, run_one) -> dict:
                     f"min {prior}s (>3x)",
                     file=sys.stderr,
                 )
-    mins = {
-        n: round(min(v, recorded.get(n, v)), 2)
-        for n, v in timings.items()
-        if v >= 0
-    }
+    # merge INTO the recorded history rather than rebuilding it from this
+    # run: a query that errored this run (timing -1) or was removed from
+    # the suite must keep its recorded min, else one bad run permanently
+    # erases the baseline the gate needs to catch the next regression
+    mins = dict(recorded)
+    for n, v in timings.items():
+        if v >= 0:
+            mins[n] = round(min(v, recorded.get(n, v)), 2)
     try:
         with open(hist_path, "w") as f:
             json.dump({"fingerprint": fingerprint, "mins": mins}, f)

@@ -478,6 +478,7 @@ class IncrementalDeduper(LshDedupIndex):
             if not os.path.isdir(corpus_path):
                 return []
             out = []
+            flat = []
             for name in os.listdir(corpus_path):
                 if name.startswith("epoch="):
                     try:
@@ -486,10 +487,32 @@ class IncrementalDeduper(LshDedupIndex):
                         continue
                     if e < seq:
                         out.append(os.path.join(corpus_path, name))
+                elif name.endswith(".parquet"):
+                    flat.append(name)
+            if flat:
+                # a corpus written by the pre-epoch-dir flat-append layout:
+                # silently ignoring it would drop every previously ingested
+                # doc from the verification corpus and leak their near-dups
+                # — refuse loudly with the one-line migration instead
+                raise ValueError(
+                    f"legacy flat corpus layout at {corpus_path} "
+                    f"({len(flat)} bare parquet files): move them into an "
+                    f"'epoch=-1' subdirectory (mkdir epoch=-1 && mv "
+                    f"*.parquet epoch=-1/) to keep them in the corpus read"
+                )
             return sorted(out)
 
         def write(batch_df: DataFrame, epoch_id: int) -> None:
-            seq = 0 if epoch_id is None else int(epoch_id)
+            if epoch_id is None:
+                # foreachBatch always supplies an int epoch; a None here is
+                # an ad-hoc caller that the top guard below would silently
+                # drop once any epoch has committed (None used to mean
+                # "always process" before the crash-safe reordering)
+                raise TypeError(
+                    "foreach_batch_writer requires an integer epoch_id; "
+                    "for ad-hoc (non-stream) batches call dedup_batch()"
+                )
+            seq = int(epoch_id)
             if (
                 self.kept._last_epoch is not None
                 and seq <= self.kept._last_epoch

@@ -4,6 +4,8 @@ discover exactly the pairs the batch pipeline finds on the whole corpus."""
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
@@ -310,3 +312,58 @@ def test_foreach_batch_crash_between_corpus_write_and_frontier(spark, sf_dir):
     kept_ids = {r["doc_id"] for r in dd.kept.read().select("doc_id").collect()}
     assert len(store_ids) == len(set(store_ids))  # no duplicates
     assert set(store_ids) == kept_ids and kept_ids  # no loss
+
+
+def test_foreach_batch_rejects_none_epoch(spark, sf_dir):
+    """epoch_id=None used to mean "always process"; after the crash-safe
+    reordering it would map to epoch 0 and be SILENTLY dropped once any
+    epoch committed — it must raise instead, pointing at dedup_batch."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    work = tempfile.mkdtemp(prefix="dd_none_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    write = dd.foreach_batch_writer(os.path.join(work, "corpus"))
+    with pytest.raises(TypeError, match="dedup_batch"):
+        write(docs, None)
+
+
+def test_foreach_batch_legacy_flat_corpus_refused_and_migratable(spark, sf_dir):
+    """A corpus written by the pre-epoch-dir flat-append layout must be
+    refused loudly (silently ignoring it would leak near-dups of every
+    previously ingested doc), and the documented migration (move the bare
+    files into epoch=-1) must bring it back into the corpus read."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    old = docs.filter(F.col("doc_id") <= 60)
+    new = docs.filter(F.col("doc_id") > 60)
+    work = tempfile.mkdtemp(prefix="dd_legacy_")
+    corpus_path = os.path.join(work, "corpus")
+    # legacy layout: bare part files directly under corpus_path
+    old.coalesce(1).write.mode("overwrite").parquet(corpus_path)
+
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    write = dd.foreach_batch_writer(corpus_path)
+    with pytest.raises(ValueError, match="legacy flat corpus"):
+        write(new, 0)
+
+    # documented migration: mv *.parquet epoch=-1/
+    legacy_dir = os.path.join(corpus_path, "epoch=-1")
+    os.makedirs(legacy_dir)
+    for name in os.listdir(corpus_path):
+        if name.endswith(".parquet"):
+            os.rename(
+                os.path.join(corpus_path, name), os.path.join(legacy_dir, name)
+            )
+    write(new, 0)  # epoch=-1 now participates as prior corpus
+    store_ids = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    }
+    # migrated docs still present; the new epoch's kept rows were appended
+    assert {r["doc_id"] for r in old.select("doc_id").collect()} <= store_ids
+    assert os.path.isdir(os.path.join(corpus_path, "epoch=0"))

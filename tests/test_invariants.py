@@ -129,3 +129,20 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
     # different fingerprint (sf changes) -> history discarded, no flags
     t4 = {"q_a": 9.0}
     assert bench._regression_gate(t4, 0.1, lambda n: -1.0) == {}
+
+    # a failed run (timing -1) must NOT erase the recorded baseline: the
+    # next run still compares against the surviving min and flags
+    t5 = {"q_a": -1.0, "q_b": 0.5}
+    assert bench._regression_gate(t5, 0.01, lambda n: -1.0) == {}
+    hist = _json.loads((tmp_path / ".bench_minimums.json").read_text())
+    assert hist["mins"]["q_a"] == 1.0  # baseline survived the bad run
+    t6 = {"q_a": 4.0, "q_b": 0.5}
+    assert bench._regression_gate(t6, 0.01, lambda n: 4.2) == {
+        "q_a": {"sec": 4.0, "min": 1.0}
+    }
+
+    # the fingerprint includes the RESOLVED parallelism: the same box at
+    # SPARK_GRAFT_CPUS=4 must not compare against local[32] history
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
+    t7 = {"q_a": 9.0}
+    assert bench._regression_gate(t7, 0.01, lambda n: -1.0) == {}

@@ -77,8 +77,13 @@ def build(sf_dir: str) -> None:
         out_dir = os.path.join(ROOT, f"x{scale}")
         os.makedirs(out_dir, exist_ok=True)
         done = os.path.join(out_dir, ".complete")
+        # marker records the SOURCE dir: a rerun against a different sf
+        # must rebuild, not silently measure the previous source's replicas
+        marker = os.path.abspath(sf_dir)
         if os.path.exists(done):
-            continue
+            with open(done) as f:
+                if f.read().strip() == marker:
+                    continue
 
         def replicas(name, remap):
             parts = []
@@ -120,7 +125,7 @@ def build(sf_dir: str) -> None:
         ):
             pq.write_table(t, table_path(out_dir, name))
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(marker)
 
 
 def probes(spark):
