@@ -99,16 +99,23 @@ def _decode_ppm_at(blob: bytes, offset: int) -> tuple[np.ndarray, int]:
     # header: magic, whitespace-separated width/height/maxval (no comments
     # in our encoder; real-world '#' comments rejected explicitly)
     pos = offset + 2
+    end = len(blob)
     fields = []
     while len(fields) < 3:
-        while blob[pos : pos + 1].isspace():
+        while pos < end and blob[pos : pos + 1].isspace():
             pos += 1
         if blob[pos : pos + 1] == b"#":
             raise ValueError("PPM comments unsupported")
         start = pos
-        while not blob[pos : pos + 1].isspace():
+        # bound by end: past-EOF b''.isspace() is False, so an unbounded
+        # scan on a truncated header never terminates (task-level hang)
+        while pos < end and not blob[pos : pos + 1].isspace():
             pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
         fields.append(int(blob[start:pos]))
+    if pos >= end:
+        raise ValueError("truncated PPM header")
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval != 255:

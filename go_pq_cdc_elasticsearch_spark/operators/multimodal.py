@@ -61,7 +61,10 @@ def synthetic_media(docs: DataFrame, kind: str = "image") -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.create_map(
             F.lit("source"), F.col("source"),
-            F.lit("n_bytes"), F.length("text").cast("string"),
+            # octet_length, not length: meta n_bytes must equal
+            # len(content) in BYTES, and length() counts characters
+            # (off for any non-ASCII text)
+            F.lit("n_bytes"), F.octet_length("text").cast("string"),
         ).alias("meta"),
     )
 

@@ -35,8 +35,12 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # numbers survive this pass (their digit groups are short) and reach
     # the phone pattern
     ("digits", r"\b[0-9]{9,}\b", "<NUM>"),
-    # +country / separator-grouped phone-ish runs (7+ digits total)
-    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    # +country / separator-grouped phone-ish runs: 7+ DIGITS total, each
+    # gap at most 3 separator chars. The earlier class form
+    # \+?[0-9][0-9()\-\s]{6,}[0-9] bounded the LENGTH, not the digit
+    # count — two digits spanning a dash/space run ('pages 3 ------ 12',
+    # '1\n\n    2022') matched as a phone and corrupted ordinary prose
+    ("phone", r"\+?[0-9](?:[()\-\s]{0,3}[0-9]){6,}", "<PHONE>"),
 ]
 
 

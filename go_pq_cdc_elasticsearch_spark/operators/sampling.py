@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from go_pq_cdc_elasticsearch_spark.operators.dedup import _hash64
+
 SAMPLE_BUCKETS = 1_000_000
 
 
@@ -32,8 +34,7 @@ def hash_bucket(*cols: Column | str) -> Column:
     concatenated key columns — identical in DuckDB:
     CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) % buckets."""
     key = F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c for c in cols])
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    return F.pmod(h, F.lit(SAMPLE_BUCKETS))
+    return F.pmod(_hash64(key), F.lit(SAMPLE_BUCKETS))
 
 
 def hash_sample(df: DataFrame, rate: float, key_cols: list[str]) -> DataFrame:

@@ -35,6 +35,54 @@ def _empty_topk_result(spark, id_col: str) -> DataFrame:
     )
 
 
+def _local_topk_scorer(q_rows, k: int, id_col: str, mat_col: str):
+    """The shared mapInPandas scoring closure behind ``brute_force_topk``
+    and ``quantized_topk``: broadcast query matrix, one vectorized matmul
+    per Arrow batch, local top-k per query under the global total order
+    (sim desc, id asc). ONE implementation on purpose — the two previous
+    near-verbatim copies drifted on the zero-norm guard.
+
+    Zero-norm vectors (corpus or query side) score sim 0.0 to everything
+    instead of NaN: an unguarded 0/0 turns into NaN, and Spark's
+    descending sort orders NaN ABOVE every real double, so a single
+    all-zero embedding would otherwise rank #1 for every query."""
+    import numpy as np
+
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0  # zero query vector: dot is 0, sim stays 0.0
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[mat_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0  # zero corpus vector: sim 0.0, not NaN
+            sims = (mat @ qmat.T) / (norms[:, None] * qnorm[None, :])
+            frames = []
+            for qi, qid in enumerate(qids):
+                s = sims[:, qi]
+                mask = ids != qid
+                s_m, ids_m = s[mask], ids[mask]
+                if len(ids_m) == 0:
+                    continue
+                order = np.lexsort((ids_m, -s_m))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, id_col: ids_m[order], "sim": s_m[order]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return score
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,7 +101,6 @@ def brute_force_topk(
     local top-ks). The final window sees #partitions * |Q| * k rows, not
     N * |Q|. This is the pattern that survives 100 TB; a per-pair cosine
     expression (interpreted HOF) does not."""
-    import numpy as np
     from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()
@@ -61,36 +108,7 @@ def brute_force_topk(
         # an upstream filter matching nothing must yield an empty result,
         # not a driver AxisError from norm() over a shape-(0,) array
         return _empty_topk_result(queries.sparkSession, id_col)
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
-
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].to_numpy()
-            norms = np.linalg.norm(mat, axis=1)
-            sims = (mat @ qmat.T) / (norms[:, None] * qnorm[None, :])
-            frames = []
-            for qi, qid in enumerate(qids):
-                s = sims[:, qi]
-                mask = ids != qid
-                s_m, ids_m = s[mask], ids[mask]
-                if len(ids_m) == 0:
-                    continue
-                order = np.lexsort((ids_m, -s_m))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {"qid": qid, id_col: ids_m[order], "sim": s_m[order]}
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
+    score = _local_topk_scorer(q_rows, k, id_col, vec_col)
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"qid long, {id_col} long, sim double"
     )
@@ -261,6 +279,10 @@ def ivf_topk(
     cents = train_ivf_centroids(
         corpus, n_centroids, iters, sample, id_col, vec_col
     )
+    if len(cents) == 0:
+        # empty corpus -> no centroids: the per-query probe matmul below
+        # would crash on a (0,0) matrix; the contract is an empty result
+        return _empty_topk_result(corpus.sparkSession, id_col)
     c = with_ivf_cell(corpus, cents, id_col, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()
@@ -440,7 +462,6 @@ def quantized_topk(
     vector, so the per-vector scale cancels except for rounding.
 
     Returns (qid, vec_id, sim, rank)."""
-    import numpy as np
     from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()
@@ -448,39 +469,9 @@ def quantized_topk(
         # an upstream filter matching nothing must yield an empty result,
         # not a driver AxisError from norm() over a shape-(0,) array
         return _empty_topk_result(queries.sparkSession, id_col)
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
-
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            # int8 matmul accumulated in float64; per-vector scale cancels
-            # in cosine, so dequantization is just the int matrix itself
-            mat = np.array(pdf[qvec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].to_numpy()
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (mat @ qmat.T) / (norms[:, None] * qnorm[None, :])
-            frames = []
-            for qi, qid in enumerate(qids):
-                s = sims[:, qi]
-                mask = ids != qid
-                s_m, ids_m = s[mask], ids[mask]
-                if len(ids_m) == 0:
-                    continue
-                order = np.lexsort((ids_m, -s_m))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {"qid": qid, id_col: ids_m[order], "sim": s_m[order]}
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
+    # int8 matmul accumulated in float64; per-vector scale cancels in
+    # cosine, so dequantization is just the int matrix itself
+    score = _local_topk_scorer(q_rows, k, id_col, qvec_col)
     scored = qcorpus.select(id_col, qvec_col, scale_col).mapInPandas(
         score, schema=f"qid long, {id_col} long, sim double"
     )

@@ -52,7 +52,10 @@ def salted_join(
     # (Spark raises HASH_MAP_TYPE — the CDC envelope's payload maps hit
     # this); the salt only needs per-row dispersion, so hash the hashable
     # columns.
-    hashable = [c for c, t in left.dtypes if not t.startswith("map<")]
+    # substring check, not startswith: HASH_MAP_TYPE rejects MapType
+    # RECURSIVELY, so struct<...map<...>...> / array<map<...>> columns
+    # (the other CDC envelope shapes) are just as unhashable
+    hashable = [c for c, t in left.dtypes if "map<" not in t]
     if not hashable:
         raise ValueError("salted_join needs at least one non-map left column")
     salt = F.pmod(

@@ -102,3 +102,19 @@ def test_real_frame_sampling_in_spark(spark):
     assert np.array_equal(got0, frames[0])
     got2 = C.decode_ppm(bytes(out[2]["frame"]))
     assert np.array_equal(got2, frames[4])
+
+
+def test_truncated_ppm_header_raises_not_hangs():
+    """A header cut mid-field used to spin forever: past-EOF b'' is not
+    .isspace(), so the unbounded field scan never terminated (task-level
+    hang on one malformed row). Every truncation point must raise."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators import codecs as C
+
+    good = C.encode_ppm(__import__("numpy").zeros((2, 3, 3)))
+    for cut in (2, 3, 5, len(good.split(b"\n", 3)[0]) + 3):
+        with pytest.raises(ValueError):
+            C.decode_ppm(good[:cut])
+    # and the full frame still round-trips
+    assert C.decode_ppm(good).shape == (2, 3, 3)

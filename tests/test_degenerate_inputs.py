@@ -169,3 +169,48 @@ def test_zorder_null_maps_to_cell_zero(spark):
     ]
     assert got[0] == got[1] == 0  # NULL clusters with the MIN cell
     assert got[2] == 15
+
+
+def test_topk_zero_norm_vectors_score_zero_not_nan(spark):
+    """An all-zero embedding used to produce 0/0=NaN sims, and Spark's
+    descending sort ranks NaN above every real double — so one zero
+    vector ranked #1 for every query. Zero-norm rows (corpus or query
+    side) must score 0.0 and never enter a top-k over positive sims."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero corpus vector
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],  # 11 = zero query vector
+        "vec_id long, embedding array<double>",
+    )
+    got = SIM.brute_force_topk(corpus, queries, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    top_q10 = sorted(by_q[10], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in top_q10] == [1, 2]  # zero vec not ranked 1st
+    assert all(not np.isnan(r["sim"]) for r in got)
+    assert all(r["sim"] == 0.0 for r in by_q[11])  # zero query: all sims 0
+
+
+def test_quantized_topk_zero_query_no_nan(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    qcorpus = SIM.quantize_embeddings(corpus)
+    queries = spark.createDataFrame(
+        [(10, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = SIM.quantized_topk(qcorpus, queries, k=2).collect()
+    assert got and all(r["sim"] == 0.0 for r in got)
+
+
+def test_ivf_topk_empty_corpus_returns_empty(spark):
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert SIM.ivf_topk(corpus, queries, k=2).collect() == []

@@ -151,3 +151,14 @@ def test_prometheus_registry_render_and_serve(spark):
             assert e.code == 404
     finally:
         reg.close()
+
+
+def test_synthetic_media_n_bytes_is_byte_length(spark):
+    """meta n_bytes must equal len(content) in BYTES: F.length counted
+    characters, off for any non-ASCII text (e.g. 'café' = 4 chars, 5
+    bytes)."""
+    docs = spark.createDataFrame(
+        [(1, "café au lait — 2€", "s")], "doc_id long, text string, source string"
+    )
+    m = MM.synthetic_media(docs).collect()[0]
+    assert int(m["meta"]["n_bytes"]) == len(m["content"])

@@ -90,3 +90,25 @@ def test_bm25_deterministic_tie_break(spark):
     df = _docs(spark, ["t pad", "t pad", "t pad"])
     got = bm25_topk(df, ["t"], k=2).collect()
     assert [r["doc_id"] for r in got] == [0, 1]  # equal scores -> id order
+
+
+def test_phone_pattern_needs_seven_digits(spark):
+    """The earlier phone class bounded LENGTH, not digit count: two digits
+    spanning a dash/space run ('pages 3 ------ 12') redacted ordinary
+    prose. Now: >=7 digits, gaps of at most 3 separator chars."""
+    from go_pq_cdc_elasticsearch_spark.operators.redact import redact_text
+
+    df = spark.createDataFrame(
+        [
+            ("see pages 3 ------ 12 for details",),
+            ("Chapter 1\n\n    2022 edition",),
+            ("call +44 207 946 0123 now",),
+            ("call 555-0192 x7 now",),  # 7 digits grouped -> phone
+        ],
+        "t string",
+    )
+    got = [r["r"] for r in df.select(redact_text("t").alias("r")).collect()]
+    assert got[0] == "see pages 3 ------ 12 for details"
+    assert got[1] == "Chapter 1\n\n    2022 edition"
+    assert "<PHONE>" in got[2] and "207" not in got[2]
+    assert got[3].startswith("call <PHONE>")

@@ -89,3 +89,18 @@ def test_stateful_running_totals_across_batches(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_salted_join_tolerates_nested_map_columns(spark):
+    """F.hash rejects MapType RECURSIVELY: a map nested in a struct or
+    array is just as unhashable as a top-level map column (the other CDC
+    envelope shapes). The salt must skip them, not crash analysis."""
+    from go_pq_cdc_elasticsearch_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, {"k": {"a": "1"}}, [{"b": "2"}])],
+        "id long, s struct<k:map<string,string>>, a array<map<string,string>>",
+    )
+    right = spark.createDataFrame([(1, "x")], "id long, v string")
+    got = salted_join(left, right, on=["id"], n_salts=4).collect()
+    assert len(got) == 1 and got[0]["v"] == "x"
