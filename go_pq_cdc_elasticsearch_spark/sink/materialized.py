@@ -88,6 +88,34 @@ def recover_interrupted_swap(path: str) -> None:
             os.rename(old, live)
 
 
+def _recover_interrupted_rebucket(path: str) -> None:
+    """Repair a crash inside ``MaterializedView.rebucket``'s whole-dir
+    swap (rename(path -> .rbold); rename(.rbnew -> path); rmtree(.rbold)).
+
+    Per-bucket swap_bucket_dir is NOT usable for a re-hash: it preserves
+    bucket identity, but rebucketing moves rows BETWEEN buckets, so a
+    partially-swapped view would hold every key twice (old placement +
+    new). The whole-dir two-rename makes the cutover a single rename:
+
+    - live dir missing, ``.rbold`` present: crashed between the renames.
+      ``.rbnew`` carrying a meta file (written LAST, the completion
+      marker) rolls forward; otherwise the pre-rebucket state in
+      ``.rbold`` is the only complete copy — roll back.
+    - live dir present: any ``.rbold``/``.rbnew`` is leftover garbage
+      from a lost cleanup or an abandoned staging attempt — drop it.
+    """
+    rbnew, rbold = path + ".rbnew", path + ".rbold"
+    if not os.path.exists(path) and os.path.isdir(rbold):
+        if os.path.exists(os.path.join(rbnew, _META)):
+            os.rename(rbnew, path)
+            shutil.rmtree(rbold, ignore_errors=True)
+        else:
+            os.rename(rbold, path)
+    if os.path.exists(path):
+        shutil.rmtree(rbold, ignore_errors=True)
+        shutil.rmtree(rbnew, ignore_errors=True)
+
+
 def swap_bucket_dir(path: str, src: str, b: int) -> None:
     """Swap one bucket dir into place with the crash-recoverable two-rename
     protocol (``recover_interrupted_swap`` repairs any interruption)."""
@@ -138,6 +166,7 @@ class MaterializedView:
         self._drifted = False
         self._last_epoch: int | None = None
         self._lineage: str | None = None
+        _recover_interrupted_rebucket(path)
         meta = self._read_meta()
         if meta is not None:
             # layout sticks to what the directory was created with
@@ -146,6 +175,26 @@ class MaterializedView:
             self._drifted = bool(meta.get("drifted", False))
             self._last_epoch = meta.get("last_epoch")
             self._lineage = meta.get("lineage")
+            # the merge contract (bucket hashing, LWW resolution) is baked
+            # into the stored layout: reopening with different keys/seq
+            # would hash the same logical key to a DIFFERENT bucket and
+            # silently leave it live in two buckets at once — loud error,
+            # not silent corruption
+            for field, mine in (
+                ("keys", list(self.keys)),
+                ("seq_col", self.seq_col),
+                ("op_col", self.op_col),
+                ("delete_op", self.delete_op),
+            ):
+                stored = meta.get(field)
+                if field == "keys" and stored is not None:
+                    stored = list(stored)
+                if stored is not None and stored != mine:
+                    raise ValueError(
+                        f"materialized view at {path} was created with "
+                        f"{field}={stored!r}; reopening with {mine!r} would "
+                        f"corrupt the bucketed merge"
+                    )
             self._recover_interrupted_swap()
 
     def _recover_interrupted_swap(self) -> None:
@@ -178,6 +227,9 @@ class MaterializedView:
                 {
                     "n_buckets": self.n_buckets,
                     "keys": self.keys,
+                    "seq_col": self.seq_col,
+                    "op_col": self.op_col,
+                    "delete_op": self.delete_op,
                     "columns": self._columns,
                     "drifted": self._drifted,
                     "last_epoch": self._last_epoch,
@@ -196,10 +248,13 @@ class MaterializedView:
         return os.path.exists(os.path.join(self.path, _META))
 
     def state(self) -> DataFrame | None:
-        """Current compacted state INCLUDING tombstones, or None if empty."""
+        """Current compacted state INCLUDING tombstones, or None if empty.
+
+        mergeSchema (per-file footer reconciliation) is paid only once
+        drift has EVER happened — same conditional the merge path uses."""
         if not self.exists() or not self._bucket_dirs():
             return None
-        return self._read_buckets().drop(_BUCKET_COL)
+        return self._read_buckets(merge_schema=self._drifted).drop(_BUCKET_COL)
 
     def _bucket_dirs(self) -> list[int]:
         return list_bucket_dirs(self.path)
@@ -399,26 +454,34 @@ class MaterializedView:
         layout, like OPTIMIZE/rewrite in a table format. Full rewrite; run
         rarely, never per batch."""
         state = self.state()
-        old_dirs = self._bucket_dirs()
         self.n_buckets = n_buckets
         self._drifted = False  # full rewrite unifies file schemas
         if state is None:
             self._write_meta()
             return
+        # whole-dir two-rename swap (crash-recoverable via
+        # _recover_interrupted_rebucket): an earlier delete-then-rename
+        # version lost the ENTIRE view when killed between the rmtree loop
+        # and the rename loop — meta intact, zero bucket dirs, view reads
+        # empty — and per-bucket swap_bucket_dir can't repair a re-hash
+        # (rows move BETWEEN buckets; a partial swap duplicates keys).
         rebucketed = state.withColumn(_BUCKET_COL, self._bucket_expr())
-        parent = os.path.dirname(self.path) or "."
-        tmp = tempfile.mkdtemp(prefix="mv_rb_", dir=parent)
-        out = os.path.join(tmp, "data")
+        rbnew, rbold = self.path + ".rbnew", self.path + ".rbold"
+        shutil.rmtree(rbnew, ignore_errors=True)  # abandoned staging attempt
         rebucketed.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
             "overwrite"
-        ).partitionBy(_BUCKET_COL).parquet(out)
-        for b in old_dirs:  # written tmp copy is complete; now drop old layout
-            shutil.rmtree(self._bucket_dir(b), ignore_errors=True)
-        for d in os.listdir(out):
-            if d.startswith(_BUCKET_COL + "="):
-                os.rename(os.path.join(out, d), os.path.join(self.path, d))
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._write_meta()
+        ).partitionBy(_BUCKET_COL).parquet(rbnew)
+        # meta is written into the staging dir LAST: it is the completion
+        # marker recovery keys the roll-forward decision on
+        real_path = self.path
+        try:
+            self.path = rbnew
+            self._write_meta()
+        finally:
+            self.path = real_path
+        os.rename(self.path, rbold)
+        os.rename(rbnew, self.path)
+        shutil.rmtree(rbold, ignore_errors=True)
 
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — the Spark analog of the

@@ -190,8 +190,11 @@ class LshDedupIndex:
 
     ``process_batch`` returns the verified near-dup pairs the new batch
     introduces — against the already-indexed corpus and within itself —
-    and then indexes the batch. Keep/drop policy is the caller's (see
-    ``greedy_keep_filter`` for the standard first-arrival-wins fold).
+    and then indexes the batch. Keep/drop policy is the caller's: the
+    distributed fold matching ``dedup_corpus`` is ``IncrementalDeduper``
+    (cross-batch first-arrival-wins + in-batch CC min-id); the driver-side
+    ``greedy_keep_filter`` is a DIFFERENT sequential policy that diverges
+    on in-batch transitive chains (see its docstring).
     """
 
     def __init__(
@@ -440,13 +443,19 @@ class IncrementalDeduper(LshDedupIndex):
         )
         return kept_batch
 
-    def _merge_kept(self, kept_batch: DataFrame, epoch_id: int | None) -> None:
+    def _merge_kept(
+        self,
+        kept_batch: DataFrame,
+        epoch_id: int | None,
+        lineage: str | None = None,
+    ) -> None:
         seq = 0 if epoch_id is None else int(epoch_id)
         self.kept.merge_batch(
             kept_batch.select(self.id_col)
             .withColumn("seq", F.lit(seq))
             .withColumn("op", F.lit("upsert")),
             epoch_id=epoch_id,
+            lineage=lineage,
         )
 
     def foreach_batch_writer(self, corpus_path: str):
@@ -471,8 +480,69 @@ class IncrementalDeduper(LshDedupIndex):
         could never be verified against them. The in-flight epoch's
         directory is excluded from the corpus read (only ``epoch < seq``),
         so a partial previous attempt can neither corrupt the read nor
-        feed the batch's own rows back into its verification corpus."""
+        feed the batch's own rows back into its verification corpus.
+
+        Lineage: foreachBatch epoch ids restart at 0 for a NEW streaming
+        query (fresh checkpoint) feeding the same store — raw comparison
+        against the recorded frontier would silently drop the new query's
+        first batches, and its ``epoch=N`` dirs would overwrite the prior
+        query's same-numbered corpus text. The corpus meta records the
+        feeding query id and an EPOCH BASE; on a lineage change the base
+        jumps past every existing epoch dir, making the effective epoch
+        (base + foreachBatch id) globally monotone across queries — which
+        simultaneously fixes the kept-view guard, the band-index guard,
+        and the corpus dir naming, with no change to any downstream
+        frontier logic. (Residual edge, accepted: an epoch dir written by
+        a crashed, never-resumed query whose commit never landed stays in
+        prior reads — its docs can shadow later near-dups; over-drop, not
+        a duplicate leak. Single-writer is the declared model, SURVEY §7.)"""
+        import json
         import os
+
+        meta_path = os.path.join(corpus_path, "_CORPUS_META.json")
+
+        def _existing_epochs() -> list:
+            if not os.path.isdir(corpus_path):
+                return []
+            out = []
+            for name in os.listdir(corpus_path):
+                if name.startswith("epoch="):
+                    try:
+                        out.append(int(name.split("=", 1)[1]))
+                    except ValueError:
+                        continue
+            return out
+
+        def _epoch_base(qid: str | None) -> int:
+            meta = None
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            if meta is not None and (
+                qid is None or meta.get("lineage") in (None, qid)
+            ):
+                return int(meta.get("base", 0))
+            if qid is None:
+                # unknown caller identity and no (matching) meta: assume
+                # the same feeder — resetting on unknown would collide a
+                # plain checkpoint resume's in-flight epoch dir
+                return 0
+            if meta is None:
+                # first metadata write. Existing dirs = a corpus from the
+                # pre-meta layout: treat the current query as its feeder
+                # (status-quo behavior for a checkpoint resume)
+                base = 0
+            else:
+                # genuinely different feeding query: start past everything
+                existing = _existing_epochs()
+                base = max(
+                    int(meta.get("base", 0)),
+                    (max(existing) + 1) if existing else 0,
+                )
+            os.makedirs(corpus_path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"lineage": qid, "base": base}, f)
+            return base
 
         def _prior_epoch_dirs(seq: int) -> list:
             if not os.path.isdir(corpus_path):
@@ -512,7 +582,10 @@ class IncrementalDeduper(LshDedupIndex):
                     "foreach_batch_writer requires an integer epoch_id; "
                     "for ad-hoc (non-stream) batches call dedup_batch()"
                 )
-            seq = int(epoch_id)
+            qid = batch_df.sparkSession.sparkContext.getLocalProperty(
+                "sql.streaming.queryId"
+            )
+            seq = _epoch_base(qid) + int(epoch_id)
             if (
                 self.kept._last_epoch is not None
                 and seq <= self.kept._last_epoch
@@ -534,16 +607,21 @@ class IncrementalDeduper(LshDedupIndex):
             kept.write.mode("overwrite").parquet(
                 os.path.join(corpus_path, f"epoch={seq}")
             )
-            self._merge_kept(kept, epoch_id=seq)
+            self._merge_kept(kept, epoch_id=seq, lineage=qid)
 
         return write
 
 
 def greedy_keep_filter(pairs_by_batch, batch_ids_in_order):
-    """Reference policy fold (driver-side over SMALL per-batch id lists in
-    tests/examples; a production pipeline expresses the same fold as an
-    anti-join per batch): first arrival wins — a doc is dropped iff it
+    """SEQUENTIAL greedy policy fold (driver-side over SMALL per-batch id
+    lists in tests/examples): first arrival wins — a doc is dropped iff it
     pairs with a KEPT earlier doc (within-batch ties: lower id wins).
+
+    NOT the same in-batch policy as ``IncrementalDeduper``/``dedup_corpus``
+    (connected-components min-id): on an in-batch chain [(1,2),(2,3)] this
+    keeps {1,3} (3's only pair 2 was itself dropped) while the CC fold
+    keeps {1} (whole component collapses to its min id). Don't use one as
+    a parity oracle for the other on transitive chains.
 
     ``pairs_by_batch``: list of [(id1, id2), ...] per batch (id1 < id2);
     ``batch_ids_in_order``: list of [doc ids] per batch in arrival order.

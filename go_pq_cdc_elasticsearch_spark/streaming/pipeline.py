@@ -97,6 +97,12 @@ def run_cdc_stream(
             # freeze the session-wide value into its checkpoint
             deadline = time.time() + 60
             while not q.recentProgress and time.time() < deadline:
+                if not q.isActive:
+                    # a batch-0 failure would otherwise spin out the full
+                    # 60 s and hand back a view for a dead stream
+                    if q.exception() is not None:
+                        raise q.exception()
+                    break
                 time.sleep(0.1)
     return view
 
@@ -138,12 +144,24 @@ def run_es_pipeline(
         env = model.envelope_from_events(batch_df, table=table)
         if op_mapping is not None:
             env = env.withColumn("op", op_mapping(F.col("op")))
-            env = env.withColumn(
-                "old_data",
-                F.when(model.is_delete(), F.coalesce("old_data", "new_data")),
-            ).withColumn(
-                "new_data",
-                F.when(~model.is_delete(), F.coalesce("new_data", "old_data")),
+            # ONE select, not sequential withColumns: both rewrites must
+            # read the ORIGINAL old_data/new_data. Sequenced, the first
+            # nulls old_data for a row remapped DELETE->non-delete, so the
+            # second's coalesce("new_data", "old_data") — written exactly
+            # for that row — read the already-nulled value and the row
+            # vanished from the bulk with no error (doc_id NULL filter).
+            env = env.select(
+                *[
+                    F.when(model.is_delete(), F.coalesce("old_data", "new_data"))
+                    .alias("old_data")
+                    if c == "old_data"
+                    else F.when(
+                        ~model.is_delete(), F.coalesce("new_data", "old_data")
+                    ).alias("new_data")
+                    if c == "new_data"
+                    else c
+                    for c in env.columns
+                ]
             )
         routed = router.route(env)  # unmapped => dropped (acked), R6
         actions = handler(routed)

@@ -102,3 +102,46 @@ def test_full_reference_dataflow_into_es(spark, sf_dir, es_url):
         assert abs(float(doc["value"]) - exp["value"]) < 1e-9
     # multi-batch streaming really hit the server more than once
     assert len(STORE) > 0
+
+
+def test_op_mapping_remapped_delete_keeps_payload(spark, es_url):
+    """A row whose ORIGINAL envelope op is DELETE (old_data only) remapped
+    to a non-delete op must keep its payload. The earlier sequential
+    withColumn rewrite nulled old_data before new_data's
+    coalesce(new_data, old_data) read it, so the doc silently vanished
+    and an OLDER event won the in-batch dedup — data-dependent at sf0.001
+    (no user's final event is a 'delete' there), hence this crafted feed:
+    user 7's LAST event is type 'delete', remapped to INSERT."""
+    import os
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.sources.replay import (
+        EVENTS_LONG_TS_SCHEMA,
+    )
+
+    work = tempfile.mkdtemp(prefix="es_opmap_")
+    staged = os.path.join(work, "staged")
+    feed = spark.createDataFrame(
+        [
+            (1, None, 7, "click", 1.0, "{}"),
+            (2, None, 7, "delete", 9.5, "{}"),  # final event: DELETE shape
+            (3, None, 8, "error", 2.0, "{}"),  # remaps to real DELETE
+            (4, None, 9, "click", 3.0, "{}"),
+        ],
+        EVENTS_LONG_TS_SCHEMA,
+    )
+    feed.coalesce(1).write.parquet(staged)
+
+    run_es_pipeline(
+        spark,
+        staged_dir=staged,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        router=IndexRouter({"public.events": "events-idx"}),
+        transport=http_transport(es_url),
+        op_mapping=lambda op: F.when(op == "ERROR", "DELETE").otherwise(
+            "INSERT"
+        ),
+    )
+    assert set(STORE) == {("events-idx", "7"), ("events-idx", "9")}
+    # the remapped-DELETE row's payload survived and won the dedup
+    assert abs(float(STORE[("events-idx", "7")]["value"]) - 9.5) < 1e-9

@@ -285,11 +285,11 @@ def test_foreach_batch_crash_between_corpus_write_and_frontier(spark, sf_dir):
     real_merge = dd._merge_kept
     calls = {"n": 0}
 
-    def dying_merge(kept, epoch_id):
+    def dying_merge(kept, epoch_id, lineage=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected crash before frontier commit")
-        real_merge(kept, epoch_id=epoch_id)
+        real_merge(kept, epoch_id=epoch_id, lineage=lineage)
 
     dd._merge_kept = dying_merge
     try:
@@ -367,3 +367,61 @@ def test_foreach_batch_legacy_flat_corpus_refused_and_migratable(spark, sf_dir):
     # migrated docs still present; the new epoch's kept rows were appended
     assert {r["doc_id"] for r in old.select("doc_id").collect()} <= store_ids
     assert os.path.isdir(os.path.join(corpus_path, "epoch=0"))
+
+
+def test_foreach_batch_new_query_lineage_not_dropped(spark, sf_dir):
+    """foreachBatch epoch ids restart at 0 for a NEW streaming query
+    feeding the same store. Raw comparison against the kept frontier
+    silently dropped the new query's first batches AND its epoch=N corpus
+    dirs overwrote the prior query's text. The corpus meta's epoch base
+    must make effective epochs globally monotone across queries."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 120)
+    a = docs.filter(F.col("doc_id") <= 60)
+    b = docs.filter(F.col("doc_id") > 60)
+    work = tempfile.mkdtemp(prefix="dd_lin_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus_path = os.path.join(work, "corpus")
+    write = dd.foreach_batch_writer(corpus_path)
+    sc = spark.sparkContext
+
+    # query A: epochs 0 and 1
+    sc.setLocalProperty("sql.streaming.queryId", "query-A")
+    try:
+        write(a.filter(F.col("doc_id") % 2 == 0), 0)
+        write(a.filter(F.col("doc_id") % 2 == 1), 1)
+        a_store = {
+            r["doc_id"]
+            for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+        }
+        assert a_store  # A's corpus text landed
+
+        # query B (fresh checkpoint): epochs restart at 0
+        sc.setLocalProperty("sql.streaming.queryId", "query-B")
+        write(b.filter(F.col("doc_id") % 2 == 0), 0)
+        write(b.filter(F.col("doc_id") % 2 == 1), 1)
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+
+    store_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    ]
+    kept_ids = {r["doc_id"] for r in dd.kept.read().select("doc_id").collect()}
+    # B's batches were processed (not skipped), nothing of A's was
+    # overwritten, and the store matches the kept view with no duplicates
+    assert a_store <= set(store_ids)
+    assert any(i > 60 for i in store_ids)
+    assert len(store_ids) == len(set(store_ids))
+    assert set(store_ids) == kept_ids
+    # redelivery of B's committed epoch stays a no-op
+    n_before = len(store_ids)
+    sc.setLocalProperty("sql.streaming.queryId", "query-B")
+    try:
+        write(b.filter(F.col("doc_id") % 2 == 1), 1)
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+    assert spark.read.parquet(corpus_path).count() == n_before

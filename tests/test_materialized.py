@@ -214,3 +214,62 @@ def test_interrupted_swap_recovery(spark):
     mv3 = MaterializedView(spark, path)
     assert not os.path.exists(live + ".old")
     assert {r["value"] for r in mv3.read().collect()} == {11.0, 20.0}
+
+
+def test_reopen_with_different_contract_raises(spark):
+    """The bucket hashing and LWW resolution are baked into the stored
+    layout: reopening with different keys (or seq/op/delete config) would
+    leave the same logical key live in two buckets — must be a loud
+    error, not silent corruption."""
+    import pytest
+
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_k_"), "view")
+    mv = MaterializedView(spark, path, keys=("user_id",))
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 1.0)]))
+    with pytest.raises(ValueError, match="keys"):
+        MaterializedView(spark, path, keys=("user_id", "event_type"))
+    with pytest.raises(ValueError, match="seq_col"):
+        MaterializedView(spark, path, seq_col="value")
+    with pytest.raises(ValueError, match="delete_op"):
+        MaterializedView(spark, path, delete_op="DELETE")
+    # identical contract reopens fine
+    assert MaterializedView(spark, path, keys=("user_id",)).read().count() == 1
+
+
+def test_rebucket_crash_recovery(spark):
+    """rebucket uses a whole-dir two-rename swap: a crash between the two
+    renames must roll FORWARD when the staged copy is complete (meta
+    present — written last) and roll BACK when it is not. The earlier
+    delete-then-rename version lost the entire view in that window."""
+    import shutil
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        _recover_interrupted_rebucket,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_rbc_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=2)
+    mv.merge_batch(_batch(spark, [(i, "insert", i, float(i)) for i in range(10)]))
+    before = {r["user_id"]: r["value"] for r in mv.read().collect()}
+
+    # crash between rename(path->rbold) and rename(rbnew->path), staged
+    # copy COMPLETE: reopen rolls forward to the new layout
+    shutil.copytree(path, path + ".rbnew")
+    os.rename(path, path + ".rbold")
+    mv2 = MaterializedView(spark, path)
+    assert {r["user_id"]: r["value"] for r in mv2.read().collect()} == before
+    assert not os.path.exists(path + ".rbold")
+
+    # same window but staged copy INCOMPLETE (no meta): roll back
+    shutil.copytree(path, path + ".rbnew")
+    os.remove(os.path.join(path + ".rbnew", "_VIEW_META.json"))
+    os.rename(path, path + ".rbold")
+    _recover_interrupted_rebucket(path)
+    assert {r["user_id"]: r["value"] for r in
+            MaterializedView(spark, path).read().collect()} == before
+    assert not os.path.exists(path + ".rbnew")
+
+    # and a real end-to-end rebucket still preserves state
+    mv3 = MaterializedView(spark, path)
+    mv3.rebucket(8)
+    assert {r["user_id"]: r["value"] for r in mv3.read().collect()} == before
