@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 
 
 def pround(col: Column | str, n: int) -> Column:
-    """Portable half-up round of a double to ``n`` decimal places."""
+    """Portable half-up round of a double to ``n`` decimal places.
+
+    Domain precondition: |x·10ⁿ| must stay below 2⁶³ — Spark's
+    floor(double) returns BIGINT and SATURATES at Long.MAX while DuckDB's
+    floor returns the exact double, so beyond that bound the two engines
+    diverge (the floor-saturation portability trap). Every caller here is
+    a score/ratio/percentile (|x| ≤ ~10⁶ at n ≤ 6); for unbounded
+    magnitudes (money sums) use sql/canon.py's banded integer ladder,
+    which switches to coarser exact bands above 9e14."""
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**n))
     return (F.floor(c.cast("double") * p + F.lit(0.5)).cast("double") / p)

@@ -26,7 +26,13 @@ def words(col) -> Column:
 
 
 def token_count_ws(col) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count. Convention: EMPTY/whitespace-only text
+    counts as 1 — split('', ' ') is [''] in both Spark and DuckDB, and
+    every oracle twin inlines the same len(string_split(...)) form, so
+    the convention is engine-consistent by construction. Callers
+    thresholding on a minimum word count are unaffected (1 fails any
+    sane floor); a caller needing a true 0 for blank docs must gate on
+    length(trim(text)) explicitly."""
     return F.size(words(col)).cast("long")
 
 
@@ -96,10 +102,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def lang_id(col) -> Column:
     """Deterministic language-ID: count marker-word hits per language over
-    the token array; argmax with fixed preference order on ties."""
+    the token array; argmax with fixed preference order on ties. A text
+    with ZERO marker hits in every language stays 'und' — the initial
+    best_score must be 0, not -1: seeded at -1, the first language's
+    0-hit score "won" and markerless documents were reported as 'en'
+    (the oracle twin mirrored the same seed, so parity couldn't catch
+    it)."""
     w = words(col)
     best_lang = F.lit("und")
-    best_score = F.lit(-1).cast("long")
+    best_score = F.lit(0).cast("long")
     for lang, markers in LANG_MARKERS.items():
         marks = F.array(*[F.lit(m) for m in markers])
         score = F.size(F.filter(w, lambda x: F.array_contains(marks, x))).cast("long")

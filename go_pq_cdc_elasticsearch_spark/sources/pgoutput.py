@@ -57,17 +57,40 @@ def read_frame(sock_file) -> tuple[bytes, bytes]:
     still covers the unflushed tail either way; this keeps the flush
     contract and the clean thread exit). Genuine decode errors on a
     healthy socket still surface from the per-message parsers."""
-    t = sock_file.read(1)
+    t = _read_exact(sock_file, 1)
     if not t:
         return b"", b""
-    header = sock_file.read(4)
+    header = _read_exact(sock_file, 4)
     if len(header) < 4:
         return b"", b""
     (n,) = struct.unpack("!I", header)
-    body = sock_file.read(n - 4)
+    if n < 4:
+        # corrupt length header: read(n - 4) with a NEGATIVE bound would
+        # slurp the rest of the stream into one "frame" — desync, not EOF
+        return b"", b""
+    body = _read_exact(sock_file, n - 4)
     if len(body) < n - 4:
         return b"", b""
     return t, body
+
+
+def _read_exact(sock_file, n: int) -> bytes:
+    """Read exactly ``n`` bytes (or fewer at EOF). An UNBUFFERED socket
+    file's read() may return short on any syscall boundary — the buffered
+    wrapper used to hide this, but its read-ahead made select()-based idle
+    detection lie (complete frames parked in the reader's buffer while the
+    socket showed no pending data), so ReplicationClient reads unbuffered."""
+    if n <= 0:
+        return b""
+    chunks = []
+    got = 0
+    while got < n:
+        b = sock_file.read(n - got)
+        if not b:
+            break
+        chunks.append(b)
+        got += len(b)
+    return b"".join(chunks)
 
 
 def query_message(sql: str) -> bytes:
@@ -339,7 +362,12 @@ class ReplicationClient:
         import threading
 
         self.sock = sock
-        self.file = sock.makefile("rwb")
+        # UNBUFFERED on purpose: a buffered reader's read-ahead can park
+        # complete frames in its private buffer, where select() on the
+        # socket cannot see them — poll(idle_timeout=...) would stall on
+        # buffered frames until the next network activity. _read_exact
+        # absorbs the short reads an unbuffered file is allowed to return.
+        self.file = sock.makefile("rwb", buffering=0)
         self.slot = slot
         self.publication = publication
         self.decoder = PgOutputDecoder()
@@ -352,8 +380,9 @@ class ReplicationClient:
 
     def _send(self, data: bytes) -> None:
         with self._send_lock:
-            self.file.write(data)
-            self.file.flush()
+            # sendall, not file.write: an unbuffered SocketIO write maps to
+            # one send() and may accept only part of the frame
+            self.sock.sendall(data)
 
     def startup(
         self,
@@ -443,7 +472,7 @@ class ReplicationClient:
             break
         self.started = True
 
-    def poll(self, heartbeat: bool = False):
+    def poll(self, heartbeat: bool = False, idle_timeout: float | None = None):
         """Yield decoded change dicts until the stream ends. Keepalives are
         answered inline (reply_requested => immediate status update with the
         current flushed LSN) — the liveness contract that keeps the slot
@@ -454,8 +483,25 @@ class ReplicationClient:
         poll() never returns control to the caller, so a consumer loop
         could neither forward acks, nor time-flush a partial segment, nor
         observe its stop event — the idle-slot WAL-retention failure the
-        ack forwarding exists to prevent."""
+        ack forwarding exists to prevent.
+
+        ``idle_timeout`` bounds how long a BLOCKED read can starve the
+        caller: keepalive-driven heartbeats arrive only every
+        ~wal_sender_timeout/2 (~30 s default), far coarser than a
+        consumer's flush/ack intervals. With a timeout set, the socket is
+        select()ed first and a quiet interval yields ``None`` (when
+        ``heartbeat``) without touching the stream — accurate because the
+        client file is unbuffered (no read-ahead can hide pending
+        frames)."""
+        import select as _select
+
         while True:
+            if idle_timeout is not None:
+                ready, _, _ = _select.select([self.sock], [], [], idle_timeout)
+                if not ready:
+                    if heartbeat:
+                        yield None
+                    continue
             t, body = read_frame(self.file)
             if not t or t == b"Z":  # EOF / ReadyForQuery after CopyDone
                 return
@@ -502,6 +548,18 @@ class ReplicationClient:
         )
 
     def close(self) -> None:
+        import socket as _socket
+
+        # shutdown BEFORE close: the consumer thread may be blocked in a
+        # recv inside read_frame; plain close() does not reliably wake it
+        # (and closing a file object whose reader is mid-read can block on
+        # the reader's lock), so the walsender link would stay established
+        # and the slot report 'replication slot is in use' to the next
+        # starter. shutdown() forces EOF into the blocked read immediately.
+        try:
+            self.sock.shutdown(_socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self.file.close()
             self.sock.close()
@@ -519,8 +577,10 @@ def stream_to_segments(
     socket consumer and the ``pgwal`` Spark DataSource (sources/wal.py):
     the file contract stays the single source of truth for offsets/
     partitions, the socket is just the producer. Returns #changes written.
-    The Spark-side commit() hook acks through ``client.ack`` (see
-    wal.register_live)."""
+    The Spark-side commit() hook records its frontier in the
+    ``_committed`` file / checkpoint, which ``forward_committed_acks_tail``
+    / ``forward_checkpoint_acks`` turn into ``client.ack`` calls from the
+    consumer loop (the thread that owns the socket)."""
     from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
 
     buf: list[dict] = []
@@ -596,9 +656,11 @@ def run_live_consumer(
 
     Housekeeping (ack sweep, time-based partial-segment flush — the
     reference's batchTickerDuration analog, bulk/bulk.go:110-116 — and
-    the stop check) runs on EVERY yielded item including keepalive
-    heartbeats, so an idle stream still forwards acks, publishes a
-    partial segment within ``flush_interval_sec``, and stops promptly."""
+    the stop check) runs on EVERY yielded item, and poll's
+    ``idle_timeout`` (half the tightest configured interval) guarantees a
+    yield at that cadence even when the socket is silent — keepalives
+    alone arrive only every ~wal_sender_timeout/2 (~30 s), which would
+    stretch the documented flush/ack/stop latencies 6-30x."""
     import time
 
     from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
@@ -618,8 +680,9 @@ def run_live_consumer(
     last_acked = -1
     last_ack_t = 0.0
     last_flush_t = time.time()
+    idle_timeout = max(0.05, min(ack_interval_sec, flush_interval_sec) / 2)
     try:
-        for change in client.poll(heartbeat=True):
+        for change in client.poll(heartbeat=True, idle_timeout=idle_timeout):
             now = time.time()
             if change is not None:
                 buf.append(change)

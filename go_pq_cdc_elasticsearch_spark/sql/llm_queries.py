@@ -368,7 +368,10 @@ def q_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle() -> str:
-    best_lang, best_score = "'und'", "-1"
+    # seed 0, not -1, matching functions/text.py::lang_id — markerless
+    # documents must stay 'und' instead of the first language "winning"
+    # with a 0-hit score
+    best_lang, best_score = "'und'", "0"
     for lang, markers in TX.LANG_MARKERS.items():
         lst = ", ".join(f"'{m}'" for m in markers)
         score = (

@@ -63,3 +63,18 @@ def test_lang_id_markers(spark):
     )
     out = {r["i"]: r["l"] for r in df.select("i", TX.lang_id(F.col("t")).alias("l")).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_lang_id_markerless_is_und(spark):
+    """Zero marker hits in every language must stay 'und': seeded at -1,
+    the first language's 0-hit score used to win and markerless (or
+    blank) documents were reported as 'en'."""
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh quux"), (2, ""), (3, "   "), (4, "the cat")],
+        "i long, t string",
+    )
+    out = {
+        r["i"]: r["l"]
+        for r in df.select("i", TX.lang_id(F.col("t")).alias("l")).collect()
+    }
+    assert out == {1: "und", 2: "und", 3: "und", 4: "en"}
