@@ -67,8 +67,18 @@ def parse_duration_ms(v: str | int | float) -> float:
     """Go-style duration ('100ms', '10s', '5m') -> milliseconds. Bare
     numbers are taken as milliseconds (the reference's YAML integers are
     nanoseconds via time.Duration — nobody writes those by hand; ms is the
-    practical reading and is what its docs show)."""
+    practical reading and is what its docs show). Because that deliberate
+    deviation would misread a REAL time.Duration integer by 1e6x (100 ms
+    = 100000000 ns would become ~28 hours), bare numbers that can only be
+    nanoseconds (>= 1e6, i.e. a >16-minute tick) are REJECTED loudly with
+    the fix instead of silently reinterpreted — write '100ms'/'2h'."""
     if isinstance(v, (int, float)):
+        if v >= 1_000_000:
+            raise ValueError(
+                f"bare duration {v!r} looks like a Go time.Duration in "
+                f"nanoseconds; write it as a unit string (e.g. "
+                f"'{float(v) / 1e6:g}ms') to make the scale explicit"
+            )
         return float(v)
     total, pos = 0.0, 0
     for m in re.finditer(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", str(v)):

@@ -46,6 +46,10 @@ class ReplicationSettings:
     create_slot: bool = True
     batch_size: int = 200
     ack_interval_sec: float = 0.5
+    # bounded TCP connect: an unreachable host must fail start() loudly,
+    # not hang it for the OS default (minutes+) before wait_until_ready
+    # can even run
+    connect_timeout_sec: float = 15.0
 
 
 @dataclass
@@ -116,17 +120,28 @@ class Connector:
 
     # -- lifecycle (reference connector.go:82-127) --------------------------
 
-    def _start_replication_consumer(self) -> None:
-        """Connect the slot and pump the socket into staged_dir in a daemon
-        thread (reference: go-pq-cdc's listener goroutine,
-        connector.go:129-172)."""
+    def _connect_replication(self) -> None:
+        """Connect + handshake + create the slot — WITHOUT starting the
+        stream. Split from the consumer start so initial-mode can create
+        the slot BEFORE reading the snapshot: the slot's consistent point
+        is set at CREATE_REPLICATION_SLOT, so every change after it is
+        retained in WAL for the slot — a change landing between the
+        snapshot read and slot creation would be in NEITHER (served stale
+        forever). START_REPLICATION itself stays deferred until after the
+        snapshot merge: once CopyBoth starts the server streams frames,
+        and nobody would drain them during a long backfill (socket
+        backpressure + unanswered keepalives)."""
         import socket
-        import threading
 
         from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
 
         rs = self.cfg.replication
-        sock = socket.create_connection((rs.host, rs.port))
+        # bounded connect: an unreachable/filtered host must surface as an
+        # error here, not hang start() before wait_until_ready can run
+        sock = socket.create_connection(
+            (rs.host, rs.port), timeout=rs.connect_timeout_sec
+        )
+        sock.settimeout(None)  # streaming reads are select()-paced, not timed
         self._repl_client = PG.ReplicationClient(
             sock, slot=rs.slot, publication=rs.publication
         )
@@ -136,6 +151,16 @@ class Connector:
         )
         if rs.create_slot:
             self._repl_client.create_slot()
+
+    def _start_replication_consumer(self) -> None:
+        """START_REPLICATION and pump the socket into staged_dir in a
+        daemon thread (reference: go-pq-cdc's listener goroutine,
+        connector.go:129-172)."""
+        import threading
+
+        rs = self.cfg.replication
+        from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
         self._repl_client.start()
         self._repl_stop = threading.Event()
         self._repl_thread = threading.Thread(
@@ -153,6 +178,16 @@ class Connector:
 
     def start(self, available_now: bool = False) -> "Connector":
         mode = self.cfg.snapshot_mode
+        if mode not in ("never", "initial", "snapshot_only"):
+            # a typo ('Initial', 'snapshot-only') must not silently become
+            # a stream-only pipeline with an empty view
+            raise ValueError(
+                f"unknown snapshot_mode {mode!r}: expected "
+                f"'never', 'initial' or 'snapshot_only'"
+            )
+        if self.cfg.replication is not None and mode != "snapshot_only":
+            # slot first, snapshot second — see _connect_replication
+            self._connect_replication()
         if mode in ("initial", "snapshot_only"):
             if self.snapshot_df is None:
                 raise ValueError(f"snapshot_mode={mode} requires snapshot_df")

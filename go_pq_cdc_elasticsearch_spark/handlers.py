@@ -103,6 +103,13 @@ def python_handler(
                 out = []
                 for msg in pdf.to_dict("records"):
                     for act in fn(msg) or []:
+                        if act.get("doc_id") is None:
+                            # parity with the declarative handlers, which
+                            # end in .filter(doc_id.isNotNull()): a keyless
+                            # action is dropped, NOT stringified — str(None)
+                            # used to emit doc_id "None", colliding every
+                            # such row onto one literal document id
+                            continue
                         out.append(
                             {
                                 "seq": msg.get("seq"),

@@ -21,24 +21,39 @@ def observed_actions(
     op_col: str = "event_type",
     delete_op: str = "delete",
     name: str = "cdc_metrics",
+    index_col: str | None = None,
+    indexes: tuple[str, ...] = (),
 ) -> tuple[DataFrame, Observation]:
     """Attach index_total / delete_total counters (metric.go:75-112 naming)
     to a write-plan DataFrame; read them from the Observation after the
-    sink action runs."""
+    sink action runs.
+
+    ``index_col``/``indexes`` add PER-INDEX counters (keys
+    ``index_total@<idx>`` / ``delete_total@<idx>``) for a routed pipeline:
+    the reference increments counters per action's ACTUAL index
+    (metric.go), so a multi-index batch booked onto one label would lie.
+    The index set comes from the router's mapping values — known up front,
+    which is what lets the breakdown ride the same single Observation
+    (zero extra passes)."""
     obs = Observation(name)
     # every action increments exactly ONE per-op counter (metric.go: each
     # action is either index or delete), so the counters must sum to
     # actions_total: a NULL op (malformed envelope) is counted on the
     # index side — `op != delete` alone is NULL for NULL ops and count_if
     # skipped the row in BOTH buckets, silently undercounting
-    out = df.observe(
-        obs,
+    not_delete = F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
+    is_delete = F.col(op_col) == F.lit(delete_op)
+    cols = [
         F.count(F.lit(1)).alias("actions_total"),
-        F.count_if(
-            F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
-        ).alias("index_total"),
-        F.count_if(F.col(op_col) == F.lit(delete_op)).alias("delete_total"),
-    )
+        F.count_if(not_delete).alias("index_total"),
+        F.count_if(is_delete).alias("delete_total"),
+    ]
+    if index_col is not None:
+        for idx in indexes:
+            hit = F.col(index_col) == F.lit(idx)
+            cols.append(F.count_if(hit & not_delete).alias(f"index_total@{idx}"))
+            cols.append(F.count_if(hit & is_delete).alias(f"delete_total@{idx}"))
+    out = df.observe(obs, *cols)
     return out, obs
 
 
@@ -51,8 +66,14 @@ class StreamMetricsListener:
     (SetProcessLatency, metric.go:67-73).
     """
 
-    def __init__(self) -> None:
-        self.snapshots: list[dict] = []
+    def __init__(self, max_snapshots: int = 4096) -> None:
+        # bounded: a production stream at a 1 s trigger appends one record
+        # per micro-batch forever (~86k/day) — an unbounded list is a slow
+        # driver-side leak. deque(maxlen) keeps the newest window at O(1);
+        # long-lived aggregates belong in PrometheusRegistry gauges.
+        from collections import deque
+
+        self.snapshots: deque = deque(maxlen=max_snapshots)
 
     def as_spark_listener(self):
         from pyspark.sql.streaming import StreamingQueryListener
@@ -124,15 +145,45 @@ class PrometheusRegistry:
             target[index] = target.get(index, 0.0) + n
 
     def observe_result(self, observed: dict, index: str) -> None:
-        """Feed an ``observed_actions`` Observation result (index_total /
-        delete_total counters for one executed batch)."""
-        self.increment_op("index", index, float(observed.get("index_total", 0)))
-        self.increment_op("delete", index, float(observed.get("delete_total", 0)))
+        """Feed an ``observed_actions`` Observation result for one executed
+        batch. When the observation carries PER-INDEX counters
+        (``index_total@<idx>`` keys, from a routed pipeline) each count is
+        booked on its actual index and only the residual (rows outside the
+        declared index set, e.g. prefix-probe dynamic targets) falls back
+        to ``index`` — booking a whole multi-index batch on one label
+        would misattribute every routed row (reference metric.go
+        increments per action's actual index)."""
+        booked_index = booked_delete = 0.0
+        for key, v in observed.items():
+            kind, sep, idx = key.partition("@")
+            if not sep or not v:
+                continue  # zero counts: don't materialize 0.0 label rows
+            self.increment_op(
+                "index" if kind == "index_total" else "delete", idx, float(v)
+            )
+            if kind == "index_total":
+                booked_index += float(v)
+            else:
+                booked_delete += float(v)
+        rem_i = float(observed.get("index_total", 0)) - booked_index
+        rem_d = float(observed.get("delete_total", 0)) - booked_delete
+        if rem_i:
+            self.increment_op("index", index, rem_i)
+        if rem_d:
+            self.increment_op("delete", index, rem_d)
+
+    @staticmethod
+    def _esc(v) -> str:
+        # Prometheus exposition label-value escaping: \ " and newline —
+        # a raw quote in an index name would otherwise break the scrape
+        return (
+            str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        )
 
     def _labels(self, extra: dict | None = None) -> str:
         lab = {"host": self.host, "slot_name": self.slot_name}
         lab.update(extra or {})
-        body = ",".join(f'{k}="{v}"' for k, v in sorted(lab.items()))
+        body = ",".join(f'{k}="{self._esc(v)}"' for k, v in sorted(lab.items()))
         return "{" + body + "}"
 
     def render(self) -> str:

@@ -1,8 +1,10 @@
 """Canonical checksum folding for extension queries.
 
-The driver's CORRECTNESS artifact caps at 50 registry entries, so the 20+
-relational extension queries (q_s23..q_s44) are folded into two combo
-entries (``q_sx1_*``, ``q_sx2_*``). Each sub-query's full result is reduced
+The driver's CORRECTNESS artifact caps at 50 registry entries, so the 49
+extension queries beyond the declared surface (relational q_s23.., text/
+LLM q_l5.., and the serial-stateful chains) are folded into THREE combo
+entries (``q_sx1_*``, ``q_sx2_*``, ``q_sx3_*`` — part lists in
+sql/ext_combo.py). Each sub-query's full result is reduced
 to one row ``(part, n_rows, checksum)`` where ``checksum`` is an
 order-independent sum of per-row hashes over a *type-canonical* string form
 — identical in Spark and DuckDB, so value parity is still checked cell by

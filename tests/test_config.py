@@ -159,3 +159,12 @@ def test_es_urls_scalar_string_not_exploded():
     es = es_settings_from_dict({"urls": "http://127.0.0.1:9200"})
     # tuple(str) would have produced per-character "urls"
     assert es.urls == ("http://127.0.0.1:9200",)
+
+
+def test_parse_duration_bare_nanoseconds_rejected():
+    """A bare integer that can only be a Go time.Duration (ns) must be
+    rejected loudly, not silently read as milliseconds 1e6x off (100 ms
+    as time.Duration = 100000000 would have become ~28 hours)."""
+    with pytest.raises(ValueError, match="nanoseconds"):
+        parse_duration_ms(100_000_000)
+    assert parse_duration_ms("100ms") == 100.0  # the suggested fix works

@@ -195,3 +195,48 @@ def test_connector_live_replication_mode(spark):
     server.done.wait(5)
     # close() forwarded the committed stream frontier as a slot ack
     assert server.acks and server.acks[-1]["flushed"] >= 13
+
+
+def test_connector_rejects_unknown_snapshot_mode(spark):
+    import pytest
+
+    work = tempfile.mkdtemp(prefix="conn_mode_")
+    cfg = _cfg(work)
+    cfg.snapshot_mode = "snapshot-only"  # typo: underscore expected
+    with pytest.raises(ValueError, match="snapshot_mode"):
+        Connector(spark, cfg).start()
+
+
+def test_connector_initial_mode_creates_slot_before_snapshot(spark, sf_dir):
+    """The slot's consistent point must PRECEDE the snapshot read: a
+    change landing between the snapshot query and slot creation would be
+    in neither (served stale forever). START_REPLICATION itself stays
+    after the merge (nobody drains CopyBoth during a long backfill)."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+
+    order = []
+    work = tempfile.mkdtemp(prefix="conn_order_")
+    snap = load_table(spark, sf_dir, "events").limit(5)
+    cfg = _cfg(
+        work,
+        snapshot_mode="initial",
+        replication=ReplicationSettings(host="127.0.0.1", port=1, slot="s"),
+    )
+    c = Connector(spark, cfg, snapshot_df=snap)
+    c._connect_replication = lambda: order.append("create_slot")
+    real_merge = c.view.merge_batch
+    c.view.merge_batch = lambda *a, **k: (order.append("snapshot"), real_merge(*a, **k))[1]
+
+    class _Halt(Exception):
+        pass
+
+    def halt() -> None:
+        order.append("start_replication")
+        raise _Halt
+
+    c._start_replication_consumer = halt
+    with pytest.raises(_Halt):
+        c.start()
+    assert order == ["create_slot", "snapshot", "start_replication"]

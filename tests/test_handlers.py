@@ -154,3 +154,24 @@ def test_script_update_params_delta_is_numeric(spark):
     row = script_update_handler(env).collect()[0]
     params = json.loads(row["source"])["params"]
     assert isinstance(params["delta"], float) and params["delta"] == 5.0
+
+
+def test_python_handler_drops_none_doc_id(spark, sf_dir):
+    """Parity with the declarative handlers' .filter(doc_id.isNotNull()):
+    an action whose doc_id is None is dropped, not stringified — str(None)
+    used to emit literal id "None", colliding every such row onto one
+    document."""
+    events = load_table(spark, sf_dir, "events").limit(10)
+    env = model.envelope_from_events(events)
+
+    def fn(msg):
+        data = msg.get("new_data") or msg.get("old_data") or {}
+        return [
+            {"action": "index", "doc_id": data.get("missing_key"),
+             "index": "idx"},  # always None -> must be dropped
+            {"action": "index", "doc_id": data.get("id"), "index": "idx"},
+        ]
+
+    out = H.python_handler(fn)(env).collect()
+    assert out  # the keyed actions survived
+    assert all(r["doc_id"] != "None" for r in out)

@@ -130,6 +130,10 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
     t4 = {"q_a": 9.0}
     assert bench._regression_gate(t4, 0.1, lambda n: -1.0) == {}
 
+    # re-seed the 0.01 history (t4's 0.1 run rewrote the file under the
+    # other fingerprint)
+    assert bench._regression_gate({"q_a": 1.0, "q_b": 0.5}, 0.01, lambda n: -1.0) == {}
+
     # a failed run (timing -1) must NOT erase the recorded baseline: the
     # next run still compares against the surviving min and flags
     t5 = {"q_a": -1.0, "q_b": 0.5}

@@ -162,3 +162,51 @@ def test_synthetic_media_n_bytes_is_byte_length(spark):
     )
     m = MM.synthetic_media(docs).collect()[0]
     assert int(m["meta"]["n_bytes"]) == len(m["content"])
+
+
+def test_observe_result_per_index_attribution(spark):
+    """A routed multi-index batch must book counters on each action's
+    ACTUAL index (reference metric.go) — not all on one caller label."""
+    from go_pq_cdc_elasticsearch_spark.metrics import (
+        PrometheusRegistry,
+        observed_actions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("users", "index"), ("users", "index"), ("users", "delete"),
+            ("orders", "index"),
+            ("dyn-2024", "index"),  # outside the declared set -> residual
+        ],
+        "index string, action string",
+    )
+    out, obs = observed_actions(
+        df, op_col="action", delete_op="delete",
+        index_col="index", indexes=("users", "orders"),
+    )
+    out.collect()  # wait: observe() needs the action to run
+    reg = PrometheusRegistry(slot_name="s")
+    reg.observe_result(obs.get, index="(fallback)")
+    assert reg.index_total == {"users": 2.0, "orders": 1.0, "(fallback)": 1.0}
+    assert reg.delete_total == {"users": 1.0}
+
+
+def test_prometheus_label_escaping():
+    from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+    reg = PrometheusRegistry(slot_name='my"slot\\x', host="h\nost")
+    reg.increment_op("index", 'idx"quoted', 2)
+    text = reg.render()
+    assert 'slot_name="my\\"slot\\\\x"' in text
+    assert 'host="h\\nost"' in text
+    assert 'index_name="idx\\"quoted"' in text
+
+
+def test_stream_listener_snapshots_bounded():
+    from go_pq_cdc_elasticsearch_spark.metrics import StreamMetricsListener
+
+    lis = StreamMetricsListener(max_snapshots=10)
+    for i in range(100):
+        lis.snapshots.append({"batch_id": i})
+    assert len(lis.snapshots) == 10
+    assert lis.snapshots[-1]["batch_id"] == 99
