@@ -110,7 +110,8 @@ def q_c5_op_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct,
-               sum(l_quantity) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                   AS sum_qty
         FROM lineitem
     """,
     doc="Snapshot chunk coverage (upstream U1): the partitioned read is "
@@ -127,7 +128,13 @@ def q_c6_snapshot_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
             "n_distinct"
         ),
-        F.sum("l_quantity").alias("sum_qty"),
+        # DECIMAL-accumulated, DOUBLE out (repo float policy): a raw
+        # double sum is accumulation-order-sensitive between engines;
+        # exactness today rests only on l_quantity being integer-valued,
+        # which FIXTURES.md does not promise — only the double type
+        F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 

@@ -64,7 +64,8 @@ def q_c8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
                'events-idx' AS idx,
                count(*) AS n,
                j.n_roundtrip, j.n_ops
-        FROM events CROSS JOIN (
+        FROM (SELECT * FROM events WHERE user_id IS NOT NULL) events
+        CROSS JOIN (
             SELECT count(*) AS n_roundtrip,
                    count(DISTINCT json_extract_string(doc, '$.operation')) AS n_ops
             FROM (
@@ -87,10 +88,26 @@ def q_c11_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         F.when(F.col("op") == "ERROR", model.DELETE).otherwise(model.INSERT),
     )
-    env = env.withColumn(
-        "old_data", F.when(model.is_delete(), F.coalesce("old_data", "new_data"))
-    ).withColumn(
-        "new_data", F.when(~model.is_delete(), F.coalesce("new_data", "old_data"))
+    # ONE select, not sequential withColumns (same latent bug fixed in
+    # streaming/pipeline.py run_es_pipeline): both rewrites must read the
+    # ORIGINAL old_data/new_data, or a row remapped DELETE->INSERT loses
+    # its payload — masked today only because the feed has no literal
+    # 'delete' event_type. The oracle mirrors the engine's keyless-action
+    # drop (simple_handler filters doc_id IS NOT NULL) with
+    # user_id IS NOT NULL.
+    env = env.select(
+        *[
+            F.when(model.is_delete(), F.coalesce("old_data", "new_data")).alias(
+                "old_data"
+            )
+            if c == "old_data"
+            else F.when(
+                ~model.is_delete(), F.coalesce("new_data", "old_data")
+            ).alias("new_data")
+            if c == "new_data"
+            else c
+            for c in env.columns
+        ]
     )
     routed = IndexRouter({"public.events": "events-idx"}).route(env)
     actions = simple_handler(routed)

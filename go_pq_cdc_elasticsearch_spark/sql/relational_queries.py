@@ -519,14 +519,21 @@ def q_s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s20_json",
     oracle="""
         SELECT count(*) AS n FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
     """,
 )
 def q_s20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction on the events props column."""
+    """JSON extraction on the events props column.
+
+    The comparison casts through DOUBLE, not INT: string->INT is an
+    engine-divergence trap on non-integral numerics (DuckDB rounds
+    '62.5' to 63; Spark's ANSI cast throws CAST_INVALID_INPUT and kills
+    the query) — props.k is integral in today's feed, but only the type
+    is contractual. The double parse is identical in both engines and
+    the predicate itself is exact either way."""
     events = load_table(spark, sf_dir, "events")
     return events.filter(
-        F.get_json_object("props", "$.k").cast("int") > 50
+        F.get_json_object("props", "$.k").cast("double") > 50
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -576,7 +583,13 @@ def q_s22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def extract_doc_id(user_id: pd.Series) -> pd.Series:
-        return user_id.astype("int64").astype(str)
+        # null-safe: Arrow hands a NULL-bearing long column over as
+        # float64-with-NaN, and astype('int64') raises on NaN — one NULL
+        # user_id in a regenerated feed would kill the whole query while
+        # the oracle's CAST(NULL AS VARCHAR) just yields a NULL group.
+        # Nullable Int64 round-trips NULL -> pandas NA -> SQL NULL.
+        out = user_id.astype("Int64").astype("string").astype(object)
+        return out.where(out.notna(), None)
 
     return (
         events.select(extract_doc_id("user_id").alias("doc_id"))

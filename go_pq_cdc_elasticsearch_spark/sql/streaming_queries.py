@@ -26,7 +26,7 @@ def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
     from go_pq_cdc_elasticsearch_spark.streaming.pipeline import staged_events
 
     staged = staged_events(spark, sf_dir, n_files)
-    return read_event_stream(spark, staged, max_files_per_trigger=1), os.path.dirname(staged)
+    return read_event_stream(spark, staged, max_files_per_trigger=1)
 
 
 def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
@@ -62,7 +62,7 @@ def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
     "date_trunc aggregation.",
 )
 def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream, _ = _staged_stream(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -91,7 +91,7 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expansion of each event into its two covering windows.",
 )
 def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream, _ = _staged_stream(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -120,7 +120,7 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    stream, _ = _staged_stream(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir)
     sess = stream.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -218,7 +218,7 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data shape): the on-time data then collapsed into one batch and the
     # late rows were aggregated instead of dropped.
     epoch = ntz_epoch_seconds(F.col("ts"))
-    stage_slices(
+    slice_paths = stage_slices(
         events.withColumn("__f", F.when(epoch < cut, 2).otherwise(0)),
         staged,
         n_files=3,
@@ -228,10 +228,10 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = [f for f in os.listdir(empty_dir) if f.endswith(".parquet")]
     middle = os.path.join(staged, "events_0001.parquet")
     os.rename(os.path.join(empty_dir, part), middle)
-    stamps = sorted(
-        os.path.getmtime(p)
-        for p in glob.glob(os.path.join(staged, "events_000[02]*.parquet"))
-    )
+    # the ordered slice paths come straight from stage_slices — no
+    # re-deriving its naming scheme via glob (which would silently break
+    # if the staging layout ever renamed its files)
+    stamps = sorted(os.path.getmtime(p) for p in slice_paths)
     mid_t = (stamps[0] + stamps[-1]) / 2 if len(stamps) > 1 else stamps[0] + 1
     os.utime(middle, (mid_t, mid_t))
     stream = read_event_stream(spark, staged, max_files_per_trigger=1)
@@ -264,9 +264,15 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch DISTINCT.",
 )
 def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream, _ = _staged_stream(spark, sf_dir)
-    deduped = stream.select("event_type", "user_id").dropDuplicates(
-        ["event_type", "user_id"]
+    stream = _staged_stream(spark, sf_dir)
+    # isNotNull on the Spark side because the oracle's count(DISTINCT
+    # user_id) skips NULLs while dropDuplicates KEEPS one (type, NULL)
+    # row — one NULL key in a regenerated feed would put the two sides
+    # off by one per event_type
+    deduped = (
+        stream.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+        .dropDuplicates(["event_type", "user_id"])
     )
     out = _drain_to_memory(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -290,8 +296,6 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
-    from pyspark.sql import functions as F
-
     from go_pq_cdc_elasticsearch_spark.catalog import load_table
     from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
     from go_pq_cdc_elasticsearch_spark.sources import wal as W
@@ -311,26 +315,31 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_STAGING_CAP)
         .collect()
     )
+    def _id(r):
+        # NULL-safe: str(None) would stage the literal 'None', which the
+        # downstream ANSI cast('long') kills; a NULL key must stay NULL
+        # (the oracle groups it as a NULL user_id)
+        return None if r["user_id"] is None else str(r["user_id"])
+
+    def _v(r):
+        # json.dumps is the CAST(value AS VARCHAR) double form; NULL must
+        # stay NULL, not the literal 'null' string
+        return None if r["value"] is None else json.dumps(r["value"])
+
     msgs = [
         {
             "lsn": r["event_id"],
             "op": "DELETE" if r["event_type"] == "error" else "INSERT",
             "table_schema": "public",
             "table_name": "events",
-            "before": {"id": str(r["user_id"])}
-            if r["event_type"] == "error"
-            else None,
+            "before": {"id": _id(r)} if r["event_type"] == "error" else None,
             "after": None
             if r["event_type"] == "error"
-            else {"id": str(r["user_id"]), "v": json.dumps(r["value"])[:32]},
-            "ts": r["ts"].isoformat(),
+            else {"id": _id(r), "v": _v(r)},
+            "ts": r["ts"].isoformat() if r["ts"] is not None else None,
         }
         for r in events
     ]
-    # note: v uses the same double->string form as CAST..AS VARCHAR
-    for m in msgs:
-        if m["after"]:
-            m["after"]["v"] = m["after"]["v"].rstrip()
     third = max(1, len(msgs) // 3)
     for i in range(0, len(msgs), third):
         W.write_wal_segment(wal_dir, msgs[i : i + third])
@@ -467,7 +476,7 @@ def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_pq_cdc_elasticsearch_spark.streaming.stateful import running_totals
 
-    stream, _ = _staged_stream(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir)
     mv = stream.select(
         "user_id",
         F.floor(F.col("value").cast("double") * F.lit(1000.0))
@@ -508,7 +517,7 @@ def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed shape that survives unbounded streams.",
 )
 def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream, _ = _staged_stream(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir)
     base = stream.filter(F.col("user_id") <= 100)
     # Structured Streaming watermarks require TIMESTAMP (an instant), not
     # NTZ — cast through the session zone. The join compares time

@@ -27,6 +27,14 @@ Variants (values identical to the source in every case):
   nanosAsLong read branch end-to-end. NOTE: ns values are the us values
   scaled — DuckDB and catalog.load_table both truncate back to us, so
   oracle parity must hold bit-for-bit.
+- ``nulls``: a NOT-value-identical variant — four crafted events rows
+  appended with NULL user_id / NULL value / NULL props and a fractional
+  props.k. Every nullable-typed column is contractually allowed to be
+  NULL, and this variant is what exposed the round-4 NULL-divergence
+  class (pandas_udf IntCastingNaNError, count(DISTINCT) vs
+  dropDuplicates NULL asymmetry, str(None) staging, keyless-action drop
+  asymmetry in q_c11): both engines run on the same variant data, so the
+  gate still checks full parity.
 
 /root/testdata itself is never touched.
 """
@@ -44,12 +52,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
 
-VARIANTS = ("rowshuffle", "rg_small", "ts_ns")
+VARIANTS = ("rowshuffle", "rg_small", "ts_ns", "nulls")
 
 
 def _shuffled(table: pa.Table, seed: int) -> pa.Table:
     idx = np.random.RandomState(seed).permutation(table.num_rows)
     return table.take(pa.array(idx))
+
+
+def _events_with_nulls(table: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    max_id = pc.max(table.column("event_id")).as_py()
+    ts0 = table.column("ts")[0].as_py()
+    extra = {
+        "event_id": [max_id + 1, max_id + 2, max_id + 3, max_id + 4],
+        "ts": [ts0] * 4,
+        "user_id": [None, 5, 7, None],
+        "event_type": ["click", "purchase", "click", "error"],
+        "value": [1.5, None, 2.5, None],
+        "props": [None, '{"k": 62.5}', '{"k": 80}', "{}"],
+    }
+    et = pa.table(
+        {c: pa.array(extra[c], table.schema.field(c).type) for c in table.schema.names}
+    )
+    return pa.concat_tables([table, et])
 
 
 def _events_ns(table: pa.Table) -> pa.Table:
@@ -75,6 +102,8 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 t = _shuffled(t, seed)
             elif variant == "rg_small":
                 kw["row_group_size"] = 2000
+            elif variant == "nulls" and name == "events":
+                t = _events_with_nulls(t)
             elif variant == "ts_ns" and name == "events":
                 t = _events_ns(t)
                 # parquet 2.6 is required for a real TIMESTAMP(NANOS)
