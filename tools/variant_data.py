@@ -35,6 +35,13 @@ Variants (values identical to the source in every case):
   dropDuplicates NULL asymmetry, str(None) staging, keyless-action drop
   asymmetry in q_c11): both engines run on the same variant data, so the
   gate still checks full parity.
+- ``edge``: boundary-shape rows for the OTHER tables — documents with
+  empty / whitespace-only / single-word / unicode / 5000-char-word text
+  (exercises every text-operator zero-denominator and tokenizer guard)
+  and a lineitem row with a FRACTIONAL l_quantity (exercises the
+  DECIMAL-accumulated sum paths; integer-valued quantities were the
+  only reason a raw double sum ever matched). Green on first run after
+  the round-3/4 hardening — kept as the standing gate for the class.
 
 /root/testdata itself is never touched.
 """
@@ -52,7 +59,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
 
-VARIANTS = ("rowshuffle", "rg_small", "ts_ns", "nulls")
+VARIANTS = ("rowshuffle", "rg_small", "ts_ns", "nulls", "edge")
 
 
 def _shuffled(table: pa.Table, seed: int) -> pa.Table:
@@ -75,6 +82,37 @@ def _events_with_nulls(table: pa.Table) -> pa.Table:
     }
     et = pa.table(
         {c: pa.array(extra[c], table.schema.field(c).type) for c in table.schema.names}
+    )
+    return pa.concat_tables([table, et])
+
+
+def _documents_with_edges(table: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mx = pc.max(table.column("doc_id")).as_py()
+    extra = {
+        "doc_id": [mx + 1, mx + 2, mx + 3, mx + 4, mx + 5],
+        "text": ["", "   \n\t  ", "word", "café naïve — ☃ 雪だるま", "x" * 5000],
+        "lang": ["en"] * 5,
+        "source": ["edge"] * 5,
+        "n_chars": [0, 7, 4, 23, 5000],
+    }
+    et = pa.table(
+        {c: pa.array(extra[c], table.schema.field(c).type) for c in table.schema.names}
+    )
+    return pa.concat_tables([table, et])
+
+
+def _lineitem_with_fractional(table: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mxo = pc.max(table.column("l_orderkey")).as_py()
+    row = {c: [table.column(c)[0].as_py()] for c in table.schema.names}
+    row["l_orderkey"] = [mxo + 1]
+    row["l_quantity"] = [25.37]
+    row["l_linenumber"] = [1]
+    et = pa.table(
+        {c: pa.array(row[c], table.schema.field(c).type) for c in table.schema.names}
     )
     return pa.concat_tables([table, et])
 
@@ -104,6 +142,10 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 kw["row_group_size"] = 2000
             elif variant == "nulls" and name == "events":
                 t = _events_with_nulls(t)
+            elif variant == "edge" and name == "documents":
+                t = _documents_with_edges(t)
+            elif variant == "edge" and name == "lineitem":
+                t = _lineitem_with_fractional(t)
             elif variant == "ts_ns" and name == "events":
                 t = _events_ns(t)
                 # parquet 2.6 is required for a real TIMESTAMP(NANOS)
