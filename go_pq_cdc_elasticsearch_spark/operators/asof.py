@@ -34,6 +34,18 @@ def asof_join(
     equal timestamps so ties are included.
     """
     on = list(on)
+    reserved = {"__t", "__side", out_col}
+    clash = reserved.intersection(left.columns)
+    if clash:
+        # withColumn would silently OVERWRITE these (and the epilogue
+        # drops the internals), vanishing the caller's data — e.g. a
+        # second asof_join over the output of a first one already
+        # carrying 'asof_ts'; pass a different out_col instead
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with the "
+            f"operator's internal/output names — rename them or pass a "
+            f"different out_col"
+        )
     l_tag = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     r_tag = right.select(
         *on, F.col(right_ts).alias("__t"), F.lit(0).alias("__side")

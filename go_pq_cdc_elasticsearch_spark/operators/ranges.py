@@ -43,7 +43,40 @@ def bucketed_range_join(
     Returns all columns of both inputs. ``width`` is the bucket size the
     interval side is exploded to; correctness is width-independent, only
     the duplication factor changes.
+
+    Mis-sized widths fail LOUDLY before the join: one interval spanning
+    millions of buckets would otherwise blow up the F.sequence explosion
+    (executor OOM / array-size limit killing the whole job), and a
+    non-finite bound dies inside the ANSI floor→long cast with an opaque
+    error. The pre-check is one tiny aggregate over the interval side —
+    the small side of this join by construction.
     """
+    _MAX_BUCKETS_PER_INTERVAL = 4_000_000
+    span = F.max(
+        F.col(hi_col).cast("double") - F.col(lo_col).cast("double")
+    )
+    chk = intervals.agg(
+        span.alias("max_span"),
+        F.max(
+            F.col(hi_col).cast("double").isin(float("inf"), float("-inf"))
+            | F.col(lo_col).cast("double").isin(float("inf"), float("-inf"))
+            | F.isnan(F.col(hi_col).cast("double"))
+            | F.isnan(F.col(lo_col).cast("double"))
+        ).alias("nonfinite"),
+    ).first()
+    if chk["nonfinite"]:
+        raise ValueError(
+            "bucketed_range_join: non-finite interval bound (inf/NaN) — "
+            "filter or clamp open-ended ranges before the join"
+        )
+    if chk["max_span"] is not None and (
+        chk["max_span"] / width > _MAX_BUCKETS_PER_INTERVAL
+    ):
+        raise ValueError(
+            f"bucketed_range_join: an interval spans "
+            f"{chk['max_span'] / width:.0f} buckets at width={width} "
+            f"(cap {_MAX_BUCKETS_PER_INTERVAL}); raise width"
+        )
     pb = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / F.lit(width)).cast("long")
     )
@@ -82,8 +115,17 @@ def sessionize(
     timestamp are stable: ordering is (ts) within the key partition, and
     equal timestamps always fall inside the same session (gap 0), so the
     output is deterministic regardless of input order.
+
+    NULL-timestamp rows are EXCLUDED: an unknown event time belongs to no
+    session. Without the filter the two engines disagree structurally —
+    Spark's window sorts NULLS FIRST and lag() yields NULL for each, so
+    every NULL-ts row became its own leading 1-event session and shifted
+    all real session_ids, while DuckDB (NULLS LAST) appended them to the
+    final session.
     """
-    ev = df.select(F.col(key_col), F.col(ts_col).alias("__ts"))
+    ev = df.select(F.col(key_col), F.col(ts_col).alias("__ts")).filter(
+        F.col("__ts").isNotNull()
+    )
     w = Window.partitionBy(key_col).orderBy("__ts")
     # integer microseconds, not float seconds: the gap comparison is then
     # exact and engine-portable (DuckDB's epoch_us computes the identical

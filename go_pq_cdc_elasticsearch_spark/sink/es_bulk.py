@@ -49,14 +49,20 @@ FALLBACK_ES_VERSION = "7.0.0"  # client/client.go:38-45
 
 def is_type_supported(es_version: str) -> bool:
     """Whether this ES version still accepts ``_type`` in bulk metadata —
-    reference isTypeSupported (bulk/bulk.go:194-206): major version
-    string-compared against "8" (we mirror the reference's *string*
-    comparison, quirks included, so wire behavior matches byte for byte);
-    empty/unknown version counts as supported."""
+    reference isTypeSupported (bulk/bulk.go:194-206); empty/unknown
+    version counts as supported. Deviates from the reference's string
+    comparison only where that quirk is an outright bug (see inline)."""
     if not es_version:
         return True
     major = es_version.split(".")[0]
-    return major < "8"
+    try:
+        # numeric, not the reference's string compare: lexicographic
+        # "10" < "8" would re-enable _type on ES >= 10 and get every
+        # bulk rejected — identical behavior for every real version 1-9,
+        # fixed only where the reference's quirk is an outright bug
+        return int(major) < 8
+    except ValueError:
+        return major < "8"  # non-numeric major: keep reference behavior
 
 
 def detect_es_version(info_transport: Callable[[], str]) -> str:
@@ -126,6 +132,16 @@ def frame_actions(
             r["action"], r["doc_id"], r["index"], r.get("routing"), type_name
         )
         if r["action"] == "index":
+            if r["source"] is None:
+                # fail HERE with context: ACTION_SCHEMA marks source
+                # nullable, and a None reaching '\n'.join() dies with an
+                # opaque TypeError mid-partition AFTER earlier payloads
+                # already POSTed
+                raise ValueError(
+                    f"index action for doc_id={r['doc_id']!r} "
+                    f"index={r['index']!r} has NULL source — a document "
+                    f"body is required (use a delete action to remove)"
+                )
             yield r["source"]
         elif r["action"] == "script_update":
             # scripted_upsert:true — reference bulk/bulk.go:230-239
@@ -198,6 +214,14 @@ def write_bulk(
     before ack => batch retried, bulk/bulk.go:256-259); ``'continue'``
     reproduces the handler contract (per-item dispatch, R13).
     """
+    if on_error not in ("fail", "continue"):
+        # unvalidated, 'Fail'/'raise'/any typo silently behaved as
+        # 'continue' — rejected items dropped with no exception and the
+        # batch checkpoint-acked (silent data loss)
+        raise ValueError(
+            f"write_bulk: on_error must be 'fail' or 'continue', "
+            f"got {on_error!r}"
+        )
     if concurrent_requests is not None:
         actions = actions.repartition(concurrent_requests)
     effective_type = resolve_type_name(type_name, es_version)
@@ -218,6 +242,13 @@ def write_bulk(
     actions.foreachPartition(run_partition)
 
 
+def _basic_auth_header(username: str, password: str | None) -> str:
+    import base64
+
+    token = base64.b64encode(f"{username}:{password or ''}".encode()).decode()
+    return f"Basic {token}"
+
+
 def http_transport(
     base_url: str,
     username: str | None = None,
@@ -235,7 +266,6 @@ def http_transport(
     write_bulk / write_bulk_with_dlq on executors."""
 
     def transport(payload: bytes) -> str:
-        import base64
         import gzip as _gzip
         import time as _time
         import urllib.error
@@ -252,17 +282,31 @@ def http_transport(
             headers=headers,
         )
         if username is not None:
-            token = base64.b64encode(
-                f"{username}:{password or ''}".encode()
-            ).decode()
-            req.add_header("Authorization", f"Basic {token}")
+            req.add_header("Authorization", _basic_auth_header(username, password))
         last_err: Exception | None = None
         for attempt in range(max_retries):
             try:
                 with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
                     return resp.read().decode()
-            except (urllib.error.URLError, OSError) as e:  # noqa: PERF203
+            except urllib.error.HTTPError as e:
+                # HTTPError subclasses URLError: without this arm every
+                # deterministic 4xx (400 malformed NDJSON, 413 too large)
+                # was blindly re-POSTed max_retries times and the ES
+                # error body — the part saying WHICH line failed — was
+                # discarded. Retry only what can heal (429 backpressure,
+                # 5xx); fail 4xx immediately with the body attached.
+                try:
+                    detail = e.read().decode(errors="replace")[:2000]
+                except Exception:  # noqa: BLE001
+                    detail = ""
+                if e.code != 429 and e.code < 500:
+                    raise RuntimeError(
+                        f"bulk request rejected (HTTP {e.code}): {detail}"
+                    ) from e
+                last_err = RuntimeError(f"HTTP {e.code}: {detail}")
+            except (urllib.error.URLError, OSError) as e:
                 last_err = e
+            if attempt < max_retries - 1:  # no pointless final-attempt sleep
                 _time.sleep(min(0.1 * 2**attempt, 2.0))
         raise RuntimeError(f"bulk request failed after {max_retries} retries: {last_err}")
 
@@ -279,15 +323,11 @@ def http_info_transport(
     client.Info() (client/client.go:52-56)."""
 
     def info() -> str:
-        import base64
         import urllib.request
 
         req = urllib.request.Request(base_url.rstrip("/") + "/", method="GET")
         if username is not None:
-            token = base64.b64encode(
-                f"{username}:{password or ''}".encode()
-            ).decode()
-            req.add_header("Authorization", f"Basic {token}")
+            req.add_header("Authorization", _basic_auth_header(username, password))
         with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
             return resp.read().decode()
 

@@ -916,7 +916,11 @@ def q_s45(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s46_sessionize",
     oracle="""
         WITH e AS (
-            SELECT user_id, ts FROM events WHERE user_id <= 200
+            -- ts IS NOT NULL mirrors sessionize(): unknown event times
+            -- belong to no session (and the engines' NULL sort orders
+            -- would otherwise group them structurally differently)
+            SELECT user_id, ts FROM events
+            WHERE user_id <= 200 AND ts IS NOT NULL
         ), l AS (
             SELECT user_id, ts, epoch_us(ts) AS us,
                    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -86,3 +86,18 @@ def test_actions_from_envelope(spark):
     assert acts[2]["action"] == "delete"
     assert acts[2]["doc_id"] == "1"
     assert acts[2]["source"] is None
+
+
+def test_asof_join_rejects_internal_column_collision(spark):
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 99)], "k long, t long, asof_ts long"
+    ).selectExpr("k", "CAST(t AS timestamp) t", "asof_ts")
+    right = spark.createDataFrame([(1, 5)], "k long, rt long").selectExpr(
+        "k", "CAST(rt AS timestamp) rt"
+    )
+    with pytest.raises(ValueError, match="asof_ts"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")

@@ -207,3 +207,25 @@ def test_write_bulk_results_is_eager_not_replayed(spark):
     assert res.filter("ok").count() == 10  # second action over the frame
     res.collect()  # third
     assert len(_os.listdir(rec_dir)) == n_after_build  # no re-sends
+
+
+def test_index_action_null_source_fails_with_context():
+    import pytest
+
+    rows = [
+        {"action": "index", "doc_id": "1", "index": "i", "routing": None,
+         "source": None},
+    ]
+    with pytest.raises(ValueError, match="NULL source"):
+        list(EB.frame_actions(rows))
+
+
+def test_write_bulk_rejects_unknown_on_error(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("index", "1", "i", None, "{}")],
+        "action string, doc_id string, index string, routing string, source string",
+    )
+    with pytest.raises(ValueError, match="on_error"):
+        EB.write_bulk(df, transport=lambda p: "{}", on_error="Fail")

@@ -27,10 +27,14 @@ def test_detect_version_fallback_on_failure():
 
 
 def test_is_type_supported_mirrors_reference():
-    # bulk/bulk.go:194-206: string compare of the major version vs "8"
+    # bulk/bulk.go:194-206 semantics, numeric where the reference's string
+    # compare is an outright bug ("10" < "8" lexicographically would have
+    # re-enabled _type on ES >= 10 and gotten every bulk rejected)
     assert EB.is_type_supported("6.8.23")
     assert EB.is_type_supported("7.17.0")
     assert not EB.is_type_supported("8.11.0")
+    assert not EB.is_type_supported("9.0.0")
+    assert not EB.is_type_supported("10.0.0")  # the lexicographic trap
     assert EB.is_type_supported("")  # empty => supported, like the reference
 
 

@@ -161,3 +161,38 @@ def test_http_retry_then_error(spark):
     t = http_transport("http://127.0.0.1:9", max_retries=2, timeout_sec=0.3)
     with pytest.raises(RuntimeError, match="after 2 retries"):
         t(b'{"index":{"_id":"1","_index":"t"}}\n{}\n')
+
+
+def test_http_4xx_fails_fast_with_body(spark):
+    """Deterministic 4xx (malformed NDJSON, payload too large) must NOT be
+    re-POSTed max_retries times, and the ES error body — the part saying
+    WHICH line failed — must reach the exception."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    hits = {"n": 0}
+
+    class _Reject(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            hits["n"] += 1
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            body = b'{"error":"malformed action line 3"}'
+            self.send_response(400)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # noqa: D102
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Reject)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        t = http_transport(
+            f"http://127.0.0.1:{server.server_port}", max_retries=5
+        )
+        with pytest.raises(RuntimeError, match="HTTP 400.*line 3"):
+            t(b"broken\n")
+        assert hits["n"] == 1  # no blind re-POST of a deterministic reject
+    finally:
+        server.shutdown()

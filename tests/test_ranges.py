@@ -127,3 +127,41 @@ def test_sessionize_ntz_gap_stable_across_dst(spark):
     # 1:50->2:30 gap 40min > 30min splits; 2:30->3:10 gap 40min splits
     assert results["UTC"] == [(1, 1), (2, 1), (3, 1)]
     assert results["America/New_York"] == results["UTC"]
+
+
+def test_sessionize_excludes_null_timestamps(spark):
+    """NULL-ts rows belong to no session: Spark's NULLS-FIRST window vs
+    DuckDB's NULLS-LAST would otherwise group them structurally
+    differently and shift every real session_id."""
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, None),
+            (1, "2024-01-01 02:00:00"),
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS timestamp) AS ts")
+    out = sessionize(df).collect()
+    assert len(out) == 2  # two real sessions; the NULL row is excluded
+    assert {r["n_events"] for r in out} == {1}
+    assert all(r["session_start"] is not None for r in out)
+
+
+def test_range_join_rejects_pathological_intervals(spark):
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    wide = spark.createDataFrame([(1, 0.0, 1.0e12)], "iid long, lo double, hi double")
+    with pytest.raises(ValueError, match="buckets"):
+        bucketed_range_join(points, wide, "x", width=10.0).collect()
+    inf = spark.createDataFrame(
+        [(1, 0.0, float("inf"))], "iid long, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        bucketed_range_join(points, inf, "x", width=10.0).collect()
