@@ -69,11 +69,13 @@ def parse_duration_ms(v: str | int | float) -> float:
     nanoseconds via time.Duration — nobody writes those by hand; ms is the
     practical reading and is what its docs show). Because that deliberate
     deviation would misread a REAL time.Duration integer by 1e6x (100 ms
-    = 100000000 ns would become ~28 hours), bare numbers that can only be
-    nanoseconds (>= 1e6, i.e. a >16-minute tick) are REJECTED loudly with
-    the fix instead of silently reinterpreted — write '100ms'/'2h'."""
+    = 100000000 ns would become ~28 hours), bare numbers with no plausible
+    millisecond reading (>= 1e9, i.e. a >11-day tick — while 1e9 ns is a
+    very plausible 1 s) are REJECTED loudly with the fix instead of
+    silently reinterpreted — write '100ms'/'2h'. Bare values below that
+    (e.g. 3600000 for 1 h) keep the documented ms contract."""
     if isinstance(v, (int, float)):
-        if v >= 1_000_000:
+        if v >= 1_000_000_000:
             raise ValueError(
                 f"bare duration {v!r} looks like a Go time.Duration in "
                 f"nanoseconds; write it as a unit string (e.g. "

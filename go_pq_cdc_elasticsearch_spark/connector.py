@@ -185,12 +185,30 @@ class Connector:
                 f"unknown snapshot_mode {mode!r}: expected "
                 f"'never', 'initial' or 'snapshot_only'"
             )
+        if mode in ("initial", "snapshot_only") and self.snapshot_df is None:
+            # validate BEFORE opening a walsender session: raising after
+            # _connect_replication would leave the session open (and a
+            # created slot "in use") so a corrected retry hits
+            # 'replication slot is in use' unless close() is called
+            raise ValueError(f"snapshot_mode={mode} requires snapshot_df")
         if self.cfg.replication is not None and mode != "snapshot_only":
             # slot first, snapshot second — see _connect_replication
             self._connect_replication()
+        try:
+            return self._start_after_connect(mode, available_now)
+        except BaseException:
+            # any later failure must release the walsender session, or
+            # the slot stays 'in use' for a retry in the same process
+            if self._repl_client is not None:
+                try:
+                    self._repl_client.close()
+                except Exception:
+                    pass
+                self._repl_client = None
+            raise
+
+    def _start_after_connect(self, mode: str, available_now: bool) -> "Connector":
         if mode in ("initial", "snapshot_only"):
-            if self.snapshot_df is None:
-                raise ValueError(f"snapshot_mode={mode} requires snapshot_df")
             # U1: chunked consistent snapshot == batch merge (sync, like the
             # reference's snapshot-only synchronous Start path). With the
             # DEFAULT transform the stream side extracts key columns as

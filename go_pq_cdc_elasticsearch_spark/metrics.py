@@ -158,6 +158,10 @@ class PrometheusRegistry:
             kind, sep, idx = key.partition("@")
             if not sep or not v:
                 continue  # zero counts: don't materialize 0.0 label rows
+            if kind not in ("index_total", "delete_total"):
+                # unknown '@' keys (e.g. a future latency@idx in the same
+                # Observation) must not silently inflate delete counters
+                continue
             self.increment_op(
                 "index" if kind == "index_total" else "delete", idx, float(v)
             )

@@ -144,6 +144,15 @@ def frame_actions(
                 )
             yield r["source"]
         elif r["action"] == "script_update":
+            if r["source"] is None:
+                # same explicit failure as the index arm: json.loads(None)
+                # is an opaque TypeError mid-partition after earlier
+                # payloads already POSTed
+                raise ValueError(
+                    f"script_update action for doc_id={r['doc_id']!r} "
+                    f"index={r['index']!r} has NULL source — a script "
+                    f"body is required"
+                )
             # scripted_upsert:true — reference bulk/bulk.go:230-239
             body = json.loads(r["source"])
             yield json.dumps(

@@ -468,6 +468,11 @@ class MaterializedView:
         rebucketed = state.withColumn(_BUCKET_COL, self._bucket_expr())
         rbnew, rbold = self.path + ".rbnew", self.path + ".rbold"
         shutil.rmtree(rbnew, ignore_errors=True)  # abandoned staging attempt
+        # a stale .rbold (prior rebucket's final rmtree lost/swallowed)
+        # would make os.rename(self.path, rbold) fail with ENOTEMPTY when
+        # the view object is reused in-process — recovery only runs in
+        # __init__, so clear it here too
+        shutil.rmtree(rbold, ignore_errors=True)
         rebucketed.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(_BUCKET_COL).parquet(rbnew)

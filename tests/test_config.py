@@ -162,9 +162,12 @@ def test_es_urls_scalar_string_not_exploded():
 
 
 def test_parse_duration_bare_nanoseconds_rejected():
-    """A bare integer that can only be a Go time.Duration (ns) must be
-    rejected loudly, not silently read as milliseconds 1e6x off (100 ms
-    as time.Duration = 100000000 would have become ~28 hours)."""
+    """A bare integer with no plausible millisecond reading (>= 1e9, i.e.
+    a >11-day tick) must be rejected loudly, not silently read as
+    milliseconds 1e6x off. Below that threshold the documented contract
+    'bare numbers are milliseconds' holds — 3600000 (1 h) must parse."""
     with pytest.raises(ValueError, match="nanoseconds"):
-        parse_duration_ms(100_000_000)
+        parse_duration_ms(5_000_000_000)  # Go time.Duration for 5 s
     assert parse_duration_ms("100ms") == 100.0  # the suggested fix works
+    assert parse_duration_ms(3_600_000) == 3_600_000.0  # 1 h in bare ms
+    assert parse_duration_ms(999_999_999) == 999_999_999.0  # below cutoff

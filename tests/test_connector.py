@@ -207,6 +207,64 @@ def test_connector_rejects_unknown_snapshot_mode(spark):
         Connector(spark, cfg).start()
 
 
+def test_connector_validates_snapshot_df_before_connecting(spark):
+    """A misconfigured initial-mode start() (no snapshot_df) must raise
+    BEFORE opening a walsender session — raising after would leave the
+    slot 'in use' so a corrected retry fails until close() is called."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+
+    work = tempfile.mkdtemp(prefix="conn_val_")
+    cfg = _cfg(
+        work,
+        snapshot_mode="initial",
+        replication=ReplicationSettings(host="127.0.0.1", port=1, slot="s"),
+    )
+    c = Connector(spark, cfg)  # snapshot_df deliberately omitted
+    c._connect_replication = lambda: pytest.fail(
+        "connected to replication before validating snapshot_df"
+    )
+    with pytest.raises(ValueError, match="requires snapshot_df"):
+        c.start()
+
+
+def test_connector_start_failure_releases_walsender(spark, sf_dir):
+    """If start() fails after _connect_replication, the walsender session
+    must be closed (else the slot stays 'in use' for in-process retries)."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+
+    work = tempfile.mkdtemp(prefix="conn_rel_")
+    snap = load_table(spark, sf_dir, "events").limit(5)
+    cfg = _cfg(
+        work,
+        snapshot_mode="initial",
+        replication=ReplicationSettings(host="127.0.0.1", port=1, slot="s"),
+    )
+    c = Connector(spark, cfg, snapshot_df=snap)
+    closed = []
+
+    class _FakeClient:
+        def close(self):
+            closed.append(True)
+
+    c._connect_replication = lambda: setattr(c, "_repl_client", _FakeClient())
+
+    class _Boom(Exception):
+        pass
+
+    def boom() -> None:
+        raise _Boom
+
+    c._start_replication_consumer = boom
+    with pytest.raises(_Boom):
+        c.start()
+    assert closed == [True]
+    assert c._repl_client is None
+
+
 def test_connector_initial_mode_creates_slot_before_snapshot(spark, sf_dir):
     """The slot's consistent point must PRECEDE the snapshot read: a
     change landing between the snapshot query and slot creation would be

@@ -220,6 +220,19 @@ def test_index_action_null_source_fails_with_context():
         list(EB.frame_actions(rows))
 
 
+def test_script_update_null_source_fails_with_context():
+    """The script_update arm needs the same guard as index: json.loads(None)
+    is an opaque mid-partition TypeError after earlier payloads POSTed."""
+    import pytest
+
+    rows = [
+        {"action": "script_update", "doc_id": "7", "index": "i",
+         "routing": None, "source": None},
+    ]
+    with pytest.raises(ValueError, match="NULL source"):
+        list(EB.frame_actions(rows))
+
+
 def test_write_bulk_rejects_unknown_on_error(spark):
     import pytest
 

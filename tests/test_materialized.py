@@ -138,6 +138,22 @@ def test_rebucket_preserves_state(spark):
     assert mv2.read().count() == len(before) + 1
 
 
+def test_rebucket_clears_stale_rbold(spark):
+    """A stale .rbold (a prior rebucket's final rmtree lost) must not make
+    the next in-process rebucket's os.rename(path, rbold) fail ENOTEMPTY —
+    recovery only runs in __init__, so rebucket() has to clear it itself."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_rbold_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=2)
+    mv.merge_batch(_batch(spark, [(i, "insert", i, float(i)) for i in range(6)]))
+    stale = path + ".rbold"
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "leftover.parquet"), "w") as f:
+        f.write("stale")
+    mv.rebucket(4)  # must not raise ENOTEMPTY
+    assert not os.path.exists(stale)
+    assert {r["user_id"] for r in mv.read().collect()} == set(range(6))
+
+
 def test_in_batch_dedup_before_apply(spark):
     # reference order: dedup happens BEFORE the bulk write (bulk/bulk.go:141)
     path = os.path.join(tempfile.mkdtemp(prefix="mv_t_"), "view")

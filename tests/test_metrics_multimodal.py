@@ -191,6 +191,20 @@ def test_observe_result_per_index_attribution(spark):
     assert reg.delete_total == {"users": 1.0}
 
 
+def test_observe_result_ignores_unknown_at_keys():
+    """A future '@'-keyed observation (e.g. latency@idx) must not be
+    booked as a delete increment — only the two known prefixes count."""
+    from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+    reg = PrometheusRegistry(slot_name="s")
+    reg.observe_result(
+        {"index_total": 2, "index_total@users": 2, "latency@users": 123},
+        index="(fallback)",
+    )
+    assert reg.index_total == {"users": 2.0}
+    assert reg.delete_total == {}
+
+
 def test_prometheus_label_escaping():
     from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
 
