@@ -20,10 +20,12 @@ Implements the documented protocol surface a slot consumer needs:
 - pgoutput v1 payload messages: Begin/Commit/Relation/Insert/Update/
   Delete with text-format TupleData.
 
-Everything is testable against a scripted fake replication server
-(tests/test_pgoutput.py) — the sandbox has no Postgres; the byte formats
-follow the public PostgreSQL protocol documentation, so a real server is a
-drop-in for the fake.
+Framing is exhaustively tested against a scripted fake replication server
+(tests/test_pgoutput.py), and the full consumer is proven against a REAL
+``wal_level=logical`` PostgreSQL walsender in tests/test_live_postgres.py
+(default-on when the postgres binaries are present): slot creation, DML
+round-trip with REPLICA IDENTITY FULL before-images, ack/confirmed_flush
+progression, and no-redelivery resume.
 """
 
 from __future__ import annotations

@@ -89,6 +89,10 @@ SX3_PARTS = [
     "q_l15_winnow_candidates",
     "q_l26_token_heavy_hitters",
     "q_lx3_quantized_topk",
+    # r5: the former rows-only approximate configs, now bounded-claim
+    # oracles (exact twin + recall/soundness booleans) — driver-hashed here
+    "q_lx1_ann_ivf",
+    "q_lx4_semantic_dedup",
     # q_lx5 (2 waves) and q_t8 (3 merges) are serial-stateful chains;
     # measured: they tolerate THIS 8-part fold (~4-8 s) but starve to ~19 s
     # inside the 22-part q_sx2 — keep the serial chains with few neighbors

@@ -1259,43 +1259,146 @@ def q_lx2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @ext_query(
     "q_lx1_ann_ivf",
-    # approximate by construction — no SQL oracle can hash-match it, but it
-    # is NOT unbounded: exactness anchor q_lx1b (n_probe == n_centroids ==
-    # brute force, full generated oracle) + quantitative recall-drift
-    # floors at sf0.1 (test_llm.py::test_ivf_recall_drift_bounds_sf01)
-    oracle=None,
+    # BOUNDED claim (q_s10_approx_distinct pattern, VERDICT r4 item 4):
+    # the exact brute-force top-k is the hash-checked twin, and the
+    # declared approximate config's recall against it is emitted as a
+    # boolean the oracle's TRUE must match — no longer rows-only.
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 20),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {COS_SQL.format(a="q.qe", b="e.embedding")} AS sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, {PSIM6} AS sim, rank,
+               TRUE AS recall_ge_floor
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
 )
 def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF-Flat (coarse k-means cells + n_probe search) — the
-    data-adaptive 100 TB path alongside q_l10's LSH. Approximate; anchored
-    by an exactness test at n_probe == n_centroids and a recall test vs
-    brute force (tests/test_llm.py)."""
+    data-adaptive 100 TB path alongside q_l10's LSH. Oracle-checked as a
+    BOUNDED claim: the rows are the exact brute-force top-k (which DuckDB
+    recomputes from scratch), plus a boolean asserting the declared
+    approximate config (n_probe=3 of 8 cells) recalled >= 1/4 of them —
+    floor = measured-minus-margin on near-orthogonal RANDOM testdata
+    (means 0.58-0.76 across sf0.001-0.1 over 20 queries; a clustered
+    real-world corpus would sit far higher), integer-exact as n_hit*4 >=
+    n_total so no float division crosses engines. At 100 TB only the IVF
+    side runs (that's its point); the exact twin is the test-scale
+    verifier. Exactness anchor q_lx1b and the sf0.1 recall-drift floors
+    (tests/test_llm.py) still stand."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    out = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
-    return out.select("qid", "vec_id", pround("sim", 6).alias("sim"), "rank")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.brute_force_topk(emb, queries_df, k=5)
+    approx = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+    n_hit = exact.join(
+        approx.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_tot = exact.agg(F.count(F.lit(1)).alias("n_tot"))
+    claim = n_hit.crossJoin(n_tot).select(
+        (F.col("n_hit") * 4 >= F.col("n_tot")).alias("recall_ge_floor")
+    )
+    return exact.select(
+        "qid", "vec_id", pround("sim", 6).alias("sim"), "rank"
+    ).crossJoin(claim)
 
 
 @ext_query(
     "q_lx4_semantic_dedup",
-    # cluster-approximate by construction: anchored by q_lx4b
-    # (n_centroids=1 == exact, oracle-checked) + a planted-duplicate
-    # recall >= 0.9 drift bound at sf0.1
-    # (test_llm.py::test_semantic_dedup_recall_drift_on_planted_dups_sf01)
-    oracle=None,
+    # BOUNDED claim (q_s10_approx_distinct pattern, VERDICT r4 item 4):
+    # plant exact-direction duplicates on a bounded slice, let DuckDB
+    # recompute the exact all-pairs closure's drop count from scratch, and
+    # emit the cluster-approximate config's planted recall + soundness as
+    # booleans the oracle's TRUEs must match — no longer rows-only.
+    oracle=f"""
+        WITH RECURSIVE base AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        planted AS (
+            SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS embedding FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 1.0001)
+            FROM base WHERE vec_id < 40),
+        pairs AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM planted a JOIN planted b ON b.vec_id > a.vec_id
+            WHERE {COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.99
+        ),
+        edges AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs
+        ),
+        reach(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT ed.a, r.comp FROM edges ed JOIN reach r ON ed.b = r.id
+        ),
+        comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        SELECT (SELECT count(*) FROM planted) AS n_vecs,
+               (SELECT count(*) FROM comp WHERE id <> component) AS n_dropped_exact,
+               TRUE AS recall_ge_floor,
+               TRUE AS approx_subset_of_exact
+    """,
 )
 def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding near-dup removal: k-means cells -> within-
     cell cosine >= tau pairs -> connected components -> keep min-id rep.
-    Approximate at cell boundaries by construction; the n_centroids=1
-    exactness anchor and a duplicate-group property are unit-tested in
-    tests/test_llm.py."""
+    Oracle-checked as a BOUNDED claim on a planted corpus (a <=540-vector
+    slice so the oracle's all-pairs recursive-CTE closure stays cheap at
+    every sf): scaled copies (cosine == 1, cell argmax is scale-invariant)
+    are unioned in, the EXACT drop count (n_centroids=1 == all-pairs) is
+    the hash-checked twin DuckDB recomputes from scratch, and two booleans
+    assert (a) the cluster-approximate config re-found >= 9/10 of the
+    exact drops (integer-exact as n_hit*10 >= n_exact*9) and (b) it
+    dropped nothing the exact closure kept (approx edges are a subset of
+    exact edges, so a violation can only be a machinery bug). At 100 TB
+    only the clustered config runs; the exact twin is the test-scale
+    verifier. Anchor q_lx4b and the sf0.1 planted-recall drift test
+    (tests/test_llm.py) still stand."""
     emb = load_table(spark, sf_dir, "embeddings")
-    kept = SIM.semantic_dedup(emb, tau=0.99, n_centroids=8)
-    n_in = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
-    n_out = kept.agg(F.count(F.lit(1)).alias("n_after"))
-    return n_in.crossJoin(n_out).select(
-        "n_vecs", (F.col("n_vecs") - F.col("n_after")).alias("n_dropped"), "n_after"
+    base = emb.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.0001)).alias(
+            "embedding"
+        ),
+    )
+    planted = base.unionByName(dups)
+    kept_exact = SIM.semantic_dedup(planted, tau=0.99, n_centroids=1)
+    kept_approx = SIM.semantic_dedup(planted, tau=0.99, n_centroids=8)
+    ids = planted.select("vec_id")
+    dropped_exact = ids.join(
+        kept_exact.select("vec_id"), "vec_id", "left_anti"
+    )
+    dropped_approx = ids.join(
+        kept_approx.select("vec_id"), "vec_id", "left_anti"
+    )
+    n_vecs = ids.agg(F.count(F.lit(1)).alias("n_vecs"))
+    n_exact = dropped_exact.agg(F.count(F.lit(1)).alias("n_dropped_exact"))
+    n_hit = dropped_approx.join(dropped_exact, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_stray = dropped_approx.join(dropped_exact, "vec_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_stray")
+    )
+    return (
+        n_vecs.crossJoin(n_exact)
+        .crossJoin(n_hit)
+        .crossJoin(n_stray)
+        .select(
+            "n_vecs",
+            "n_dropped_exact",
+            (F.col("n_hit") * 10 >= F.col("n_dropped_exact") * 9).alias(
+                "recall_ge_floor"
+            ),
+            (F.col("n_stray") == 0).alias("approx_subset_of_exact"),
+        )
     )
 
 

@@ -1,4 +1,4 @@
-"""OPT-IN live-PostgreSQL integration: the real pgoutput encoder end to end
+"""Live-PostgreSQL integration: the real pgoutput encoder end to end
 (reference integration_test/connector_test.go:25-146 is the mirrored
 contract — table, publication, slot, DML round-trip, ack progression).
 
@@ -7,9 +7,11 @@ place the consumer talks to a genuine walsender: a throwaway initdb'd
 server (wal_level=logical) under /tmp, running as the ``postgres`` system
 user, trust auth, torn down after the module.
 
-Run with:  SPARK_GRAFT_LIVE_PG=1 python -m pytest tests/test_live_postgres.py -v
-Skipped by default — CI boxes aren't guaranteed a postgres install, and the
-driver's gate must stay deterministic.
+DEFAULT-ON: the fixture auto-detects the postgres binaries and skips only
+when they are absent or initdb/pg_ctl genuinely fail (e.g. no ``postgres``
+system user), so on a provisioned box the real-walsender proof is standing,
+not opt-in. Set SPARK_GRAFT_LIVE_PG=0 to force-skip (e.g. a constrained CI
+box where server startup is known-flaky).
 """
 
 import os
@@ -24,11 +26,19 @@ import pytest
 from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_LIVE_PG") != "1",
-    reason="live Postgres integration is opt-in: set SPARK_GRAFT_LIVE_PG=1",
+    os.environ.get("SPARK_GRAFT_LIVE_PG") == "0",
+    reason="live Postgres integration force-skipped via SPARK_GRAFT_LIVE_PG=0",
 )
 
-PORT = 55439
+PORT = 55439  # rebound to a free port by the fixture (default-on robustness)
+
+
+def _free_port() -> int:
+    # a fixed port would skip the whole module if a stale server (or any
+    # other process) is listening; bind-to-0 gets a genuinely free one
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 def _su(cmd: str, timeout: int = 120) -> subprocess.CompletedProcess:
@@ -45,6 +55,8 @@ def _su(cmd: str, timeout: int = 120) -> subprocess.CompletedProcess:
 def pg():
     if not (shutil.which("initdb") and shutil.which("pg_ctl") and shutil.which("psql")):
         pytest.skip("postgres binaries not installed")
+    global PORT
+    PORT = _free_port()
     work = tempfile.mkdtemp(prefix="pg_live_")
     os.chmod(work, 0o777)
     data = os.path.join(work, "data")
