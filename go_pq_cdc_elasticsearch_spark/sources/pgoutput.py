@@ -361,8 +361,19 @@ class ReplicationClient:
     """
 
     def __init__(self, sock, slot: str, publication: str = "pub"):
+        import collections
+        import re
         import threading
 
+        # fail fast on names the replication grammar can't take: slot names
+        # are restricted server-side (ReplicationSlotValidateName: lower
+        # alnum + underscore), and an invalid one would otherwise surface
+        # as an opaque syntax ErrorResponse from CREATE_REPLICATION_SLOT
+        if not re.fullmatch(r"[a-z0-9_]{1,63}", slot):
+            raise ValueError(
+                f"invalid replication slot name {slot!r}: only lower-case "
+                f"letters, digits and underscores are allowed (1-63 chars)"
+            )
         self.sock = sock
         # UNBUFFERED on purpose: a buffered reader's read-ahead can park
         # complete frames in its private buffer, where select() on the
@@ -376,9 +387,26 @@ class ReplicationClient:
         self.flushed_lsn = 0
         self.last_wal_end = 0
         self.started = False
+        # Delivery-order stamping state: pgoutput delivers TRANSACTIONS in
+        # commit order, so the per-row XLogData wal_start is NOT monotone
+        # across interleaved transactions (txn B's rows can carry lower
+        # positions than already-delivered txn A's). Every downstream layer
+        # (segment naming, offset frontier, seq-by-lsn LWW merge) assumes a
+        # monotone stamp, so poll() clamps: a row keeps its true wal_start
+        # while that is monotone (the common, non-interleaved case) and is
+        # bumped to last_stamp+1 otherwise. Clamped stamps are NOT valid
+        # WAL positions to ack — acks go through ack_frontier(), which
+        # translates a stamp frontier into the commit-record end_lsn of the
+        # newest fully-delivered transaction (txn_bounds, appended at each
+        # Commit message).
+        self.last_stamp = 0
+        self.txn_bounds = collections.deque()
         # acks may come from the consumer thread AND the owning Connector's
-        # close(); frame writes must not interleave
+        # close(); frame writes must not interleave, and the flushed_lsn
+        # read-modify-write must be atomic with its send (an unlocked
+        # max-then-assign let a stale keepalive reply regress the final ack)
         self._send_lock = threading.Lock()
+        self._ack_lock = threading.Lock()
 
     def _send(self, data: bytes) -> None:
         with self._send_lock:
@@ -455,10 +483,14 @@ class ReplicationClient:
             raise RuntimeError(f"CREATE_REPLICATION_SLOT failed: {err}")
 
     def start(self, start_lsn: int = 0) -> None:
+        # publication_names is a string literal in the replication-command
+        # grammar: double any single quote so a quoted publication name
+        # can't terminate the option early and desync START_REPLICATION
+        pub = self.publication.replace("'", "''")
         self._send(
             query_message(
                 f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(start_lsn)} "
-                f"(proto_version '1', publication_names '{self.publication}')"
+                f"(proto_version '1', publication_names '{pub}')"
             )
         )
         while True:
@@ -529,9 +561,28 @@ class ReplicationClient:
             if kind == b"w":
                 wal_start, wal_end, _clock = struct.unpack_from("!QQQ", body, 1)
                 self.last_wal_end = max(self.last_wal_end, wal_end)
-                change = self.decoder.decode(body[25:], wal_start)
+                payload = body[25:]
+                change = self.decoder.decode(payload, wal_start)
                 if change is not None:
+                    # monotone stamp (see __init__): true wal_start when
+                    # already increasing, else bumped past the last stamp —
+                    # commit-ordered delivery + this clamp give the strict
+                    # per-line increase the segment/offset contract needs
+                    stamp = max(wal_start, self.last_stamp + 1)
+                    self.last_stamp = stamp
+                    change["lsn"] = stamp
                     yield change
+                elif payload[:1] == b"C":
+                    # Commit: record (last stamp of this txn, commit END
+                    # lsn) — ack_frontier() translates stamp frontiers
+                    # into these real, safe-to-ack WAL positions. Also
+                    # covers empty txns (bounds entry with the previous
+                    # stamp), so filtered-out transactions still ack.
+                    _flags, _clsn, end_lsn, _ts = struct.unpack_from(
+                        "!BQQQ", payload, 1
+                    )
+                    with self._ack_lock:
+                        self.txn_bounds.append((self.last_stamp, end_lsn))
                 continue
             if kind == b"c":  # CopyDone from server
                 return
@@ -539,15 +590,43 @@ class ReplicationClient:
     def ack(self, lsn: int) -> None:
         """StandbyStatusUpdate: the slot's restart LSN only advances when
         the consumer confirms a flush — exactly the reference's ack-after-
-        successful-bulk contract (R12)."""
-        self.flushed_lsn = max(self.flushed_lsn, lsn)
-        self._send(
-            copy_data(
-                standby_status_update(
-                    self.flushed_lsn, self.flushed_lsn, self.flushed_lsn
+        successful-bulk contract (R12). The update and its send are one
+        atomic step under _ack_lock: with the consumer thread answering
+        reply-requested keepalives while close() runs the final sweep, an
+        unlocked max-then-assign could overwrite a newer flushed_lsn with
+        a stale one and put a regressed position on the wire."""
+        with self._ack_lock:
+            self.flushed_lsn = max(self.flushed_lsn, lsn)
+            self._send(
+                copy_data(
+                    standby_status_update(
+                        self.flushed_lsn, self.flushed_lsn, self.flushed_lsn
+                    )
                 )
             )
-        )
+
+    def ack_frontier(self, stamp: int) -> int:
+        """Ack a SEGMENT-FRONTIER stamp (what Spark's commit()/checkpoint
+        records) by translating it to a real WAL position: the commit-record
+        end_lsn of the newest transaction whose every change carries a stamp
+        <= ``stamp``. Stamps can be clamped delivery ordinals (see
+        __init__), so acking them raw could over-ack past the commit record
+        of a not-yet-delivered transaction — permanent data loss on resume.
+        Translation never over-acks: commit end_lsns are acked only for
+        transactions delivered in full, and a frontier that lands mid-
+        transaction acks only up to the previous one (redelivery of the
+        split txn on restart is the safe at-least-once direction, and the
+        keyed view merge is idempotent). Returns the acked WAL position, or
+        -1 if no fully-delivered transaction is covered yet (e.g. right
+        after a reconnect, before the first post-restart commit)."""
+        end = None
+        with self._ack_lock:
+            while self.txn_bounds and self.txn_bounds[0][0] <= stamp:
+                end = self.txn_bounds.popleft()[1]
+        if end is None:
+            return -1
+        self.ack(end)
+        return end
 
     def close(self) -> None:
         import socket as _socket
@@ -564,6 +643,11 @@ class ReplicationClient:
             pass
         try:
             self.file.close()
+        except OSError:
+            pass
+        # own try: an OSError from the file object's close must not leak
+        # the socket fd (each reconnect in a retry loop would leak one)
+        try:
             self.sock.close()
         except OSError:
             pass
@@ -574,25 +658,39 @@ def stream_to_segments(
     segments_dir: str,
     batch_size: int = 500,
     max_changes: int | None = None,
+    flush_interval_sec: float = 5.0,
 ) -> int:
-    """Pump the live stream into wal-segment files — the bridge between the
-    socket consumer and the ``pgwal`` Spark DataSource (sources/wal.py):
-    the file contract stays the single source of truth for offsets/
-    partitions, the socket is just the producer. Returns #changes written.
-    The Spark-side commit() hook records its frontier in the
-    ``_committed`` file / checkpoint, which ``forward_committed_acks_tail``
-    / ``forward_checkpoint_acks`` turn into ``client.ack`` calls from the
-    consumer loop (the thread that owns the socket)."""
+    """Pump the live stream into wal-segment files — the BOUNDED bridge
+    between the socket consumer and the ``pgwal`` Spark DataSource
+    (sources/wal.py) for demos/tests/backfills: the file contract stays
+    the single source of truth for offsets/partitions, the socket is just
+    the producer. Returns #changes written. Flushes on ``batch_size`` OR
+    ``flush_interval_sec`` (via poll's select-paced heartbeat — without
+    the time flush, a low-traffic table left up to batch_size-1 changes
+    stranded in the buffer indefinitely). This helper does NOT forward
+    acks: the production loop is ``run_live_consumer``, which adds ack
+    forwarding, segment pruning and stop-event housekeeping on the same
+    cadence machinery."""
+    import time
+
     from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
 
     buf: list[dict] = []
     n = 0
-    for change in client.poll():
-        buf.append(change)
-        n += 1
-        if len(buf) >= batch_size:
+    last_flush = time.time()
+    for change in client.poll(
+        heartbeat=True, idle_timeout=max(0.05, flush_interval_sec / 2)
+    ):
+        if change is not None:
+            buf.append(change)
+            n += 1
+        now = time.time()
+        if buf and (
+            len(buf) >= batch_size or now - last_flush >= flush_interval_sec
+        ):
             write_wal_segment(segments_dir, buf)
             buf = []
+            last_flush = now
         if max_changes is not None and n >= max_changes:
             break
     if buf:
@@ -631,10 +729,12 @@ def committed_checkpoint_lsn(checkpoint_dir: str) -> int:
 def forward_checkpoint_acks(
     client: ReplicationClient, checkpoint_dir: str, last_acked: int = -1
 ) -> int:
-    """Ack the checkpoint's committed frontier if it advanced."""
+    """Ack the checkpoint's committed frontier if it advanced. The frontier
+    is a segment STAMP, not a WAL position — ack_frontier translates it to
+    the newest covered commit-record end_lsn (see ReplicationClient)."""
     newest = committed_checkpoint_lsn(checkpoint_dir)
     if newest > last_acked and newest >= 0:
-        client.ack(newest)
+        client.ack_frontier(newest)
         return newest
     return last_acked
 
@@ -663,19 +763,49 @@ def run_live_consumer(
     yield at that cadence even when the socket is silent — keepalives
     alone arrive only every ~wal_sender_timeout/2 (~30 s), which would
     stretch the documented flush/ack/stop latencies 6-30x."""
+    import os as _os
     import time
 
-    from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
+    from go_pq_cdc_elasticsearch_spark.sources.wal import (
+        max_segment_lsn,
+        prune_segments,
+        write_wal_segment,
+    )
+
+    # seed the monotone stamp clamp from what's already on disk: after a
+    # reconnect, redelivered (unacked) transactions must be stamped ABOVE
+    # every stamp a previous consumer flushed, or the stream frontier in
+    # the Spark checkpoint would filter them out forever
+    client.last_stamp = max(client.last_stamp, max_segment_lsn(segments_dir))
 
     committed_offset = 0
 
     def ack_sweep(last: int) -> int:
         nonlocal committed_offset
+        prev = last
         if checkpoint_dir is not None:
-            return forward_checkpoint_acks(client, checkpoint_dir, last)
-        last, committed_offset = forward_committed_acks_tail(
-            client, segments_dir, last, committed_offset
-        )
+            last = forward_checkpoint_acks(client, checkpoint_dir, last)
+        else:
+            last, committed_offset = forward_committed_acks_tail(
+                client, segments_dir, last, committed_offset
+            )
+            # the _committed record file grows one line per batch forever;
+            # once the consumed prefix passes 8 MB, rotate it (commit()
+            # opens per append, so a rename between sweeps is clean; any
+            # line appended in the race window is superseded by the next
+            # batch's strictly-larger cumulative frontier)
+            if committed_offset >= 8 * 1024 * 1024:
+                try:
+                    p = _os.path.join(segments_dir, "_committed")
+                    _os.replace(p, p + ".old")
+                    committed_offset = 0
+                except OSError:
+                    pass
+        if last > prev:
+            # frontier advanced => segments wholly below it are consumed
+            # for good (Spark never re-reads below a committed offset) —
+            # the WAL-retention analog of the slot's restart LSN advance
+            prune_segments(segments_dir, last)
         return last
 
     buf: list[dict] = []
@@ -765,7 +895,8 @@ def forward_committed_acks_tail(
         except ValueError:
             continue
     if newest > last_acked and newest >= 0:
-        client.ack(newest)
+        # the frontier is a segment stamp; translate to a commit end_lsn
+        client.ack_frontier(newest)
     return newest, offset
 
 

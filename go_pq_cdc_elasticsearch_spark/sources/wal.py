@@ -49,6 +49,59 @@ def segment_start_lsn(fname: str) -> int:
     return int(fname.split("_")[1].split(".")[0])
 
 
+def list_segments(path: str) -> list[tuple[int, str]]:
+    """(start_lsn, full_path) for every segment, sorted by start."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        (segment_start_lsn(f), os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.startswith("wal_") and f.endswith(".ndjson")
+    )
+
+
+def max_segment_lsn(path: str) -> int:
+    """Highest stamped lsn across all segments (-1 when empty): only the
+    LAST segment needs a line scan; earlier ones are bounded by their
+    successor's start. The live consumer seeds its monotone stamp clamp
+    from this at (re)start, so stamps assigned after a reconnect always
+    sort after every stamp already flushed — without it, an interleaved
+    transaction redelivered after a crash could be stamped below the
+    stream frontier and silently dropped by the (start, end] filter."""
+    segs = list_segments(path)
+    if not segs:
+        return -1
+    mx = segs[-1][0]
+    with open(segs[-1][1]) as f:
+        for line in f:
+            mx = max(mx, json.loads(line)["lsn"])
+    return mx
+
+
+def prune_segments(path: str, committed_lsn: int) -> int:
+    """Delete segments wholly consumed by the committed stream frontier —
+    the WAL-retention analog of the slot's restart LSN advancing (without
+    it a long-running live stream grows the directory, and every
+    latestOffset()/partitions() listdir, without bound). A segment is
+    prunable exactly when its partition range is exhausted: its successor
+    starts at or below ``committed_lsn`` + 1 (partitions() bounds a segment
+    by successor.start - 1). The newest segment is always kept, and Spark
+    never re-reads below the newest COMMITTED batch's offset, so a reader
+    can't race a deletion. Returns the number of files removed."""
+    removed = 0
+    segs = list_segments(path)
+    for i in range(len(segs) - 1):
+        if segs[i + 1][0] - 1 <= committed_lsn:
+            try:
+                os.remove(segs[i][1])
+                removed += 1
+            except OSError:
+                break
+        else:
+            break
+    return removed
+
+
 def write_wal_segment(path: str, messages: list[dict]) -> str:
     """Append one WAL segment (messages must carry increasing lsn).
 
@@ -88,28 +141,10 @@ class WalStreamReader(DataSourceStreamReader):
         return {"lsn": -1}
 
     def _segments(self) -> list[tuple[int, str]]:
-        if not os.path.isdir(self.path):
-            return []
-        segs = [
-            (segment_start_lsn(f), os.path.join(self.path, f))
-            for f in os.listdir(self.path)
-            if f.startswith("wal_") and f.endswith(".ndjson")
-        ]
-        return sorted(segs)
+        return list_segments(self.path)
 
     def _max_lsn(self) -> int:
-        segs = self._segments()
-        if not segs:
-            return -1
-        # only the LAST segment needs a scan; earlier ones are bounded by
-        # their successor's start (metadata-only catch-up planning)
-        last_path = segs[-1][1]
-        mx = segs[-1][0]
-        with open(last_path) as f:
-            for line in f:
-                lsn = json.loads(line)["lsn"]
-                mx = max(mx, lsn)
-        return mx
+        return max_segment_lsn(self.path)
 
     def latestOffset(self) -> dict:
         return {"lsn": self._max_lsn()}

@@ -268,3 +268,69 @@ def test_live_consumer_to_spark_view(pg, spark):
     state = {r["key"]: r["email"] for r in view.read().collect()}
     for i in range(5):
         assert state.get(f"u{i}") == f"u{i}@example.com"
+
+
+def test_live_interleaved_transactions_commit_order_and_monotone_stamps(pg):
+    """Two REAL concurrent sessions interleave: session 1 BEGINs and writes
+    a row (low WAL position), session 2 then writes AND commits (higher
+    positions, earlier commit), session 1 commits last. Logical decoding
+    delivers in COMMIT order, so the later-delivered txn carries LOWER
+    per-row wal_start positions — exactly the shape that, unclamped, was
+    stamped below the stream frontier and silently dropped (review
+    finding, round 5). Proves on a real walsender: delivery is commit-
+    ordered, stamps stay strictly monotone, and txn_bounds carry
+    increasing commit ends."""
+    import subprocess
+
+    client = _connect("live_slot_interleave")
+    client.create_slot()
+    client.start()
+
+    # session 1: open txn, write, DON'T commit yet
+    s1 = subprocess.Popen(
+        ["su", "-s", "/bin/bash", "postgres", "-c",
+         f"cd /tmp && psql -h 127.0.0.1 -p {PORT} -U postgres -d cdc_db "
+         f"-v ON_ERROR_STOP=1"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    s1.stdin.write(
+        "BEGIN;\nINSERT INTO users (name, email) VALUES ('tx1', '1@x');\n"
+    )
+    s1.stdin.flush()
+    # make sure s1's INSERT hit the WAL before s2 runs: SELECT forces a
+    # round-trip through the open session
+    s1.stdin.write("SELECT 1;\n")
+    s1.stdin.flush()
+    time.sleep(1.0)
+
+    # session 2: full txn — later WAL positions, EARLIER commit
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('tx2', '2@x')", db="cdc_db"
+    )
+
+    # now commit session 1 (its commit record lands after tx2's)
+    out, err = s1.communicate("COMMIT;\n", timeout=30)
+    assert s1.returncode == 0, f"session1 failed: {err}"
+
+    try:
+        got = _collect(client, 2)
+        names = [c["after"]["name"] for c in got]
+        # commit order, not write order
+        assert names == ["tx2", "tx1"]
+        stamps = [c["lsn"] for c in got]
+        assert stamps[1] > stamps[0] > 0  # monotone despite inverted WAL
+        # _collect breaks on the 2nd row BEFORE tx1's Commit frame; drain
+        # until the commit boundary is recorded
+        end_t = time.time() + 20
+        for _ in client.poll(heartbeat=True, idle_timeout=0.2):
+            if len(client.txn_bounds) >= 2 or time.time() > end_t:
+                break
+        ends = [e for _, e in client.txn_bounds]
+        assert ends == sorted(ends) and len(ends) >= 2
+        # frontier at the last stamp acks tx1's commit end — a real,
+        # past-the-commit-record position the server accepts
+        acked = client.ack_frontier(stamps[-1])
+        assert acked >= ends[-1]
+    finally:
+        client.close()

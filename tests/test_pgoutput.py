@@ -304,7 +304,12 @@ def test_socket_to_segments_to_spark_pgwal(spark):
     )
     server.done.wait(5)
     assert len(server.acks) > before
-    assert server.acks[-1]["flushed"] == last
+    # the ack on the wire is NOT the raw stamp frontier: ack_frontier
+    # translates it to the commit-record END lsn of the newest fully-
+    # delivered txn covered by the frontier (acking row stamps could
+    # over-ack under interleaved delivery; acking commit ends is exact).
+    # _txn(..., 2000, [1 row]) scripts row 2001, commit 2002, end 2003.
+    assert server.acks[-1]["flushed"] == 2003
     client.close()
 
 
@@ -458,3 +463,110 @@ def test_client_close_wakes_blocked_reader():
     client.close()
     assert done.wait(5.0), "blocked reader was not woken by close()"
     b.close()
+
+
+def test_interleaved_txns_get_monotone_stamps_and_safe_acks():
+    """pgoutput delivers TRANSACTIONS in commit order, so an interleaved
+    txn's rows can carry wal_start positions BELOW already-delivered rows.
+    Unclamped, those rows would be stamped below the stream frontier and
+    silently dropped by the (start, end] filter (permanent data loss) —
+    review finding r5. The client must (a) stamp monotonically while
+    keeping true positions when already monotone, and (b) ack via commit
+    ends, never via possibly-clamped stamps."""
+    cols = ["id", "v"]
+    relid = 1
+    # txn A: rows at wal 100,101, commit record 200 (end 205)
+    # txn B: rows at wal 50,51 (WRITTEN EARLIER, commits later) — delivered
+    # second with commit record 300 (end 305)
+    txn_a = [
+        (10, PG.encode_relation(relid, "public", "t", cols)),
+        (100, PG.encode_begin(200, 777_000_000, xid=1)),
+        (100, PG.encode_insert(relid, ["1", "a"])),
+        (101, PG.encode_insert(relid, ["2", "b"])),
+        (200, PG.encode_commit(200, 205, 777_000_000)),
+    ]
+    txn_b = [
+        (50, PG.encode_begin(300, 777_000_000, xid=2)),
+        (50, PG.encode_insert(relid, ["3", "c"])),
+        (51, PG.encode_insert(relid, ["4", "d"])),
+        (300, PG.encode_commit(300, 305, 777_000_000)),
+    ]
+    server = FakeReplicationServer([txn_a, txn_b], keepalive_each_txn=False)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="s_il")
+    client.create_slot()
+    client.start()
+    changes = [ch for ch in client.poll() if ch is not None]
+    stamps = [ch["lsn"] for ch in changes]
+    # A keeps true positions; B is clamped past A's stamps
+    assert stamps == [100, 101, 102, 103]
+    assert [ch["after"]["id"] for ch in changes] == ["1", "2", "3", "4"]
+    assert list(client.txn_bounds) == [(101, 205), (103, 305)]
+
+    # frontier covering only txn A acks A's commit END (205), not stamp 101
+    assert client.ack_frontier(101) == 205
+    # frontier mid-txn-B acks nothing more (at-least-once direction)
+    assert client.ack_frontier(102) == -1
+    # full frontier acks B's commit end
+    assert client.ack_frontier(103) == 305
+    server.done.wait(5)
+    assert [a["flushed"] for a in server.acks][-2:] == [205, 305]
+    client.close()
+
+
+def test_prune_segments_respects_frontier_and_keeps_newest():
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    d = tempfile.mkdtemp(prefix="prune_")
+
+    def seg(lsns):
+        W.write_wal_segment(
+            d,
+            [{"lsn": n, "op": "INSERT", "table_schema": "public",
+              "table_name": "t", "before": None, "after": {"id": str(n)},
+              "ts": "t"} for n in lsns],
+        )
+
+    seg(range(1, 11))
+    seg(range(11, 21))
+    seg(range(21, 31))
+    # frontier 15: only the first segment is exhausted (second's range
+    # runs to successor.start-1 = 20 > 15)
+    assert W.prune_segments(d, 15) == 1
+    assert [s for s, _ in W.list_segments(d)] == [11, 21]
+    # frontier 30: second goes too; the newest is ALWAYS kept
+    assert W.prune_segments(d, 30) == 1
+    assert [s for s, _ in W.list_segments(d)] == [21]
+    assert W.max_segment_lsn(d) == 30
+
+
+def test_run_live_consumer_seeds_stamps_above_existing_segments():
+    """After a crash/reconnect, redelivered (unacked) txns must be stamped
+    ABOVE every stamp already flushed by the previous consumer — else the
+    Spark checkpoint frontier filters them out forever."""
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    d = tempfile.mkdtemp(prefix="seed_")
+    W.write_wal_segment(
+        d,
+        [{"lsn": 500, "op": "INSERT", "table_schema": "public",
+          "table_name": "t", "before": None, "after": {"id": "old"},
+          "ts": "t"}],
+    )
+    cols = ["id", "v"]
+    server = FakeReplicationServer(
+        [_txn(1, cols, 100, [("I", ["9", "x"])])], keepalive_each_txn=False
+    )
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="s_seed")
+    client.create_slot()
+    client.start()
+    PG.run_live_consumer(client, d, batch_size=1, ack_interval_sec=9, flush_interval_sec=9)
+    stamps = sorted(
+        json.loads(line)["lsn"]
+        for s, p in W.list_segments(d)
+        for line in open(p)
+    )
+    # the redelivered row (true wal 101) is stamped past the on-disk 500
+    assert stamps == [500, 501]
+    client.close()

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCALES = (1, 4, 16)
+SCALES = (1, 4, 16, 64)
 ROOT = "/tmp/spark_graft_scale"
 
 
@@ -127,6 +127,31 @@ def build(sf_dir: str) -> None:
         with open(done, "w") as f:
             f.write(marker)
 
+    # single-hot-key skew variant of the x16 events: half of all rows
+    # collapse onto ONE user_id — the CDC worst case (a runaway-writer
+    # table). cdc_apply's window can't be salted by AQE (window partitions
+    # are semantic), so this measures the actual hot-partition cost bound
+    # rather than assuming AQE saves it.
+    skew_dir = os.path.join(ROOT, "x16_skew")
+    os.makedirs(skew_dir, exist_ok=True)
+    done = os.path.join(skew_dir, ".complete")
+    marker = os.path.abspath(sf_dir)
+    if not (os.path.exists(done) and open(done).read().strip() == marker):
+        ev16 = pq.read_table(table_path(os.path.join(ROOT, "x16"), "events"))
+        uid = ev16.column("user_id")
+        hot = pc.max(uid).as_py() + 1
+        skewed = pc.if_else(
+            pc.equal(pc.bit_wise_and(ev16.column("event_id"), 1), 0),
+            pa.scalar(hot, uid.type),
+            uid,
+        )
+        i = ev16.schema.get_field_index("user_id")
+        pq.write_table(
+            ev16.set_column(i, "user_id", skewed), table_path(skew_dir, "events")
+        )
+        with open(done, "w") as f:
+            f.write(marker)
+
 
 def probes(spark):
     from pyspark.sql import functions as F
@@ -211,12 +236,35 @@ def main() -> int:
             results.setdefault(name, {})[f"x{scale}"] = round(best, 2)
             print(f"x{scale} {name}: {best:.2f}s", file=sys.stderr)
 
+    # skew probe: cdc_apply on the single-hot-key x16 variant, reported as
+    # a ratio vs the clean x16 run (the window hot-partition cost bound)
+    skew_dfs = {
+        "events": load_table(spark, os.path.join(ROOT, "x16_skew"), "events")
+    }
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        probes(spark)["cdc_apply"](skew_dfs).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    results["cdc_apply_skew_hotkey"] = {"x16_skew": round(best, 2)}
+    clean = results.get("cdc_apply", {}).get("x16")
+    if clean:
+        results["cdc_apply_skew_hotkey"]["ratio_vs_clean_x16"] = round(
+            best / clean, 2
+        )
+    print(f"x16_skew cdc_apply: {best:.2f}s", file=sys.stderr)
+
     import math
 
     for name, r in results.items():
         if r.get("x4") and r.get("x16") and r["x4"] > 0:
             r["slope_x4_x16"] = round(
                 math.log(r["x16"] / r["x4"]) / math.log(4.0), 2
+            )
+        if r.get("x16") and r.get("x64") and r["x16"] > 0:
+            r["slope_x16_x64"] = round(
+                math.log(r["x64"] / r["x16"]) / math.log(4.0), 2
             )
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
