@@ -233,9 +233,29 @@ def connected_components(
     small cliques (diameter ~2-3), so this terminates in a few joins. The
     loop stops early when an iteration changes nothing. No driver-side
     graph state — only counts cross to the driver."""
-    edges = pairs.select(
-        F.col("id1").cast("long").alias("a"), F.col("id2").cast("long").alias("b")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
     )
+
+    # ids are usually integral (the testdata's doc_id/vec_id), but the
+    # deduper contract allows content-handle STRING ids (hash/URL-style);
+    # an unconditional cast('long') raised CAST_INVALID_INPUT under the
+    # session's ANSI mode for those — propagate min over the native type
+    # instead, and pick the convergence probe per type below
+    numeric = isinstance(
+        pairs.schema["id1"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    if numeric:
+        edges = pairs.select(
+            F.col("id1").cast("long").alias("a"),
+            F.col("id2").cast("long").alias("b"),
+        )
+    else:
+        edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     # undirected: propagate both ways; persisted — every iteration joins it
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -248,15 +268,19 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    # min-label propagation only ever DECREASES labels, so sum(component)
-    # strictly decreases until the fixpoint: the convergence check is one
-    # tiny agg over the label frame instead of a labels⋈labels join+count
-    # per round (r2 perf item — two jobs per iteration down to one-and-a-bit)
-    # decimal sum: a BIGINT sum overflows under ANSI mode for realistic
-    # 64-bit ids (snowflake-scale ids crash on the FIRST agg; non-ANSI
-    # would silently wrap and risk a false-equal early exit)
+    # min-label propagation only ever DECREASES labels, so for numeric ids
+    # sum(component) strictly decreases until the fixpoint: the convergence
+    # check is one tiny agg over the label frame instead of a labels⋈labels
+    # join+count per round (r2 perf item — two jobs per iteration down to
+    # one-and-a-bit). decimal sum: a BIGINT sum overflows under ANSI mode
+    # for realistic 64-bit ids (snowflake-scale ids crash on the FIRST agg;
+    # non-ANSI would silently wrap and risk a false-equal early exit).
+    # String ids have no order-preserving sum — count the labels that
+    # actually changed (an extra self-join per round, generic-path only; a
+    # hash-sum probe would risk a false-equal early exit on collision).
     _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_label_sum).first()[0]
+    if numeric:
+        prev_sum = labels.agg(_label_sum).first()[0]
     for _ in range(max_iterations):
         # neighbor's current label, per edge
         prop = (
@@ -269,11 +293,22 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(_label_sum).first()[0]
+        if numeric:
+            new_sum = new_labels.agg(_label_sum).first()[0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("p"), "id")
+                .filter(F.col("n.component") != F.col("p.component"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     sym.unpersist()
     return labels
 

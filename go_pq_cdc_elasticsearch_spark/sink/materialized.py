@@ -234,8 +234,33 @@ class MaterializedView:
                     "drifted": self._drifted,
                     "last_epoch": self._last_epoch,
                     "lineage": self._lineage,
+                    "extra": self._meta_extra(),
                 },
                 f,
+            )
+
+    def _meta_extra(self) -> dict:
+        """Subclass hook: extra merge-contract config recorded in the view
+        meta and validated on reopen (``_check_meta_extra``). A subclass
+        that extends the merge contract (ContinuousAggregate's aggregate
+        column lists) must extend the reopen check too, or a config drift
+        silently corrupts state instead of raising like keys/seq do."""
+        return {}
+
+    def _check_meta_extra(self) -> None:
+        """Validate subclass merge-contract config against the stored meta.
+        Called by subclasses at the END of their __init__ (their config
+        attributes don't exist yet while the base __init__ runs)."""
+        meta = self._read_meta()
+        if meta is None:
+            return
+        stored = meta.get("extra")
+        mine = self._meta_extra()
+        if stored is not None and stored != mine:
+            raise ValueError(
+                f"view at {self.path} was created with config {stored!r}; "
+                f"reopening with {mine!r} would corrupt the merged state "
+                f"(prior rows lack/strand the changed aggregate columns)"
             )
 
     def _bucket_expr(self):

@@ -88,6 +88,21 @@ class ContinuousAggregate(MaterializedView):
         self.max_cols = list(max_cols)
         self.distinct_cols = list(distinct_cols)
         self.prepare = prepare
+        # the aggregate column lists are part of the merge contract: prior
+        # state rows would carry NULL for an added sum col (silently wrong
+        # averages) and a removed one would be dropped from touched buckets
+        # only — validate against the stored meta like the base class does
+        # for keys/seq. (``prepare`` is a callable and can't be recorded;
+        # changing its derivation is the caller's responsibility.)
+        self._check_meta_extra()
+
+    def _meta_extra(self) -> dict:
+        return {
+            "sum_cols": self.sum_cols,
+            "min_cols": self.min_cols,
+            "max_cols": self.max_cols,
+            "distinct_cols": self.distinct_cols,
+        }
 
     # -- merge hooks ---------------------------------------------------------
 

@@ -195,6 +195,19 @@ class LshDedupIndex:
     (cross-batch first-arrival-wins + in-batch CC min-id); the driver-side
     ``greedy_keep_filter`` is a DIFFERENT sequential policy that diverges
     on in-batch transitive chains (see its docstring).
+
+    The WHOLE batch is indexed, dropped-by-the-caller docs included —
+    deliberate: the pair-DETECTION contract is "union of per-batch pairs
+    == the batch pipeline's pairs on the full corpus" (q_lx5's oracle),
+    and pairs through a dropped doc exist in the batch pipeline too. The
+    cost under a keep/drop caller whose corpus stores only kept text
+    (IncrementalDeduper's foreachBatch loop): a dropped doc's band rows
+    generate cross-batch candidates that can never verify (no text row —
+    the grams inner join discards them), so index size and probe fan-out
+    scale with ingested volume rather than kept volume. On a
+    high-duplication stream where that dominates, compact() bounds the
+    segment count but not the row count; an index-kept-only variant would
+    trade the pair-parity contract for state bounded by kept size.
     """
 
     def __init__(
@@ -533,11 +546,26 @@ class IncrementalDeduper(LshDedupIndex):
                 # (status-quo behavior for a checkpoint resume)
                 base = 0
             else:
-                # genuinely different feeding query: start past everything
+                # genuinely different feeding query: start past everything.
+                # "Everything" must include the BAND INDEX and KEPT-VIEW
+                # frontiers, not just the corpus epoch dirs: a prior query
+                # that crashed after the band append but before the corpus
+                # write left _last_epoch durable with NO epoch dir, and a
+                # base computed from dirs alone would re-issue that epoch
+                # number — append_batch's guard would then silently skip
+                # indexing the new query's first batch (its docs never
+                # become cross-batch candidates: a permanent duplicate
+                # leak).
                 existing = _existing_epochs()
+                frontiers = [
+                    e
+                    for e in (self.view._last_epoch, self.kept._last_epoch)
+                    if e is not None
+                ]
                 base = max(
                     int(meta.get("base", 0)),
                     (max(existing) + 1) if existing else 0,
+                    (max(frontiers) + 1) if frontiers else 0,
                 )
             os.makedirs(corpus_path, exist_ok=True)
             with open(meta_path, "w") as f:
@@ -592,6 +620,27 @@ class IncrementalDeduper(LshDedupIndex):
             ):
                 return  # fully-committed epoch redelivered: nothing to do
             spark = batch_df.sparkSession
+            # exact-id drop BEFORE the fold: doc ids are immutable content
+            # handles (module contract), so a batch row whose id is already
+            # in the kept view is the same document redelivered — e.g. a
+            # NEW streaming query (fresh checkpoint, lineage base jumped)
+            # replaying the same source into this store. Without it, every
+            # already-kept unique id re-survives the pair fold (a doc never
+            # pairs with ITSELF: the cross probe requires a.id != o.id) and
+            # gets re-appended — duplicate corpus text for every downstream
+            # reader. Scoped HERE, not in _compute_kept: the ad-hoc
+            # dedup_batch API documents idempotent recompute (re-running a
+            # committed wave returns that wave's kept rows), and the real
+            # crash-window redelivery (corpus written, merge not landed)
+            # reaches _compute_kept with the kept view still lacking these
+            # ids — identical recompute either way. In normal streaming an
+            # id arrives once and this anti-join matches nothing.
+            if self.kept.exists() and self.kept._bucket_dirs():
+                batch_df = batch_df.join(
+                    self.kept.read().select(self.id_col),
+                    on=self.id_col,
+                    how="left_anti",
+                )
             prior = _prior_epoch_dirs(seq)
             if prior:
                 # explicit partition-dir paths: files sit directly under

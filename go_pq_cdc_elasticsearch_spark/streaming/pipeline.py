@@ -74,7 +74,11 @@ def run_cdc_stream(
     processing_time: str = "1 second",
 ) -> MaterializedView:
     """Run the CDC stream until drained (available_now) or return the running
-    query's view handle. Returns the MaterializedView."""
+    query's view handle. Returns the MaterializedView; in processing-time
+    mode the running StreamingQuery is attached as ``view.query`` so the
+    caller can stop()/awaitTermination()/inspect exceptions (it was
+    previously unreachable — a stream dying on batch 2 failed silently
+    behind a healthy-looking view)."""
     view = MaterializedView(
         spark, view_path, keys=keys, seq_col=seq_col, op_col=op_col, delete_op=delete_op
     )
@@ -104,6 +108,18 @@ def run_cdc_stream(
                         raise q.exception()
                     break
                 time.sleep(0.1)
+            if q.isActive and not q.recentProgress:
+                # releasing the conf now would let batch 0 plan with the
+                # session default and freeze it into the checkpoint's state
+                # store forever — the silent mis-partitioning this whole
+                # window exists to prevent. Fail loudly instead.
+                q.stop()
+                raise TimeoutError(
+                    "run_cdc_stream: batch 0 produced no progress within "
+                    "60s; stopping the query rather than risk freezing the "
+                    "session shuffle-partition count into its state store"
+                )
+        view.query = q
     return view
 
 
@@ -226,7 +242,7 @@ def initial_load(
     )
 
 
-_STAGED_CACHE: dict[tuple[str, int], str] = {}
+_STAGED_CACHE: dict[tuple[str, int, tuple], str] = {}
 
 
 def _events_fingerprint(sf_dir: str) -> tuple:
@@ -257,6 +273,18 @@ def staged_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     key = (sf_dir, n_files, _events_fingerprint(sf_dir))
     staged = _STAGED_CACHE.get(key)
     if staged is None or not os.path.isdir(staged):
+        # an in-place source regeneration changes the fingerprint: evict
+        # (and remove) the superseded layouts for the same (sf_dir,
+        # n_files) so a long-lived process doesn't strand one full staged
+        # copy of the events table in tmp per regeneration
+        import shutil
+
+        for old_key in [
+            k for k in _STAGED_CACHE if k[0] == sf_dir and k[1] == n_files
+        ]:
+            shutil.rmtree(
+                os.path.dirname(_STAGED_CACHE.pop(old_key)), ignore_errors=True
+            )
         staged = os.path.join(tempfile.mkdtemp(prefix="cdc_stage_"), "staged")
         stage_event_files(spark, sf_dir, staged, n_files=n_files)
         _STAGED_CACHE[key] = staged

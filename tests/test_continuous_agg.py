@@ -163,3 +163,30 @@ def test_streaming_end_to_end(spark, sf_dir):
     )
     q.awaitTermination(120)
     assert _view_state(ca) == _batch_expected(events)
+
+
+def test_reopen_with_different_agg_config_raises(spark, sf_dir):
+    """The aggregate column lists are part of the merge contract (review
+    r5): prior state rows carry NULL for an added sum col — read()'s
+    avg would silently cover only post-change rows — and a removed col
+    would be dropped from touched buckets only. Reopening with a drifted
+    config must raise like the base class does for keys/seq."""
+    import pytest
+
+    work = tempfile.mkdtemp(prefix="cagg_drift_")
+    events = load_table(spark, sf_dir, "events").limit(200)
+    path = os.path.join(work, "agg")
+    ca = _make(spark, path)
+    ca.merge_batch(_bucketed(events))
+    # same config reopens fine
+    _make(spark, path)
+    with pytest.raises(ValueError, match="would corrupt"):
+        ContinuousAggregate(
+            spark,
+            path,
+            group_cols=["bucket_ts", "event_type"],
+            sum_cols=["value", "event_id"],  # drifted
+            min_cols=["value"],
+            max_cols=["value"],
+            prepare=_bucketed,
+        )

@@ -425,3 +425,118 @@ def test_foreach_batch_new_query_lineage_not_dropped(spark, sf_dir):
     finally:
         sc.setLocalProperty("sql.streaming.queryId", None)
     assert spark.read.parquet(corpus_path).count() == n_before
+
+
+def test_band_crash_window_then_new_lineage_still_indexes(spark, sf_dir):
+    """Crash window (review r5): query A dies AFTER the band append but
+    BEFORE the corpus write — the band index's _last_epoch=0 is durable
+    with NO epoch dir. A new query B's epoch base computed from corpus
+    dirs alone would re-issue epoch 0 and append_batch would silently
+    skip indexing B's first batch (its docs never become cross-batch
+    candidates: a permanent duplicate leak). The base must jump past the
+    band/kept frontiers too."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    work = tempfile.mkdtemp(prefix="dd_bw_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus_path = os.path.join(work, "corpus")
+    sc = spark.sparkContext
+
+    # simulate query A's crash mid-write: bands appended (epoch 0), no
+    # corpus dir, no kept merge — process_batch is exactly the prefix of
+    # write() up to the crash point
+    dd.process_batch(docs, corpus=docs, epoch_id=0)
+    assert dd.view._last_epoch == 0
+    assert not os.path.isdir(corpus_path)
+
+    # fresh deduper objects (a restart re-reads metas from disk)
+    dd2 = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    write = dd2.foreach_batch_writer(corpus_path)
+    sc.setLocalProperty("sql.streaming.queryId", "query-B")
+    try:
+        write(docs, 0)
+        # B's batch must be INDEXED: an exact-duplicate text arriving in a
+        # later batch has to be condemned via a cross-batch candidate
+        dup = docs.filter(F.col("doc_id") == docs.agg(F.min("doc_id")).first()[0])
+        dup = dup.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            *[c for c in dup.columns if c != "doc_id"],
+        )
+        kept2 = write(dup, 1)
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+    store = [r["doc_id"] for r in spark.read.parquet(corpus_path).collect()]
+    assert 1_000_000 not in {i % 2_000_000 for i in store} or all(
+        i < 1_000_000 for i in store
+    )
+    assert all(i < 1_000_000 for i in store)  # the duplicate was dropped
+    assert len(store) == len(set(store))
+
+
+def test_replay_same_source_new_lineage_does_not_duplicate_corpus(spark, sf_dir):
+    """A new streaming query (fresh checkpoint) replaying the SAME source
+    into an existing store must not re-append already-kept documents: doc
+    ids are immutable content handles, so a known id is the same document
+    redelivered — before the exact-id guard, every unique doc re-survived
+    (it never pairs with itself) and the corpus doubled."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 80)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="dd_replay_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus_path = os.path.join(work, "corpus")
+    write = dd.foreach_batch_writer(corpus_path)
+    sc = spark.sparkContext
+    sc.setLocalProperty("sql.streaming.queryId", "query-A")
+    try:
+        write(a, 0)
+        write(b, 1)
+        n_store = spark.read.parquet(corpus_path).count()
+        kept_before = {
+            r["doc_id"] for r in dd.kept.read().select("doc_id").collect()
+        }
+        # query B: full replay of the same source, epochs restart at 0
+        sc.setLocalProperty("sql.streaming.queryId", "query-B")
+        write(a, 0)
+        write(b, 1)
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+    assert spark.read.parquet(corpus_path).count() == n_store
+    kept_after = {r["doc_id"] for r in dd.kept.read().select("doc_id").collect()}
+    assert kept_after == kept_before
+
+
+def test_deduper_string_doc_ids(spark, sf_dir):
+    """Content-handle STRING ids (hash/URL-style) through the full fold:
+    connected_components' unconditional cast('long') raised
+    CAST_INVALID_INPUT under ANSI mode for any batch with an in-batch
+    candidate pair."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 40)
+        .select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text")
+    )
+    # force an in-batch pair: two ids sharing one text
+    dup = docs.limit(1).select(
+        F.concat(F.col("doc_id"), F.lit("-copy")).alias("doc_id"), "text"
+    )
+    batch = docs.unionByName(dup)
+    work = tempfile.mkdtemp(prefix="dd_sid_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    kept = dd.dedup_batch(batch, corpus=batch, epoch_id=0)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(isinstance(i, str) for i in kept_ids)
+    # the exact-duplicate copy lost to its component's min id
+    assert sum(1 for i in kept_ids if i.endswith("-copy")) == 0
+    assert len(kept_ids) <= batch.count() - 1

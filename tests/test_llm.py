@@ -450,3 +450,14 @@ def test_semantic_dedup_recall_drift_on_planted_dups_sf01(spark):
     dropped_approx = all_ids - kept_approx
     assert len(dropped_exact) >= 40  # the planted copies are found
     assert len(dropped_approx & dropped_exact) / len(dropped_exact) >= 0.9
+
+
+def test_connected_components_string_ids(spark):
+    """Content-handle string ids (review r5): the unconditional
+    cast('long') raised CAST_INVALID_INPUT under ANSI mode. Min-label
+    propagation works on the native type; component = lexicographic min."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id1 string, id2 string"
+    )
+    comp = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
