@@ -95,7 +95,16 @@ def scripted_update_merge(
     DOUBLE — never DECIMAL, which external harnesses canonicalize
     differently than Spark does.
     """
-    quantized = F.floor(F.col("value").cast("double") * F.lit(10000.0) + F.lit(0.5))
+    v = F.col("value").cast("double")
+    # bound the floor into long range (cross-engine trap: Spark
+    # floor(double)->BIGINT silently SATURATES at ±2^63 while DuckDB
+    # errors on the cast — |v| < 9e14 keeps v*1e4 < 9e18 < 2^63). An
+    # out-of-ladder value contributes NULL to the stock sum on BOTH
+    # engines (excluded, like any unrepresentable measurement) instead of
+    # a silently saturated garbage addend.
+    quantized = F.when(
+        F.abs(v) < F.lit(9.0e14), F.floor(v * F.lit(10000.0) + F.lit(0.5))
+    )
     return (
         events.filter(F.col(op_col) == F.lit(update_op))
         .groupBy(key)

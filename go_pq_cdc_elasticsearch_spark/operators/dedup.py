@@ -153,6 +153,15 @@ def minhash_band_rows(
     500 docs, and the gap widens with corpus size. Partial aggregation
     means the shuffle carries k longs per doc, not the shingles.
     """
+    if bands <= 0 or k % bands != 0:
+        # bands > k silently made rows_per_band 0 — every band hashed
+        # md5('') for every doc, degenerating LSH into the full N^2 cross
+        # product (confirmed by execution, review r5); a non-dividing k
+        # silently dropped the trailing signature slots. Loud error.
+        raise ValueError(
+            f"minhash bands ({bands}) must divide the signature size k "
+            f"({k}); rows_per_band = k/bands must be a positive integer"
+        )
     rows_per_band = k // bands
     if grams_df is not None:
         # reuse a staged (id, grams) frame (doc_ngram_sets) — min over the

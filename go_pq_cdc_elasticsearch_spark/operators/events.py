@@ -47,8 +47,15 @@ def funnel_conversion(
     """
     k = len(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
-    # only funnel-relevant events survive to the shuffle
-    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+    # only funnel-relevant events survive to the shuffle. NULL-ts rows are
+    # excluded like sessionize does: an event with no timestamp cannot
+    # establish temporal order — unfiltered, a NULL-ts struct sorts FIRST
+    # in array_sort, is greedily consumed at stage 0, and every later
+    # 'ts > prev' is NULL so the fold wedges at stage 1 (confirmed by
+    # execution, review r5); the oracle's min(ts) chain skips NULLs too
+    ev = df.filter(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col),
         F.struct(
             F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
@@ -108,9 +115,13 @@ def transition_counts(
 ) -> DataFrame:
     """First-order transition matrix: ``(from_type, to_type, n)`` over each
     entity's time-ordered event sequence (``seq_col`` breaks timestamp
-    ties deterministically)."""
+    ties deterministically). NULL-ts rows are excluded (same contract and
+    reason as sessionize/funnel_conversion: no timestamp, no position in
+    the sequence — and their placement is ALSO engine-dependent: Spark
+    windows order NULLS FIRST, DuckDB NULLS LAST, so including them made
+    the transition pairs diverge across engines on any NULL ts)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
-    pairs = df.select(
+    pairs = df.filter(F.col(ts_col).isNotNull()).select(
         F.lag(type_col).over(w).alias("from_type"),
         F.col(type_col).alias("to_type"),
     ).filter(F.col("from_type").isNotNull())

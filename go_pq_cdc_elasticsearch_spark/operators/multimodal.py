@@ -226,10 +226,13 @@ def sample_frames(
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(blob or b"")
                 if decode_stub:
+                    # same [::every_nth_frame] contract as the real path —
+                    # the stub must not silently change sampling behavior
+                    # when code is switched to decode_stub=False
                     frames = [
                         blob[off : off + every_n_bytes]
                         for off in range(0, len(blob), every_n_bytes)
-                    ]
+                    ][::every_nth_frame]
                 else:
                     frames = [
                         codecs.encode_ppm(f)

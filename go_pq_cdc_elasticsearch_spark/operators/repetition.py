@@ -82,7 +82,13 @@ def repetition_metrics(
     repeated), keeping the filter permissive on short texts — length gates
     are a separate signal (quality_gate).
     """
-    counts = _gram_counts(df, text_col, id_col, tuple(top_ns) + tuple(dup_ns))
+    # dedup the n values: an n in BOTH tuples would explode its grams
+    # twice in the union, doubling every count — dup_n_frac read 1.0 on
+    # fully unique text and top_n_char_frac doubled (confirmed by
+    # execution, review r5)
+    counts = _gram_counts(
+        df, text_col, id_col, tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))
+    )
 
     # top-1 gram per (doc, n) — deterministic tie-break, window top-1 with
     # rank-limit pushdown (same plan family as cdc_apply)

@@ -389,7 +389,11 @@ def semantic_dedup(
     )
 
     cents = train_ivf_centroids(df, n_centroids, iters, sample, id_col, vec_col)
-    cells = with_ivf_cell(df, cents, id_col, vec_col)
+    # persist: cells feeds BOTH sides of the pair self-join — unpersisted,
+    # the Arrow/mapInPandas cell-assignment pass (full-corpus matmul +
+    # Python worker round-trip, the dominant cost) executes twice (same
+    # double-evaluation dedup_corpus persists its grams against)
+    cells = with_ivf_cell(df, cents, id_col, vec_col).persist()
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1")
     )
@@ -402,7 +406,11 @@ def semantic_dedup(
         .filter(cosine(F.col("__v1"), F.col("__v2")) >= tau)
         .select("id1", "id2")
     )
+    # connected_components executes eagerly (per-round convergence probes)
+    # and localCheckpoints its labels, so cells is out of the returned
+    # lineage by the time it returns — safe to release here
     comp = connected_components(pairs)
+    cells.unpersist()
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

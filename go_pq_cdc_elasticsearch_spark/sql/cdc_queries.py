@@ -81,7 +81,8 @@ def q_c3_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_c4_scripted_update",
     oracle="""
         SELECT user_id, count(*) AS version,
-               CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               CAST(sum(CASE WHEN abs(value) < 9.0e14 THEN
+                   CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END) AS BIGINT)
                    / 10000.0 AS stock
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id

@@ -1021,8 +1021,12 @@ def q_s48(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s49_funnel",
     oracle="""
         WITH s0 AS (
+            -- ts IS NOT NULL: a user whose every 'view' has NULL ts still
+            -- forms a group here (min over all-NULL is NULL) and would be
+            -- counted; the operator excludes NULL-ts events (no timestamp,
+            -- no temporal order)
             SELECT user_id, min(ts) AS t0 FROM events
-            WHERE event_type = 'view' GROUP BY user_id
+            WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
         ), s1 AS (
             SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
             WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id
@@ -1055,7 +1059,7 @@ def q_s49(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS from_type,
                    event_type AS to_type
-            FROM events)
+            FROM events WHERE ts IS NOT NULL)
         WHERE from_type IS NOT NULL
         GROUP BY from_type, to_type
     """,

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.operators.events import (
     funnel_conversion,
@@ -92,3 +93,41 @@ def test_funnel_empty_input_counts_zero(spark):
     out = {r["step"]: r["n_completed"] for r in
            funnel_conversion(empty, ["view", "click"]).collect()}
     assert out == {"view": 0, "click": 0}
+
+
+def test_funnel_null_ts_event_does_not_wedge(spark):
+    """A NULL-ts event of the first step's type sorted FIRST in the
+    struct array, was greedily consumed at stage 0, and every later
+    'ts > prev' was NULL — the fold wedged at stage 1 (confirmed by
+    execution, review r5). NULL-ts rows are now excluded like sessionize."""
+    rows = [
+        (1, None, "signup", 1),
+        (1, "2026-01-01 00:00:10", "signup", 2),
+        (1, "2026-01-01 00:00:20", "purchase", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["step"]: r["n_completed"]
+        for r in funnel_conversion(df, ["signup", "purchase"]).collect()
+    }
+    assert out == {"signup": 1, "purchase": 1}
+
+
+def test_transitions_exclude_null_ts(spark):
+    """NULL-ts rows have no sequence position AND order differently across
+    engines (Spark windows NULLS FIRST, DuckDB NULLS LAST) — excluded."""
+    rows = [
+        (1, None, "a", 1),
+        (1, "2026-01-01 00:00:01", "b", 2),
+        (1, "2026-01-01 00:00:02", "c", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_counts(df).collect()
+    }
+    assert got == {("b", "c"): 1}

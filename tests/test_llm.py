@@ -461,3 +461,18 @@ def test_connected_components_string_ids(spark):
     )
     comp = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_minhash_bands_must_divide_k(spark):
+    """bands > k silently made rows_per_band 0 — every band hashed md5('')
+    and LSH degenerated into the full N^2 cross product (confirmed by
+    execution, review r5); non-dividing k dropped signature slots."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        DD.minhash_band_rows(docs, k=4, bands=8)
+    with pytest.raises(ValueError, match="must divide"):
+        DD.minhash_band_rows(docs, k=16, bands=5)

@@ -190,3 +190,20 @@ def test_semantic_dedup_representative_has_witness(spark):
     }
     for d in dropped:
         assert best[d] >= 0.95
+
+
+def test_overlapping_top_and_dup_ns_not_double_counted(spark):
+    """An n present in BOTH top_ns and dup_ns exploded its grams twice in
+    the union, doubling every count: dup_n_frac read 1.0 on fully unique
+    text (confirmed by execution, review r5)."""
+    from go_pq_cdc_elasticsearch_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    both = repetition_metrics(df, top_ns=(3,), dup_ns=(3,)).first()
+    disjoint = repetition_metrics(df, top_ns=(3,), dup_ns=(4,)).first()
+    assert both["dup_3_frac"] == 0.0  # nothing repeats
+    assert abs(both["top_3_char_frac"] - disjoint["top_3_char_frac"]) < 1e-12
