@@ -25,15 +25,23 @@ from pyspark.sql import functions as F
 
 
 def pround(col: Column | str, n: int) -> Column:
-    """Portable half-up round of a double to ``n`` decimal places.
+    """Portable round of a double to ``n`` decimal places.
 
-    Domain precondition: |x·10ⁿ| must stay below 2⁶³ — Spark's
+    Tie direction: ``floor(x·10ⁿ + 0.5)`` rounds ties toward **+infinity**
+    on both engines — for NEGATIVE ties that is toward zero, not away from
+    it (pround(-0.0000005, 6) = 0.0, where Java HALF_UP gives -0.000001).
+    Signed inputs (cosine sims) get a consistent, engine-identical
+    convention either way; don't call it half-up for negatives.
+
+    Domain preconditions: (a) |x·10ⁿ| must stay below 2⁶³ — Spark's
     floor(double) returns BIGINT and SATURATES at Long.MAX while DuckDB's
     floor returns the exact double, so beyond that bound the two engines
-    diverge (the floor-saturation portability trap). Every caller here is
-    a score/ratio/percentile (|x| ≤ ~10⁶ at n ≤ 6); for unbounded
-    magnitudes (money sums) use sql/canon.py's banded integer ladder,
-    which switches to coarser exact bands above 9e14."""
+    diverge (the floor-saturation portability trap); (b) x must be FINITE
+    — Spark's floor maps NaN→0 and ±Inf→±Long.MAX while DuckDB's floor
+    keeps NaN/Inf, so a non-finite input breaks parity. Every caller here
+    is a score/ratio/percentile (finite, |x| ≤ ~10⁶ at n ≤ 6); for
+    unbounded magnitudes (money sums) use sql/canon.py's banded integer
+    ladder, which handles NaN/Inf/huge bands explicitly."""
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**n))
     return (F.floor(c.cast("double") * p + F.lit(0.5)).cast("double") / p)

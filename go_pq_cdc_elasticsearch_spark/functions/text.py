@@ -17,8 +17,15 @@ BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
 def normalize_text(col) -> Column:
-    """lower + trim + collapse internal whitespace (dedup normal form)."""
-    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    """lower + collapse whitespace + trim (dedup normal form).
+
+    Order matters: trim() strips only ' ' in BOTH engines, so trimming
+    BEFORE the collapse left edge tabs/newlines alive as a leading/
+    trailing space ('hello world\\n' -> 'hello world ') — a different
+    fingerprint than 'hello world', a missed exact-dup pair, and a
+    phantom empty edge token in words() (review r5). Collapse first,
+    then trim the now-plain spaces."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
 
 
 def words(col) -> Column:
@@ -53,7 +60,15 @@ def punct_ratio(col) -> Column:
     """Punctuation chars / total chars; NULL for the empty string — ANSI
     mode would raise DIVIDE_BY_ZERO on the bare division, and DuckDB's
     x/0 is NULL, so NULL keeps the oracles' unguarded form in parity
-    (quality rules already coalesce(rule, false))."""
+    (quality rules already coalesce(rule, false)).
+
+    ASCII heuristic, stated: the class counts EVERY non-ASCII-alphanumeric
+    char — accented letters, CJK, emoji — as "punctuation", so clean
+    non-ASCII text scores punctuation-heavy (café -> 1/4). Deliberate and
+    engine-consistent (the oracle twin uses the identical class; a
+    \\p{L}-based class is not portable across the two regex engines);
+    treat it as a symbol-noise signal for ASCII-dominant corpora, not a
+    linguistic punctuation measure."""
     n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))
     return F.when(
         F.length(col) > 0, n_punct.cast("double") / F.length(col)

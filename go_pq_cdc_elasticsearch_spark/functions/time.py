@@ -16,6 +16,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _ntz_whole_minute_seconds(c: Column) -> Column:
+    """Epoch seconds of the wall time's whole-minute prefix, from field
+    extraction only — shared by both epoch helpers so a future edge fix
+    can't silently cover one and miss the other."""
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+    )
+
+
 def ntz_epoch_seconds(col) -> Column:
     """Epoch seconds of a TIMESTAMP_NTZ wall time *interpreted as UTC*,
     computed purely from field extraction — no session-timezone conversion
@@ -24,12 +35,7 @@ def ntz_epoch_seconds(col) -> Column:
     (which also treats the wall time as UTC). Second precision (fractional
     seconds truncated)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.unix_date(c.cast("date")).cast("long") * 86400
-        + F.hour(c).cast("long") * 3600
-        + F.minute(c).cast("long") * 60
-        + F.second(c).cast("long")
-    )
+    return _ntz_whole_minute_seconds(c) + F.second(c).cast("long")
 
 
 def ntz_epoch_micros(col) -> Column:
@@ -40,22 +46,23 @@ def ntz_epoch_micros(col) -> Column:
     session zone, so gap arithmetic stays correct across DST transitions
     under any session zone."""
     c = F.col(col) if isinstance(col, str) else col
-    whole_minutes = (
-        F.unix_date(c.cast("date")).cast("long") * 86400
-        + F.hour(c).cast("long") * 3600
-        + F.minute(c).cast("long") * 60
-    )
-    return whole_minutes * 1_000_000 + (
+    return _ntz_whole_minute_seconds(c) * 1_000_000 + (
         F.extract(F.lit("SECOND"), c) * 1_000_000
     ).cast("long")
 
 
 def time_bucket_ntz(col, minutes: int) -> Column:
     """Wall-time bucket of a TIMESTAMP_NTZ column (TimescaleDB
-    ``time_bucket`` semantics for sub-hour widths: ``minutes`` must divide
-    60 so buckets align within the hour)."""
-    if 60 % minutes != 0:
-        raise ValueError("minutes must divide 60 for within-hour alignment")
+    ``time_bucket`` semantics for sub-hour widths: ``minutes`` must be a
+    positive divisor of 60 so buckets align within the hour)."""
+    if minutes <= 0 or 60 % minutes != 0:
+        # <= 0 first: `60 % 0` raises ZeroDivisionError, and negative
+        # divisors of 60 pass `60 % m != 0` in Python (60 % -5 == 0) yet
+        # produce minute=60 for a row at :59 (invalid reassembly)
+        raise ValueError(
+            "minutes must be a positive divisor of 60 for within-hour "
+            "alignment"
+        )
     c = F.col(col) if isinstance(col, str) else col
     return F.make_timestamp_ntz(
         F.year(c),

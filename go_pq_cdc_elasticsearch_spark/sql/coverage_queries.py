@@ -671,7 +671,7 @@ def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s43_lateral_explode",
     oracle="""
         SELECT word, count(*) AS n FROM (
-            SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
             FROM documents WHERE doc_id <= 100)
         GROUP BY word
         ORDER BY n DESC, word LIMIT 25

@@ -22,7 +22,7 @@ from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
 # ---- shared oracle SQL fragments (DuckDB dialect) --------------------------
 
-NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
 GRAMS_SQL = (
     "list_transform(range(1, len(w)-1), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))"
@@ -325,8 +325,12 @@ def q_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# interpolated from the SHARED constants (functions/text.py) like the
+# langid oracle — a hardcoded copy would silently fall out of lockstep
+# when STOPWORDS/BPE_TOKEN_RE change (review r5)
+_STOPWORDS_SQL = "[" + ",".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 _L8_STOP_SQL = f"""CAST(len(list_filter({WORDS_SQL},
-                     x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+                     x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
                      / len({WORDS_SQL})"""
 _L8_PUNCT_SQL = """CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
                      / length(text)"""
@@ -343,7 +347,7 @@ _L8_QUAL_PR = PR(_L8_QUAL_SQL, 6)
     oracle=f"""
         SELECT doc_id,
                CAST(len({WORDS_SQL}) AS BIGINT) AS tok_ws,
-               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS tok_bpe,
+               CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS tok_bpe,
                {_L8_STOP_PR} AS stop_ratio,
                {_L8_PUNCT_PR} AS punct_r,
                {_L8_QUAL_PR} AS quality,
@@ -642,7 +646,7 @@ def _quality_gate_oracle() -> str:
     )
     stop = (
         f"len(list_filter({WORDS_SQL}, "
-        "x -> list_contains(['the','a','of','and','to','in','is','it'], x)))"
+        f"x -> list_contains({_STOPWORDS_SQL}, x)))"
     )
     return f"""
         WITH r AS (
@@ -769,7 +773,7 @@ def _budget_select_oracle() -> str:
         " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text,"
         " '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))"
         " + 0.3 * least(5.0 * (CAST(len(list_filter(w,"
-        " x -> list_contains(['the','a','of','and','to','in','is','it'], x)))"
+        f" x -> list_contains({_STOPWORDS_SQL}, x)))"
         " AS DOUBLE) / len(w)), 1.0)",
         6,
     )

@@ -78,3 +78,31 @@ def test_lang_id_markerless_is_und(spark):
         for r in df.select("i", TX.lang_id(F.col("t")).alias("l")).collect()
     }
     assert out == {1: "und", 2: "und", 3: "und", 4: "en"}
+
+
+def test_normalize_text_edge_whitespace(spark):
+    """trim() strips only ' ' in both engines, so trimming BEFORE the
+    collapse left edge tabs/newlines alive as a leading/trailing space —
+    a different dedup fingerprint than the clean form and a phantom empty
+    edge token in words() (review r5)."""
+    df = spark.createDataFrame(
+        [("hello world\n",), ("\thello   world",), ("hello world",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(TX.normalize_text(F.col("text"))).collect()]
+    assert out == ["hello world"] * 3
+    toks = [r[0] for r in df.select(TX.token_count_ws(F.col("text"))).collect()]
+    assert toks == [2, 2, 2]
+
+
+def test_time_bucket_rejects_bad_minutes(spark):
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.functions.time import time_bucket_ntz
+
+    with pytest.raises(ValueError, match="positive divisor"):
+        time_bucket_ntz("ts", 0)
+    with pytest.raises(ValueError, match="positive divisor"):
+        time_bucket_ntz("ts", -5)
+    with pytest.raises(ValueError, match="positive divisor"):
+        time_bucket_ntz("ts", 7)
