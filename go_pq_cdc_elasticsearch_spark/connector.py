@@ -73,10 +73,23 @@ def wal_to_view_transform(cfg: ConnectorConfig):
     (lsn/op/before/after string maps) to the view's column contract —
     seq = lsn, op lower-cased with DELETE mapped to cfg.delete_op, key
     columns extracted from the row image. Payload values stay strings
-    (pgoutput text format); cast downstream if typed columns are needed."""
+    (pgoutput text format); cast downstream if typed columns are needed.
+
+    When ``cfg.table_index_mapping`` is configured, R6 routing applies
+    FIRST and unroutable tables are dropped (the reference acks-and-drops
+    them, connector.go:147-152). Without the filter, a second published
+    table with overlapping key values silently overwrote the view's rows
+    (the transform discards table_schema/table_name, so every table's
+    rows merged under cfg.keys alone — review r5)."""
     from pyspark.sql import functions as F
 
     def xform(df: DataFrame) -> DataFrame:
+        if cfg.table_index_mapping:
+            from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+
+            df = IndexRouter(cfg.table_index_mapping).route(
+                df, drop_unmapped=True
+            )
         img = F.coalesce(df["after"], df["before"])
         cols = [
             F.col("lsn").alias(cfg.seq_col),
@@ -191,10 +204,14 @@ class Connector:
             # created slot "in use") so a corrected retry hits
             # 'replication slot is in use' unless close() is called
             raise ValueError(f"snapshot_mode={mode} requires snapshot_df")
-        if self.cfg.replication is not None and mode != "snapshot_only":
-            # slot first, snapshot second — see _connect_replication
-            self._connect_replication()
         try:
+            if self.cfg.replication is not None and mode != "snapshot_only":
+                # slot first, snapshot second — see _connect_replication.
+                # INSIDE the cleanup try: a failure mid-handshake (SCRAM
+                # demanded after the socket was assigned, a non-duplicate
+                # create_slot error) must also release the session, or a
+                # start() retry orphans an open walsender
+                self._connect_replication()
             return self._start_after_connect(mode, available_now)
         except BaseException:
             # any later failure must release the walsender session, or
@@ -268,7 +285,16 @@ class Connector:
                 raise self._query.exception()
             if self._query.isActive:
                 return True
-            time.sleep(0.05)
+            # not active with no exception: an availableNow run that
+            # already drained terminated SUCCESSFULLY — ready, not a
+            # timeout (busy-waiting the full window here made a fast
+            # successful run read as 'never became ready'). Re-check the
+            # exception once after a beat in case termination won the race
+            # with its error being recorded.
+            time.sleep(0.1)
+            if self._query.exception() is not None:
+                raise self._query.exception()
+            return True
         return False
 
     def await_drained(self) -> None:

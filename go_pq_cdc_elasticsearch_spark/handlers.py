@@ -92,9 +92,15 @@ def python_handler(
     """
 
     def transform(envelope: DataFrame) -> DataFrame:
-        out_schema = "seq long, " + ACTION_SCHEMA.simpleString()[7:-1].replace(
-            ":", " "
-        ).replace(",", ", ")
+        # programmatic StructType, not simpleString() slicing: the string
+        # surgery (':'->' ', ','->', ') only survives while every action
+        # field is a bare primitive — a future map/struct field would be
+        # silently corrupted into unparseable DDL (review r5)
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [T.StructField("seq", T.LongType(), True), *ACTION_SCHEMA.fields]
+        )
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd

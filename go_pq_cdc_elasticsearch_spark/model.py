@@ -44,20 +44,30 @@ ENVELOPE_SCHEMA = T.StructType(
 
 
 # Predicates — reference message.go:80-83 (IsInsert/IsUpdate/IsDelete/IsSnapshot).
+def _op_col(col):
+    """Accept a Column OR a column-name string (the usual PySpark
+    convention). A bare string used to fall into Column.__eq__ reflection
+    — lit('INSERT') == lit('op'), a constant-FALSE predicate that silently
+    matched zero rows instead of referencing the column (review r5)."""
+    if col is None:
+        return F.col("op")
+    return F.col(col) if isinstance(col, str) else col
+
+
 def is_insert(col=None):
-    return (F.col("op") if col is None else col) == F.lit(INSERT)
+    return _op_col(col) == F.lit(INSERT)
 
 
 def is_update(col=None):
-    return (F.col("op") if col is None else col) == F.lit(UPDATE)
+    return _op_col(col) == F.lit(UPDATE)
 
 
 def is_delete(col=None):
-    return (F.col("op") if col is None else col) == F.lit(DELETE)
+    return _op_col(col) == F.lit(DELETE)
 
 
 def is_snapshot(col=None):
-    return (F.col("op") if col is None else col) == F.lit(SNAPSHOT)
+    return _op_col(col) == F.lit(SNAPSHOT)
 
 
 def envelope_from_events(events: DataFrame, table: str = "public.events") -> DataFrame:

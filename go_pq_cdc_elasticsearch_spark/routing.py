@@ -111,7 +111,11 @@ class IndexRouter:
             if target is None:
                 continue
             if "." in chunk:
-                known[chunk] = target
+                # setdefault, not assignment: resolve() gives an EXACT
+                # mapping entry for the same schema.table priority over the
+                # hypertable parent (step 1 before step 2); overwriting
+                # here made the column path disagree with the Python path
+                known.setdefault(chunk, target)
             else:
                 ht_by_name[chunk] = target
         # Unknown-at-config-time partition children (e.g. orders_2024_01)

@@ -42,6 +42,14 @@ def actions_from_envelope(
     with the (enriched) new image as the document; delete -> Delete action
     keyed by the old image's id. Keeps ``seq`` for in-batch dedup ordering.
     """
+    if index_col == "index" and "index" not in envelope.columns:
+        # same guard as script_update_handler: an UNROUTED envelope
+        # (ENVELOPE_SCHEMA has no 'index' column until IndexRouter.route
+        # attaches one) must produce NULL-index actions for the sink's
+        # routing/validation to reject per document, not an opaque
+        # UNRESOLVED_COLUMN AnalysisException at plan time — the three
+        # preset handlers share one contract (review r5)
+        envelope = envelope.withColumn("index", F.lit(None).cast("string"))
     is_del = F.col("op") == F.lit(delete_op)
     payload = F.when(is_del, F.col("old_data")).otherwise(F.col("new_data"))
     # drop a pre-existing 'operation' key before the concat: the reference

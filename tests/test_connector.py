@@ -298,3 +298,36 @@ def test_connector_initial_mode_creates_slot_before_snapshot(spark, sf_dir):
     with pytest.raises(_Halt):
         c.start()
     assert order == ["create_slot", "snapshot", "start_replication"]
+
+
+def test_wal_transform_routes_and_drops_unmapped_tables(spark):
+    """With table_index_mapping configured, R6 routing applies before the
+    view transform and unroutable tables are dropped (the reference
+    acks-and-drops, connector.go:147-152) — without it a second published
+    table's rows silently overwrote the view under shared key values
+    (review r5)."""
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        ConnectorConfig,
+        wal_to_view_transform,
+    )
+
+    cfg = ConnectorConfig(
+        staged_dir="/tmp/x",
+        view_path="/tmp/y",
+        checkpoint_dir="/tmp/z",
+        keys=("id",),
+        seq_col="lsn",
+        table_index_mapping={"public.orders": "orders_idx"},
+    )
+    rows = [
+        (1, "INSERT", "public", "orders", None, {"id": "1"}, "t"),
+        (2, "INSERT", "public", "users", None, {"id": "1"}, "t"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, table_schema string, table_name string, "
+        "before map<string,string>, after map<string,string>, ts string",
+    )
+    out = wal_to_view_transform(cfg)(df).collect()
+    assert len(out) == 1  # users dropped, not merged over orders
+    assert out[0]["id"] == "1" and out[0]["lsn"] == 1

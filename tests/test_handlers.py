@@ -175,3 +175,32 @@ def test_python_handler_drops_none_doc_id(spark, sf_dir):
     out = H.python_handler(fn)(env).collect()
     assert out  # the keyed actions survived
     assert all(r["doc_id"] != "None" for r in out)
+
+
+def test_simple_handler_unrouted_envelope_gets_null_index(spark, sf_dir):
+    """An UNROUTED envelope (no 'index' column yet) must produce
+    NULL-index actions like script_update_handler does — not an
+    UNRESOLVED_COLUMN AnalysisException at plan time (review r5)."""
+    from go_pq_cdc_elasticsearch_spark import model
+    from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
+
+    env = model.envelope_from_events(
+        load_table(spark, sf_dir, "events").limit(20)
+    )
+    acts = simple_handler(env, id_field="id")
+    rows = acts.collect()
+    assert rows and all(r["index"] is None for r in rows)
+
+
+def test_model_predicates_accept_string_column_name(spark, sf_dir):
+    """is_delete('op') used to hit Column.__eq__ reflection and build a
+    constant-FALSE literal comparison that silently dropped every row
+    (review r5)."""
+    from go_pq_cdc_elasticsearch_spark import model
+
+    df = spark.createDataFrame(
+        [("INSERT",), ("DELETE",), ("UPDATE",)], "op string"
+    )
+    assert df.filter(model.is_insert("op")).count() == 1
+    assert df.filter(model.is_delete("op")).count() == 1
+    assert df.filter(model.is_update(F.col("op"))).count() == 1

@@ -137,3 +137,22 @@ def test_bare_hypertable_parent_agrees_between_paths(spark):
         "table_schema string, table_name string, v int",
     )
     assert r.route(df).collect()[0]["index"] == "cpu-idx"
+
+
+def test_exact_mapping_beats_hypertable_parent_in_column_path(spark):
+    """An exact mapping entry for a schema-qualified chunk must win over
+    its hypertable parent in BOTH paths — route() used to overwrite the
+    exact entry with the parent target, disagreeing with resolve()
+    (review r5)."""
+    r = IndexRouter(
+        {"_timescaledb_internal._hyper_1_1_chunk": "chunk_override",
+         "public.metrics": "metrics_idx"},
+        hypertable_parents={"_timescaledb_internal._hyper_1_1_chunk": "metrics"},
+    )
+    assert r.resolve("_timescaledb_internal", "_hyper_1_1_chunk") == "chunk_override"
+    df = spark.createDataFrame(
+        [("_timescaledb_internal", "_hyper_1_1_chunk")],
+        "table_schema string, table_name string",
+    )
+    got = r.route(df).select("index").first()[0]
+    assert got == "chunk_override"
