@@ -45,8 +45,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
             # genuinely NANOS data: the conf must STAY set (execution
-            # re-reads footers under the current conf)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # re-reads footers under the current conf). Reassemble to
+            # TIMESTAMP_NTZ with pure integer/field arithmetic — the
+            # earlier timestamp_micros() gave an INSTANT, so this branch
+            # disagreed in type with the us branch (which infers NTZ), and
+            # any later cast('timestamp_ntz') converted through the
+            # SESSION zone: ns-shaped data under a non-UTC session shifted
+            # every wall time vs the oracle (review r5). The testdata
+            # epoch is post-1970, so the div/mod split needs no negative
+            # handling.
+            micros = F.expr("ts div 1000")
+            days = F.expr("(ts div 1000) div 86400000000")
+            rem = micros - days * F.lit(86_400_000_000)
+            d = F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int"))
+            df = df.withColumn(
+                "ts",
+                F.make_timestamp_ntz(
+                    F.year(d),
+                    F.month(d),
+                    F.dayofmonth(d),
+                    (rem / F.lit(3_600_000_000)).cast("int"),
+                    ((rem / F.lit(60_000_000)) % 60).cast("int"),
+                    (rem % F.lit(60_000_000)).cast("decimal(16,6)")
+                    / F.lit(1_000_000),
+                ),
+            )
         elif prev is None:
             # us-precision data: restore the session conf — leaving it set
             # would make UNRELATED parquet reads in this session decode

@@ -16,6 +16,8 @@ functions/rounding.py, mirrored verbatim in every oracle.
 
 from __future__ import annotations
 
+import uuid
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -195,8 +197,16 @@ def q_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user. Implemented shuffle-once via union+window (operators/asof.py),
     not as a range join."""
     events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase")
-    clicks = events.filter(F.col("event_type") == "click")
+    # prune BEFORE the join: asof_join unions the left side at full width
+    # through its per-key shuffle+sort — dragging event_type/value/props
+    # along only to drop them in the final select roughly doubles the
+    # shuffled bytes (review r5)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
     joined = asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts"
     )
@@ -416,7 +426,7 @@ def q_s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_partkey,
                upper(p_brand) AS brand_u,
                substr(p_name, 1, 8) AS name8,
-               concat(p_brand, '#', p_type) AS bt,
+               concat_ws('#', p_brand, p_type) AS bt,
                CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS is_red,
                len(string_split(p_name, ' ')) AS n_words
         FROM part WHERE p_partkey <= 100
@@ -429,6 +439,10 @@ def q_s16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
         F.substring("p_name", 1, 8).alias("name8"),
+        # concat_ws on BOTH sides: DuckDB's concat(a,'#',b) skips a NULL
+        # but keeps the separator ('Brand#'), Spark's concat_ws drops
+        # separator AND value ('Brand') — concat_ws has identical
+        # null-skipping semantics in both engines (review r5)
         F.concat_ws("#", "p_brand", "p_type").alias("bt"),
         F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("is_red"),
         F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
@@ -510,7 +524,10 @@ def q_s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id") <= 10).select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("emb0"),
+        # try_element_at: ANSI mode raises INVALID_ARRAY_INDEX on an empty
+        # array while the oracle's embedding[1] yields NULL — same
+        # crash-vs-NULL asymmetry q_s20/q_s22 guard (review r5)
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("emb0"),
         F.array_max("embedding").cast("double").alias("emb_max"),
     )
 
@@ -555,16 +572,24 @@ def q_s21(spark: SparkSession, sf_dir: str) -> DataFrame:
     can land a price inside the wobble of the threshold — an integer count
     has no rounding canonicalization to absorb that."""
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT count(*) AS n FROM orders
-        WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-              * (SELECT count(*) FROM orders)
-            > (SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                         AS BIGINT)) FROM orders)
-        """
-    )
+    # a UNIQUELY named temp view: createOrReplaceTempView("orders") was a
+    # session-global catalog mutation that silently repointed any
+    # pre-registered 'orders' view (e.g. a different sf_dir) for every
+    # later spark.sql consumer (review r5)
+    vname = "q_s21_orders_" + uuid.uuid4().hex[:12]
+    orders.createOrReplaceTempView(vname)
+    try:
+        return spark.sql(
+            f"""
+            SELECT count(*) AS n FROM {vname}
+            WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * (SELECT count(*) FROM {vname})
+                > (SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) FROM {vname})
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(vname)
 
 
 @query(

@@ -191,8 +191,6 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retroactively).",
 )
 def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-
     from go_pq_cdc_elasticsearch_spark.catalog import load_table
     from go_pq_cdc_elasticsearch_spark.functions.time import ntz_epoch_seconds
     from go_pq_cdc_elasticsearch_spark.sources.replay import stage_slices
@@ -340,6 +338,12 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for r in events
     ]
+    if not msgs:
+        # empty events table (regeneration shape q_t4 already guards):
+        # zero segments means zero micro-batches and an uninitialized
+        # view whose read() raises — the oracle's empty result is the
+        # in-contract answer (review r5)
+        return spark.createDataFrame([], "user_id long, v string")
     third = max(1, len(msgs) // 3)
     for i in range(0, len(msgs), third):
         W.write_wal_segment(wal_dir, msgs[i : i + third])
@@ -391,8 +395,15 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "check in the suite.",
 )
 def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
     from go_pq_cdc_elasticsearch_spark.streaming.pipeline import replay_events_to_view
 
+    if load_table(spark, sf_dir, "events").limit(1).count() == 0:
+        # empty feed: no micro-batch ever initializes the view; the
+        # oracle's empty result is the in-contract answer (review r5)
+        return spark.createDataFrame(
+            [], "user_id long, event_type string, value double"
+        )
     view = replay_events_to_view(spark, sf_dir, n_files=4)
     return view.read().select("user_id", "event_type", "value")
 
@@ -434,6 +445,14 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") <= 20000
     )
+    if events.limit(1).count() == 0:
+        # empty feed: no merge ever creates bucket dirs and read() raises;
+        # the oracle's empty result is the in-contract answer (review r5)
+        return spark.createDataFrame(
+            [],
+            "bucket_ts timestamp_ntz, event_type string, n long, "
+            "sum_value decimal(30,10), min_value double, max_value double",
+        )
     work = tempfile.mkdtemp(prefix="cagg_q_")
     ca = ContinuousAggregate(
         spark,
@@ -517,17 +536,21 @@ def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed shape that survives unbounded streams.",
 )
 def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.functions.time import ntz_epoch_micros
+
     stream = _staged_stream(spark, sf_dir)
     base = stream.filter(F.col("user_id") <= 100)
     # Structured Streaming watermarks require TIMESTAMP (an instant), not
-    # NTZ — cast through the session zone. The join compares time
-    # DIFFERENCES, so the constant offset cancels; only pairs straddling a
-    # DST transition of an exotic session zone could shift, accepted here.
+    # NTZ. Epoch-micros reassembly (the q_t4 idiom, at full precision so
+    # the 30-minute boundary classifies identically) is tz-FREE — a plain
+    # cast went through the session zone, where wall times inside a DST
+    # repeated/skipped hour map non-uniformly to instants and a pair's
+    # 30-minute wall gap could shift vs the wall-time oracle (review r5).
     views = (
         base.filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_uid"),
-            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.timestamp_micros(ntz_epoch_micros(F.col("ts"))).alias("v_ts"),
         )
         .withWatermark("v_ts", "2 hours")
     )
@@ -535,7 +558,7 @@ def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_uid"),
-            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.timestamp_micros(ntz_epoch_micros(F.col("ts"))).alias("p_ts"),
         )
         .withWatermark("p_ts", "2 hours")
     )
