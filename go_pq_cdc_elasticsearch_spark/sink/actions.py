@@ -45,10 +45,10 @@ def actions_from_envelope(
     if index_col == "index" and "index" not in envelope.columns:
         # same guard as script_update_handler: an UNROUTED envelope
         # (ENVELOPE_SCHEMA has no 'index' column until IndexRouter.route
-        # attaches one) must produce NULL-index actions for the sink's
-        # routing/validation to reject per document, not an opaque
-        # UNRESOLVED_COLUMN AnalysisException at plan time — the three
-        # preset handlers share one contract (review r5)
+        # attaches one) must produce NULL-index actions that the sink's
+        # framing then rejects LOUDLY with doc context (frame_actions) —
+        # not an opaque UNRESOLVED_COLUMN AnalysisException at plan time.
+        # The three preset handlers share one contract (review r5).
         envelope = envelope.withColumn("index", F.lit(None).cast("string"))
     is_del = F.col("op") == F.lit(delete_op)
     payload = F.when(is_del, F.col("old_data")).otherwise(F.col("new_data"))

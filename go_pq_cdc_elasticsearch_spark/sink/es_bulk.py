@@ -128,6 +128,28 @@ def frame_actions(
     the full payload (the reference pools buffers for the same reason,
     bulk/bulk.go:188-192)."""
     for r in rows:
+        if r["action"] not in ("index", "delete", "script_update"):
+            # explicit, doc-addressed failure — a bare KeyError from the
+            # verb lookup was the same opaque mid-partition death the
+            # NULL-source guards below exist to prevent
+            raise ValueError(
+                f"unknown action {r['action']!r} for doc_id="
+                f"{r.get('doc_id')!r} index={r.get('index')!r}: expected "
+                f"'index', 'delete' or 'script_update'"
+            )
+        if r.get("doc_id") is None or r.get("index") is None:
+            # one NULL _index/_id poisons the WHOLE bulk request (ES
+            # rejects it with HTTP 400 before processing any item), so the
+            # per-document rejection actions_from_envelope promises must
+            # happen here, with context, before any byte is framed —
+            # an unrouted action must not crash-loop the stream blind
+            raise ValueError(
+                f"{r['action']} action has NULL "
+                f"{'doc_id' if r.get('doc_id') is None else 'index'} "
+                f"(doc_id={r.get('doc_id')!r} index={r.get('index')!r}) — "
+                f"route the envelope (IndexRouter) or filter keyless rows "
+                f"before the sink"
+            )
         yield action_meta_line(
             r["action"], r["doc_id"], r["index"], r.get("routing"), type_name
         )
@@ -391,7 +413,12 @@ def write_bulk_results(
                             "doc_id": e["_id"],
                             "index": e["_index"],
                             "status": int(e["status"] or 0),
-                            "error": str(e["error"]),
+                            # json.dumps, not str(): ES error objects are
+                            # dicts, and Python repr (single quotes) made
+                            # the persisted DLQ error column unparseable
+                            "error": json.dumps(e["error"])
+                            if not isinstance(e["error"], str)
+                            else e["error"],
                             "ok": False,
                         }
                     )

@@ -345,7 +345,15 @@ class MaterializedView:
         exists for. The frontier is recorded after the bucket swap, so a
         crash exactly between swap and meta write re-merges that one
         batch on restart — harmless here, quantified in the subclass
-        docs."""
+        docs.
+
+        ``batch`` must be DETERMINISTIC across re-evaluation (foreachBatch
+        sources are; a direct caller passing sample()/rand()-derived keys
+        is not): the batch is evaluated twice — once for the touched-
+        bucket probe, once for the write — and a row that hashes into a
+        bucket outside the probed set on the second evaluation is
+        silently discarded by the swap. Pin a non-deterministic frame
+        with localCheckpoint() before merging."""
         if lineage is not None:
             if self._lineage is not None and lineage != self._lineage:
                 # genuinely different feeding query: its epoch counter is
@@ -382,7 +390,10 @@ class MaterializedView:
         # scale the probe job costs more than the merge it would prune
         # (r2 verdict item 2 — the q_t6/q_t7 per-batch overhead).
         if self.n_buckets == 1:
-            touched = [0]
+            # still probe emptiness (one cheap limit-1 job): touched=[0]
+            # unconditionally bypassed the empty-batch fast path below, so
+            # every idle processing-time tick fully rewrote the view
+            touched = [] if batch.isEmpty() else [0]
         else:
             touched = sorted(
                 r["b"]
@@ -405,9 +416,28 @@ class MaterializedView:
         # mergeSchema footer reconciliation only once drift has EVER
         # happened (a drifted merge rewrites only touched buckets, so file
         # schemas stay non-uniform until vacuum's full rewrite clears it).
-        drift = self._columns is None or sorted(batch.columns) != self._columns
+        # Drift means NEW columns only: a batch merely MISSING known
+        # columns writes the superset anyway (union with state), so
+        # flagging it re-armed _drifted on every batch forever after a
+        # source dropped a column — defeating vacuum's reset (review r5).
+        # The one narrow case that does write non-uniform files — no
+        # existing state for the touched buckets and a missing-column
+        # batch — is flagged explicitly below.
+        batch_cols = set(batch.columns)
+        known = set(self._columns or [])
+        drift = self._columns is None or bool(batch_cols - known)
+        if not existing and batch_cols != known:
+            drift = True
         if drift:
             self._drifted = True
+            self._columns = sorted(known | batch_cols)
+            # meta BEFORE the swap: a crash in between left non-uniform
+            # bucket files that reopened with mergeSchema=false — Spark
+            # then takes one file's footer as the schema and the new
+            # column silently vanishes (review r5). Writing the flag
+            # first only risks a spurious mergeSchema read: time, not
+            # corruption.
+            self._write_meta()
         if existing:
             merged = self._read_buckets(
                 existing, merge_schema=self._drifted
@@ -416,11 +446,8 @@ class MaterializedView:
             merged = compact
         new_state = self._resolve(merged)
         self._swap_buckets(new_state, buckets=touched)
-        if drift:
-            self._columns = sorted(set(self._columns or []) | set(batch.columns))
         if epoch_id is not None:
             self._last_epoch = epoch_id
-        if drift or epoch_id is not None:
             self._write_meta()
 
     def _swap_buckets(self, df: DataFrame, buckets: list[int] | None) -> None:
@@ -466,8 +493,22 @@ class MaterializedView:
             | (F.col(self.seq_col) > F.lit(watermark_seq))
         )
         # _swap_buckets writes the tmp copy BEFORE renaming any source
-        # bucket dir away, so the lazy read above is safe
+        # bucket dir away, so the lazy read above is safe. The schema is
+        # captured BEFORE the swap: if retention empties the view, every
+        # bucket dir is removed and the schema would be gone with them.
+        schema = keep.schema
         self._swap_buckets(keep, buckets=self._bucket_dirs())
+        if not self._bucket_dirs():
+            # retention dropped the last row: keep the SCHEMA alive as an
+            # empty bucket-0 file so read() returns an empty typed frame
+            # instead of raising 'not initialized' for a view that very
+            # much is (review r5)
+            from pyspark.sql import types as T
+
+            empty = self.spark.createDataFrame(
+                [], T.StructType([f for f in schema.fields if f.name != _BUCKET_COL])
+            )
+            empty.coalesce(1).write.mode("overwrite").parquet(self._bucket_dir(0))
         if self._drifted:
             # the full rewrite re-unified every bucket's file schema
             self._drifted = False

@@ -242,3 +242,23 @@ def test_write_bulk_rejects_unknown_on_error(spark):
     )
     with pytest.raises(ValueError, match="on_error"):
         EB.write_bulk(df, transport=lambda p: "{}", on_error="Fail")
+
+
+def test_unknown_action_and_null_index_fail_with_context():
+    """A bare KeyError (unknown action) or a NULL _index poisoning the
+    whole bulk request must surface as explicit doc-addressed errors
+    before any byte frames (review r5)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown action"):
+        list(EB.frame_actions(
+            [{"action": "DELETE", "doc_id": "1", "index": "i",
+              "routing": None, "source": None}]))
+    with pytest.raises(ValueError, match="NULL index"):
+        list(EB.frame_actions(
+            [{"action": "index", "doc_id": "1", "index": None,
+              "routing": None, "source": "{}"}]))
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        list(EB.frame_actions(
+            [{"action": "delete", "doc_id": None, "index": "i",
+              "routing": None, "source": None}]))

@@ -289,3 +289,52 @@ def test_rebucket_crash_recovery(spark):
     mv3 = MaterializedView(spark, path)
     mv3.rebucket(8)
     assert {r["user_id"]: r["value"] for r in mv3.read().collect()} == before
+
+
+def test_vacuum_to_empty_keeps_schema_readable(spark):
+    """Retention dropping the LAST row must leave an empty typed view, not
+    a 'not initialized' FileNotFoundError (review r5)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_empty_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=2)
+    mv.merge_batch(_batch(spark, [(1, "delete", 5, 1.0), (2, "delete", 6, 2.0)]))
+    mv.vacuum(watermark_seq=10)  # every tombstone below the watermark
+    out = mv.read()
+    assert out.count() == 0
+    assert "user_id" in out.columns  # schema survived
+
+
+def test_drift_not_rearmed_by_missing_column_batches(spark):
+    """A source that permanently DROPPED a column must not re-flag drift
+    on every batch forever (defeating vacuum's reset) — the merged write
+    carries the superset, so the files stay uniform (review r5)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_drift_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=2)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 1.0)]))
+    from pyspark.sql import functions as F
+    wide = _batch(spark, [(2, "insert", 2, 2.0)]).withColumn("src", F.lit("a"))
+    mv.merge_batch(wide)  # drift: new column
+    assert mv._drifted
+    mv.vacuum(watermark_seq=-1)  # full rewrite unifies schemas
+    assert not mv._drifted
+    narrow = _batch(spark, [(3, "insert", 3, 3.0)])  # 'src' missing
+    mv.merge_batch(narrow)
+    assert not mv._drifted  # missing-known-column batch: no re-arm
+    got = {r["user_id"]: r["src"] for r in mv.read().collect()}
+    assert got[2] == "a" and got[3] is None
+
+
+def test_one_bucket_empty_batch_skips_rewrite(spark):
+    """An empty micro-batch on a 1-bucket view must hit the fast path,
+    not rewrite the whole bucket (review r5)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_1b_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=1)
+    mv.merge_batch(_batch(spark, [(1, "insert", 1, 1.0)]))
+    bucket = os.path.join(path, "__bucket=0")
+    before = sorted(os.listdir(bucket))
+    mtimes = {f: os.path.getmtime(os.path.join(bucket, f)) for f in before}
+    mv.merge_batch(_batch(spark, []))
+    after = sorted(os.listdir(bucket))
+    assert after == before
+    assert all(
+        os.path.getmtime(os.path.join(bucket, f)) == mtimes[f] for f in after
+    )
