@@ -103,7 +103,9 @@ def _warm_streaming(spark, sf_dir: str) -> None:
 
 def run(out) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # anchored number form: [0-9.]+ could capture '0.1.' from a dir like
+    # sf0.1.bak and float() would kill the bench before the JSON line
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
@@ -168,10 +170,13 @@ def run(out) -> int:
     # both runs do the full scan+shuffle work (sustained throughput).
     extra: dict[str, float] = {}
     try:
-        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        n_events = events.count()
-        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        n_li = li.count()
+        from go_pq_cdc_elasticsearch_spark.catalog import load_table
+
+        # load_table, not a raw read: events.ts has shipped as
+        # TIMESTAMP(NANOS), which a bare parquet read only survives via
+        # conf leakage from earlier load_table calls
+        n_events = load_table(spark, sf_dir, "events").count()
+        n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         best_cdc = best_snap = 0.0
         for _ in range(2):
             t0 = time.time()

@@ -8,51 +8,38 @@ Usage: python tools/check.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
 
-from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
 from go_pq_cdc_elasticsearch_spark.session import get_spark  # noqa: E402
 from go_pq_cdc_elasticsearch_spark.sql import EXT_REGISTRY, REGISTRY  # noqa: E402
 
-
-def canon_value(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{round(v, 6):.6f}"
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
-
-
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append("\x01".join(canon_value(r[i]) for i in order))
-    out.sort()
-    return out
+# the ONE comparison implementation (canonicalization + view setup),
+# shared with the tests — a second copy here had already started to
+# drift from the one testing_utils.py documents as shared (review r5)
+from go_pq_cdc_elasticsearch_spark.testing_utils import (  # noqa: E402
+    canon_rows,
+    duckdb_con,
+)
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    known = {**REGISTRY, **EXT_REGISTRY}
+    unknown = only - set(known)
+    if unknown:
+        # a typo'd filter name used to run NOTHING and exit 0 ('0 pass,
+        # 0 fail') — a scripted verify step then saw green while zero
+        # oracle comparisons ran (review r5)
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
+    con = duckdb_con(sf_dir)
     n_pass = n_fail = n_rows_only = 0
-    for name, q in sorted({**REGISTRY, **EXT_REGISTRY}.items()):
+    for name, q in sorted(known.items()):
         if only and name not in only:
             continue
         t0 = time.time()

@@ -84,6 +84,10 @@ def build(sf_dir: str) -> None:
             with open(done) as f:
                 if f.read().strip() == marker:
                     continue
+            # source mismatch: remove the stale marker BEFORE rebuilding —
+            # an interrupted rebuild would otherwise leave the old marker
+            # on a mixed-source dir that a later matching run accepts
+            os.remove(done)
 
         def replicas(name, remap):
             parts = []
@@ -137,6 +141,8 @@ def build(sf_dir: str) -> None:
     done = os.path.join(skew_dir, ".complete")
     marker = os.path.abspath(sf_dir)
     if not (os.path.exists(done) and open(done).read().strip() == marker):
+        if os.path.exists(done):
+            os.remove(done)  # same stale-marker rule as the scale dirs
         ev16 = pq.read_table(table_path(os.path.join(ROOT, "x16"), "events"))
         uid = ev16.column("user_id")
         hot = pc.max(uid).as_py() + 1
@@ -249,7 +255,9 @@ def main() -> int:
         best = dt if best is None else min(best, dt)
     results["cdc_apply_skew_hotkey"] = {"x16_skew": round(best, 2)}
     clean = results.get("cdc_apply", {}).get("x16")
-    if clean:
+    # is-not-None + epsilon, not truthiness: a run rounding to 0.0 would
+    # silently drop the headline ratio/slope fields (review r5)
+    if clean is not None and clean > 1e-9:
         results["cdc_apply_skew_hotkey"]["ratio_vs_clean_x16"] = round(
             best / clean, 2
         )
@@ -257,15 +265,21 @@ def main() -> int:
 
     import math
 
+    def _slope(lo, hi):
+        if lo is None or hi is None:
+            return None  # probe didn't run at these scales
+        if lo <= 1e-9 or hi <= 1e-9:
+            print(f"slope skipped (timing ~0): {lo} -> {hi}", file=sys.stderr)
+            return None
+        return round(math.log(hi / lo) / math.log(4.0), 2)
+
     for name, r in results.items():
-        if r.get("x4") and r.get("x16") and r["x4"] > 0:
-            r["slope_x4_x16"] = round(
-                math.log(r["x16"] / r["x4"]) / math.log(4.0), 2
-            )
-        if r.get("x16") and r.get("x64") and r["x16"] > 0:
-            r["slope_x16_x64"] = round(
-                math.log(r["x64"] / r["x16"]) / math.log(4.0), 2
-            )
+        s = _slope(r.get("x4"), r.get("x16"))
+        if s is not None:
+            r["slope_x4_x16"] = s
+        s = _slope(r.get("x16"), r.get("x64"))
+        if s is not None:
+            r["slope_x16_x64"] = s
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(json.dumps(results, sort_keys=True))

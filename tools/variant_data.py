@@ -95,8 +95,11 @@ def _documents_with_edges(table: pa.Table) -> pa.Table:
         "text": ["", "   \n\t  ", "word", "café naïve — ☃ 雪だるま", "x" * 5000],
         "lang": ["en"] * 5,
         "source": ["edge"] * 5,
-        "n_chars": [0, 7, 4, 23, 5000],
     }
+    # n_chars derived, not a literal: the unicode row's hand-counted 23
+    # didn't match len(text)=19 (review r5), silently breaking the
+    # n_chars == length(text) convention the other edge rows follow
+    extra["n_chars"] = [len(t) for t in extra["text"]]
     et = pa.table(
         {c: pa.array(extra[c], table.schema.field(c).type) for c in table.schema.names}
     )
