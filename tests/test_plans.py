@@ -207,3 +207,37 @@ def test_lsh_index_probe_partition_prunes(spark):
     # the scan carries a PartitionFilters IN-list over __bucket, i.e. the
     # untouched bucket dirs are never opened
     assert "PartitionFilters: [__bucket" in plan and " IN " in plan
+
+
+def test_semantic_dedup_pairs_are_cell_equi_join(spark):
+    # the quadratic step must be CONFINED to cells: the pair generation is
+    # an equi-join on the cell id, never a global cartesian product
+    from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings").limit(200)
+    cents = SIM.train_ivf_centroids(emb, n_centroids=4, sample=256)
+    cells = SIM.with_ivf_cell(emb, cents)
+    a = cells.select(F.col("cell"), F.col("vec_id").alias("id1"),
+                     F.col("embedding").alias("__v1"))
+    b = cells.select(F.col("cell"), F.col("vec_id").alias("id2"),
+                     F.col("embedding").alias("__v2"))
+    pairs = a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bounded_claim_queries_have_no_cartesian_blowup(spark):
+    # q_lx1/q_lx4 combine 1-row claim frames via crossJoin — legitimate
+    # (single-row broadcast), but the DATA-SCALED side must stay free of
+    # cartesian/unpruned nested-loop shapes
+    from go_pq_cdc_elasticsearch_spark.sql import EXT_REGISTRY
+
+    for name in ("q_lx1_ann_ivf", "q_lx4_semantic_dedup"):
+        df = EXT_REGISTRY[name].spark(spark, SF)
+        plan = _plan(df)
+        # every nested-loop join in these plans must be against a 1-row
+        # aggregate (the claim scalar), which Spark plans as a broadcast
+        # of that single row — a CartesianProduct would mean the corpus
+        # sides got crossed
+        assert "CartesianProduct" not in plan, name
