@@ -471,15 +471,21 @@ def q_s30(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT user_id,
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-            FROM events)
+            FROM events WHERE ts IS NOT NULL)
         GROUP BY user_id
     """,
 )
 def q_s31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL semantics: lag-produced nulls through coalesce / IS NULL."""
+    """NULL semantics: lag-produced nulls through coalesce / IS NULL.
+    NULL-ts rows are excluded on both sides (the standing rule for every
+    window ordered by the nullable ts: Spark windows are NULLS FIRST,
+    DuckDB NULLS LAST, so their position — and therefore lag()'s
+    neighbors — diverges; confirmed by execution, review r5)."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         events.withColumn("prev", F.lag("value").over(w))
@@ -648,18 +654,14 @@ def q_s42(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # tz-free wall-time bucketing: events.ts is TIMESTAMP_NTZ, and the
-    # unix_timestamp round-trip form interprets it in the SESSION timezone
-    # — offsets cancel only when the zone offset is a bucket multiple AND
-    # constant (DST transitions break it; measured mismatches under
-    # America/New_York). Field extraction + string assembly never leaves
-    # wall time, so the result is identical under any session timezone —
-    # matching DuckDB's naive-timestamp epoch() math.
-    bucket = F.concat(
-        F.date_format("ts", "yyyy-MM-dd HH:"),
-        F.lpad((F.floor(F.minute("ts") / 15) * 15).cast("string"), 2, "0"),
-        F.lit(":00"),
-    )
+    from go_pq_cdc_elasticsearch_spark.functions.time import time_bucket_ntz
+
+    # tz-free wall-time bucketing via the SHARED helper (functions/
+    # time.py::time_bucket_ntz — field extraction + NTZ reassembly, never
+    # through the session zone; the unix_timestamp round-trip form shifts
+    # under non-UTC zones/DST). A hand-rolled string-assembly copy lived
+    # here before — one bucketing implementation, one place (review r5).
+    bucket = F.date_format(time_bucket_ntz("ts", 15), "yyyy-MM-dd HH:mm:ss")
     return events.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total"),
@@ -774,16 +776,18 @@ def q_s36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
+        # try_element_at: ANSI mode raises INVALID_ARRAY_INDEX on a short/
+        # empty array while the oracle's [i] yields NULL (the q_s19 rule)
         pround(
-            F.element_at("embedding", 1).cast("double")
-            + F.element_at("embedding", 64).cast("double"),
+            F.try_element_at("embedding", F.lit(1)).cast("double")
+            + F.try_element_at("embedding", F.lit(64)).cast("double"),
             6,
         ).alias("ends"),
         pround(F.array_min("embedding").cast("double"), 6).alias("mn"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         pround(esum, 6).alias("s"),
         pround(
-            F.element_at(F.sort_array("embedding"), 32).cast("double"), 6
+            F.try_element_at(F.sort_array("embedding"), F.lit(32)).cast("double"), 6
         ).alias("med_lo"),
     )
 
