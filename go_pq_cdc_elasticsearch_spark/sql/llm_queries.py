@@ -60,18 +60,25 @@ def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_l2_text_stats",
     oracle="""
         SELECT lang, count(*) AS n,
-               CAST(avg(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS avg_chars
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         FROM documents GROUP BY lang
     """,
     doc="Corpus language/length statistics.",
 )
 def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average as exact-integer-sum / count, ONE double division: n_chars
+    is integral, so the sum is exactly representable (< 2^53) and a single
+    correctly-rounded IEEE division is bit-identical on both engines. The
+    earlier avg(DECIMAL) form was the recorded avg-divergence trap: DuckDB
+    computes decimal avg in DOUBLE while Spark divides exactly in decimal
+    and HALF_UP-quantizes before the cast — a group mean within ~5e-15 of
+    a rounding midpoint landed on adjacent doubles (review r5)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.col("n_chars").cast("decimal(30,10)")).cast("double").alias(
-            "avg_chars"
-        ),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
     )
 
 
@@ -100,8 +107,6 @@ def q_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed could land two corpus vectors inside it). The 4x margin makes a
     fold-top-5 candidate missing from the BLAS top-20 need fifteen
     intervening vectors ALL within that noise — not a real event."""
-    from pyspark.sql import Window
-
     from go_pq_cdc_elasticsearch_spark.operators.dedup import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1296,9 +1301,32 @@ def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     side runs (that's its point); the exact twin is the test-scale
     verifier. Exactness anchor q_lx1b and the sf0.1 recall-drift floors
     (tests/test_llm.py) still stand."""
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import cosine
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    exact = SIM.brute_force_topk(emb, queries_df, k=5)
+    # BLAS selects candidates (4x margin), the final 5 are RE-RANKED with
+    # the declarative fold cosine — bit-identical to the oracle's list_sum,
+    # so near-tied candidates can't swap rank on BLAS-vs-fold summation
+    # noise (the q_l3 rule; emitting brute_force_topk's BLAS ranks
+    # directly was the one top-k in the file violating it — review r5)
+    cand = SIM.brute_force_topk(emb, queries_df, k=20).select("qid", "vec_id")
+    c = emb.select("vec_id", F.col("embedding").alias("__cv"))
+    qv = queries_df.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", "sim", "rank")
+        # pinned: three consumers below (semi-join, count, output) would
+        # otherwise each re-run the BLAS corpus pass
+        .localCheckpoint(eager=True)
+    )
     approx = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
     n_hit = exact.join(
         approx.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
@@ -1377,12 +1405,15 @@ def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_exact = SIM.semantic_dedup(planted, tau=0.99, n_centroids=1)
     kept_approx = SIM.semantic_dedup(planted, tau=0.99, n_centroids=8)
     ids = planted.select("vec_id")
+    # pinned: each dropped set feeds multiple counts/joins below, and its
+    # lineage contains a full semantic_dedup run (k-means + CC) that would
+    # re-execute per consumer
     dropped_exact = ids.join(
         kept_exact.select("vec_id"), "vec_id", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     dropped_approx = ids.join(
         kept_approx.select("vec_id"), "vec_id", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     n_vecs = ids.agg(F.count(F.lit(1)).alias("n_vecs"))
     n_exact = dropped_exact.agg(F.count(F.lit(1)).alias("n_dropped_exact"))
     n_hit = dropped_approx.join(dropped_exact, "vec_id", "left_semi").agg(
@@ -1553,8 +1584,6 @@ def q_lx3(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-half-up codes) and scores, so selection, scores and ranks are all
     value-checked; reconstruction-error bound and recall vs brute force
     are additionally asserted in tests/test_llm.py."""
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     qcorpus = SIM.quantize_embeddings(emb)
@@ -1580,18 +1609,21 @@ def q_lx3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("__qe"), lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    nq_sq = F.aggregate(
+        F.transform(F.col("__qe"), lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+    nq = F.sqrt(nq_sq)
     nc = F.when(nc_sq == 0, F.lit(1.0)).otherwise(F.sqrt(nc_sq))
     scored = (
         cand.join(c, "vec_id")
         .join(F.broadcast(q), "qid")
-        .withColumn("sim", dot / (nc * nq))
+        # nq guarded like every other cosine in the repo: an all-zero
+        # QUERY vector makes the divisor 0 — ANSI raises DIVIDE_BY_ZERO
+        # while the oracle's x/0 yields NULL; NULL keeps parity (both
+        # engines sort NULL sims last under DESC) — review r5
+        .withColumn("sim", F.when(nq_sq != 0, dot / (nc * nq)))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -1725,7 +1757,7 @@ def _incremental_dedup_oracle(k: int = 16, bands: int = 8, tau: float = 0.7) -> 
 )
 def q_lx5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH dedup index (streaming/incremental_dedup.py) driven
-    end-to-end: the documents corpus arrives in three out-of-id-order
+    end-to-end: the documents corpus arrives in two out-of-id-order
     waves; each wave is probed against the band-bucket index state
     (partition-pruned read), verified candidate-only with exact n-gram
     Jaccard, then indexed. The union of discovered pairs must equal the
