@@ -69,17 +69,24 @@ def parse_duration_ms(v: str | int | float) -> float:
     nanoseconds via time.Duration — nobody writes those by hand; ms is the
     practical reading and is what its docs show). Because that deliberate
     deviation would misread a REAL time.Duration integer by 1e6x (100 ms
-    = 100000000 ns would become ~28 hours), bare numbers with no plausible
-    millisecond reading (>= 1e9, i.e. a >11-day tick — while 1e9 ns is a
-    very plausible 1 s) are REJECTED loudly with the fix instead of
-    silently reinterpreted — write '100ms'/'2h'. Bare values below that
-    (e.g. 3600000 for 1 h) keep the documented ms contract."""
+    = 100000000 ns would become ~28 hours), ns-SHAPED bare numbers are
+    REJECTED loudly with the fix instead of silently reinterpreted:
+    every real time.Duration ≥ 1 ms is a whole multiple of 1e6 ns, so a
+    bare value ≥ 1e6 divisible by 1e6 (100ms -> 1e8, 1s -> 1e9) is
+    ambiguous-at-best and rejected — write '100ms'/'2h'. Bare values NOT
+    divisible by 1e6 keep the documented ms contract at any size
+    (3600000 for 1 h parses fine: as nanoseconds it would be the absurd
+    non-round 3.6 ms). The earlier >= 1e9 cutoff silently misread the
+    entire sub-second ns range — including the reference's own default
+    ticker written as an integer (review r5)."""
     if isinstance(v, (int, float)):
-        if v >= 1_000_000_000:
+        if v >= 1_000_000 and float(v) % 1_000_000 == 0:
             raise ValueError(
                 f"bare duration {v!r} looks like a Go time.Duration in "
-                f"nanoseconds; write it as a unit string (e.g. "
-                f"'{float(v) / 1e6:g}ms') to make the scale explicit"
+                f"nanoseconds ({float(v) / 1e6:g} ms); write it as a unit "
+                f"string (e.g. '{float(v) / 1e6:g}ms' — or "
+                f"'{float(v):g}ms' if you really meant milliseconds) to "
+                f"make the scale explicit"
             )
         return float(v)
     total, pos = 0.0, 0
@@ -220,6 +227,10 @@ def from_reference_config(
             database=cdc.get("database") or "postgres",
             password=cdc.get("password"),
             create_slot=bool(slot.get("createIfNotExists", True)),
+            # publication.createIfNotExists was silently DROPPED before
+            # (review r5): a ported config relying on auto-creation then
+            # failed at stream start with 'publication does not exist'
+            create_publication=bool(pub.get("createIfNotExists", False)),
         )
     conn = ConnectorConfig(
         staged_dir=staged_dir,

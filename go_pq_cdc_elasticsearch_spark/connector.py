@@ -44,6 +44,12 @@ class ReplicationSettings:
     database: str = "postgres"
     password: str | None = None
     create_slot: bool = True
+    # reference publication.createIfNotExists: CREATE PUBLICATION FOR ALL
+    # TABLES over the walsender connection (logical replication
+    # connections accept simple SQL), idempotent on duplicate_object.
+    # Default False — most deployments scope publications to tables
+    # explicitly, which is a DDL decision the operator should own.
+    create_publication: bool = False
     batch_size: int = 200
     ack_interval_sec: float = 0.5
     # bounded TCP connect: an unreachable host must fail start() loudly,
@@ -162,6 +168,11 @@ class Connector:
         self._repl_client.startup(
             user=rs.user, database=rs.database, password=rs.password
         )
+        if rs.create_publication:
+            # publication BEFORE slot: the slot's consistent point should
+            # see the publication in place (matches the reference's
+            # publication.createIfNotExists ordering)
+            self._repl_client.create_publication()
         if rs.create_slot:
             self._repl_client.create_slot()
 

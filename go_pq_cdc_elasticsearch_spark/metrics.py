@@ -213,9 +213,12 @@ class PrometheusRegistry:
                     )
         return "\n".join(lines) + "\n"
 
-    def serve(self, port: int = 0) -> int:
+    def serve(self, port: int = 0, host: str = "127.0.0.1") -> int:
         """Expose GET /metrics (reference cdc.metric.port). Returns the
-        bound port; daemon thread, close() shuts it down."""
+        bound port; daemon thread, close() shuts it down. ``host`` picks
+        the bind address: the loopback default is safe for local scrapes;
+        an off-host Prometheus needs host='0.0.0.0' (the reference's Go
+        listener binds all interfaces)."""
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -239,11 +242,15 @@ class PrometheusRegistry:
             def log_message(self, *a):  # silence
                 pass
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", port), _H)
+        self._server = ThreadingHTTPServer((host, port), _H)
         threading.Thread(target=self._server.serve_forever, daemon=True).start()
         return self._server.server_port
 
     def close(self) -> None:
         if self._server is not None:
             self._server.shutdown()
+            # shutdown() only stops serve_forever; without server_close()
+            # the listening socket stays bound until GC and an immediate
+            # re-serve on the same port raises EADDRINUSE
+            self._server.server_close()
             self._server = None

@@ -482,6 +482,32 @@ class ReplicationClient:
         if err is not None and err.get("C") != "42710":
             raise RuntimeError(f"CREATE_REPLICATION_SLOT failed: {err}")
 
+    def create_publication(self, for_all_tables: bool = True) -> None:
+        """CREATE PUBLICATION <name> [FOR ALL TABLES] over this walsender
+        connection (logical replication connections accept simple SQL —
+        reference publication.createIfNotExists). Idempotent: an existing
+        publication answers duplicate_object 42710, absorbed like
+        create_slot's. The publication NAME is quoted as an identifier so
+        any configured name round-trips."""
+        pub_ident = '"' + self.publication.replace('"', '""') + '"'
+        suffix = " FOR ALL TABLES" if for_all_tables else ""
+        self._send(query_message(f"CREATE PUBLICATION {pub_ident}{suffix}"))
+        err: dict[str, str] | None = None
+        while True:
+            t, body = read_frame(self.file)
+            if not t:
+                raise RuntimeError("connection closed during CREATE PUBLICATION")
+            if t in (b"T", b"D", b"C", b"S", b"N"):
+                continue
+            if t == b"E":
+                err = parse_error_response(body)
+                continue
+            if t == b"Z":
+                break
+            raise RuntimeError(f"unexpected response to CREATE PUBLICATION: {t!r}")
+        if err is not None and err.get("C") != "42710":
+            raise RuntimeError(f"CREATE PUBLICATION failed: {err}")
+
     def start(self, start_lsn: int = 0) -> None:
         # publication_names is a string literal in the replication-command
         # grammar: double any single quote so a quoted publication name

@@ -90,8 +90,21 @@ def _spark_cell(field: T.StructField):
         s = c.cast("string")
     elif isinstance(t, T.DateType):
         s = F.date_format(c, "yyyy-MM-dd")
-    elif isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+    elif isinstance(t, T.TimestampNTZType):
+        # NTZ renders the wall time directly — no session-zone conversion
         s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    elif isinstance(t, T.TimestampType):
+        # INSTANT timestamps are rejected: date_format renders them
+        # through the SESSION zone while the DuckDB twin renders the naive
+        # oracle value, so the checksum silently breaks under the
+        # SPARK_GRAFT_TZ sweep (the instant<->NTZ trap, review r5). Folded
+        # queries emit TIMESTAMP_NTZ (the repo's wall-time convention) or
+        # pre-render to strings.
+        raise TypeError(
+            f"column {field.name} is an INSTANT timestamp: canonicalize "
+            f"wall times as TIMESTAMP_NTZ (or date_format to a string "
+            f"explicitly) — instant rendering is session-zone-dependent"
+        )
     elif isinstance(t, T.StringType):
         s = c
     else:

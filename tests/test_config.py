@@ -162,12 +162,17 @@ def test_es_urls_scalar_string_not_exploded():
 
 
 def test_parse_duration_bare_nanoseconds_rejected():
-    """A bare integer with no plausible millisecond reading (>= 1e9, i.e.
-    a >11-day tick) must be rejected loudly, not silently read as
-    milliseconds 1e6x off. Below that threshold the documented contract
-    'bare numbers are milliseconds' holds — 3600000 (1 h) must parse."""
+    """ns-SHAPED bare integers (>= 1e6 and divisible by 1e6 — every real
+    time.Duration >= 1 ms is) must be rejected loudly, not silently read
+    as milliseconds 1e6x off; non-ns-shaped bare values keep the
+    documented 'bare numbers are milliseconds' contract at any size."""
     with pytest.raises(ValueError, match="nanoseconds"):
         parse_duration_ms(5_000_000_000)  # Go time.Duration for 5 s
+    with pytest.raises(ValueError, match="nanoseconds"):
+        # the reference's own default ticker as a Go integer: 100 ms =
+        # 1e8 ns — the earlier >=1e9 cutoff silently made this ~28 hours
+        parse_duration_ms(100_000_000)
     assert parse_duration_ms("100ms") == 100.0  # the suggested fix works
     assert parse_duration_ms(3_600_000) == 3_600_000.0  # 1 h in bare ms
-    assert parse_duration_ms(999_999_999) == 999_999_999.0  # below cutoff
+    assert parse_duration_ms(999_999_999) == 999_999_999.0  # not ns-shaped
+    assert parse_duration_ms(999_999) == 999_999.0  # below 1e6: always ms

@@ -65,7 +65,7 @@ def pg():
         pytest.skip(f"initdb failed: {r.stderr[-300:]}")
     with open(os.path.join(data, "postgresql.conf"), "a") as f:
         f.write(
-            "\nwal_level=logical\nmax_replication_slots=4\nmax_wal_senders=4\n"
+            "\nwal_level=logical\nmax_replication_slots=10\nmax_wal_senders=10\n"
             f"port={PORT}\nlisten_addresses='127.0.0.1'\n"
             f"unix_socket_directories='{work}'\nlogging_collector=off\n"
         )
@@ -334,3 +334,30 @@ def test_live_interleaved_transactions_commit_order_and_monotone_stamps(pg):
         assert acked >= ends[-1]
     finally:
         client.close()
+
+
+def test_live_create_publication_idempotent_and_streams(pg):
+    """publication.createIfNotExists against a real server: CREATE
+    PUBLICATION over the walsender connection (logical replication
+    connections accept simple SQL), idempotent on duplicate_object, and
+    the stream actually delivers through the auto-created publication."""
+    sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+    sock.settimeout(30)
+    client = PG.ReplicationClient(sock, slot="live_slot_pub", publication="auto_pub")
+    client.startup(user="postgres", database="cdc_db")
+    client.create_publication()
+    client.create_publication()  # duplicate_object 42710 absorbed
+    client.create_slot()
+    client.start()
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('pubtest', 'p@x')", db="cdc_db"
+    )
+    try:
+        got = _collect(client, 1)
+        assert got and got[0]["after"]["name"] == "pubtest"
+    finally:
+        client.close()
+    assert pg["sql"](
+        "SELECT puballtables FROM pg_publication WHERE pubname='auto_pub'",
+        db="cdc_db",
+    ) == "t"
