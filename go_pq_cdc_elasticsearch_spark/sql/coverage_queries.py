@@ -176,6 +176,15 @@ def q_c13_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") <= 2000
     )
+    if events.limit(1).count() == 0:
+        # empty feed: no merge ever initializes the view and read() raises;
+        # the oracle's empty result is the in-contract answer (the q_t6
+        # rule — found by the empty-events gate probe, review r5)
+        return spark.createDataFrame(
+            [],
+            "user_id long, event_id long, event_type string, value double, "
+            "src string",
+        )
     b1 = events.filter(F.col("event_id") % 2 == 0).select(
         "user_id", "event_id", "event_type", "value"
     )

@@ -59,7 +59,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
 
-VARIANTS = ("rowshuffle", "rg_small", "ts_ns", "nulls", "edge")
+VARIANTS = ("rowshuffle", "rg_small", "ts_ns", "nulls", "edge", "empty_events")
 
 
 def _shuffled(table: pa.Table, seed: int) -> pa.Table:
@@ -154,6 +154,12 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 # parquet 2.6 is required for a real TIMESTAMP(NANOS)
                 # physical annotation (1.0/2.4 would silently coerce to us)
                 kw.update(version="2.6", coerce_timestamps=None)
+            elif variant == "empty_events" and name == "events":
+                # zero-row feed, same schema: every streaming/CDC query
+                # must return its oracle's empty result instead of raising
+                # on an uninitialized view/state (this probe found q_c13
+                # crashing in round 5)
+                t = t.slice(0, 0)
             pq.write_table(t, table_path(out_dir, name), **kw)
         out_dirs.append(out_dir)
     return out_dirs
