@@ -401,6 +401,9 @@ class ReplicationClient:
         # Commit message).
         self.last_stamp = 0
         self.txn_bounds = collections.deque()
+        # see the Commit-frame handler: past this many undrained entries,
+        # adjacent bounds are pairwise-merged (coarser, never unsafe, acks)
+        self.TXN_BOUNDS_CAP = 65536
         # acks may come from the consumer thread AND the owning Connector's
         # close(); frame writes must not interleave, and the flushed_lsn
         # read-modify-write must be atomic with its send (an unlocked
@@ -609,6 +612,22 @@ class ReplicationClient:
                     )
                     with self._ack_lock:
                         self.txn_bounds.append((self.last_stamp, end_lsn))
+                        # Bound the deque: one entry per delivered txn is
+                        # only drained by ack_frontier(), so a stalled
+                        # consumer (Spark query down, walsender still
+                        # delivering) would grow it without limit. Past the
+                        # cap, merge adjacent pairs — (s1,e1),(s2,e2) →
+                        # (s2,e2) — which halves the length and only
+                        # COARSENS ack granularity (a frontier in [s1,s2)
+                        # acks the previous entry instead; under-ack is the
+                        # safe at-least-once direction). Memory stays
+                        # <= TXN_BOUNDS_CAP small tuples (~a few MB).
+                        if len(self.txn_bounds) >= self.TXN_BOUNDS_CAP:
+                            bounds = list(self.txn_bounds)
+                            self.txn_bounds.clear()
+                            self.txn_bounds.extend(bounds[1::2])
+                            if len(bounds) % 2:  # odd: keep the newest
+                                self.txn_bounds.append(bounds[-1])
                 continue
             if kind == b"c":  # CopyDone from server
                 return
@@ -644,14 +663,25 @@ class ReplicationClient:
         split txn on restart is the safe at-least-once direction, and the
         keyed view merge is idempotent). Returns the acked WAL position, or
         -1 if no fully-delivered transaction is covered yet (e.g. right
-        after a reconnect, before the first post-restart commit)."""
+        after a reconnect, before the first post-restart commit).
+
+        Peek-then-send-then-pop: the covered bounds are only REMOVED after
+        the StandbyStatusUpdate goes out. If ``ack`` raises (socket error
+        mid-close/reconnect), the bounds stay queued, so the same frontier
+        can be re-acked on the next call instead of silently stalling
+        restart_lsn advance until newer commits arrive."""
         end = None
         with self._ack_lock:
-            while self.txn_bounds and self.txn_bounds[0][0] <= stamp:
-                end = self.txn_bounds.popleft()[1]
+            for bound_stamp, bound_end in self.txn_bounds:
+                if bound_stamp > stamp:
+                    break
+                end = bound_end
         if end is None:
             return -1
-        self.ack(end)
+        self.ack(end)  # may raise; bounds intact for retry in that case
+        with self._ack_lock:
+            while self.txn_bounds and self.txn_bounds[0][0] <= stamp:
+                self.txn_bounds.popleft()
         return end
 
     def close(self) -> None:

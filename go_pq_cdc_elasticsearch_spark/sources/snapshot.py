@@ -52,6 +52,46 @@ def parquet_footer_stats(path: str) -> tuple[int, int]:
     return n_rows, n_bytes
 
 
+def parquet_feed_empty(
+    path: str, column: str | None = None, le: float | None = None
+) -> bool:
+    """True iff the parquet table — optionally filtered to ``column <= le``
+    — is PROVABLY empty from footer metadata alone (row counts + row-group
+    min statistics; no Spark job, no data pages). Any row group whose min
+    for ``column`` is <= ``le`` must contain a matching row (the min IS a
+    row's value), so one such group proves non-emptiness; all groups above
+    the bound prove emptiness. Missing statistics degrade to "not provably
+    empty" (False) — callers keep a read-side fallback for that case.
+
+    This is the empty-feed gate probe (ADVICE r6): the previous
+    ``limit(1).count()`` form cost one driver job per invocation, paid on
+    every bench run purely to serve the zero-row robustness variant."""
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        if column is None or le is None:
+            return False  # unfiltered: any row disproves emptiness
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return False  # column absent from footer schema: can't prove
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                return False  # stats missing: not provably empty
+            if stats.min is not None and stats.min <= le:
+                return False  # the min is a real row's value: a match exists
+    return True
+
+
 def _parse_bytes(v: str) -> int:
     """Spark byte-size conf values: plain digits or k/m/g/t/p(b) suffixed
     (the full suffix set Spark's own byteStringAs parser accepts)."""

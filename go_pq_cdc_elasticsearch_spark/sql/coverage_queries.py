@@ -171,20 +171,25 @@ def q_c13_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
 
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+    from go_pq_cdc_elasticsearch_spark.sources.snapshot import parquet_feed_empty
+
     # parity split so BOTH batches are non-empty at every sf (an empty
     # drifted batch would never introduce the src column)
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") <= 2000
     )
-    if events.limit(1).count() == 0:
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_id long, event_type string, value double, "
+        "src string",
+    )
+    if parquet_feed_empty(table_path(sf_dir, "events"), "event_id", 2000):
         # empty feed: no merge ever initializes the view and read() raises;
         # the oracle's empty result is the in-contract answer (the q_t6
-        # rule — found by the empty-events gate probe, review r5)
-        return spark.createDataFrame(
-            [],
-            "user_id long, event_id long, event_type string, value double, "
-            "src string",
-        )
+        # rule — found by the empty-events gate probe, review r5). Footer
+        # row-group min-stat probe: zero Spark jobs (ADVICE r6)
+        return empty
     b1 = events.filter(F.col("event_id") % 2 == 0).select(
         "user_id", "event_id", "event_type", "value"
     )
@@ -207,7 +212,13 @@ def q_c13_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view.merge_batch(b1, epoch_id=0)
     view.merge_batch(b2, epoch_id=1)
-    return view.read().select("user_id", "event_id", "event_type", "value", "src")
+    try:
+        return view.read().select(
+            "user_id", "event_id", "event_type", "value", "src"
+        )
+    except FileNotFoundError:
+        # belt for a feed the footer probe couldn't prove empty
+        return empty
 
 
 @ext_query(

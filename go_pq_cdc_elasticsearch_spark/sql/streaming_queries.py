@@ -395,17 +395,25 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "check in the suite.",
 )
 def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+    from go_pq_cdc_elasticsearch_spark.sources.snapshot import parquet_feed_empty
     from go_pq_cdc_elasticsearch_spark.streaming.pipeline import replay_events_to_view
 
-    if load_table(spark, sf_dir, "events").limit(1).count() == 0:
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, value double"
+    )
+    if parquet_feed_empty(table_path(sf_dir, "events")):
         # empty feed: no micro-batch ever initializes the view; the
-        # oracle's empty result is the in-contract answer (review r5)
-        return spark.createDataFrame(
-            [], "user_id long, event_type string, value double"
-        )
+        # oracle's empty result is the in-contract answer (review r5).
+        # Footer-only probe — zero Spark jobs on the hot path (ADVICE r6)
+        return empty
     view = replay_events_to_view(spark, sf_dir, n_files=4)
-    return view.read().select("user_id", "event_type", "value")
+    try:
+        return view.read().select("user_id", "event_type", "value")
+    except FileNotFoundError:
+        # belt for a feed the footer probe couldn't prove empty (missing
+        # stats) that still produced no initializing micro-batch
+        return empty
 
 
 @ext_query(
@@ -440,19 +448,25 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-trip form shifts under non-UTC sessions / across DST
         return df.withColumn("bucket_ts", time_bucket_ntz("ts", 15))
 
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+    from go_pq_cdc_elasticsearch_spark.sources.snapshot import parquet_feed_empty
+
     # capped: the declared check certifies incremental == batch semantics;
     # volume is exercised by the streaming e2e test and the LWW-view bench
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") <= 20000
     )
-    if events.limit(1).count() == 0:
+    empty = spark.createDataFrame(
+        [],
+        "bucket_ts timestamp_ntz, event_type string, n long, "
+        "sum_value decimal(30,10), min_value double, max_value double",
+    )
+    if parquet_feed_empty(table_path(sf_dir, "events"), "event_id", 20000):
         # empty feed: no merge ever creates bucket dirs and read() raises;
-        # the oracle's empty result is the in-contract answer (review r5)
-        return spark.createDataFrame(
-            [],
-            "bucket_ts timestamp_ntz, event_type string, n long, "
-            "sum_value decimal(30,10), min_value double, max_value double",
-        )
+        # the oracle's empty result is the in-contract answer (review r5).
+        # Footer row-group min-stat probe: a group min <= 20000 IS a
+        # matching row, so this is exact with zero Spark jobs (ADVICE r6)
+        return empty
     work = tempfile.mkdtemp(prefix="cagg_q_")
     ca = ContinuousAggregate(
         spark,
@@ -467,9 +481,13 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_id") % 3 == m) for m in (2, 0, 1)
     ):
         ca.merge_batch(chunk, epoch_id=i)
-    return ca.read().select(
-        "bucket_ts", "event_type", "n", "sum_value", "min_value", "max_value"
-    )
+    try:
+        return ca.read().select(
+            "bucket_ts", "event_type", "n", "sum_value", "min_value", "max_value"
+        )
+    except FileNotFoundError:
+        # belt for a feed the footer probe couldn't prove empty
+        return empty
 
 
 @ext_query(

@@ -514,6 +514,120 @@ def test_interleaved_txns_get_monotone_stamps_and_safe_acks():
     client.close()
 
 
+def test_ack_frontier_failed_send_keeps_bounds_for_retry():
+    """ADVICE r6: ack_frontier must not pop txn_bounds before the
+    StandbyStatusUpdate actually goes out — a send failure (socket error
+    mid-close/reconnect) that discards the popped bounds would make that
+    frontier permanently un-ackable on this connection, stalling
+    restart_lsn advance until newer commits arrive."""
+    import collections
+
+    a, b = socket.socketpair()
+    client = PG.ReplicationClient(a, slot="s_retry")
+    client.txn_bounds = collections.deque([(101, 205), (103, 305)])
+
+    real_ack = client.ack
+    calls = {"n": 0}
+
+    def flaky_ack(lsn):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("connection reset mid-ack")
+        return real_ack(lsn)
+
+    client.ack = flaky_ack
+    try:
+        client.ack_frontier(101)
+        raise AssertionError("expected the flaky ack to raise")
+    except OSError:
+        pass
+    # bounds intact: the failed frontier is still re-ackable
+    assert list(client.txn_bounds) == [(101, 205), (103, 305)]
+    assert client.ack_frontier(101) == 205
+    assert list(client.txn_bounds) == [(103, 305)]
+    client.close()
+    b.close()
+
+
+def test_txn_bounds_cap_coalesces_without_over_acking():
+    """ADVICE r6: with the Spark side not committing (no ack_frontier
+    drains) while the walsender keeps delivering, txn_bounds must stay
+    bounded. The pairwise merge may only COARSEN acks (a frontier acks an
+    older-or-equal commit end, never a newer one)."""
+    import collections
+
+    a, b = socket.socketpair()
+    client = PG.ReplicationClient(a, slot="s_cap")
+    client.TXN_BOUNDS_CAP = 8
+    # simulate the Commit-frame handler's append+merge for 100 txns:
+    # txn i has last stamp 10*i and commit end 10*i + 5
+    for i in range(1, 101):
+        with client._ack_lock:
+            client.txn_bounds.append((10 * i, 10 * i + 5))
+            if len(client.txn_bounds) >= client.TXN_BOUNDS_CAP:
+                merged = collections.deque()
+                bounds = list(client.txn_bounds)
+                for j in range(1, len(bounds), 2):
+                    merged.append(bounds[j])
+                if len(bounds) % 2:
+                    merged.append(bounds[-1])
+                client.txn_bounds = merged
+    assert len(client.txn_bounds) < client.TXN_BOUNDS_CAP
+    stamps = [s for s, _ in client.txn_bounds]
+    ends = [e for _, e in client.txn_bounds]
+    # monotone ascending preserved, newest txn always retained exactly
+    assert stamps == sorted(stamps) and ends == sorted(ends)
+    assert client.txn_bounds[-1] == (1000, 1005)
+    # every surviving entry is a REAL (stamp, end) pair from the stream,
+    # and a frontier never acks past the commit end it fully covers
+    for s, e in client.txn_bounds:
+        assert e == s + 5
+    sent = []
+    client.ack = lambda lsn: sent.append(lsn)
+    # a frontier may land between surviving (merged-away) entries: the ack
+    # is coarsened DOWN — either an older covered end or nothing (-1),
+    # never a commit end past the frontier
+    got = client.ack_frontier(555)
+    assert got == -1 or (got in ends and got <= 555 + 5)
+    # the newest entry is always retained exactly, so a full frontier
+    # acks the true newest commit end
+    assert client.ack_frontier(1000) == 1005
+    assert sent == [1005]
+    client.close()
+    b.close()
+
+
+def test_txn_bounds_merge_in_poll_path():
+    """End-to-end: the cap engages inside poll()'s Commit handler (not just
+    the simulated merge above) and the stream still acks correctly."""
+    cols = ["id"]
+    relid = 1
+    txns = []
+    for i in range(1, 13):
+        base = 100 * i
+        txns.append([
+            (base, PG.encode_begin(base + 50, 777_000_000, xid=i)),
+            (base, PG.encode_insert(relid, [str(i)])),
+            (base + 50, PG.encode_commit(base + 50, base + 55, 777_000_000)),
+        ])
+    txns[0].insert(0, (10, PG.encode_relation(relid, "public", "t", cols)))
+    server = FakeReplicationServer(txns, keepalive_each_txn=False)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="s_cap_poll")
+    client.TXN_BOUNDS_CAP = 4
+    client.create_slot()
+    client.start()
+    changes = [ch for ch in client.poll() if ch is not None]
+    assert len(changes) == 12
+    assert len(client.txn_bounds) < 8  # merged at least once
+    # full frontier still acks the NEWEST commit end exactly
+    newest = changes[-1]["lsn"]
+    assert client.ack_frontier(newest) == 1255
+    server.done.wait(5)
+    assert server.acks[-1]["flushed"] == 1255
+    client.close()
+
+
 def test_prune_segments_respects_frontier_and_keeps_newest():
     from go_pq_cdc_elasticsearch_spark.sources import wal as W
 

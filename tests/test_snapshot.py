@@ -30,6 +30,57 @@ def test_footer_stats_match_scan(spark):
     assert n_bytes > 0
 
 
+def test_parquet_feed_empty_probe(spark, tmp_path):
+    """ADVICE r6: the empty-feed gate probe must be footer-only and exact —
+    a row-group min <= the bound IS a matching row; all mins above the
+    bound prove the filtered feed empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+    from go_pq_cdc_elasticsearch_spark.sources.snapshot import parquet_feed_empty
+
+    # real testdata: events is non-empty, and event_id <= 2000 matches rows
+    p = table_path(SF, "events")
+    assert not parquet_feed_empty(p)
+    assert not parquet_feed_empty(p, "event_id", 2000)
+
+    # zero-row table: provably empty, filtered or not
+    zero = str(tmp_path / "zero.parquet")
+    pq.write_table(pa.table({"event_id": pa.array([], pa.int64())}), zero)
+    assert parquet_feed_empty(zero)
+    assert parquet_feed_empty(zero, "event_id", 2000)
+
+    # non-empty table whose every row-group min sits ABOVE the bound:
+    # filtered feed provably empty, unfiltered not
+    high = str(tmp_path / "high.parquet")
+    pq.write_table(
+        pa.table({"event_id": pa.array([5000, 6000, 7000], pa.int64())}),
+        high,
+        row_group_size=2,
+    )
+    assert not parquet_feed_empty(high)
+    assert parquet_feed_empty(high, "event_id", 2000)
+    assert not parquet_feed_empty(high, "event_id", 5000)  # min is a row
+
+    # missing column: not provably empty (callers keep a read-side belt)
+    assert not parquet_feed_empty(high, "no_such_col", 1)
+
+    # directory form: one empty + one matching file
+    d = tmp_path / "dir"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([], pa.int64())}),
+        str(d / "a.parquet"),
+    )
+    assert parquet_feed_empty(str(d), "event_id", 10)
+    pq.write_table(
+        pa.table({"event_id": pa.array([3], pa.int64())}),
+        str(d / "b.parquet"),
+    )
+    assert not parquet_feed_empty(str(d), "event_id", 10)
+
+
 def test_no_spark_job_before_read(spark, monkeypatch):
     # deriving the partition width must not run count() (a full scan) or
     # convert to RDD; building the snapshot DataFrame stays lazy
