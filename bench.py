@@ -101,6 +101,108 @@ def _warm_streaming(spark, sf_dir: str) -> None:
         print(f"bench: streaming warmup skipped: {e}", file=sys.stderr)
 
 
+def _upscaled_events_dir(sf_dir: str, factor: int) -> str:
+    """Build (or reuse) a ``factor``-x replica of the events table under
+    /tmp for the streaming-vs-batch measurement: event_id/user_id are
+    shifted per replica (the tools/scale_probe.py scheme) so per-key
+    cardinality — and therefore the LWW merge shape — matches the source.
+    A marker file records the source dir + factor; rebuilds only when the
+    source changes (the driver regenerates testdata between rounds)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/spark_graft_bench_up_x{factor}"
+    src_path = os.path.join(sf_dir, "events.parquet")
+    marker_val = f"{os.path.abspath(src_path)}|{os.path.getmtime(src_path)}"
+    done = os.path.join(out_dir, ".complete")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == marker_val:
+                return out_dir
+        os.remove(done)  # stale: never measure a mixed-source dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(src_path)
+    max_ev = pc.max(t.column("event_id")).as_py() + 1
+    max_us = pc.max(t.column("user_id")).as_py() + 1
+
+    def shift(tbl, col, off):
+        i = tbl.schema.get_field_index(col)
+        return tbl.set_column(
+            i, col, pc.add(tbl.column(col), pa.scalar(off, tbl.column(col).type))
+        )
+
+    parts = [
+        shift(shift(t, "event_id", r * max_ev), "user_id", r * max_us)
+        for r in range(factor)
+    ]
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"))
+    with open(done, "w") as f:
+        f.write(marker_val)
+    return out_dir
+
+
+def _streaming_throughput(spark, sf_dir: str, extra: dict) -> None:
+    """BASELINE.md Q-T6 row, measured in its amortized regime: replay an
+    upscaled events feed (x32, 2 micro-batches of ~1M+ rows) through the
+    full availableNow foreachBatch MERGE pipeline and report sustained
+    streaming events/s. The per-round q_t6 suite timing replays 4 tiny
+    micro-batches where ~0.7-1 s/batch of local machinery dominates
+    (PERF.md decomposition); the throughput claim is about the amortized
+    regime, so the bench measures it there.
+
+    Also reported: the wall ratio against materializing the SAME view in
+    ONE batch merge of the whole feed — the commensurable batch
+    comparison (same full-width rows, same parquet writes; q_c1's noop
+    dedup prunes to 3 columns and writes nothing, so a ratio against it
+    mixes column pruning into the streaming question). A 2-batch replay
+    does ~1.5x the one-batch merge WORK by construction: the second
+    micro-batch re-merges the first's state.
+
+    Staging the replay layout is untimed harness setup, matching the
+    suite's treatment (and the reference's envelope, which starts after
+    connector startup). Best-of-two on both sides smooths host noise;
+    every run does the full scan/shuffle/merge/write work."""
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.catalog import load_table
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+    from go_pq_cdc_elasticsearch_spark.streaming.pipeline import (
+        replay_events_to_view,
+        staged_events,
+    )
+
+    up_dir = _upscaled_events_dir(sf_dir, factor=32)
+    events_up = load_table(spark, up_dir, "events")
+    n_up = events_up.count()
+    staged_events(spark, up_dir, 2)  # pre-stage: shared, read-only, untimed
+
+    best_batch = best_stream = float("inf")
+    for _ in range(2):
+        work = tempfile.mkdtemp(prefix="bench_mv_")
+        view = MaterializedView(
+            spark,
+            os.path.join(work, "view"),
+            keys=("user_id",),
+            seq_col="event_id",
+            op_col="event_type",
+            delete_op="delete",
+        )
+        t0 = time.time()
+        view.merge_batch(events_up)
+        best_batch = min(best_batch, time.time() - t0)
+        t0 = time.time()
+        sview = replay_events_to_view(spark, up_dir, n_files=2)
+        sview.read().select("user_id", "event_type", "value").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best_stream = min(best_stream, time.time() - t0)
+    extra["stream_cdc_events_per_sec"] = round(n_up / best_stream, 1)
+    extra["stream_cdc_wall_sec"] = round(best_stream, 2)
+    extra["onebatch_merge_wall_sec_same_feed"] = round(best_batch, 2)
+    extra["stream_vs_onebatch_ratio"] = round(best_stream / best_batch, 2)
+
+
 def run(out) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # anchored number form: [0-9.]+ could capture '0.1.' from a dir like
@@ -193,6 +295,12 @@ def run(out) -> int:
         extra["snapshot_rows_per_sec"] = round(best_snap, 1)
     except Exception as e:  # noqa: BLE001
         print(f"bench: throughput extras failed: {e}", file=sys.stderr)
+
+    # Q-T6 baseline row: streaming-vs-batch at the amortized scale
+    try:
+        _streaming_throughput(spark, sf_dir, extra)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: streaming throughput extra failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

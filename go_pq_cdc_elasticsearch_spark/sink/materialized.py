@@ -349,11 +349,13 @@ class MaterializedView:
 
         ``batch`` must be DETERMINISTIC across re-evaluation (foreachBatch
         sources are; a direct caller passing sample()/rand()-derived keys
-        is not): the batch is evaluated twice — once for the touched-
-        bucket probe, once for the write — and a row that hashes into a
-        bucket outside the probed set on the second evaluation is
-        silently discarded by the swap. Pin a non-deterministic frame
-        with localCheckpoint() before merging."""
+        is not): the compacted batch is persisted so the touched-bucket
+        probe and the write normally share ONE evaluation (review r6 —
+        at 1M+-row micro-batches the extra pass was the largest per-batch
+        cost), but a cache eviction under memory pressure re-evaluates,
+        and a row that hashes into a bucket outside the probed set on
+        that second evaluation is silently discarded by the swap. Pin a
+        non-deterministic frame with localCheckpoint() before merging."""
         if lineage is not None:
             if self._lineage is not None and lineage != self._lineage:
                 # genuinely different feeding query: its epoch counter is
@@ -366,17 +368,30 @@ class MaterializedView:
             return
         if not self.exists():
             compact = self._compact_batch(batch)
+            persisted = False
             if self.n_buckets is None:  # auto-size the layout to the data
+                # the sizing count and the swap write would otherwise each
+                # evaluate the window dedup over the full batch — persist
+                # so the batch is scanned/deduped ONCE (at 1M+-row
+                # micro-batches the second pass was the single largest
+                # per-batch cost, review r6)
+                compact = compact.persist()
+                persisted = True
                 n_rows = compact.count()
                 self.n_buckets = max(
                     1,
                     min(self.max_buckets, -(-n_rows // self.target_rows_per_bucket)),
                 )
-            self._columns = sorted(batch.columns)
-            self._write_meta()
-            self._swap_buckets(
-                compact.withColumn(_BUCKET_COL, self._bucket_expr()), buckets=None
-            )
+            try:
+                self._columns = sorted(batch.columns)
+                self._write_meta()
+                self._swap_buckets(
+                    compact.withColumn(_BUCKET_COL, self._bucket_expr()),
+                    buckets=None,
+                )
+            finally:
+                if persisted:
+                    compact.unpersist()
             if epoch_id is not None:
                 # recorded only after the swap: a crash in between replays
                 # the batch (safe); recording first would LOSE it
@@ -384,31 +399,45 @@ class MaterializedView:
                 self._write_meta()
             return
 
-        # touched buckets from the RAW batch (same key set as the deduped
-        # batch, no window shuffle in this probe job). A 1-bucket view
+        # Touched buckets from the COMPACTED batch, persisted so the probe
+        # materialization is reused by the merge write (the key set — and
+        # therefore the bucket set — is identical pre/post dedup). The
+        # probe previously scanned the RAW batch to keep the window
+        # shuffle out of the probe job; with the cache the window runs
+        # once total instead of once per job, which is strictly fewer
+        # passes at any batch size (review r6). A 1-bucket view still
         # skips the probe: its answer is a foregone conclusion, and at toy
         # scale the probe job costs more than the merge it would prune
         # (r2 verdict item 2 — the q_t6/q_t7 per-batch overhead).
+        persisted = False
         if self.n_buckets == 1:
             # still probe emptiness (one cheap limit-1 job): touched=[0]
             # unconditionally bypassed the empty-batch fast path below, so
             # every idle processing-time tick fully rewrote the view
             touched = [] if batch.isEmpty() else [0]
+            compact = self._compact_batch(batch).withColumn(
+                _BUCKET_COL, self._bucket_expr()
+            )
         else:
+            compact = (
+                self._compact_batch(batch)
+                .withColumn(_BUCKET_COL, self._bucket_expr())
+                .persist()
+            )
+            persisted = True
             touched = sorted(
                 r["b"]
-                for r in batch.select(self._bucket_expr().alias("b"))
+                for r in compact.select(F.col(_BUCKET_COL).alias("b"))
                 .distinct()
                 .collect()
             )
         if not touched:  # empty batch
+            if persisted:
+                compact.unpersist()
             if epoch_id is not None:
                 self._last_epoch = epoch_id
                 self._write_meta()
             return
-        compact = self._compact_batch(batch).withColumn(
-            _BUCKET_COL, self._bucket_expr()
-        )
         existing = [b for b in touched if os.path.exists(self._bucket_dir(b))]
         # allowMissingColumns: the reference's payloads are schemaless
         # (map[string]any); a batch may add columns (schema drift) — old
@@ -438,14 +467,18 @@ class MaterializedView:
             # first only risks a spurious mergeSchema read: time, not
             # corruption.
             self._write_meta()
-        if existing:
-            merged = self._read_buckets(
-                existing, merge_schema=self._drifted
-            ).unionByName(compact, allowMissingColumns=True)
-        else:
-            merged = compact
-        new_state = self._resolve(merged)
-        self._swap_buckets(new_state, buckets=touched)
+        try:
+            if existing:
+                merged = self._read_buckets(
+                    existing, merge_schema=self._drifted
+                ).unionByName(compact, allowMissingColumns=True)
+            else:
+                merged = compact
+            new_state = self._resolve(merged)
+            self._swap_buckets(new_state, buckets=touched)
+        finally:
+            if persisted:
+                compact.unpersist()
         if epoch_id is not None:
             self._last_epoch = epoch_id
             self._write_meta()
