@@ -117,6 +117,25 @@ def startup_message(
     return struct.pack("!I", len(body) + 4) + body
 
 
+class ReplicationStreamError(RuntimeError):
+    """ErrorResponse received inside the CopyBoth stream. ``sqlstate``
+    carries the server's error code so consumers can distinguish a
+    reconnectable connection termination (admin shutdown 57P01, crash
+    shutdown 57P02, cannot-connect-now 57P03 — the failover/restart
+    shapes) from a genuinely fatal stream error (slot invalidation,
+    decode failure) that must surface."""
+
+    RECONNECTABLE_SQLSTATES = ("57P01", "57P02", "57P03")
+
+    def __init__(self, message: str, sqlstate: str = "") -> None:
+        super().__init__(message)
+        self.sqlstate = sqlstate
+
+    @property
+    def reconnectable(self) -> bool:
+        return self.sqlstate in self.RECONNECTABLE_SQLSTATES
+
+
 def parse_error_response(body: bytes) -> dict[str, str]:
     """ErrorResponse/NoticeResponse field map (S severity, C sqlstate,
     M message, ...)."""
@@ -236,6 +255,13 @@ def encode_delete(relid: int, old_values: list[str | None]) -> bytes:
     return b"D" + struct.pack("!I", relid) + b"K" + encode_tuple(old_values)
 
 
+def encode_truncate(relids: list[int], flags: int = 0) -> bytes:
+    body = b"T" + struct.pack("!IB", len(relids), flags)
+    for relid in relids:
+        body += struct.pack("!I", relid)
+    return body
+
+
 # TupleData column sentinel: 'u' = unchanged TOASTed value (the server
 # elided a large column NOT covered by the replica identity). It must stay
 # distinguishable from 'n' (SQL NULL): conflating them nulls the column in
@@ -275,6 +301,16 @@ class PgOutputDecoder:
     relations: dict[int, dict] = field(default_factory=dict)
     current_xid: int | None = None
     commit_ts: str | None = None
+    # Truncate observability (review r6): the reference also ignores
+    # Truncate frames, but a truncated source table silently leaves stale
+    # rows in the view — so skips are COUNTED and the affected tables
+    # recorded (bounded) instead of vanishing. Contract: truncation is NOT
+    # replicated as deletes; consumers that truncate replicated tables
+    # must rebuild the view (snapshot re-run) and can alert on this
+    # counter via ReplicationClient.truncate_skipped.
+    truncate_skipped: int = 0
+    truncated_tables: list = field(default_factory=list)
+    _TRUNCATED_TABLES_CAP = 256
 
     def decode(self, payload: bytes, lsn: int) -> dict | None:
         kind = payload[:1]
@@ -332,7 +368,34 @@ class PgOutputDecoder:
                 "after": after,
                 "ts": self.commit_ts,
             }
-        return None  # Origin/Type/Truncate — not needed for parity
+        if kind == b"T":
+            # Truncate: Int32 nrels, Int8 flags (1=CASCADE, 2=RESTART
+            # IDENTITY), Int32 relid[nrels]. Parity with the reference is
+            # to skip it — but observably (see the field docs above).
+            import logging
+
+            (nrels,) = struct.unpack_from("!I", payload, 1)
+            pos = 6  # skip the flags byte
+            names = []
+            for _ in range(nrels):
+                (relid,) = struct.unpack_from("!I", payload, pos)
+                pos += 4
+                rel = self.relations.get(relid)
+                names.append(
+                    f"{rel['ns']}.{rel['name']}" if rel else f"relid={relid}"
+                )
+            self.truncate_skipped += nrels
+            room = self._TRUNCATED_TABLES_CAP - len(self.truncated_tables)
+            if room > 0:
+                self.truncated_tables.extend(names[:room])
+            logging.getLogger(__name__).warning(
+                "pgoutput TRUNCATE skipped (not replicated as deletes; "
+                "view rows for these tables are now stale until a "
+                "snapshot rebuild): %s",
+                ", ".join(names),
+            )
+            return None
+        return None  # Origin/Type — not needed for parity
 
 
 def _us_to_iso(pg_ts_us: int) -> str:
@@ -572,9 +635,14 @@ class ReplicationClient:
                 # slot invalidation / wal_sender_timeout / decode errors end
                 # CopyBoth with an ErrorResponse; swallowing it would make a
                 # fatal stop look like a clean end of stream (the silent-halt
-                # failure mode run_live_consumer exists to surface)
-                raise RuntimeError(
-                    f"replication stream error: {parse_error_response(body)}"
+                # failure mode run_live_consumer exists to surface). The
+                # SQLSTATE rides on the exception so consumers can tell a
+                # reconnectable termination (57P0x: admin/crash shutdown,
+                # failover) from a genuinely fatal stream error.
+                err = parse_error_response(body)
+                raise ReplicationStreamError(
+                    f"replication stream error: {err}",
+                    sqlstate=err.get("C", ""),
                 )
             if t != b"d":
                 continue
@@ -631,6 +699,14 @@ class ReplicationClient:
                 continue
             if kind == b"c":  # CopyDone from server
                 return
+
+    @property
+    def truncate_skipped(self) -> int:
+        """Count of source-table TRUNCATEs observed (and skipped — see
+        PgOutputDecoder) on this connection; with the per-table list in
+        ``self.decoder.truncated_tables``. A nonzero value means view rows
+        for those tables are stale until a snapshot rebuild."""
+        return self.decoder.truncate_skipped
 
     def ack(self, lsn: int) -> None:
         """StandbyStatusUpdate: the slot's restart LSN only advances when
@@ -889,6 +965,15 @@ def run_live_consumer(
         # socket closed under us — flush what we have, like the
         # reference's crash-and-replay path
         pass
+    except ReplicationStreamError as e:
+        # server-initiated termination (admin kill, crash shutdown,
+        # failover restart) is the server ending the stream: flush and
+        # return so the supervisor reconnects on the same slot (proven by
+        # the live chaos test — a raise here killed the consumer thread
+        # with its buffer unflushed). Anything else (slot invalidation,
+        # decode errors) stays fatal and must surface.
+        if not e.reconnectable:
+            raise
     except (ValueError, struct.error) as e:
         # only the SHUTDOWN shapes may be absorbed: Connector.close raises
         # ValueError on the closed file object. (A PEER-initiated

@@ -231,7 +231,8 @@ def test_live_consumer_to_spark_view(pg, spark):
     deadline = time.time() + 30
     while time.time() < deadline:
         if os.path.isdir(seg_dir) and any(
-            f.endswith(".jsonl") or f.endswith(".json") for f in os.listdir(seg_dir)
+            f.startswith("wal_") and f.endswith(".ndjson")
+            for f in os.listdir(seg_dir)
         ):
             time.sleep(1.0)  # allow the tail flush
             break
@@ -361,3 +362,194 @@ def test_live_create_publication_idempotent_and_streams(pg):
         "SELECT puballtables FROM pg_publication WHERE pubname='auto_pub'",
         db="cdc_db",
     ) == "t"
+
+
+def test_live_truncate_skipped_but_counted(pg):
+    """VERDICT r6 item 7: a TRUNCATE on a replicated table arrives as a
+    pgoutput Truncate frame. Parity with the reference is to skip it (no
+    tombstones), but the skip must be OBSERVABLE: the counter increments
+    and the table is recorded, so the operator can trigger a snapshot
+    rebuild instead of serving stale view rows forever."""
+    client = _connect("live_slot_trunc")
+    client.create_slot()
+    client.start()
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('pre_trunc', 't@x')",
+        db="cdc_db",
+    )
+    pg["sql"]("TRUNCATE users", db="cdc_db")
+    pg["sql"](
+        "INSERT INTO users (name, email) VALUES ('post_trunc', 't2@x')",
+        db="cdc_db",
+    )
+    try:
+        got = _collect(client, 2)
+        names = [c["after"]["name"] for c in got]
+        assert names == ["pre_trunc", "post_trunc"]  # DML delivered intact
+        assert client.truncate_skipped >= 1  # the real frame was counted
+        assert "public.users" in client.decoder.truncated_tables
+    finally:
+        client.close()
+
+
+def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
+    """VERDICT r6 item 5 (mirrors connector_test.go:428-621 at volume):
+    ~100k rows across 4 concurrent writer sessions, with a mid-stream
+    walsender kill followed by a full server restart. The consumer
+    reconnects on the same slot, redelivers (at-least-once), and the
+    seq-resolved keyed merge must land EXACTLY the 100k rows — zero loss,
+    zero duplication in the view. Runtime-capped via drain deadlines."""
+    import glob
+    import json as _json
+    import subprocess
+    import threading
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    N = 100_000
+    WRITERS = 4
+    pg["sql"](
+        "CREATE TABLE IF NOT EXISTS soak (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE soak", db="cdc_db")
+
+    client = _connect("live_slot_soak")
+    client.create_slot()
+    client.start()
+    work = tempfile.mkdtemp(prefix="live_soak_")
+    seg_dir = os.path.join(work, "wal")
+    stop = threading.Event()
+
+    def consume(c):
+        PG.run_live_consumer(
+            c, seg_dir,
+            batch_size=5000, flush_interval_sec=0.3, stop_event=stop,
+        )
+
+    t1 = threading.Thread(target=consume, args=(client,), daemon=True)
+    t1.start()
+
+    # 4 concurrent sessions, 5 txns each of 5k rows -> 100k unique ids
+    per = N // WRITERS
+    chunk = per // 5
+    procs = []
+    for w in range(WRITERS):
+        stmts = []
+        for j in range(5):
+            lo = w * per + j * chunk + 1
+            hi = w * per + (j + 1) * chunk
+            stmts.append(
+                f"INSERT INTO soak SELECT g, 'v'||g FROM "
+                f"generate_series({lo},{hi}) g;"
+            )
+        p = subprocess.Popen(
+            ["su", "-s", "/bin/bash", "postgres", "-c",
+             f"cd /tmp && psql -h 127.0.0.1 -p {PORT} -U postgres -d cdc_db "
+             f"-v ON_ERROR_STOP=1"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        procs.append((p, "\n".join(stmts) + "\n"))
+    threads = [
+        threading.Thread(target=lambda p=p, s=s: p.communicate(s, timeout=120))
+        for p, s in procs
+    ]
+    for th in threads:
+        th.start()
+
+    # wait until some segments flushed (mid-stream), then CHAOS: terminate
+    # the walsender backend, then restart the whole server
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if os.path.isdir(seg_dir) and glob.glob(
+            os.path.join(seg_dir, "wal_*.ndjson")
+        ):
+            break
+        time.sleep(0.2)
+    pg["sql"](
+        "SELECT pg_terminate_backend(active_pid) FROM pg_replication_slots "
+        "WHERE slot_name='live_slot_soak' AND active_pid IS NOT NULL"
+    )
+    for th in threads:
+        th.join(timeout=120)
+    for p, _ in procs:
+        assert p.returncode == 0, "writer session failed"
+    data = os.path.join(pg["work"], "data")
+    # -l: without it the restarted postmaster inherits this process's
+    # captured stdout pipe and subprocess.run waits on EOF forever
+    r = _su(f"pg_ctl -D {data} -l {pg['work']}/server.log -m fast -w restart")
+    assert r.returncode == 0, f"server restart failed: {r.stderr[-300:]}"
+    t1.join(timeout=60)  # consumer exits on the broken socket, flushing
+
+    # reconnect on the SAME slot; redelivery from the slot's restart point
+    # is the at-least-once contract — the seq merge absorbs duplicates
+    client2 = _connect("live_slot_soak")
+    client2.start()
+    stop2 = threading.Event()
+    t2 = threading.Thread(target=consume, args=(client2,), daemon=True)
+    t2.start()
+
+    def distinct_soak_ids() -> int:
+        ids = set()
+        for f in glob.glob(os.path.join(seg_dir, "wal_*.ndjson")):
+            try:
+                with open(f) as fh:
+                    for line in fh:
+                        d = _json.loads(line)
+                        if d.get("table_name") == "soak" and d.get("after"):
+                            ids.add(int(d["after"]["id"]))
+            except (OSError, ValueError):
+                continue
+        return len(ids)
+
+    deadline = time.time() + 180
+    seen = 0
+    while time.time() < deadline:
+        seen = distinct_soak_ids()
+        if seen >= N:
+            time.sleep(1.0)  # tail flush
+            break
+        time.sleep(1.0)
+    stop2.set()
+    t2.join(timeout=60)
+    client2.close()
+    assert seen >= N, f"only {seen}/{N} distinct rows delivered before deadline"
+
+    # Spark end: segments -> pgwal stream -> keyed seq-resolved view.
+    # Redelivered rows carry higher clamp stamps; LWW keeps one row per id.
+    W.register(spark)
+    stream = (
+        spark.readStream.format("pgwal").option("path", seg_dir).load()
+        .filter("table_name = 'soak'")
+    )
+    from pyspark.sql import functions as F
+
+    shaped = stream.select(
+        "lsn",
+        "op",
+        F.col("after").getItem("id").cast("long").alias("key"),
+        F.col("after").getItem("v").alias("v"),
+    )
+    view = MaterializedView(
+        spark, os.path.join(work, "view"),
+        keys=("key",), seq_col="lsn", op_col="op", delete_op="DELETE",
+    )
+    q = (
+        shaped.writeStream.foreachBatch(view.foreach_batch_writer())
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    agg = view.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("key").alias("nk"),
+        F.min("key").alias("lo"),
+        F.max("key").alias("hi"),
+        F.sum(F.when(F.col("v") == F.concat(F.lit("v"), F.col("key")), 0).otherwise(1)).alias("bad"),
+    ).first()
+    assert agg["n"] == N and agg["nk"] == N, f"view rows {agg['n']}, keys {agg['nk']}"
+    assert agg["lo"] == 1 and agg["hi"] == N
+    assert agg["bad"] == 0  # every row carries its correct payload

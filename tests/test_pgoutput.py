@@ -514,6 +514,45 @@ def test_interleaved_txns_get_monotone_stamps_and_safe_acks():
     client.close()
 
 
+def test_truncate_frames_counted_not_dropped_silently():
+    """VERDICT r6 item 7: pgoutput Truncate frames are skipped (reference
+    parity — truncation is NOT replicated as deletes) but must be
+    observable: counter + per-table record + warning, so a truncated
+    source table's now-stale view rows don't vanish without a trace."""
+    import logging
+
+    dec = PG.PgOutputDecoder()
+    dec.decode(PG.encode_relation(7, "public", "users", ["id"]), 10)
+    dec.decode(PG.encode_relation(9, "public", "books", ["id"]), 11)
+    assert dec.truncate_skipped == 0
+
+    rec = []
+    h = logging.Handler()
+    h.emit = lambda r: rec.append(r.getMessage())
+    logging.getLogger("go_pq_cdc_elasticsearch_spark.sources.pgoutput").addHandler(h)
+    try:
+        out = dec.decode(PG.encode_truncate([7, 9], flags=2), 20)
+    finally:
+        logging.getLogger(
+            "go_pq_cdc_elasticsearch_spark.sources.pgoutput"
+        ).removeHandler(h)
+    assert out is None  # skipped, like the reference
+    assert dec.truncate_skipped == 2
+    assert dec.truncated_tables == ["public.users", "public.books"]
+    assert rec and "public.users" in rec[0] and "stale" in rec[0]
+
+    # unknown relid (Truncate before its Relation frame): still counted
+    dec.decode(PG.encode_truncate([42]), 21)
+    assert dec.truncate_skipped == 3
+    assert dec.truncated_tables[-1] == "relid=42"
+
+    # the record list is bounded; the counter is not
+    for _ in range(400):
+        dec.decode(PG.encode_truncate([7]), 22)
+    assert dec.truncate_skipped == 403
+    assert len(dec.truncated_tables) == dec._TRUNCATED_TABLES_CAP
+
+
 def test_ack_frontier_failed_send_keeps_bounds_for_retry():
     """ADVICE r6: ack_frontier must not pop txn_bounds before the
     StandbyStatusUpdate actually goes out — a send failure (socket error
