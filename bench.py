@@ -177,26 +177,37 @@ def _streaming_throughput(spark, sf_dir: str, extra: dict) -> None:
     n_up = events_up.count()
     staged_events(spark, up_dir, 2)  # pre-stage: shared, read-only, untimed
 
+    import shutil
+
     best_batch = best_stream = float("inf")
     for _ in range(2):
         work = tempfile.mkdtemp(prefix="bench_mv_")
-        view = MaterializedView(
-            spark,
-            os.path.join(work, "view"),
-            keys=("user_id",),
-            seq_col="event_id",
-            op_col="event_type",
-            delete_op="delete",
-        )
-        t0 = time.time()
-        view.merge_batch(events_up)
-        best_batch = min(best_batch, time.time() - t0)
-        t0 = time.time()
-        sview = replay_events_to_view(spark, up_dir, n_files=2)
-        sview.read().select("user_id", "event_type", "value").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        best_stream = min(best_stream, time.time() - t0)
+        try:
+            view = MaterializedView(
+                spark,
+                os.path.join(work, "view"),
+                keys=("user_id",),
+                seq_col="event_id",
+                op_col="event_type",
+                delete_op="delete",
+            )
+            t0 = time.time()
+            view.merge_batch(events_up)
+            best_batch = min(best_batch, time.time() - t0)
+            # SYMMETRIC windows (review r6): both sides time exactly the
+            # materialization — availableNow replay fully writes the view
+            # before returning, so no read-back belongs in either window
+            t0 = time.time()
+            sview = replay_events_to_view(spark, up_dir, n_files=2)
+            best_stream = min(best_stream, time.time() - t0)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            # replay_events_to_view mkdtemps its own view+checkpoint dir;
+            # only the shared staged layout is meant to persist
+            if "sview" in locals():
+                shutil.rmtree(
+                    os.path.dirname(sview.path), ignore_errors=True
+                )
     extra["stream_cdc_events_per_sec"] = round(n_up / best_stream, 1)
     extra["stream_cdc_wall_sec"] = round(best_stream, 2)
     extra["onebatch_merge_wall_sec_same_feed"] = round(best_batch, 2)

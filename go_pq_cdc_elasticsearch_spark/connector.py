@@ -136,10 +136,15 @@ class Connector:
         self._repl_client = None
         self._repl_thread = None
         self._repl_stop = None
+        # consumer supervision state (see _start_replication_consumer):
+        # restarts counts healthy reconnects; error records the
+        # non-reconnectable exception that ended supervision, if any
+        self.consumer_restarts = 0
+        self.consumer_error: BaseException | None = None
 
     # -- lifecycle (reference connector.go:82-127) --------------------------
 
-    def _connect_replication(self) -> None:
+    def _connect_replication(self):
         """Connect + handshake + create the slot — WITHOUT starting the
         stream. Split from the consumer start so initial-mode can create
         the slot BEFORE reading the snapshot: the slot's consistent point
@@ -149,7 +154,16 @@ class Connector:
         forever). START_REPLICATION itself stays deferred until after the
         snapshot merge: once CopyBoth starts the server streams frames,
         and nobody would drain them during a long backfill (socket
-        backpressure + unanswered keepalives)."""
+        backpressure + unanswered keepalives).
+
+        RETURNS the new client; the caller assigns ``self._repl_client``
+        only once it is usable. Assigning mid-handshake let close()'s
+        final ack sweep target a half-open reconnect attempt instead of
+        the last GOOD session (review r6). The socket keeps
+        ``connect_timeout_sec`` through the whole handshake — a peer that
+        accepts TCP but never answers (listener backlog, half-dead
+        failover VIP) must fail the attempt, not hang the supervisor;
+        streaming reads switch to unbounded after START_REPLICATION."""
         import socket
 
         from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
@@ -160,45 +174,124 @@ class Connector:
         sock = socket.create_connection(
             (rs.host, rs.port), timeout=rs.connect_timeout_sec
         )
-        sock.settimeout(None)  # streaming reads are select()-paced, not timed
-        self._repl_client = PG.ReplicationClient(
+        client = PG.ReplicationClient(
             sock, slot=rs.slot, publication=rs.publication
         )
-        # a backend rejects any command before the startup handshake
-        self._repl_client.startup(
-            user=rs.user, database=rs.database, password=rs.password
-        )
-        if rs.create_publication:
-            # publication BEFORE slot: the slot's consistent point should
-            # see the publication in place (matches the reference's
-            # publication.createIfNotExists ordering)
-            self._repl_client.create_publication()
-        if rs.create_slot:
-            self._repl_client.create_slot()
+        try:
+            # a backend rejects any command before the startup handshake
+            client.startup(
+                user=rs.user, database=rs.database, password=rs.password
+            )
+            if rs.create_publication:
+                # publication BEFORE slot: the slot's consistent point
+                # should see the publication in place (matches the
+                # reference's publication.createIfNotExists ordering)
+                client.create_publication()
+            if rs.create_slot:
+                client.create_slot()
+        except BaseException:
+            # release the session: a handshake failure must not leak an
+            # open walsender (slot reported 'in use' to the next starter)
+            try:
+                client.close()
+            except Exception:  # noqa: BLE001
+                pass
+            raise
+        return client
 
     def _start_replication_consumer(self) -> None:
         """START_REPLICATION and pump the socket into staged_dir in a
-        daemon thread (reference: go-pq-cdc's listener goroutine,
-        connector.go:129-172)."""
+        SUPERVISED daemon thread (reference: go-pq-cdc's listener
+        goroutine, connector.go:129-172, which likewise reconnects on
+        connection loss). run_live_consumer returns — instead of raising —
+        on socket breaks, clean server stream ends, and reconnectable
+        57P0x terminations (admin kill, crash shutdown, failover); without
+        a supervisor that return silently and permanently halts
+        replication behind a healthy-looking Connector (review r6). The
+        supervisor reconnects on the SAME slot with capped exponential
+        backoff; redelivery from the slot's confirmed position is the
+        at-least-once contract the seq-resolved view absorbs. A
+        non-reconnectable error (slot invalidation, decode bug) is
+        recorded in ``self.consumer_error`` and ends supervision — the
+        silent-halt failure mode stays surfaced via ``consumer_error`` /
+        ``consumer_restarts``."""
         import threading
 
-        rs = self.cfg.replication
-        from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
-
         self._repl_client.start()
+        # streaming reads are select()-paced, not timed: drop the
+        # handshake timeout once CopyBoth is established
+        self._repl_client.sock.settimeout(None)
         self._repl_stop = threading.Event()
+        self.consumer_restarts = 0
+        self.consumer_error: BaseException | None = None
         self._repl_thread = threading.Thread(
-            target=PG.run_live_consumer,
-            args=(self._repl_client, self.cfg.staged_dir),
-            kwargs={
-                "checkpoint_dir": self.cfg.checkpoint_dir,
-                "stop_event": self._repl_stop,
-                "batch_size": rs.batch_size,
-                "ack_interval_sec": rs.ack_interval_sec,
-            },
-            daemon=True,
+            target=self._supervised_consume, daemon=True
         )
         self._repl_thread.start()
+
+    def _supervised_consume(self) -> None:
+        import logging
+
+        from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+        log = logging.getLogger(__name__)
+        rs = self.cfg.replication
+        backoff = 1.0
+        while True:
+            try:
+                PG.run_live_consumer(
+                    self._repl_client,
+                    self.cfg.staged_dir,
+                    checkpoint_dir=self.cfg.checkpoint_dir,
+                    stop_event=self._repl_stop,
+                    batch_size=rs.batch_size,
+                    ack_interval_sec=rs.ack_interval_sec,
+                )
+            except BaseException as e:  # noqa: BLE001 — record, never vanish
+                self.consumer_error = e
+                log.exception(
+                    "replication consumer stopped on a non-reconnectable "
+                    "error; replication is halted"
+                )
+                return
+            if self._repl_stop.is_set():
+                return
+            # connection ended without a stop request: reconnect on the
+            # same slot. stop_event.wait doubles as the backoff sleep so
+            # close() isn't delayed by it.
+            log.warning(
+                "replication connection ended; reconnecting to %s:%s "
+                "slot=%s in %.1fs",
+                rs.host, rs.port, rs.slot, backoff,
+            )
+            if self._repl_stop.wait(backoff):
+                return
+            backoff = min(backoff * 2, 30.0)
+            # establish the NEW session fully BEFORE touching
+            # self._repl_client or the old socket: close()'s final ack
+            # sweep must always target the last GOOD session, and a
+            # cleanly-ended stream (CopyDone — e.g. a finite replay)
+            # leaves the old socket open and usable for acks while the
+            # server refuses new sessions
+            old = self._repl_client
+            try:
+                new = self._connect_replication()
+                new.start()
+                new.sock.settimeout(None)  # streaming: select()-paced
+            except BaseException as e:  # noqa: BLE001
+                if self._repl_stop.is_set():
+                    return
+                # server still down: keep trying with the grown backoff
+                log.warning("replication reconnect failed: %s", e)
+                continue
+            self._repl_client = new
+            if old is not None:
+                try:
+                    old.close()
+                except Exception:  # noqa: BLE001
+                    pass
+            self.consumer_restarts += 1
+            backoff = 1.0  # healthy reconnect: reset
 
     def start(self, available_now: bool = False) -> "Connector":
         mode = self.cfg.snapshot_mode
@@ -222,7 +315,7 @@ class Connector:
                 # demanded after the socket was assigned, a non-duplicate
                 # create_slot error) must also release the session, or a
                 # start() retry orphans an open walsender
-                self._connect_replication()
+                self._repl_client = self._connect_replication()
             return self._start_after_connect(mode, available_now)
         except BaseException:
             # any later failure must release the walsender session, or

@@ -73,6 +73,11 @@ def parquet_feed_empty(
         if os.path.isdir(path)
         else [path]
     )
+    if not files:
+        # a directory with no top-level .parquet files (nested/partitioned
+        # layout this non-recursive scan can't see) must degrade to "not
+        # provably empty", NOT claim emptiness for data it didn't look at
+        return False
     for f in files:
         md = pq.ParquetFile(f).metadata
         if md.num_rows == 0:

@@ -250,7 +250,9 @@ def test_connector_start_failure_releases_walsender(spark, sf_dir):
         def close(self):
             closed.append(True)
 
-    c._connect_replication = lambda: setattr(c, "_repl_client", _FakeClient())
+    # new contract (review r6): _connect_replication RETURNS the client;
+    # start() assigns it only once usable
+    c._connect_replication = lambda: _FakeClient()
 
     class _Boom(Exception):
         pass

@@ -553,3 +553,84 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     assert agg["n"] == N and agg["nk"] == N, f"view rows {agg['n']}, keys {agg['nk']}"
     assert agg["lo"] == 1 and agg["hi"] == N
     assert agg["bad"] == 0  # every row carries its correct payload
+
+
+def test_live_connector_supervised_reconnect(pg, spark):
+    """Review r6: run_live_consumer returning on a reconnectable
+    termination must NOT silently halt replication — the Connector's
+    supervisor reconnects on the same slot. Kill the walsender backend
+    AND restart the whole server under a running Connector; rows written
+    after the restart must land in the view, and consumer_restarts must
+    record the recovery."""
+    import glob
+
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        Connector,
+        ConnectorConfig,
+        ReplicationSettings,
+    )
+
+    pg["sql"](
+        "CREATE TABLE IF NOT EXISTS sup (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE sup", db="cdc_db")
+    work = tempfile.mkdtemp(prefix="conn_sup_")
+    cfg = ConnectorConfig(
+        staged_dir=os.path.join(work, "staged"),
+        view_path=os.path.join(work, "view"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        keys=("id",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+        replication=ReplicationSettings(
+            host="127.0.0.1", port=PORT, slot="live_slot_sup",
+            publication="cdc_pub", database="cdc_db",
+            batch_size=2, ack_interval_sec=0.2,
+        ),
+    )
+    c = Connector(spark, cfg)
+    c.start()
+    try:
+        assert c.wait_until_ready()
+        pg["sql"]("INSERT INTO sup VALUES (1, 'before')", db="cdc_db")
+        deadline = time.time() + 60
+        while time.time() < deadline and not glob.glob(
+            os.path.join(work, "staged", "wal_*.ndjson")
+        ):
+            time.sleep(0.2)
+
+        # chaos: kill the walsender, then restart the whole server
+        pg["sql"](
+            "SELECT pg_terminate_backend(active_pid) FROM pg_replication_slots "
+            "WHERE slot_name='live_slot_sup' AND active_pid IS NOT NULL"
+        )
+        data = os.path.join(pg["work"], "data")
+        r = _su(
+            f"pg_ctl -D {data} -l {pg['work']}/server.log -m fast -w restart"
+        )
+        assert r.returncode == 0, f"server restart failed: {r.stderr[-300:]}"
+
+        deadline = time.time() + 90
+        while time.time() < deadline and c.consumer_restarts < 1:
+            time.sleep(0.5)
+        assert c.consumer_restarts >= 1, "supervisor never reconnected"
+        assert c.consumer_error is None
+
+        pg["sql"]("INSERT INTO sup VALUES (2, 'after')", db="cdc_db")
+        deadline = time.time() + 120
+        state = {}
+        while time.time() < deadline:
+            try:
+                state = {
+                    r2["id"]: r2["payload"]["v"] for r2 in c.read().collect()
+                }
+            except FileNotFoundError:
+                state = {}
+            if {"1", "2"} <= set(state):
+                break
+            time.sleep(0.5)
+        assert state.get("1") == "before" and state.get("2") == "after", state
+    finally:
+        c.close()
