@@ -593,7 +593,7 @@ def test_live_connector_supervised_reconnect(pg, spark):
     c = Connector(spark, cfg)
     c.start()
     try:
-        assert c.wait_until_ready()
+        assert c.wait_until_ready(timeout_sec=120)
         pg["sql"]("INSERT INTO sup VALUES (1, 'before')", db="cdc_db")
         deadline = time.time() + 60
         while time.time() < deadline and not glob.glob(
@@ -612,14 +612,19 @@ def test_live_connector_supervised_reconnect(pg, spark):
         )
         assert r.returncode == 0, f"server restart failed: {r.stderr[-300:]}"
 
-        deadline = time.time() + 90
+        # generous deadline: under full-suite load the restart + backoff
+        # cycle has measured out past 90 s on this host
+        deadline = time.time() + 180
         while time.time() < deadline and c.consumer_restarts < 1:
             time.sleep(0.5)
-        assert c.consumer_restarts >= 1, "supervisor never reconnected"
+        assert c.consumer_restarts >= 1, (
+            f"supervisor never reconnected (consumer_error="
+            f"{c.consumer_error!r})"
+        )
         assert c.consumer_error is None
 
         pg["sql"]("INSERT INTO sup VALUES (2, 'after')", db="cdc_db")
-        deadline = time.time() + 120
+        deadline = time.time() + 180
         state = {}
         while time.time() < deadline:
             try:

@@ -160,15 +160,15 @@ def build(sf_dir: str) -> None:
 
 
 class _RssSampler:
-    """Peak DRIVER-SIDE memory during a probe window (VERDICT r6 item 8):
-    samples current RSS of the Python driver process AND its JVM child
-    (local-mode Spark driver+executors live there) every 50 ms in a
-    daemon thread, keeping the window max. /proc VmHWM can't serve here —
-    it is a process-lifetime high-water mark, so per-probe peaks need
+    """Peak memory during a probe window (VERDICT r6 item 8): samples
+    current RSS of the Python driver process and of the Spark JVM
+    (separately — see __init__) every 50 ms in a daemon thread, keeping
+    the window max of each. /proc VmHWM can't serve here — it is a
+    process-lifetime high-water mark, so per-probe peaks need
     current-RSS sampling. The claim under test: driver-side state of the
     dedup/ANN paths is BOUNDED (fixed training samples, centroid
-    matrices, distinct bucket ids), so the peak stays flat while the
-    DATA scales x16 -> x64."""
+    matrices, distinct bucket ids), so the PYTHON driver peak stays flat
+    while the DATA scales x16 -> x64."""
 
     def __init__(self) -> None:
         import threading
