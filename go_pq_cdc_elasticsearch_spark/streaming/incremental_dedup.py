@@ -232,6 +232,42 @@ class LshDedupIndex:
             os.path.join(path, "bands"),
             n_buckets=n_buckets if n_buckets is not None else 64,
         )
+        # Hash-family pinning (review r6, the ContinuousAggregate
+        # _check_meta rule): reopening an existing index with different
+        # k/bands silently mixes incompatible families — new probes can
+        # never match any stored row's band hash, so every near-dup of a
+        # previously indexed doc is kept (duplicate leak) while the new
+        # family's rows pollute the segments. Columns matter the same way
+        # (a different text_col/id_col re-keys the rows). Threshold is a
+        # per-query policy knob, not index state — changing it is fine.
+        import json
+
+        family = {
+            "k": self.k,
+            "bands": self.bands,
+            "text_col": self.text_col,
+            "id_col": self.id_col,
+        }
+        meta_path = os.path.join(path, "_LSH_META.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            drift = {
+                key: (stored.get(key), val)
+                for key, val in family.items()
+                if stored.get(key) != val
+            }
+            if drift:
+                raise ValueError(
+                    f"LshDedupIndex at {path} was built with a different "
+                    f"hash family/config: {drift} (stored vs requested). "
+                    f"Reopen with the stored parameters or rebuild the "
+                    f"index — mixing families silently leaks duplicates."
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(family, f)
 
     # -- probing -------------------------------------------------------------
 
@@ -276,8 +312,14 @@ class LshDedupIndex:
         — indexing the batch afterwards changes the state the pairs were
         probed against)."""
         id_c = self.id_col
+        # ONE tokenize pass per batch (the dedup_corpus r2 rule): the
+        # staged gram sets feed both the minhash signatures and the
+        # verification side below — without grams_df, minhash_band_rows
+        # re-derived the identical n-gram sets internally (review r6)
+        new_grams = doc_ngram_sets(batch, self.text_col, id_c).persist()
         bands = minhash_band_rows(
-            batch, self.text_col, id_c, self.k, self.bands
+            batch, self.text_col, id_c, self.k, self.bands,
+            grams_df=new_grams,
         ).persist()
 
         # in-batch candidates: self-join within shared band buckets
@@ -315,10 +357,9 @@ class LshDedupIndex:
         else:
             cands = intra.distinct()
 
-        # candidate-only verification: gram sets for the batch docs plus
+        # candidate-only verification: the staged batch gram sets plus
         # ONLY the corpus docs named by a candidate (semi-join before any
         # tokenization — the old side never tokenizes the whole corpus)
-        new_grams = doc_ngram_sets(batch, self.text_col, id_c)
         cand_ids = (
             cands.select(F.col("id1").alias(id_c))
             .unionByName(cands.select(F.col("id2").alias(id_c)))
@@ -357,6 +398,7 @@ class LshDedupIndex:
 
         self.view.append_batch(bands, epoch_id=epoch_id)
         bands.unpersist()
+        new_grams.unpersist()
         return out
 
 
@@ -636,8 +678,23 @@ class IncrementalDeduper(LshDedupIndex):
             # ids — identical recompute either way. In normal streaming an
             # id arrives once and this anti-join matches nothing.
             if self.kept.exists() and self.kept._bucket_dirs():
+                # PRIOR epochs only (seq < this epoch): the kept view may
+                # already contain THIS epoch's rows from a crash exactly
+                # between _merge_kept's bucket swap and its frontier meta
+                # write (the window materialized.py documents as a replay).
+                # Anti-joining those rows away would make the redelivered
+                # recompute diverge — the epoch's kept docs drop out of
+                # their own wave, and the idempotent corpus overwrite at
+                # the end would replace epoch=seq with a kept set that no
+                # longer carries their text: permanent loss, plus their
+                # future near-dups verify against nothing (review r6).
+                # seq rows > this epoch cannot exist: the frontier is
+                # monotone, so a committed later epoch implies the top
+                # guard already returned.
                 batch_df = batch_df.join(
-                    self.kept.read().select(self.id_col),
+                    self.kept.read()
+                    .filter(F.col("seq") < F.lit(seq))
+                    .select(self.id_col),
                     on=self.id_col,
                     how="left_anti",
                 )
@@ -645,12 +702,17 @@ class IncrementalDeduper(LshDedupIndex):
             if prior:
                 # explicit partition-dir paths: files sit directly under
                 # each path, so the read carries the batch schema (no
-                # discovered `epoch` column leaks into the text corpus)
-                corpus = spark.read.parquet(*prior).unionByName(
-                    batch_df, allowMissingColumns=True
-                )
+                # discovered `epoch` column leaks into the text corpus).
+                # PRIOR dirs only — not ∪ batch_df: every batch doc's
+                # grams come from the staged new_grams side (priority 1
+                # in the verification max_by), so corpus copies of batch
+                # docs were tokenized once per batch only to be discarded
+                # (review r6)
+                corpus = spark.read.parquet(*prior)
             else:
-                corpus = batch_df
+                # schema-bearing empty frame: the verification side still
+                # unions against `corpus` even when nothing is indexed yet
+                corpus = batch_df.limit(0)
             kept = self._compute_kept(batch_df, corpus=corpus, epoch_id=seq)
             # corpus first (idempotent overwrite), frontier commit last
             kept.write.mode("overwrite").parquet(

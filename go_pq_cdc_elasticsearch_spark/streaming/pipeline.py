@@ -274,17 +274,17 @@ def staged_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     staged = _STAGED_CACHE.get(key)
     if staged is None or not os.path.isdir(staged):
         # an in-place source regeneration changes the fingerprint: evict
-        # (and remove) the superseded layouts for the same (sf_dir,
-        # n_files) so a long-lived process doesn't strand one full staged
-        # copy of the events table in tmp per regeneration
-        import shutil
-
+        # the superseded cache entries so new consumers stage fresh — but
+        # STRAND the old directories rather than deleting them. A live
+        # processing-time stream returned by run_cdc_stream may still be
+        # replaying the old layout; rmtree here would yank files out from
+        # under its file source (review r6 — the pre-eviction behavior
+        # was stranding, which is the safe direction: tmp space over a
+        # dying stream).
         for old_key in [
             k for k in _STAGED_CACHE if k[0] == sf_dir and k[1] == n_files
         ]:
-            shutil.rmtree(
-                os.path.dirname(_STAGED_CACHE.pop(old_key)), ignore_errors=True
-            )
+            _STAGED_CACHE.pop(old_key)
         staged = os.path.join(tempfile.mkdtemp(prefix="cdc_stage_"), "staged")
         stage_event_files(spark, sf_dir, staged, n_files=n_files)
         _STAGED_CACHE[key] = staged

@@ -540,3 +540,106 @@ def test_deduper_string_doc_ids(spark, sf_dir):
     # the exact-duplicate copy lost to its component's min id
     assert sum(1 for i in kept_ids if i.endswith("-copy")) == 0
     assert len(kept_ids) <= batch.count() - 1
+
+
+def test_foreach_batch_crash_between_kept_swap_and_frontier(spark, sf_dir):
+    """Review r6: the DEEPER crash window — inside _merge_kept, AFTER the
+    kept-view bucket swap but BEFORE its frontier meta write (the replay
+    window materialized.py documents). On redelivery the kept view already
+    contains this epoch's ids while the frontier says the epoch never
+    committed; the exact-id anti-join must NOT strip those ids (they are
+    seq == this epoch), or the recompute diverges and the idempotent
+    corpus overwrite replaces epoch=N with a kept set that lost their
+    text — permanent loss plus an unverifiable-near-dup leak."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    work = tempfile.mkdtemp(prefix="dd_swapcrash_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus_path = os.path.join(work, "corpus")
+    write = dd.foreach_batch_writer(corpus_path)
+
+    w0 = docs.filter(F.col("doc_id") % 2 == 0)
+    w1 = docs.filter(F.col("doc_id") % 2 == 1)
+    write(w0, 0)
+    kept_after_0 = {
+        r["doc_id"] for r in dd.kept.read().select("doc_id").collect()
+    }
+
+    # crash window: epoch-1 kept buckets swap, frontier meta write dies
+    real_swap = dd.kept._swap_buckets
+    calls = {"n": 0}
+
+    def swap_then_die(df, buckets):
+        real_swap(df, buckets)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after swap, before meta")
+
+    dd.kept._swap_buckets = swap_then_die
+    try:
+        write(w1, 1)
+        raise AssertionError("injected crash did not surface")
+    except RuntimeError:
+        pass
+    dd.kept._swap_buckets = real_swap
+    # the window: frontier says epoch 1 never committed, but the kept
+    # view's buckets already contain epoch 1's ids
+    assert dd.kept._last_epoch == 0
+    kept_mid = {r["doc_id"] for r in dd.kept.read().select("doc_id").collect()}
+    assert kept_mid > kept_after_0  # epoch 1 ids landed in the swap
+    epoch1_expected = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(corpus_path, "epoch=1")
+        ).select("doc_id").collect()
+    }
+
+    # redelivery: must recompute the IDENTICAL kept set (not strip this
+    # epoch's own ids), leave the corpus text intact, and commit
+    write(w1, 1)
+    assert dd.kept._last_epoch is not None and dd.kept._last_epoch >= 1
+    epoch1_after = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(corpus_path, "epoch=1")
+        ).select("doc_id").collect()
+    }
+    assert epoch1_after == epoch1_expected  # no text lost on redelivery
+    store_ids = [
+        r["doc_id"] for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    ]
+    kept_ids = {r["doc_id"] for r in dd.kept.read().select("doc_id").collect()}
+    assert len(store_ids) == len(set(store_ids))  # no duplicates
+    assert set(store_ids) == kept_ids and kept_ids  # no loss
+
+
+def test_lsh_index_rejects_hash_family_drift(spark, sf_dir):
+    """Review r6 (the ContinuousAggregate config-drift rule): reopening an
+    index with different k/bands/columns must raise loudly — a second
+    family's probes never match stored band hashes, silently leaking
+    every near-dup of previously indexed docs."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+        LshDedupIndex,
+    )
+
+    work = tempfile.mkdtemp(prefix="dd_family_")
+    path = os.path.join(work, "dd")
+    LshDedupIndex(spark, path, k=16, bands=8)
+
+    with pytest.raises(ValueError, match="hash family"):
+        LshDedupIndex(spark, path, k=16, bands=4)
+    with pytest.raises(ValueError, match="hash family"):
+        LshDedupIndex(spark, path, k=8, bands=8)
+    with pytest.raises(ValueError, match="hash family"):
+        LshDedupIndex(spark, path, k=16, bands=8, id_col="other_id")
+    # same family reopens fine; threshold is a policy knob, not state
+    LshDedupIndex(spark, path, k=16, bands=8, jaccard_threshold=0.9)
+    # subclass shares the meta contract
+    with pytest.raises(ValueError, match="hash family"):
+        IncrementalDeduper(spark, path, k=32, bands=8)
