@@ -110,13 +110,19 @@ def action_meta_line(
 ) -> str:
     """One NDJSON metadata line (reference getEsActionJSON bulk/bulk.go:208-245;
     the _type field is emitted only for ES < 7, bulk/bulk.go:194-206)."""
-    verb = {"index": "index", "delete": "delete", "script_update": "update"}[action]
+    verb = ACTION_VERBS[action]
     meta: dict = {"_id": doc_id, "_index": index}
     if routing is not None:
         meta["routing"] = routing
     if type_name is not None:
         meta["_type"] = type_name
     return json.dumps({verb: meta}, separators=(",", ":"))
+
+
+# the ONE source of truth for supported action types -> bulk verbs
+# (frame_actions validates against the same map action_meta_line frames
+# with — review r6: a duplicated whitelist tuple could drift)
+ACTION_VERBS = {"index": "index", "delete": "delete", "script_update": "update"}
 
 
 def frame_actions(
@@ -128,14 +134,14 @@ def frame_actions(
     the full payload (the reference pools buffers for the same reason,
     bulk/bulk.go:188-192)."""
     for r in rows:
-        if r["action"] not in ("index", "delete", "script_update"):
+        if r["action"] not in ACTION_VERBS:
             # explicit, doc-addressed failure — a bare KeyError from the
             # verb lookup was the same opaque mid-partition death the
             # NULL-source guards below exist to prevent
             raise ValueError(
                 f"unknown action {r['action']!r} for doc_id="
                 f"{r.get('doc_id')!r} index={r.get('index')!r}: expected "
-                f"'index', 'delete' or 'script_update'"
+                f"one of {sorted(ACTION_VERBS)}"
             )
         if r.get("doc_id") is None or r.get("index") is None:
             # one NULL _index/_id poisons the WHOLE bulk request (ES
@@ -413,12 +419,16 @@ def write_bulk_results(
                             "doc_id": e["_id"],
                             "index": e["_index"],
                             "status": int(e["status"] or 0),
-                            # json.dumps, not str(): ES error objects are
-                            # dicts, and Python repr (single quotes) made
-                            # the persisted DLQ error column unparseable
+                            # ALWAYS json.dumps (review r6): older-ES /
+                            # proxy responses carry item errors as plain
+                            # strings — encoding only the dict case left
+                            # the persisted DLQ column a mix of raw
+                            # strings and JSON that json.loads chokes on.
+                            # Strings become quoted JSON; the column is
+                            # uniformly machine-readable.
                             "error": json.dumps(e["error"])
-                            if not isinstance(e["error"], str)
-                            else e["error"],
+                            if e["error"] is not None
+                            else None,
                             "ok": False,
                         }
                     )

@@ -163,6 +163,7 @@ class MaterializedView:
         self.target_rows_per_bucket = target_rows_per_bucket
         self.max_buckets = max_buckets
         self._columns: list[str] | None = None
+        self._schema_json: str | None = None
         self._drifted = False
         self._last_epoch: int | None = None
         self._lineage: str | None = None
@@ -172,6 +173,7 @@ class MaterializedView:
             # layout sticks to what the directory was created with
             self.n_buckets = int(meta["n_buckets"])
             self._columns = meta.get("columns")
+            self._schema_json = meta.get("schema")
             self._drifted = bool(meta.get("drifted", False))
             self._last_epoch = meta.get("last_epoch")
             self._lineage = meta.get("lineage")
@@ -231,6 +233,7 @@ class MaterializedView:
                     "op_col": self.op_col,
                     "delete_op": self.delete_op,
                     "columns": self._columns,
+                    "schema": self._schema_json,
                     "drifted": self._drifted,
                     "last_epoch": self._last_epoch,
                     "lineage": self._lineage,
@@ -277,7 +280,21 @@ class MaterializedView:
 
         mergeSchema (per-file footer reconciliation) is paid only once
         drift has EVER happened — same conditional the merge path uses."""
-        if not self.exists() or not self._bucket_dirs():
+        if not self.exists():
+            return None
+        if not self._bucket_dirs():
+            if self._schema_json:
+                # meta carries the last swapped schema (review r6): an
+                # emptied view (vacuum-to-zero, rebucket of an empty
+                # state, a crash after buckets were removed) stays a
+                # typed EMPTY frame instead of 'not initialized' — no
+                # keeper file needed, and every crash window heals
+                # because the schema survives in the meta
+                from pyspark.sql import types as T
+
+                return self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(self._schema_json))
+                )
             return None
         return self._read_buckets(merge_schema=self._drifted).drop(_BUCKET_COL)
 
@@ -369,20 +386,43 @@ class MaterializedView:
         if not self.exists():
             compact = self._compact_batch(batch)
             persisted = False
-            if self.n_buckets is None:  # auto-size the layout to the data
-                # the sizing count and the swap write would otherwise each
-                # evaluate the window dedup over the full batch — persist
-                # so the batch is scanned/deduped ONCE (at 1M+-row
-                # micro-batches the second pass was the single largest
-                # per-batch cost, review r6)
-                compact = compact.persist()
-                persisted = True
-                n_rows = compact.count()
-                self.n_buckets = max(
-                    1,
-                    min(self.max_buckets, -(-n_rows // self.target_rows_per_bucket)),
-                )
             try:
+                if self.n_buckets is None:  # auto-size the layout to the data
+                    # the sizing count and the swap write would otherwise
+                    # each evaluate the window dedup over the full batch —
+                    # persist so the batch is scanned/deduped ONCE (at
+                    # 1M+-row micro-batches the second pass was the single
+                    # largest per-batch cost, review r6). persist/count
+                    # INSIDE the try: a failing count must not leak the
+                    # cache across foreachBatch redeliveries.
+                    compact = compact.persist()
+                    persisted = True
+                    n_rows = compact.count()
+                    if n_rows == 0:
+                        # an EMPTY first batch (Spark's no-data micro-batch
+                        # before any data arrives) must not CREATE the
+                        # view: auto-sizing from zero rows would bake
+                        # n_buckets=1 into the meta permanently, and every
+                        # later 10M-row batch would merge into a single
+                        # bucket — per-batch cost scaling with view size,
+                        # silently defeating the incremental design
+                        # (review r6). Skip; the first REAL batch sizes
+                        # the layout. No epoch is recorded (no meta yet);
+                        # redelivering an empty epoch is a no-op anyway.
+                        self.n_buckets = None
+                        return
+                    self.n_buckets = max(
+                        1,
+                        min(
+                            self.max_buckets,
+                            -(-n_rows // self.target_rows_per_bucket),
+                        ),
+                    )
+                elif batch.isEmpty():
+                    # fixed layout, same rule: don't initialize a view on
+                    # an empty feed (read() keeps raising 'not
+                    # initialized', the documented empty-feed contract)
+                    return
                 self._columns = sorted(batch.columns)
                 self._write_meta()
                 self._swap_buckets(
@@ -425,12 +465,21 @@ class MaterializedView:
                 .persist()
             )
             persisted = True
-            touched = sorted(
-                r["b"]
-                for r in compact.select(F.col(_BUCKET_COL).alias("b"))
-                .distinct()
-                .collect()
-            )
+            try:
+                touched = sorted(
+                    r["b"]
+                    for r in compact.select(F.col(_BUCKET_COL).alias("b"))
+                    .distinct()
+                    .collect()
+                )
+            except BaseException:
+                # a failing probe (executor loss, malformed row) must not
+                # leak the cache: foreachBatch redelivery persists a FRESH
+                # DataFrame each attempt, so leaked entries accumulate for
+                # the session lifetime on exactly the crash-looping path
+                # (review r6)
+                compact.unpersist()
+                raise
         if not touched:  # empty batch
             if persisted:
                 compact.unpersist()
@@ -490,6 +539,14 @@ class MaterializedView:
         parent = os.path.dirname(self.path) or "."
         tmp = tempfile.mkdtemp(prefix="mv_", dir=parent)
         out = os.path.join(tmp, "data")
+        # record the view schema (sans bucket col) BEFORE the write: the
+        # meta-carried schema is what keeps an emptied view readable (see
+        # state()), and it must land even when the frame writes zero rows
+        fields = [f for f in df.schema.fields if f.name != _BUCKET_COL]
+        from pyspark.sql import types as T
+
+        self._schema_json = T.StructType(fields).json()
+        self._write_meta()
         # align output tasks to buckets: ONE file per bucket dir per merge
         # (without this, every shuffle partition writes its own sliver into
         # every bucket — file count grows by tasks×buckets each batch and
@@ -529,19 +586,12 @@ class MaterializedView:
         # bucket dir away, so the lazy read above is safe. The schema is
         # captured BEFORE the swap: if retention empties the view, every
         # bucket dir is removed and the schema would be gone with them.
-        schema = keep.schema
         self._swap_buckets(keep, buckets=self._bucket_dirs())
-        if not self._bucket_dirs():
-            # retention dropped the last row: keep the SCHEMA alive as an
-            # empty bucket-0 file so read() returns an empty typed frame
-            # instead of raising 'not initialized' for a view that very
-            # much is (review r5)
-            from pyspark.sql import types as T
-
-            empty = self.spark.createDataFrame(
-                [], T.StructType([f for f in schema.fields if f.name != _BUCKET_COL])
-            )
-            empty.coalesce(1).write.mode("overwrite").parquet(self._bucket_dir(0))
+        # retention dropping the last row leaves zero bucket dirs; the
+        # view stays readable as a typed empty frame through the
+        # meta-carried schema _swap_buckets just recorded (review r5 via
+        # r6 — the earlier direct keeper-file write here sat outside the
+        # two-rename crash protocol and could strand the view unreadable)
         if self._drifted:
             # the full rewrite re-unified every bucket's file schema
             self._drifted = False

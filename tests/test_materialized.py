@@ -338,3 +338,52 @@ def test_one_bucket_empty_batch_skips_rewrite(spark):
     assert all(
         os.path.getmtime(os.path.join(bucket, f)) == mtimes[f] for f in after
     )
+
+
+def test_empty_first_batch_does_not_create_or_missize_view(spark):
+    """Review r6: Spark's no-data micro-batches can hand foreachBatch an
+    EMPTY batch 0. Auto-sizing from zero rows baked n_buckets=1 into the
+    meta permanently, so every later large batch merged into a single
+    bucket — per-batch cost scaling with view size. An empty first batch
+    must not create the view at all; the first REAL batch sizes it."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_e0_"), "view")
+    mv = MaterializedView(spark, path, target_rows_per_bucket=10)
+    mv.merge_batch(_batch(spark, []), epoch_id=0)
+    assert not mv.exists()  # no meta, no mis-sized layout
+    assert mv.n_buckets is None  # auto-size still pending
+    # the first REAL batch sizes the layout from ITS row count
+    mv.merge_batch(
+        _batch(spark, [(i, "insert", i, float(i)) for i in range(1, 41)]),
+        epoch_id=1,
+    )
+    assert mv.n_buckets == 4  # 40 rows / 10 per bucket — not 1
+    assert mv.read().count() == 40
+
+    # fixed-layout views follow the same no-create rule
+    path2 = os.path.join(tempfile.mkdtemp(prefix="mv_e0f_"), "view")
+    mv2 = MaterializedView(spark, path2, n_buckets=4)
+    mv2.merge_batch(_batch(spark, []), epoch_id=0)
+    assert not mv2.exists()
+
+
+def test_rebucket_of_emptied_view_stays_readable(spark):
+    """Review r6: vacuum-to-empty then rebucket() left meta with ZERO
+    bucket dirs (a partitionBy write of a zero-row frame creates none) and
+    read() raised 'not initialized' forever. The meta-carried schema now
+    keeps any emptied view readable as a typed empty frame."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_rb0_"), "view")
+    mv = MaterializedView(spark, path, n_buckets=2)
+    mv.merge_batch(_batch(spark, [(1, "delete", 5, 1.0)]))
+    mv.vacuum(watermark_seq=10)
+    assert mv.read().count() == 0  # typed empty after vacuum
+    mv.rebucket(8)
+    out = mv.read()  # previously: FileNotFoundError, unhealable
+    assert out.count() == 0
+    assert "user_id" in out.columns
+    # reopen from disk: the schema rides in the meta, not a keeper file
+    mv2 = MaterializedView(spark, path)
+    assert mv2.read().count() == 0
+    # and the view still accepts new merges afterwards
+    # (_batch tuple order: event_id, event_type, user_id, value)
+    mv2.merge_batch(_batch(spark, [(9, "insert", 7, 7.0)]))
+    assert {r["user_id"] for r in mv2.read().collect()} == {7}
