@@ -62,7 +62,10 @@ def start_fake_postgres(transactions):
                         for txn in transactions:
                             for lsn, payload in txn:
                                 f.write(PG.copy_data(PG.xlog_data(lsn, lsn, 0, payload)))
-                        f.write(PG.copy_data(b"c"))
+                        # CopyDone is a TOP-LEVEL frame on the real wire
+                        # (WalSndDone) — the client answers with its own
+                        # CopyDone (review r6)
+                        f.write(PG.frame(b"c", b""))
                     f.flush()
                 elif t == b"d" and body[:1] == b"r":
                     acks.append(PG.parse_standby_status(body))

@@ -517,6 +517,32 @@ class ReplicationClient:
                 raise RuntimeError(f"startup failed: {parse_error_response(body)}")
             raise RuntimeError(f"unexpected startup frame {t!r}")
 
+    def _run_simple_query(self, sql: str, command: str) -> None:
+        """Send a simple-protocol Query and drain to ReadyForQuery,
+        absorbing duplicate_object (SQLSTATE 42710 — idempotent create).
+        A real server answers with a full result-set frame sequence, so
+        the drain must consume everything up to 'Z': consuming only one
+        frame desyncs the NEXT command (learned on CREATE_REPLICATION_SLOT
+        against a live walsender). Shared by create_slot and
+        create_publication — two copies of this state machine drifted
+        apart once already (review r6)."""
+        self._send(query_message(sql))
+        err: dict[str, str] | None = None
+        while True:
+            t, body = read_frame(self.file)
+            if not t:
+                raise RuntimeError(f"connection closed during {command}")
+            if t in (b"T", b"D", b"C", b"S", b"N"):
+                continue
+            if t == b"E":
+                err = parse_error_response(body)
+                continue
+            if t == b"Z":
+                break
+            raise RuntimeError(f"unexpected response to {command}: {t!r}")
+        if err is not None and err.get("C") != "42710":
+            raise RuntimeError(f"{command} failed: {err}")
+
     def create_slot(self) -> None:
         """CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput.
 
@@ -527,26 +553,10 @@ class ReplicationClient:
         START_REPLICATION. An ErrorResponse is raised after the drain
         unless it is duplicate_object (SQLSTATE 42710: slot exists —
         idempotent create, like the reference's recoverable start)."""
-        self._send(
-            query_message(f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL pgoutput")
+        self._run_simple_query(
+            f"CREATE_REPLICATION_SLOT {self.slot} LOGICAL pgoutput",
+            "CREATE_REPLICATION_SLOT",
         )
-        err: dict[str, str] | None = None
-        while True:
-            t, body = read_frame(self.file)
-            if not t:
-                raise RuntimeError("connection closed during CREATE_REPLICATION_SLOT")
-            if t in (b"T", b"D", b"C", b"S", b"N"):
-                continue
-            if t == b"E":
-                err = parse_error_response(body)
-                continue
-            if t == b"Z":
-                break
-            raise RuntimeError(
-                f"unexpected response to CREATE_REPLICATION_SLOT: {t!r}"
-            )
-        if err is not None and err.get("C") != "42710":
-            raise RuntimeError(f"CREATE_REPLICATION_SLOT failed: {err}")
 
     def create_publication(self, for_all_tables: bool = True) -> None:
         """CREATE PUBLICATION <name> [FOR ALL TABLES] over this walsender
@@ -557,22 +567,9 @@ class ReplicationClient:
         any configured name round-trips."""
         pub_ident = '"' + self.publication.replace('"', '""') + '"'
         suffix = " FOR ALL TABLES" if for_all_tables else ""
-        self._send(query_message(f"CREATE PUBLICATION {pub_ident}{suffix}"))
-        err: dict[str, str] | None = None
-        while True:
-            t, body = read_frame(self.file)
-            if not t:
-                raise RuntimeError("connection closed during CREATE PUBLICATION")
-            if t in (b"T", b"D", b"C", b"S", b"N"):
-                continue
-            if t == b"E":
-                err = parse_error_response(body)
-                continue
-            if t == b"Z":
-                break
-            raise RuntimeError(f"unexpected response to CREATE PUBLICATION: {t!r}")
-        if err is not None and err.get("C") != "42710":
-            raise RuntimeError(f"CREATE PUBLICATION failed: {err}")
+        self._run_simple_query(
+            f"CREATE PUBLICATION {pub_ident}{suffix}", "CREATE PUBLICATION"
+        )
 
     def start(self, start_lsn: int = 0) -> None:
         # publication_names is a string literal in the replication-command
@@ -644,6 +641,16 @@ class ReplicationClient:
                     f"replication stream error: {err}",
                     sqlstate=err.get("C", ""),
                 )
+            if t == b"c":
+                # top-level CopyDone: a graceful walsender end-of-stream
+                # (smart shutdown / end-of-timeline) — the server WAITS
+                # for the client's CopyDone reply before finishing, so
+                # silently skipping the frame hung the consumer until
+                # wal_sender_timeout force-killed the link (review r6; an
+                # earlier check looked for 'c' INSIDE CopyData payloads,
+                # where the server only ever sends 'w'/'k')
+                self._send(frame(b"c", b""))
+                return
             if t != b"d":
                 continue
             kind = body[:1]
@@ -697,8 +704,6 @@ class ReplicationClient:
                             if len(bounds) % 2:  # odd: keep the newest
                                 self.txn_bounds.append(bounds[-1])
                 continue
-            if kind == b"c":  # CopyDone from server
-                return
 
     @property
     def truncate_skipped(self) -> int:
@@ -853,21 +858,40 @@ def committed_checkpoint_lsn(checkpoint_dir: str) -> int:
     try:
         with open(off_file) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
-        return int(json.loads(lines[-1]).get("lsn", -1))
-    except (OSError, ValueError, KeyError):
+        # IndexError (zero-byte/truncated offsets file) and a non-dict
+        # last line must degrade to -1 like every other partial state —
+        # escaping here reached _supervised_consume as a
+        # "non-reconnectable" error and halted replication for good on a
+        # transient file shape (review r6)
+        last = json.loads(lines[-1])
+        if not isinstance(last, dict):
+            return -1
+        return int(last.get("lsn", -1))
+    except (OSError, ValueError, KeyError, IndexError):
         return -1
 
 
 def forward_checkpoint_acks(
     client: ReplicationClient, checkpoint_dir: str, last_acked: int = -1
 ) -> int:
-    """Ack the checkpoint's committed frontier if it advanced. The frontier
-    is a segment STAMP, not a WAL position — ack_frontier translates it to
-    the newest covered commit-record end_lsn (see ReplicationClient)."""
+    """Ack the checkpoint's committed frontier. The frontier is a segment
+    STAMP, not a WAL position — ack_frontier translates it to the newest
+    covered commit-record end_lsn (see ReplicationClient).
+
+    Called even when the frontier HASN'T advanced (review r6): with the
+    consumer caught up and upstream traffic flowing only to unpublished
+    tables (or TRUNCATE-only txns), the walsender keeps delivering
+    empty/filtered transactions whose commit end_lsns land in txn_bounds
+    under the UNCHANGED stamp frontier. Gating the ack on advancement
+    pinned confirmed_flush/restart_lsn at the old position forever —
+    unbounded WAL retention on the primary. ack_frontier on an unchanged
+    frontier drains exactly those newly covered bounds (it sends nothing
+    when nothing new is covered), which is how the reference's ticker
+    acks keepalive progress too."""
     newest = committed_checkpoint_lsn(checkpoint_dir)
-    if newest > last_acked and newest >= 0:
+    if newest >= 0:
         client.ack_frontier(newest)
-        return newest
+        return max(newest, last_acked)
     return last_acked
 
 
@@ -907,8 +931,16 @@ def run_live_consumer(
     # seed the monotone stamp clamp from what's already on disk: after a
     # reconnect, redelivered (unacked) transactions must be stamped ABOVE
     # every stamp a previous consumer flushed, or the stream frontier in
-    # the Spark checkpoint would filter them out forever
+    # the Spark checkpoint would filter them out forever. BOTH durable
+    # records matter (review r6): segments can live on ephemeral storage
+    # while the checkpoint survives — seeding from segments alone would
+    # restart the clamp at 0 and stamp redelivered rows below the
+    # checkpoint frontier (silently dropped by the (start, end] filter).
     client.last_stamp = max(client.last_stamp, max_segment_lsn(segments_dir))
+    if checkpoint_dir is not None:
+        client.last_stamp = max(
+            client.last_stamp, committed_checkpoint_lsn(checkpoint_dir)
+        )
 
     committed_offset = 0
 
@@ -1017,17 +1049,27 @@ def forward_committed_acks_tail(
     import json
     import os
 
+    def _drain_idle():
+        # no new commit lines, but empty/filtered txns may have arrived
+        # under the unchanged frontier — drain their bounds (see
+        # forward_checkpoint_acks; sends nothing when nothing is covered)
+        if last_acked >= 0:
+            client.ack_frontier(last_acked)
+
     p = os.path.join(segments_dir, "_committed")
     if not os.path.exists(p):
+        _drain_idle()
         return last_acked, offset
     newest = last_acked
     with open(p, "rb") as f:
         f.seek(offset)
         chunk = f.read()
     if not chunk:
+        _drain_idle()
         return last_acked, offset
     complete, sep, _tail = chunk.rpartition(b"\n")
     if not sep:
+        _drain_idle()
         return last_acked, offset  # no full line appended yet
     offset += len(complete) + 1
     for line in complete.splitlines():
@@ -1035,8 +1077,11 @@ def forward_committed_acks_tail(
             newest = max(newest, json.loads(line).get("lsn", -1))
         except ValueError:
             continue
-    if newest > last_acked and newest >= 0:
-        # the frontier is a segment stamp; translate to a commit end_lsn
+    if newest >= 0:
+        # the frontier is a segment stamp; translate to a commit end_lsn.
+        # Called even on an UNCHANGED frontier — see forward_checkpoint_acks:
+        # empty/filtered txn bounds keep arriving under a static frontier
+        # and must drain, or WAL retention pins on the primary (review r6)
         client.ack_frontier(newest)
     return newest, offset
 

@@ -92,8 +92,13 @@ def parquet_feed_empty(
             stats = md.row_group(rg).column(idx).statistics
             if stats is None or not stats.has_min_max:
                 return False  # stats missing: not provably empty
-            if stats.min is not None and stats.min <= le:
-                return False  # the min is a real row's value: a match exists
+            try:
+                if stats.min is not None and stats.min <= le:
+                    return False  # the min IS a row's value: a match exists
+            except TypeError:
+                # non-numeric footer min (string column): can't prove —
+                # degrade to False per the contract (review r6)
+                return False
     return True
 
 
@@ -120,12 +125,14 @@ def snapshot_read(
     """Chunked snapshot read of a testdata table.
 
     Row/byte counts come from the parquet footer metadata (no count()
-    pre-pass — that was a full extra scan). The scan's natural split width
-    is estimated from file bytes / spark.sql.files.maxPartitionBytes; only
-    when that is *narrower* than the chunk-derived width do we repartition,
-    so small tables stay single-partition and big tables get the
-    parallelism the reference's chunking provides. (At cluster scale, the
-    JDBC variant below is the real path; this keeps plan shape comparable.)
+    pre-pass — that was a full extra scan). The scan's natural partition
+    count is estimated as file bytes / spark.sql.files.maxPartitionBytes;
+    only when the natural split yields FEWER partitions than the
+    chunk-derived count (each natural partition wider than a chunk) do we
+    repartition up, so small tables stay single-partition and big tables
+    get the parallelism the reference's chunking provides. (At cluster
+    scale, the JDBC variant below is the real path; this keeps plan shape
+    comparable.)
     """
     df = load_table(spark, sf_dir, table)
     n_rows, n_bytes = parquet_footer_stats(table_path(sf_dir, table))

@@ -68,14 +68,28 @@ def max_segment_lsn(path: str) -> int:
     sort after every stamp already flushed — without it, an interleaved
     transaction redelivered after a crash could be stamped below the
     stream frontier and silently dropped by the (start, end] filter."""
-    segs = list_segments(path)
-    if not segs:
-        return -1
-    mx = segs[-1][0]
-    with open(segs[-1][1]) as f:
-        for line in f:
-            mx = max(mx, json.loads(line)["lsn"])
-    return mx
+    # retry on FileNotFoundError: the live consumer's ack sweep can prune
+    # the listed tail segment between our listdir and open (its "newest
+    # segment is always kept" guarantee holds at PRUNE time, not at this
+    # reader's list time) — a fresh listing sees the surviving newer
+    # segment. Bounded attempts: with the pruner deleting at most once a
+    # second, two races in a row already needs adversarial timing (review
+    # r6 — the unguarded open aborted latestOffset and the whole stream).
+    for _ in range(5):
+        segs = list_segments(path)
+        if not segs:
+            return -1
+        mx = segs[-1][0]
+        try:
+            with open(segs[-1][1]) as f:
+                for line in f:
+                    mx = max(mx, json.loads(line)["lsn"])
+            return mx
+        except FileNotFoundError:
+            continue
+    raise FileNotFoundError(
+        f"segment tail at {path} vanished in 5 consecutive list/open races"
+    )
 
 
 def prune_segments(path: str, committed_lsn: int) -> int:

@@ -87,6 +87,7 @@ class FakeReplicationServer:
         self.max_connections = max_connections
         self.acks: list[dict] = []
         self.slots: list[str] = []
+        self.copy_done_replies = 0  # client CopyDone answers (graceful end)
         self.startups: list[dict] = []
         self.server = socket.create_server(("127.0.0.1", 0))
         self.port = self.server.getsockname()[1]
@@ -204,6 +205,10 @@ class FakeReplicationServer:
                     self._stream(f, start_lsn)
             elif t == b"d" and body[:1] == b"r":
                 self.acks.append(PG.parse_standby_status(body))
+            elif t == b"c":
+                # the client's CopyDone reply — a real walsender waits for
+                # this before CommandComplete on a graceful stream end
+                self.copy_done_replies += 1
 
     def _stream(self, f, start_lsn: int = 0):
         PG = self._PG
@@ -220,5 +225,10 @@ class FakeReplicationServer:
                     self.acks.append(PG.parse_standby_status(body))
             else:
                 f.flush()
-        f.write(PG.copy_data(b"c"))  # CopyDone
+        # CopyDone is a TOP-LEVEL frame on the real wire (WalSndDone), not
+        # a CopyData payload — the server then waits for the client's
+        # CopyDone reply before CommandComplete (review r6: the old
+        # in-CopyData form exercised a dead client branch and hid that the
+        # client never answered a real graceful end-of-stream)
+        f.write(PG.frame(b"c", b""))
         f.flush()

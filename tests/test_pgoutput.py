@@ -723,3 +723,97 @@ def test_run_live_consumer_seeds_stamps_above_existing_segments():
     # the redelivered row (true wal 101) is stamped past the on-disk 500
     assert stamps == [500, 501]
     client.close()
+
+
+def test_graceful_copy_done_is_answered(spark=None):
+    """Review r6: server CopyDone is a TOP-LEVEL frame (WalSndDone), and
+    the server waits for the client's CopyDone reply before finishing —
+    a skipped frame hung the consumer until wal_sender_timeout. The fake
+    now frames CopyDone correctly and records the client's answer."""
+    cols = ["id"]
+    relid = 1
+    txns = [[
+        (10, PG.encode_relation(relid, "public", "t", cols)),
+        (100, PG.encode_begin(200, 777_000_000, xid=1)),
+        (100, PG.encode_insert(relid, ["1"])),
+        (200, PG.encode_commit(200, 205, 777_000_000)),
+    ]]
+    server = FakeReplicationServer(txns, keepalive_each_txn=False)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="s_cdone")
+    client.create_slot()
+    client.start()
+    changes = [ch for ch in client.poll() if ch is not None]
+    assert len(changes) == 1  # stream drained, then ended gracefully
+    deadline = __import__("time").time() + 5
+    while server.copy_done_replies < 1 and __import__("time").time() < deadline:
+        __import__("time").sleep(0.05)
+    assert server.copy_done_replies == 1
+    client.close()
+
+
+def test_idle_ack_sweep_drains_filtered_txn_bounds():
+    """Review r6 (WAL-retention pinning): with the Spark frontier STATIC
+    (no new rows reach the stream — unpublished-table or TRUNCATE-only
+    upstream traffic), newly delivered empty/filtered transactions'
+    commit ends must still ack, or confirmed_flush pins forever."""
+    import collections
+    import tempfile
+
+    a, b = socket.socketpair()
+    client = PG.ReplicationClient(a, slot="s_idle")
+    sent = []
+    client.ack = lambda lsn: sent.append(lsn)
+
+    # frontier stamp 5 already acked once; two empty txns arrive later
+    # with the SAME last stamp (no rows) but newer commit ends
+    client.txn_bounds = collections.deque([(5, 300), (5, 400)])
+    empty_dir = tempfile.mkdtemp(prefix="idle_ack_")
+
+    # no _committed file at all: the idle sweep must still drain
+    last, off = PG.forward_committed_acks_tail(client, empty_dir, 5, 0)
+    assert last == 5 and sent == [400]  # newest covered commit end acked
+    assert not client.txn_bounds
+
+    # and the checkpoint-based forwarder drains on an unchanged frontier
+    client.txn_bounds = collections.deque([(5, 500)])
+    ckpt = tempfile.mkdtemp(prefix="idle_ckpt_")
+    import json as _json
+    import os as _os
+
+    _os.makedirs(_os.path.join(ckpt, "commits"))
+    _os.makedirs(_os.path.join(ckpt, "offsets"))
+    with open(_os.path.join(ckpt, "commits", "0"), "w") as f:
+        f.write("{}")
+    with open(_os.path.join(ckpt, "offsets", "0"), "w") as f:
+        f.write('{"lsn": 5}\n')
+    sent.clear()
+    last = PG.forward_checkpoint_acks(client, ckpt, last_acked=5)
+    assert last == 5 and sent == [500]
+    client.close()
+    b.close()
+
+
+def test_committed_checkpoint_lsn_degrades_on_partial_files():
+    """Review r6: a zero-byte offsets file (IndexError) or a non-dict
+    last line must return -1, not escape as a 'non-reconnectable' error
+    that permanently halts the supervised consumer."""
+    import os as _os
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="part_ckpt_")
+    _os.makedirs(_os.path.join(ckpt, "commits"))
+    _os.makedirs(_os.path.join(ckpt, "offsets"))
+    with open(_os.path.join(ckpt, "commits", "3"), "w") as f:
+        f.write("{}")
+    # zero-byte offsets file: transient mid-write state
+    open(_os.path.join(ckpt, "offsets", "3"), "w").close()
+    assert PG.committed_checkpoint_lsn(ckpt) == -1
+    # non-dict last line
+    with open(_os.path.join(ckpt, "offsets", "3"), "w") as f:
+        f.write("3\n")
+    assert PG.committed_checkpoint_lsn(ckpt) == -1
+    # healthy record still parses
+    with open(_os.path.join(ckpt, "offsets", "3"), "w") as f:
+        f.write('{"lsn": 42}\n')
+    assert PG.committed_checkpoint_lsn(ckpt) == 42
