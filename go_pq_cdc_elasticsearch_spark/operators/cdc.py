@@ -110,7 +110,16 @@ def scripted_update_merge(
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("version"),
-            (F.sum(quantized).cast("double") / F.lit(10000.0)).alias("stock"),
+            # each addend is bounded < 2^63 but the AGGREGATE is not:
+            # summing as BIGINT raised ANSI ARITHMETIC_OVERFLOW on two
+            # in-ladder 5e14 values while DuckDB's sum(BIGINT) widens to
+            # HUGEINT and succeeds — crash AND divergence (review r6).
+            # DECIMAL(38,0) accumulation is exact (the connected_components
+            # pattern); the single cast to double stays correctly rounded.
+            (
+                F.sum(quantized.cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("stock"),
         )
     )
 

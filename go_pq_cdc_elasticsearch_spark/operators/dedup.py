@@ -118,8 +118,17 @@ def minhash_signature(col, k: int = 16) -> Column:
 
 def minhash_bands(sig_col, bands: int = 4, rows_per_band: int = 4) -> Column:
     """Array of (band hash) strings: md5 over each contiguous signature slice.
-    Equal band hash => LSH candidate pair."""
-    return F.array(
+    Equal band hash => LSH candidate pair.
+
+    A doc too short to carry any shingle has an all-NULL signature
+    (array_min over an empty array); concat_ws drops NULLs, so every such
+    doc's every band hashed md5('') — ALL short docs became mutual LSH
+    candidates, the same N² degeneracy fixed in minhash_band_rows for
+    bands>k (review r6). Short docs get an EMPTY band array instead,
+    matching the exploded form (which emits no rows for them): a doc with
+    no shingles has no LSH identity, it is not near-duplicate of every
+    other empty doc."""
+    band_arr = F.array(
         *[
             F.md5(
                 F.concat_ws(
@@ -132,6 +141,9 @@ def minhash_bands(sig_col, bands: int = 4, rows_per_band: int = 4) -> Column:
             )
             for b in range(bands)
         ]
+    )
+    return F.when(sig_col.getItem(0).isNotNull(), band_arr).otherwise(
+        F.array().cast("array<string>")
     )
 
 

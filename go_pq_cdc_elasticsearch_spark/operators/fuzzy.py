@@ -52,21 +52,27 @@ def fuzzy_self_join(
     shorter outliers can be routed to a broadcast fallback by the caller.
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
-    grams = base.select(
-        "__id", "__s", F.explode(char_qgrams(F.col("__s"), q)).alias("__g")
-    )
-    a = grams.select(
-        F.col("__id").alias("id1"), F.col("__s").alias("s1"), "__g"
-    )
-    b = grams.select(
-        F.col("__id").alias("id2"), F.col("__s").alias("s2"), "__g"
-    )
+    # IDs ONLY through the gram join (review r6): carrying the string
+    # payload onto every exploded gram row shipped ~len(s) × n_grams(s)
+    # bytes per string through the shuffle and the candidate distinct —
+    # quadratic in string length. The candidate pair set is (id1, id2);
+    # strings join back ONCE per candidate for the verify (the
+    # dedup_corpus grams_df pattern).
+    grams = base.select("__id", F.explode(char_qgrams(F.col("__s"), q)).alias("__g"))
+    a = grams.select(F.col("__id").alias("id1"), "__g")
+    b = grams.select(F.col("__id").alias("id2"), "__g")
     cand = (
         a.join(b, "__g")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "s1", "s2")
+        .select("id1", "id2")
         .distinct()
     )
-    return cand.withColumn(
-        "dist", F.levenshtein(F.col("s1"), F.col("s2")).cast("long")
-    ).filter(F.col("dist") <= max_dist)
+    s1 = base.select(F.col("__id").alias("id1"), F.col("__s").alias("s1"))
+    s2 = base.select(F.col("__id").alias("id2"), F.col("__s").alias("s2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("dist", F.levenshtein(F.col("s1"), F.col("s2")).cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id1", "id2", "s1", "s2", "dist")
+    )

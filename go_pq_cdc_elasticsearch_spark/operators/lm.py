@@ -98,13 +98,16 @@ def chunk_documents(
         F.ceil((F.col("__n") - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int")
         + 1
     )
+    # plain explode: the exploded VALUE of a 0-based contiguous sequence
+    # already IS the chunk index (posexplode produced two identical
+    # columns — review r6)
     e = w.select(
         F.col(id_col),
         F.col("__w"),
         F.col("__n"),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__c"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
-    start = F.col("__c") * stride
+    start = F.col("chunk_idx") * stride
     return e.select(
         F.col(id_col),
         F.col("chunk_idx"),

@@ -32,8 +32,26 @@ SAMPLE_BUCKETS = 1_000_000
 def hash_bucket(*cols: Column | str) -> Column:
     """Deterministic uniform bucket in [0, SAMPLE_BUCKETS) from md5 of the
     concatenated key columns — identical in DuckDB:
-    CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) % buckets."""
-    key = F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) % buckets.
+
+    Each component is NULL-coalesced to a sentinel BEFORE concat_ws:
+    concat_ws drops NULL args together with their separator, so distinct
+    multi-column keys differing only in NULL placement — ('x', NULL, 'y')
+    vs ('x', 'y', NULL) — collided into one bucket and always shared a
+    keep/drop decision (review r6; deterministic sampling bias). The
+    sentinel (\\x00) keeps the encoding injective for any real text key;
+    single non-NULL columns hash identically to before (the oracle-twin
+    form)."""
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+                F.lit("\x00"),
+            )
+            for c in cols
+        ],
+    )
     return F.pmod(_hash64(key), F.lit(SAMPLE_BUCKETS))
 
 

@@ -35,6 +35,20 @@ def _empty_topk_result(spark, id_col: str) -> DataFrame:
     )
 
 
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared global top-k epilogue: rank candidates per query under the
+    SAME total order the local scorers use (sim desc, id asc) and keep k.
+    One implementation (review r6): four copies had to stay in lockstep
+    with the scorer's tie order — the drift class that motivated unifying
+    the scorers themselves."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _local_topk_scorer(q_rows, k: int, id_col: str, mat_col: str):
     """The shared mapInPandas scoring closure behind ``brute_force_topk``
     and ``quantized_topk``: broadcast query matrix, one vectorized matmul
@@ -48,8 +62,24 @@ def _local_topk_scorer(q_rows, k: int, id_col: str, mat_col: str):
     all-zero embedding would otherwise rank #1 for every query."""
     import numpy as np
 
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    # NULL/empty query vectors carry no similarity order — drop them
+    # (matching the declarative cosine, which scores them NULL); a RAGGED
+    # remainder is a data bug worth a loud driver-side error rather than
+    # an opaque "inhomogeneous shape" ValueError inside an Arrow worker
+    q_rows = [r for r in q_rows if r[1] is not None and len(r[1]) > 0]
+    if not q_rows:
+        qids = np.array([], dtype=np.int64)
+        qmat = np.zeros((0, 1), dtype=np.float64)
+    else:
+        dims = {len(r[1]) for r in q_rows}
+        if len(dims) > 1:
+            raise ValueError(
+                f"query vectors have mixed dimensions {sorted(dims)}; "
+                f"top-k needs a uniform embedding dim"
+            )
+        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    dim = qmat.shape[1]
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = 1.0  # zero query vector: dot is 0, sim stays 0.0
 
@@ -57,8 +87,20 @@ def _local_topk_scorer(q_rows, k: int, id_col: str, mat_col: str):
         import pandas as pd
 
         for pdf in batches:
-            if pdf.empty:
+            if pdf.empty or len(qids) == 0:
                 continue
+            # NULL/empty/wrong-dim corpus vectors: excluded from scoring
+            # (the declarative cosine yields NULL for them, which a top-k
+            # never selects) — np.array over a ragged list otherwise
+            # crashes the whole operator on one bad row (review r6)
+            vals = pdf[mat_col]
+            keep = vals.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
+            if not keep.all():
+                pdf = pdf[keep]
+                if pdf.empty:
+                    continue
             mat = np.array(pdf[mat_col].tolist(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             norms = np.linalg.norm(mat, axis=1)
@@ -101,7 +143,6 @@ def brute_force_topk(
     local top-ks). The final window sees #partitions * |Q| * k rows, not
     N * |Q|. This is the pattern that survives 100 TB; a per-pair cosine
     expression (interpreted HOF) does not."""
-    from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
@@ -112,11 +153,7 @@ def brute_force_topk(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"qid long, {id_col} long, sim double"
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def with_lsh_bucket(
@@ -154,7 +191,11 @@ def with_lsh_bucket(
             F.lit(0)
         ).cast("long")
     out = proj.select(F.col(id_col), bucket.alias(out_col))
-    return df.join(out, on=id_col)
+    # LEFT join: posexplode emits no rows for NULL/empty vectors, and an
+    # inner join silently DROPPED those rows from an "attach a column"
+    # operator (review r6) — they keep a NULL bucket instead (never equal
+    # to any probe bucket, so they are simply never candidates)
+    return df.join(out, on=id_col, how="left")
 
 
 def train_ivf_centroids(
@@ -231,16 +272,29 @@ def with_ivf_cell(
 
     cents = centroids.astype(np.float64)
 
+    dim = cents.shape[1]
+
     def assign(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            cell = ((mat / norms[:, None]) @ cents.T).argmax(axis=1)
+            # NULL/empty/wrong-dim vectors can't be assigned a cell —
+            # emit them with a NULL cell instead of crashing the Arrow
+            # worker on a ragged np.array (review r6); a NULL cell never
+            # matches a probe's cell list, so they are never candidates
+            vals = pdf[vec_col]
+            keep = vals.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
             pdf = pdf[[id_col, vec_col]].copy()
-            pdf[out_col] = cell.astype("int32")
+            pdf[out_col] = None
+            good = pdf[keep]
+            if not good.empty:
+                mat = np.array(good[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                cell = ((mat / norms[:, None]) @ cents.T).argmax(axis=1)
+                pdf.loc[keep, out_col] = cell.astype("int32")
             yield pdf
 
     return df.select(id_col, vec_col).mapInPandas(
@@ -274,7 +328,6 @@ def ivf_topk(
 
     Returns (qid, vec_id, sim, rank)."""
     import numpy as np
-    from pyspark.sql import Window
 
     cents = train_ivf_centroids(
         corpus, n_centroids, iters, sample, id_col, vec_col
@@ -304,11 +357,7 @@ def ivf_topk(
         .withColumn("sim", cosine(F.col("q_vec"), F.col(vec_col)))
         .select("qid", id_col, "sim")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def lsh_topk(
@@ -330,7 +379,6 @@ def lsh_topk(
 
     Returns (qid, vec_id, sim, rank). Recall < 1 by construction; measured
     against brute_force_topk in the test suite."""
-    from pyspark.sql import Window
 
     c = with_lsh_bucket(corpus, id_col, vec_col, n_planes)
     q = with_lsh_bucket(queries, id_col, vec_col, n_planes, out_col="__sig").select(
@@ -351,11 +399,7 @@ def lsh_topk(
         .withColumn("sim", cosine(F.col("q_vec"), F.col(vec_col)))
         .select("qid", id_col, "sim")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def semantic_dedup(
@@ -470,7 +514,6 @@ def quantized_topk(
     vector, so the per-vector scale cancels except for rounding.
 
     Returns (qid, vec_id, sim, rank)."""
-    from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
@@ -480,11 +523,10 @@ def quantized_topk(
     # int8 matmul accumulated in float64; per-vector scale cancels in
     # cosine, so dequantization is just the int matrix itself
     score = _local_topk_scorer(q_rows, k, id_col, qvec_col)
-    scored = qcorpus.select(id_col, qvec_col, scale_col).mapInPandas(
+    # scale_col is NOT shipped to the scorer: cosine is scale-invariant
+    # (documented below), so the per-row scale was a dead column paid in
+    # Arrow serialization for every corpus row (review r6)
+    scored = qcorpus.select(id_col, qvec_col).mapInPandas(
         score, schema=f"qid long, {id_col} long, sim double"
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k, id_col)

@@ -101,3 +101,20 @@ def test_asof_join_rejects_internal_column_collision(spark):
     )
     with pytest.raises(ValueError, match="asof_ts"):
         asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+
+
+def test_scripted_update_stock_sum_survives_large_values(spark):
+    """Review r6: each quantized addend is bounded < 2^63, but summing as
+    BIGINT overflowed under ANSI on two in-ladder 5e14 values (DuckDB's
+    sum(BIGINT) widens to HUGEINT and succeeds — crash AND divergence).
+    The DECIMAL(38,0) accumulation is exact at any count."""
+    from go_pq_cdc_elasticsearch_spark.operators.cdc import scripted_update_merge
+
+    df = spark.createDataFrame(
+        [(1, "update", 5e14), (1, "update", 5e14), (2, "update", 1.2345)],
+        "user_id long, event_type string, value double",
+    )
+    got = {r["user_id"]: (r["version"], r["stock"])
+           for r in scripted_update_merge(df).collect()}
+    assert got[1] == (2, 1e15)
+    assert got[2] == (1, 1.2345)

@@ -52,8 +52,28 @@ def test_minhash_lsh_finds_planted_neardups(spark):
 def test_minhash_array_form_equals_exploded_form(spark):
     # dedup.minhash_signature (array expressions) and minhash_band_rows
     # (explode + partial agg — the scale path) must produce identical
-    # signatures; guards both implementations against drift
+    # signatures; guards both implementations against drift. Includes a
+    # SHORT doc (< n words): the array form must give it an empty band
+    # array like the exploded form emits no rows — previously every
+    # short doc's every band hashed md5('') and all short docs became
+    # mutual LSH candidates (review r6)
     d = _docs(spark)
+    short = spark.createDataFrame(
+        [(901, "two words"), (902, "one"), (903, "")],
+        "doc_id long, text string",
+    )
+    bands_arr = {
+        r["doc_id"]: list(r["bands"])
+        for r in short.select(
+            "doc_id",
+            DD.minhash_bands(
+                DD.minhash_signature(F.col("text"), k=8), bands=4,
+                rows_per_band=2,
+            ).alias("bands"),
+        ).collect()
+    }
+    assert all(v == [] for v in bands_arr.values()), bands_arr
+    assert DD.minhash_band_rows(short, k=8, bands=4).count() == 0
     sig_arr = {
         r["doc_id"]: list(r["sig"])
         for r in d.select(

@@ -64,3 +64,32 @@ def test_pack_sequences_invariants(spark):
         # pack ids are dense and monotone within a partition
         ids = [r["pack_id"] for r in rows]
         assert ids == sorted(ids)
+
+
+def test_hash_bucket_null_components_stay_distinct(spark):
+    """Review r6: concat_ws drops NULL args AND their separator, so keys
+    differing only in NULL placement collided into one bucket and always
+    shared a keep/drop decision. The per-component sentinel keeps the key
+    encoding injective; single non-NULL columns hash as before (the
+    oracle-twin form)."""
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [("x", None, "y"), ("x", "y", None), (None, None, None), ("", "", "")],
+        "a string, b string, c string",
+    )
+    got = [r["b_"] for r in df.select(hash_bucket("a", "b", "c").alias("b_")).collect()]
+    # the two NULL-placement twins must NOT be forced equal; all-NULL and
+    # all-empty must differ too (md5('') collapse)
+    assert got[0] != got[1]
+    assert got[2] != got[3]
+    # single non-null key column: unchanged vs the plain concat_ws form
+    one = spark.createDataFrame([(7,)], "doc_id long")
+    from pyspark.sql import functions as F
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import SAMPLE_BUCKETS
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import _hash64
+
+    expect = one.select(
+        F.pmod(_hash64(F.col("doc_id").cast("string")), F.lit(SAMPLE_BUCKETS)).alias("e")
+    ).first()["e"]
+    assert one.select(hash_bucket("doc_id").alias("b_")).first()["b_"] == expect
