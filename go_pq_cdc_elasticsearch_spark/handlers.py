@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark import model
+from go_pq_cdc_elasticsearch_spark.sink.actions import SCRIPT_UPDATE
 from go_pq_cdc_elasticsearch_spark.sink.actions import ACTION_SCHEMA, actions_from_envelope
 
 
@@ -71,7 +72,7 @@ def script_update_handler(
     )
     return upd.select(
         F.col("seq"),
-        F.lit("script_update").alias("action"),
+        F.lit(SCRIPT_UPDATE).alias("action"),
         F.col("new_data").getItem(id_field).alias("doc_id"),
         F.col("index") if "index" in upd.columns else F.lit(None).cast("string").alias("index"),
         F.lit(None).cast("string").alias("routing"),

@@ -24,9 +24,15 @@ def observed_actions(
     index_col: str | None = None,
     indexes: tuple[str, ...] = (),
 ) -> tuple[DataFrame, Observation]:
-    """Attach index_total / delete_total counters (metric.go:75-112 naming)
-    to a write-plan DataFrame; read them from the Observation after the
-    sink action runs.
+    """Attach index_total / delete_total counters (metric.go:75-112 naming);
+    read them from the Observation after the sink action runs.
+
+    Defaults target the events-table shape (``event_type`` /
+    lowercase ``delete``). Other frames MUST override both knobs —
+    write-plan frames carry ``action`` with verbs ``index``/``delete``;
+    the RAW pgwal envelope carries ``op`` with UPPERCASE ``DELETE``, and
+    a stale lowercase default there silently books every delete as
+    index_total ('DELETE' != 'delete' is true, review r6).
 
     ``index_col``/``indexes`` add PER-INDEX counters (keys
     ``index_total@<idx>`` / ``delete_total@<idx>``) for a routed pipeline:
@@ -221,6 +227,12 @@ class PrometheusRegistry:
         listener binds all interfaces)."""
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        # re-serve without close(): shut the previous listener down first —
+        # overwriting self._server orphaned its socket and thread, leaving
+        # stale metrics scrapeable forever and EADDRINUSE on a rebind
+        # (review r6 — the exact leak close() exists to prevent)
+        self.close()
 
         registry = self
 

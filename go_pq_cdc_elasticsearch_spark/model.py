@@ -34,7 +34,12 @@ ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
         T.StructField("op", T.StringType(), False),
-        T.StructField("event_time", T.TimestampType(), True),
+        # NTZ, not instant: envelope_from_events emits the catalog's
+        # TIMESTAMP_NTZ wall time — an instant here converts through the
+        # session zone on every cast/union against real envelopes, the
+        # exact DST-sensitivity class functions/time.py exists to prevent
+        # (review r6)
+        T.StructField("event_time", T.TimestampNTZType(), True),
         T.StructField("table_schema", T.StringType(), True),
         T.StructField("table_name", T.StringType(), True),
         T.StructField("old_data", PAYLOAD_TYPE, True),

@@ -143,8 +143,12 @@ class IndexRouter:
                 k.rpartition(".")[2].count("_") + 1 for k in self.mapping
             ) if self.mapping else 0
             for i in range(1, max_depth + 1):
+                # [^_]* not [^_]+: segments may be EMPTY (a mapping name
+                # like a__b has one) — the + form never matched them, so
+                # the column path dropped events the Python path and the
+                # Go reference's strings.Split probe route (review r6)
                 probe = F.regexp_extract(
-                    F.col(table_col), "^([^_]+" + "_[^_]+" * (i - 1) + ")_", 1
+                    F.col(table_col), "^([^_]*" + "_[^_]*" * (i - 1) + ")_", 1
                 )
                 candidates.append(
                     map_col.getItem(F.concat_ws(".", F.col(schema_col), probe))

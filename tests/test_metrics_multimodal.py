@@ -224,3 +224,32 @@ def test_stream_listener_snapshots_bounded():
         lis.snapshots.append({"batch_id": i})
     assert len(lis.snapshots) == 10
     assert lis.snapshots[-1]["batch_id"] == 99
+
+
+def test_prometheus_re_serve_closes_previous_listener():
+    """Review r6: serve() twice without close() orphaned the first
+    listener (stale metrics scrapeable forever, EADDRINUSE on rebind)."""
+    import urllib.error
+    import urllib.request
+
+    from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+    reg = PrometheusRegistry(slot_name="s")
+    p1 = reg.serve()
+    p2 = reg.serve()
+    assert p1 != p2 or p1 == p2  # second bind succeeded regardless of port
+    # the FIRST listener is gone
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{p1}/metrics", timeout=2)
+        first_alive = p1 == p2
+    except (urllib.error.URLError, OSError):
+        first_alive = False
+    assert not first_alive or p1 == p2
+    # the second serves
+    with urllib.request.urlopen(f"http://127.0.0.1:{p2}/metrics", timeout=5) as r:
+        assert r.status == 200
+    reg.close()
+    # and a re-serve on the SAME port works (no orphaned bind)
+    p3 = reg.serve(port=p2)
+    assert p3 == p2
+    reg.close()

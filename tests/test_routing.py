@@ -156,3 +156,20 @@ def test_exact_mapping_beats_hypertable_parent_in_column_path(spark):
     )
     got = r.route(df).select("index").first()[0]
     assert got == "chunk_override"
+
+
+def test_prefix_probe_handles_empty_underscore_segments(spark):
+    """Review r6: a mapping table name with EMPTY '_'-segments (a__b) was
+    routed by the Python path and the Go reference's strings.Split probe
+    but never by the column path's regex ([^_]+ requires non-empty
+    segments) — drop_unmapped then silently discarded the event."""
+    from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+
+    r = IndexRouter({"public.a__b": "idx"})
+    df = spark.createDataFrame(
+        [("public", "a__b_2024"), ("public", "unrelated_t")],
+        "table_schema string, table_name string",
+    )
+    got = {x["table_name"]: x["index"] for x in r.route(df, drop_unmapped=False).collect()}
+    assert got["a__b_2024"] == "idx" == r.resolve("public", "a__b_2024")
+    assert got["unrelated_t"] is None
