@@ -1,6 +1,6 @@
 """Canonical checksum folding for extension queries.
 
-The driver's CORRECTNESS artifact caps at 50 registry entries, so the 49
+The driver's CORRECTNESS artifact caps at 50 registry entries, so the 51
 extension queries beyond the declared surface (relational q_s23.., text/
 LLM q_l5.., and the serial-stateful chains) are folded into THREE combo
 entries (``q_sx1_*``, ``q_sx2_*``, ``q_sx3_*`` — part lists in

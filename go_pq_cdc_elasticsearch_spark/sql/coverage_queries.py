@@ -200,7 +200,9 @@ def q_c13_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.source").alias("src"),
     )
-    work = tempfile.mkdtemp(prefix="drift_q_")
+    from go_pq_cdc_elasticsearch_spark.sql.registry import query_work_dir
+
+    work = query_work_dir("drift_q_")
     view = MaterializedView(
         spark,
         os.path.join(work, "view"),
@@ -238,21 +240,10 @@ def q_c13_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with to_json, read fields back with get_json_object.",
 )
 def q_c12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    doc = F.to_json(
-        F.struct(
-            F.col("user_id").cast("string").alias("id"),
-            F.upper("event_type").alias("operation"),
-            F.col("value").cast("string").alias("value"),
-        )
-    )
-    docs = events.select(doc.alias("doc"))
-    return docs.filter(
-        F.get_json_object("doc", "$.id").isNotNull()
-    ).agg(
-        F.count(F.lit(1)).alias("n_roundtrip"),
-        F.countDistinct(F.get_json_object("doc", "$.operation")).alias("n_ops"),
-    )
+    # ONE implementation: q_c11's ride-along columns embed the same
+    # round-trip — a drifting verbatim copy would silently desynchronize
+    # them from this extension entry (review r6)
+    return _json_roundtrip(spark, sf_dir)
 
 
 @ext_query(
@@ -410,13 +401,20 @@ def q_s26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_s27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery (decorrelated to a semi-join by Catalyst)."""
-    for t in ("orders", "customer"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    """IN-subquery (decorrelated to a semi-join by Catalyst). Unique view
+    names — createOrReplaceTempView("orders") silently repointed the
+    session-global view for every later spark.sql consumer when sf_dirs
+    differ (the q_s21 rule, missed here; review r6)."""
+    import uuid as _uuid
+
+    vo = "q_s27_orders_" + _uuid.uuid4().hex[:12]
+    vc = "q_s27_customer_" + _uuid.uuid4().hex[:12]
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(vo)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(vc)
     return spark.sql(
-        """
-        SELECT count(*) AS n FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        f"""
+        SELECT count(*) AS n FROM {vo}
+        WHERE o_custkey IN (SELECT c_custkey FROM {vc} WHERE c_acctbal > 5000)
         """
     )
 
@@ -580,17 +578,20 @@ def q_s40(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE avg differs between engines by accumulation order, and a
     regenerated seed can land a price inside that wobble of the
     threshold — an unprotected integer-count divergence."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    import uuid as _uuid
+
+    vo = "q_s40_orders_" + _uuid.uuid4().hex[:12]  # the q_s21 rule (review r6)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(vo)
     return spark.sql(
-        """
-        SELECT count(*) AS n FROM orders o
+        f"""
+        SELECT count(*) AS n FROM {vo} o
         WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 * (
-                SELECT count(*) FROM orders o2
+                SELECT count(*) FROM {vo} o2
                 WHERE o2.o_custkey = o.o_custkey)
             > 3 * (
                 SELECT sum(CAST(CAST(o2.o_totalprice AS DECIMAL(12,2)) * 100
                            AS BIGINT))
-                FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                FROM {vo} o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
 

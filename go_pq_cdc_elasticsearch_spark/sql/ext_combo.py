@@ -1,7 +1,7 @@
 """Driver-facing combo entries folding the relational extension queries.
 
 The driver's CORRECTNESS artifact records at most 50 registry entries, so
-the 49 extension queries beyond SURVEY §2 (relational q_s23.., text/LLM
+the 51 extension queries beyond SURVEY §2 (relational q_s23.., text/LLM
 q_l5.., serial-stateful chains) are folded into THREE combo entries
 (SX1/SX2/SX3 below). Each sub-query's *full result* is reduced to one
 ``(part, n_rows, checksum)`` row with a type-canonical, order-independent

@@ -1090,7 +1090,6 @@ def q_l25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q_l7's oracle composes the simhash, text-features and langid oracles by a
 # doc_id join (set after definition so the fragments above are available).
-from go_pq_cdc_elasticsearch_spark.sql.registry import REGISTRY as _REG  # noqa: E402
 from go_pq_cdc_elasticsearch_spark.sql.registry import EXT_REGISTRY as _EXT  # noqa: E402
 
 _EXT["q_l7_simhash"].oracle = f"""
@@ -1777,7 +1776,9 @@ def q_lx5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") <= 2000
     )
-    work = tempfile.mkdtemp(prefix="lshidx_q_")
+    from go_pq_cdc_elasticsearch_spark.sql.registry import query_work_dir
+
+    work = query_work_dir("lshidx_q_")
     idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=0.7)
     parts = []
     # two waves: one cross-batch + one in-batch discovery per pair class

@@ -56,3 +56,27 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def ext_query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator registering a local-only extension query."""
     return _register(EXT_REGISTRY, name, oracle, doc)
+
+
+_WORK_DIRS: list[str] = []
+
+
+def query_work_dir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit (review r6):
+    several queries return LAZY DataFrames over files written under their
+    work dir (materialized-view buckets, staged WAL segments), so inline
+    cleanup would delete the data before the caller consumes it — but
+    never cleaning up grew /tmp by a view+checkpoint per invocation per
+    query across bench/gate/test runs. One atexit hook sweeps every dir
+    created through here."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _WORK_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(x, ignore_errors=True) for x in _WORK_DIRS]
+        )
+    _WORK_DIRS.append(d)
+    return d

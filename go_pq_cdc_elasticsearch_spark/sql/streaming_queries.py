@@ -9,14 +9,13 @@ equivalence IS the check (streaming result over replay == batch result).
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.sources.replay import read_event_stream
-from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
+from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query, query_work_dir
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
@@ -39,7 +38,8 @@ def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
     )
 
     name = "q_" + uuid.uuid4().hex[:12]
-    with stream_partition_conf(sdf.sparkSession):
+    spark = sdf.sparkSession
+    with stream_partition_conf(spark):
         q = (
             sdf.writeStream.outputMode(output_mode)
             .format("memory")
@@ -48,7 +48,14 @@ def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    # pin the result and DROP the memory-sink table: every invocation
+    # registered a uuid-named table holding the full sink output in
+    # driver memory for the session lifetime (review r6 — bench re-runs
+    # and multi-sf sessions accumulated dozens). localCheckpoint keeps
+    # the data distributed and detaches it from the dropped table.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(
@@ -204,7 +211,7 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     if max_sec is None:  # empty events table: the oracle's empty result
         return spark.createDataFrame([], "w_epoch long, n long")
     cut = max_sec - 86400
-    work = tempfile.mkdtemp(prefix="wm_q_")
+    work = query_work_dir("wm_q_")
     staged = os.path.join(work, "staged")
     # batch 0 = ALL on-time rows (carries max(ts), so its eviction
     # watermark is max-10min), batch 1 = an EMPTY file (a 0-row
@@ -298,7 +305,7 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
     from go_pq_cdc_elasticsearch_spark.sources import wal as W
 
-    work = tempfile.mkdtemp(prefix="walq_")
+    work = query_work_dir("walq_")
     wal_dir = os.path.join(work, "wal")
     # Test-harness STAGING ONLY: a bounded slice of events is collected to
     # the driver to author WAL segment files (a real deployment's segments
@@ -467,7 +474,7 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Footer row-group min-stat probe: a group min <= 20000 IS a
         # matching row, so this is exact with zero Spark jobs (ADVICE r6)
         return empty
-    work = tempfile.mkdtemp(prefix="cagg_q_")
+    work = query_work_dir("cagg_q_")
     ca = ContinuousAggregate(
         spark,
         os.path.join(work, "agg"),
