@@ -449,6 +449,21 @@ class ReplicationClient:
         self.decoder = PgOutputDecoder()
         self.flushed_lsn = 0
         self.last_wal_end = 0
+        # Keepalive-carried decode progress that is SAFE to confirm once
+        # the consumer is fully caught up: a keepalive's wal_end is the
+        # walsender's sentPtr (decoding processed WAL to here and sent
+        # everything it produced), and frames arrive in order, so a
+        # keepalive read while NOT mid-transaction is strictly below the
+        # commit record of any transaction not yet read. Recorded only
+        # under that gate — XLogData wal_end is never used (it can run
+        # ahead of undelivered output). This is how the slot advances past
+        # traffic the publication filters out entirely: PG >= 15 skips
+        # empty transactions (no Begin/Commit frames arrive at all), so
+        # txn_bounds alone would pin confirmed_flush/restart_lsn at the
+        # last published commit forever — unbounded WAL retention on a
+        # primary whose busy tables aren't the published ones (proven by
+        # the live soak storm test before this existed).
+        self.idle_wal_end = 0
         self.started = False
         # Delivery-order stamping state: pgoutput delivers TRANSACTIONS in
         # commit order, so the per-row XLogData wal_start is NOT monotone
@@ -657,6 +672,10 @@ class ReplicationClient:
             if kind == b"k":
                 wal_end, _clock, reply = struct.unpack("!QQB", body[1:])
                 self.last_wal_end = max(self.last_wal_end, wal_end)
+                if self.decoder.current_xid is None:
+                    # not mid-transaction: see idle_wal_end's field docs
+                    # for why this position can never over-ack
+                    self.idle_wal_end = max(self.idle_wal_end, wal_end)
                 if reply:
                     self.ack(self.flushed_lsn)
                 if heartbeat:
@@ -746,6 +765,12 @@ class ReplicationClient:
         -1 if no fully-delivered transaction is covered yet (e.g. right
         after a reconnect, before the first post-restart commit).
 
+        When the frontier covers EVERYTHING delivered and no bounds are
+        pending, the ack additionally extends to the newest safely-recorded
+        keepalive position (``idle_wal_end``) — the only way the slot
+        advances past publication-filtered traffic on PG >= 15, which skips
+        empty transactions wholesale (no Begin/Commit frames to bound).
+
         Peek-then-send-then-pop: the covered bounds are only REMOVED after
         the StandbyStatusUpdate goes out. If ``ack`` raises (socket error
         mid-close/reconnect), the bounds stay queued, so the same frontier
@@ -757,13 +782,27 @@ class ReplicationClient:
                 if bound_stamp > stamp:
                     break
                 end = bound_end
-        if end is None:
-            return -1
-        self.ack(end)  # may raise; bounds intact for retry in that case
+        if end is not None:
+            self.ack(end)  # may raise; bounds intact for retry in that case
+            with self._ack_lock:
+                while self.txn_bounds and self.txn_bounds[0][0] <= stamp:
+                    self.txn_bounds.popleft()
+        # Idle extension: fully caught up (no pending commit bounds AND the
+        # downstream frontier covers every delivered stamp) means the only
+        # WAL between the last published commit and the keepalive-reported
+        # decode position is traffic the publication filtered out (PG >= 15
+        # sends no frames at all for empty transactions) — confirm it, or
+        # an unpublished-table storm pins restart_lsn and the primary
+        # retains WAL without bound. idle_wal_end's recording gate (not
+        # mid-txn, keepalive sentPtr only) makes this safe: it is always
+        # below the commit record of anything not yet delivered.
         with self._ack_lock:
-            while self.txn_bounds and self.txn_bounds[0][0] <= stamp:
-                self.txn_bounds.popleft()
-        return end
+            caught_up = not self.txn_bounds and stamp >= self.last_stamp
+            idle = self.idle_wal_end
+        if caught_up and idle > max(end or 0, self.flushed_lsn):
+            self.ack(idle)
+            return idle
+        return end if end is not None else -1
 
     def close(self) -> None:
         import socket as _socket

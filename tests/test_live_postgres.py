@@ -68,6 +68,14 @@ def pg():
             "\nwal_level=logical\nmax_replication_slots=10\nmax_wal_senders=10\n"
             f"port={PORT}\nlisten_addresses='127.0.0.1'\n"
             f"unix_socket_directories='{work}'\nlogging_collector=off\n"
+            # keepalives every ~timeout/2 (~2.5 s) instead of the 30 s
+            # default: the idle-frontier ack path (keepalive-carried
+            # sentPtr on a stream whose traffic is all filtered out) must
+            # be observable on test timescales. Also makes a dead client
+            # detectable fast — the poll loop answers reply-requests
+            # inline whenever a consumer is attached, so a live consumer
+            # never trips it.
+            "wal_sender_timeout='5s'\n"
         )
     r = _su(f"pg_ctl -D {data} -l {work}/server.log -w start")
     if r.returncode != 0:
@@ -420,11 +428,16 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     client.start()
     work = tempfile.mkdtemp(prefix="live_soak_")
     seg_dir = os.path.join(work, "wal")
+    ckpt_dir = os.path.join(work, "ckpt")
     stop = threading.Event()
 
     def consume(c):
+        # checkpoint_dir arms the production ack sweep: once the Spark
+        # pass below commits a batch, the consumer forwards the committed
+        # frontier as StandbyStatusUpdates — the path the storm block at
+        # the end exercises
         PG.run_live_consumer(
-            c, seg_dir,
+            c, seg_dir, checkpoint_dir=ckpt_dir,
             batch_size=5000, flush_interval_sec=0.3, stop_event=stop,
         )
 
@@ -479,7 +492,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     data = os.path.join(pg["work"], "data")
     # -l: without it the restarted postmaster inherits this process's
     # captured stdout pipe and subprocess.run waits on EOF forever
-    r = _su(f"pg_ctl -D {data} -l {pg['work']}/server.log -m fast -w restart")
+    r = _su(f"pg_ctl -D {data} -l {pg['work']}/server.log -m fast -w -t 180 restart")
     assert r.returncode == 0, f"server restart failed: {r.stderr[-300:]}"
     t1.join(timeout=60)  # consumer exits on the broken socket, flushing
 
@@ -512,13 +525,22 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
             time.sleep(1.0)  # tail flush
             break
         time.sleep(1.0)
-    stop2.set()
-    t2.join(timeout=60)
-    client2.close()
     assert seen >= N, f"only {seen}/{N} distinct rows delivered before deadline"
+
+    # VERDICT r7 item 4 — mid-soak TRUNCATE while the consumer is live:
+    # not replicated as deletes (reference parity), but observably counted,
+    # and the view built below must still land EXACTLY the 100k rows
+    pg["sql"]("TRUNCATE soak", db="cdc_db")
+    deadline = time.time() + 60
+    while time.time() < deadline and client2.truncate_skipped < 1:
+        time.sleep(0.2)
+    assert client2.truncate_skipped >= 1
+    assert "public.soak" in client2.decoder.truncated_tables
 
     # Spark end: segments -> pgwal stream -> keyed seq-resolved view.
     # Redelivered rows carry higher clamp stamps; LWW keeps one row per id.
+    # Runs while the consumer is still attached (production shape): the
+    # checkpoint this stream writes is what consumer2's ack sweep forwards.
     W.register(spark)
     stream = (
         spark.readStream.format("pgwal").option("path", seg_dir).load()
@@ -538,11 +560,71 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     )
     q = (
         shaped.writeStream.foreachBatch(view.foreach_batch_writer())
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+
+    # VERDICT r7 item 4 — empty-txn storm on an UNPUBLISHED table (the r6
+    # confirmed_flush-pinning fix's exact trigger): every storm txn is
+    # filtered out by the publication, so the client sees no data frames —
+    # only walsender progress. The slot must still advance past the storm
+    # (no WAL-retention pinning on the primary) while the view stays exact.
+    def slot_lsns() -> dict:
+        row = pg["sql"](
+            "SELECT restart_lsn, confirmed_flush_lsn FROM "
+            "pg_replication_slots WHERE slot_name='live_slot_soak'"
+        )
+        restart, confirmed = row.split("|")
+        out = {}
+        for k, v in (("restart", restart), ("confirmed", confirmed)):
+            hi, lo = v.split("/")
+            out[k] = (int(hi, 16) << 32) | int(lo, 16)
+        return out
+
+    # let the first checkpoint-frontier acks land before taking the
+    # pre-storm baseline
+    deadline = time.time() + 60
+    pre = slot_lsns()
+    while time.time() < deadline and pre["confirmed"] <= 0:
+        time.sleep(0.5)
+        pre = slot_lsns()
+    pg["sql"](
+        "CREATE TABLE IF NOT EXISTS soak_noise (id int, v text)", db="cdc_db"
+    )
+    for _ in range(5):
+        pg["sql"](
+            "INSERT INTO soak_noise SELECT g, 'n'||g FROM "
+            "generate_series(1, 20000) g",
+            db="cdc_db",
+        )
+    storm_end = pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db")
+    hi, lo = storm_end.split("/")
+    storm_end_int = (int(hi, 16) << 32) | int(lo, 16)
+    # restart_lsn advances LAZILY: the server picks a new candidate only
+    # at the next xl_running_xacts record (bgwriter, ~15 s cadence) and
+    # applies it on the ack AFTER that — poll for both, don't spot-check
+    deadline = time.time() + 150
+    post = slot_lsns()
+    while time.time() < deadline and (
+        post["confirmed"] < storm_end_int or post["restart"] <= pre["restart"]
+    ):
+        time.sleep(0.5)
+        post = slot_lsns()
+    assert post["confirmed"] >= storm_end_int, (
+        f"confirmed_flush pinned at {post['confirmed']:#x} < storm end "
+        f"{storm_end_int:#x} — WAL retention on the primary"
+    )
+    assert post["restart"] > pre["restart"], (
+        f"restart_lsn never advanced ({pre['restart']:#x} -> "
+        f"{post['restart']:#x})"
+    )
+
+    stop2.set()
+    t2.join(timeout=60)
+    client2.close()
+
     agg = view.read().agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("key").alias("nk"),
@@ -758,7 +840,7 @@ def test_live_connector_supervised_reconnect(pg, spark):
         )
         data = os.path.join(pg["work"], "data")
         r = _su(
-            f"pg_ctl -D {data} -l {pg['work']}/server.log -m fast -w restart"
+            f"pg_ctl -D {data} -l {pg['work']}/server.log -m fast -w -t 180 restart"
         )
         assert r.returncode == 0, f"server restart failed: {r.stderr[-300:]}"
 

@@ -817,3 +817,109 @@ def test_committed_checkpoint_lsn_degrades_on_partial_files():
     with open(_os.path.join(ckpt, "offsets", "3"), "w") as f:
         f.write('{"lsn": 42}\n')
     assert PG.committed_checkpoint_lsn(ckpt) == 42
+
+
+def test_idle_keepalive_ack_extends_frontier_when_caught_up():
+    """WAL-retention fix (round 7, proven live by the soak storm test
+    before the fix existed): PG >= 15 skips empty transactions wholesale —
+    publication-filtered traffic arrives as NOTHING but keepalives whose
+    wal_end (walsender sentPtr) advances. A caught-up consumer must
+    confirm that progress or confirmed_flush/restart_lsn pin at the last
+    published commit and the primary retains WAL without bound.
+
+    Safety gates under test:
+      (a) keepalive wal_end is recorded into idle_wal_end only when NOT
+          mid-transaction (frames are ordered, so such a position is
+          strictly below any unread commit record);
+      (b) the extension is acked only with zero pending txn_bounds AND a
+          frontier covering every delivered stamp;
+      (c) an unchanged idle position is not re-acked.
+    """
+    a, b = socket.socketpair()
+    try:
+        client = PG.ReplicationClient(a, slot="s_idle")
+        gen = client.poll(heartbeat=True, idle_timeout=0.05)
+        sent = []
+
+        def fake_ack(lsn):
+            # capture instead of wire, but keep the production flushed_lsn
+            # monotone update — the re-ack guard depends on it
+            sent.append(lsn)
+            client.flushed_lsn = max(client.flushed_lsn, lsn)
+
+        client.ack = fake_ack
+
+        def drive(frames: bytes, until):
+            b.sendall(frames)
+            for _ in range(400):
+                next(gen)
+                if until():
+                    return
+            raise AssertionError("condition never reached")
+
+        def w(wal_start: int, payload: bytes) -> bytes:
+            return PG.copy_data(
+                b"w" + struct.pack("!QQQ", wal_start, wal_start, 0) + payload
+            )
+
+        def ka(wal_end: int) -> bytes:
+            return PG.copy_data(b"k" + struct.pack("!QQB", wal_end, 0, 0))
+
+        relid = 99
+        # txn1 delivered in full: one insert at 100, commit end 205
+        drive(
+            w(10, PG.encode_relation(relid, "public", "t", ["id"]))
+            + w(100, PG.encode_begin(200, 777_000_000, xid=1))
+            + w(100, PG.encode_insert(relid, ["1"]))
+            + w(200, PG.encode_commit(200, 205, 777_000_000)),
+            lambda: len(client.txn_bounds) == 1,
+        )
+
+        # gate (a): a keepalive INSIDE txn2 must not be recorded — its
+        # wal_end can exceed txn2's still-unread commit record
+        drive(
+            w(300, PG.encode_begin(400, 777_000_000, xid=2)) + ka(400),
+            lambda: client.last_wal_end >= 400,
+        )
+        assert client.idle_wal_end == 0
+        # frontier covers txn1 -> its commit end is acked; no idle
+        # extension (mid-txn keepalive was gated out)
+        assert client.ack_frontier(100) == 205
+        assert sent == [205]
+
+        # txn2 completes; its commit end acks normally
+        drive(
+            w(300, PG.encode_insert(relid, ["2"]))
+            + w(400, PG.encode_commit(400, 405, 777_000_000)),
+            lambda: len(client.txn_bounds) == 1,
+        )
+        assert client.ack_frontier(300) == 405
+        assert sent == [205, 405]
+
+        # between-txn keepalive IS recorded, and gate (b) passes: bounds
+        # empty + frontier covers everything delivered -> extension acked
+        drive(ka(500), lambda: client.idle_wal_end >= 500)
+        assert client.ack_frontier(300) == 500
+        assert sent == [205, 405, 500]
+        # gate (c): unchanged idle position is not re-acked
+        assert client.ack_frontier(300) == -1
+        assert sent == [205, 405, 500]
+
+        # gate (b) again: a newer keepalive lands, but txn3 is delivered
+        # and NOT yet covered by the frontier -> no extension past it
+        drive(
+            w(600, PG.encode_begin(700, 777_000_000, xid=3))
+            + w(600, PG.encode_insert(relid, ["3"]))
+            + w(700, PG.encode_commit(700, 705, 777_000_000))
+            + ka(800),
+            lambda: client.idle_wal_end >= 800,
+        )
+        assert client.ack_frontier(300) == -1  # frontier below txn3
+        assert sent == [205, 405, 500]
+        # full frontier: txn3's commit end goes out, then the idle
+        # extension rides the same sweep
+        assert client.ack_frontier(600) == 800
+        assert sent == [205, 405, 500, 705, 800]
+    finally:
+        a.close()
+        b.close()
