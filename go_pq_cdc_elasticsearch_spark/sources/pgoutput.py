@@ -928,8 +928,14 @@ def forward_checkpoint_acks(
     when nothing new is covered), which is how the reference's ticker
     acks keepalive progress too."""
     newest = committed_checkpoint_lsn(checkpoint_dir)
+    # no committed batch yet is still a valid frontier — stamp 0 ("nothing
+    # delivered needs covering"). On a FRESH slot whose published tables
+    # are quiet while unpublished ones are busy, this is the ONLY caller
+    # of the idle keepalive extension: gating on newest >= 0 left exactly
+    # the WAL-retention scenario the extension exists for unfixed (review
+    # r7). ack_frontier(0) is inert unless the consumer is fully caught up.
+    client.ack_frontier(max(newest, 0))
     if newest >= 0:
-        client.ack_frontier(newest)
         return max(newest, last_acked)
     return last_acked
 
@@ -1029,6 +1035,17 @@ def run_live_consumer(
                 last_flush_t = now
             if now - last_ack_t >= ack_interval_sec:
                 last_acked = ack_sweep(last_acked)
+                # unconditional standby status on every sweep, like
+                # pg_recvlogical's --status-interval heartbeat: the sweep
+                # itself sends nothing when the frontier hasn't moved, and
+                # a walsender that hears NOTHING for wal_sender_timeout
+                # terminates the link even though the consumer is healthy
+                # (it may just be grinding through a redelivery backlog
+                # whose keepalive frames are queued BEHIND the data).
+                # Re-sending the current flushed position is idempotent —
+                # position 0 on a fresh link is ignored for slot advance
+                # but still resets the server's reply clock (review r7).
+                client.ack(client.flushed_lsn)
                 last_ack_t = now
             if stop_event is not None and stop_event.is_set():
                 break
@@ -1090,10 +1107,12 @@ def forward_committed_acks_tail(
 
     def _drain_idle():
         # no new commit lines, but empty/filtered txns may have arrived
-        # under the unchanged frontier — drain their bounds (see
-        # forward_checkpoint_acks; sends nothing when nothing is covered)
-        if last_acked >= 0:
-            client.ack_frontier(last_acked)
+        # under the unchanged frontier — drain their bounds, and let the
+        # idle keepalive extension advance past publication-filtered
+        # traffic (see forward_checkpoint_acks; stamp 0 covers the
+        # fresh-slot-nothing-committed case — review r7; sends nothing
+        # when nothing is covered and the consumer isn't caught up)
+        client.ack_frontier(max(last_acked, 0))
 
     p = os.path.join(segments_dir, "_committed")
     if not os.path.exists(p):

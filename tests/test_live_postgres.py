@@ -41,6 +41,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _lsn_int(text: str) -> int:
+    """pg textual LSN ('1/9A3F0D28') -> 64-bit int."""
+    hi, lo = text.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
 def _su(cmd: str, timeout: int = 120) -> subprocess.CompletedProcess:
     # the repo dir is unreadable by the postgres system user; run from /tmp
     return subprocess.run(
@@ -68,14 +74,14 @@ def pg():
             "\nwal_level=logical\nmax_replication_slots=10\nmax_wal_senders=10\n"
             f"port={PORT}\nlisten_addresses='127.0.0.1'\n"
             f"unix_socket_directories='{work}'\nlogging_collector=off\n"
-            # keepalives every ~timeout/2 (~2.5 s) instead of the 30 s
+            # keepalives every ~timeout/2 (~5 s) instead of the 30 s
             # default: the idle-frontier ack path (keepalive-carried
             # sentPtr on a stream whose traffic is all filtered out) must
             # be observable on test timescales. Also makes a dead client
-            # detectable fast — the poll loop answers reply-requests
-            # inline whenever a consumer is attached, so a live consumer
-            # never trips it.
-            "wal_sender_timeout='5s'\n"
+            # detectable fast; a live consumer doesn't trip it because
+            # run_live_consumer sends an unconditional status heartbeat
+            # every ack sweep (1 s), even mid-redelivery-backlog.
+            "wal_sender_timeout='10s'\n"
         )
     r = _su(f"pg_ctl -D {data} -l {work}/server.log -w start")
     if r.returncode != 0:
@@ -176,8 +182,7 @@ def test_live_ack_advances_slot_and_resume_skips_redelivery(pg):
     # Ack a position past the commit record (the server's current WAL),
     # exactly what the production consumer does after a full flush.
     cur = pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db")
-    hi, lo = cur.split("/")
-    target = (int(hi, 16) << 32) | int(lo, 16)
+    target = _lsn_int(cur)
     client.ack(target)
     flushed_int = 0
     for _ in range(100):
@@ -186,8 +191,7 @@ def test_live_ack_advances_slot_and_resume_skips_redelivery(pg):
             "WHERE slot_name = 'live_slot_ack'"
         )
         if flushed:
-            hi, lo = flushed.split("/")
-            flushed_int = (int(hi, 16) << 32) | int(lo, 16)
+            flushed_int = _lsn_int(flushed)
             if flushed_int >= target:
                 break
         time.sleep(0.2)
@@ -577,19 +581,24 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
             "pg_replication_slots WHERE slot_name='live_slot_soak'"
         )
         restart, confirmed = row.split("|")
-        out = {}
-        for k, v in (("restart", restart), ("confirmed", confirmed)):
-            hi, lo = v.split("/")
-            out[k] = (int(hi, 16) << 32) | int(lo, 16)
-        return out
+        return {"restart": _lsn_int(restart), "confirmed": _lsn_int(confirmed)}
 
-    # let the first checkpoint-frontier acks land before taking the
-    # pre-storm baseline
-    deadline = time.time() + 60
+    # Take the pre-storm baseline only after the consumer's sweeps have
+    # confirmed everything up to the CURRENT WAL position (confirmed_flush
+    # is non-zero right away after CREATE_REPLICATION_SLOT, so waiting for
+    # "non-zero" waits for nothing — review r7). This wait is itself the
+    # first proof of the idle extension: the view pass's frontier ack only
+    # covers the last soak commit, and pre_mark lies past it.
+    pre_mark = _lsn_int(pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db"))
+    deadline = time.time() + 90
     pre = slot_lsns()
-    while time.time() < deadline and pre["confirmed"] <= 0:
+    while time.time() < deadline and pre["confirmed"] < pre_mark:
         time.sleep(0.5)
         pre = slot_lsns()
+    assert pre["confirmed"] >= pre_mark, (
+        f"pre-storm acks never reached {pre_mark:#x} "
+        f"(confirmed {pre['confirmed']:#x})"
+    )
     pg["sql"](
         "CREATE TABLE IF NOT EXISTS soak_noise (id int, v text)", db="cdc_db"
     )
@@ -599,9 +608,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
             "generate_series(1, 20000) g",
             db="cdc_db",
         )
-    storm_end = pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db")
-    hi, lo = storm_end.split("/")
-    storm_end_int = (int(hi, 16) << 32) | int(lo, 16)
+    storm_end_int = _lsn_int(pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db"))
     # restart_lsn advances LAZILY: the server picks a new candidate only
     # at the next xl_running_xacts record (bgwriter, ~15 s cadence) and
     # applies it on the ack AFTER that — poll for both, don't spot-check

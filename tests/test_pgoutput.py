@@ -923,3 +923,48 @@ def test_idle_keepalive_ack_extends_frontier_when_caught_up():
     finally:
         a.close()
         b.close()
+
+
+def test_fresh_slot_idle_drain_without_any_committed_frontier():
+    """Review r7: on a FRESH slot whose published tables are quiet while
+    unpublished ones are busy, no Spark batch ever commits — the ack
+    sweeps must still reach ack_frontier (with the stamp-0 frontier) so
+    the idle keepalive extension can advance the slot. Both sweep callers
+    are covered: checkpoint-based (no commits/ dir at all) and
+    _committed-file-based (file absent)."""
+    import tempfile as _tf
+
+    a, b = socket.socketpair()
+    try:
+        client = PG.ReplicationClient(a, slot="s_fresh")
+        sent = []
+
+        def fake_ack(lsn):
+            sent.append(lsn)
+            client.flushed_lsn = max(client.flushed_lsn, lsn)
+
+        client.ack = fake_ack
+        # caught up by construction: nothing delivered, no bounds; a
+        # between-txn keepalive recorded decode progress at 12345
+        client.idle_wal_end = 12345
+
+        ckpt = _tf.mkdtemp(prefix="fresh_ckpt_")  # no commits/ inside
+        assert PG.committed_checkpoint_lsn(ckpt) == -1
+        PG.forward_checkpoint_acks(client, ckpt, last_acked=-1)
+        assert sent == [12345]
+
+        seg = _tf.mkdtemp(prefix="fresh_seg_")  # no _committed file
+        client.idle_wal_end = 23456
+        PG.forward_committed_acks_tail(client, seg, last_acked=-1, offset=0)
+        assert sent == [12345, 23456]
+
+        # and NOT when something was delivered but never committed
+        # downstream: the frontier (0) no longer covers last_stamp
+        client.last_stamp = 99
+        client.idle_wal_end = 34567
+        PG.forward_checkpoint_acks(client, ckpt, last_acked=-1)
+        PG.forward_committed_acks_tail(client, seg, last_acked=-1, offset=0)
+        assert sent == [12345, 23456]
+    finally:
+        a.close()
+        b.close()
