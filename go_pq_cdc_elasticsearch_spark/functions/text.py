@@ -86,7 +86,12 @@ def mean_word_len(col) -> Column:
 
 
 def quality_score(col) -> Column:
-    """Deterministic heuristic quality score in [0,1]:
+    """Deterministic heuristic quality score in [0,1] — NULL for the
+    empty string (punct_ratio's NULL convention propagates through the
+    0.3*(1-punct) term; both engines compute the same NULL, which is what
+    keeps the unguarded oracle twins in parity). Callers filtering "low
+    quality" must coalesce explicitly or blank docs pass the filter —
+    quality_gate does exactly that:
     0.4 * length_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_presence.
     length_score saturates at 200 words; stop_presence rewards a sane
     stopword rate (natural text has some function words)."""

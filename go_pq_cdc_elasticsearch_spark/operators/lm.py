@@ -89,8 +89,15 @@ def chunk_documents(
     stay in its input partition; no shuffle anywhere.
     """
     stride = chunk_tokens - overlap
-    if stride <= 0:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # a negative overlap (stride > chunk_tokens) passed the old
+        # stride-only check and emitted trailing chunks whose start lies
+        # past the document — empty chunk_text with NEGATIVE n_tok_chunk
+        # (review r7); gapped sampling is not this operator's contract
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got overlap={overlap} "
+            f"chunk_tokens={chunk_tokens}"
+        )
     w = df.select(
         F.col(id_col), words(F.col(text_col)).alias("__w")
     ).withColumn("__n", F.size("__w"))

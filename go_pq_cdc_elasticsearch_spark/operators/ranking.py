@@ -65,6 +65,11 @@ def bm25_topk(
     from collections import Counter
 
     tf, dl = term_stats(df, text_col, id_col)
+    # query terms go through the same normalization as the index side
+    # (words() lowercases the corpus): an unnormalized 'Paris' matched
+    # nothing and silently scored zero — ES analyzes the query with the
+    # index analyzer for the same reason (review r7)
+    query_terms = [t.lower().strip() for t in query_terms]
     # bag-of-terms: a term repeated in the QUERY contributes once per
     # occurrence (Lucene scores duplicate clauses additively) — an isin
     # filter alone silently deduplicated the query

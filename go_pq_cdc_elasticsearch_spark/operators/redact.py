@@ -35,12 +35,20 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # numbers survive this pass (their digit groups are short) and reach
     # the phone pattern
     ("digits", r"\b[0-9]{9,}\b", "<NUM>"),
-    # +country / separator-grouped phone-ish runs: 7+ DIGITS total, each
-    # gap at most 3 separator chars. The earlier class form
-    # \+?[0-9][0-9()\-\s]{6,}[0-9] bounded the LENGTH, not the digit
-    # count — two digits spanning a dash/space run ('pages 3 ------ 12',
-    # '1\n\n    2022') matched as a phone and corrupted ordinary prose
-    ("phone", r"\+?[0-9](?:[()\-\s]{0,3}[0-9]){6,}", "<PHONE>"),
+    # Phones, two conservative shapes (high precision, stated recall
+    # loss): international (+country, 7+ digits, gaps <= 3 separator
+    # chars) OR NANP-grouped 3-3-4 with REAL separators. Two earlier
+    # forms corrupted prose: \+?[0-9][0-9()\-\s]{6,}[0-9] bounded LENGTH
+    # not digit count ('pages 3 ------ 12' matched), and the optional-+
+    # digit-count form \+?[0-9](?:[()\-\s]{0,3}[0-9]){6,} allowed ZERO
+    # separators, so every plain 7-8 digit integer ('population 1234567')
+    # and every ISO date ('2024-08-15') was redacted as <PHONE> (review
+    # r7). Requiring + or the 3-3-4 separator grouping excludes dates
+    # (4-2-2 / 2-2-4) and bare figures; ungrouped domestic numbers are
+    # the accepted recall cost. No lookarounds — must stay RE2-portable.
+    ("phone",
+     r"(?:\+[0-9](?:[()\-\s]{0,3}[0-9]){6,}|\(?[0-9]{3}\)?[-.\s][0-9]{3}[-.\s][0-9]{4}\b)",
+     "<PHONE>"),
 ]
 
 
@@ -66,9 +74,11 @@ def redact_text(col: Column | str) -> Column:
 def redact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document redaction record: ``(id_col, n_email, n_ipv4, n_phone,
-    n_digits, clean_text)``. Counts are measured on the ORIGINAL text;
-    ``clean_text`` has all patterns replaced in declaration order."""
+    """Per-document redaction record: ``(id_col, n_email, n_ipv4,
+    n_digits, n_phone, clean_text)`` — count columns in PII_PATTERNS
+    declaration order (digits BEFORE phone; select by name, not
+    position). Counts are measured on the ORIGINAL text; ``clean_text``
+    has all patterns replaced in declaration order."""
     return df.select(
         F.col(id_col),
         *pii_counts(F.col(text_col)),

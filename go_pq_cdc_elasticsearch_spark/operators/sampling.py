@@ -128,16 +128,22 @@ def mixture_sample(
     per-stratum rates (``mixture_rates``), broadcast-join them back, keep a
     row iff its md5 bucket falls under ``floor(rate * buckets)``. Strata not
     in ``targets`` are dropped. Replay/retry-stable like ``hash_sample``."""
-    from pyspark.sql.functions import broadcast
-
     rates = mixture_rates(df, targets, budget_tokens, strata_col, token_col)
+    # __-prefixed temp column like every other operator here: joining a
+    # bare 'rate' onto a caller frame that already carries one raised
+    # AMBIGUOUS_REFERENCE at planning time (review r7)
     return (
-        df.join(broadcast(rates.select(strata_col, "rate")), strata_col)
+        df.join(
+            F.broadcast(
+                rates.select(strata_col, F.col("rate").alias("__rate"))
+            ),
+            strata_col,
+        )
         .filter(
             hash_bucket(*key_cols)
-            < F.floor(F.col("rate") * SAMPLE_BUCKETS).cast("long")
+            < F.floor(F.col("__rate") * SAMPLE_BUCKETS).cast("long")
         )
-        .drop("rate")
+        .drop("__rate")
     )
 
 
@@ -180,6 +186,11 @@ def pack_sequences(
     """Add ``pack_id`` (within-partition) assigning docs to token-budget
     packs; also returns ``pack_tokens`` (cumulative tokens before the doc,
     relative to its pack start) for loader-side offset math."""
+    if budget <= 0:
+        # budget=0 is DIVIDE_BY_ZERO under ANSI (a job-killing exception
+        # mid-stage) and silent NULL pack ids without it; negative budgets
+        # produce negative ids — fail at call time like chunk_documents
+        raise ValueError(f"budget must be positive, got {budget}")
     w = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
     ).orderBy(order_col)

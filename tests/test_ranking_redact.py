@@ -42,13 +42,14 @@ def test_redact_each_kind(spark):
 
 
 def test_redact_counts_are_on_original_text(spark):
-    # the digit run is consumed by the digits pass in clean_text, but both
-    # counts are measured independently on the original text
-    df = _docs(spark, ["num 123456789012 end"])
+    # counts are measured independently on the original text: a text whose
+    # digit run ALSO carries a phone-shaped grouping counts both kinds,
+    # while clean_text consumes in declaration order (digits first)
+    df = _docs(spark, ["num 123456789012 end, fax 555-867-5309"])
     r = redact(df).collect()[0]
     assert r["n_digits"] == 1
-    assert r["n_phone"] == 1  # 7+ digit run also matches the phone shape
-    assert "<NUM>" in r["clean_text"]  # digits pass runs before phone
+    assert r["n_phone"] == 1  # the 3-3-4 grouped number, NOT the bare run
+    assert "<NUM>" in r["clean_text"] and "<PHONE>" in r["clean_text"]
 
 
 # ---- BM25 ------------------------------------------------------------------
@@ -92,23 +93,40 @@ def test_bm25_deterministic_tie_break(spark):
     assert [r["doc_id"] for r in got] == [0, 1]  # equal scores -> id order
 
 
-def test_phone_pattern_needs_seven_digits(spark):
-    """The earlier phone class bounded LENGTH, not digit count: two digits
-    spanning a dash/space run ('pages 3 ------ 12') redacted ordinary
-    prose. Now: >=7 digits, gaps of at most 3 separator chars."""
+def test_phone_pattern_precision(spark):
+    """Phone-shape precision ladder (each line is a past prose-corruption
+    class): the r4 form bounded LENGTH not digit count ('pages 3 ------
+    12' matched); the r6 form required 7+ digits but allowed ZERO
+    separators, so plain 7-8 digit integers and ISO dates were redacted
+    as <PHONE> (review r7). Now a phone needs '+' or real 3-3-4 separator
+    grouping; ungrouped domestic numbers are the stated recall cost."""
     from go_pq_cdc_elasticsearch_spark.operators.redact import redact_text
 
-    df = spark.createDataFrame(
-        [
-            ("see pages 3 ------ 12 for details",),
-            ("Chapter 1\n\n    2022 edition",),
-            ("call +44 207 946 0123 now",),
-            ("call 555-0192 x7 now",),  # 7 digits grouped -> phone
-        ],
-        "t string",
-    )
+    untouched = [
+        "see pages 3 ------ 12 for details",
+        "Chapter 1\n\n    2022 edition",
+        "released 2024-08-15, also written 15-08-2024",
+        "population 1234567 grew by 234 567 people",
+        "order 12345678 shipped",
+    ]
+    phones = [
+        "call +44 207 946 0123 now",
+        "call (555) 867-5309 now",
+        "fax 555-867-5309 today",
+        "intl +1 (555) 010-4477 desk",
+    ]
+    df = spark.createDataFrame([(t,) for t in untouched + phones], "t string")
     got = [r["r"] for r in df.select(redact_text("t").alias("r")).collect()]
-    assert got[0] == "see pages 3 ------ 12 for details"
-    assert got[1] == "Chapter 1\n\n    2022 edition"
-    assert "<PHONE>" in got[2] and "207" not in got[2]
-    assert got[3].startswith("call <PHONE>")
+    for raw, out in zip(untouched, got[: len(untouched)]):
+        assert out == raw, f"prose corrupted: {raw!r} -> {out!r}"
+    for raw, out in zip(phones, got[len(untouched):]):
+        assert "<PHONE>" in out, f"phone missed: {raw!r} -> {out!r}"
+
+
+def test_bm25_query_terms_normalized_like_index(spark):
+    """Review r7: the corpus side lowercases via words(); a capitalized
+    query term must hit the same postings, not silently score zero."""
+    df = _docs(spark, ["paris is big", "london is bigger", "paris paris"])
+    upper = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["Paris"], k=3).collect()}
+    lower = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["paris"], k=3).collect()}
+    assert upper and upper == lower

@@ -93,3 +93,46 @@ def test_hash_bucket_null_components_stay_distinct(spark):
         F.pmod(_hash64(F.col("doc_id").cast("string")), F.lit(SAMPLE_BUCKETS)).alias("e")
     ).first()["e"]
     assert one.select(hash_bucket("doc_id").alias("b_")).first()["b_"] == expect
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    """Review r7: budget=0 was DIVIDE_BY_ZERO under ANSI (mid-stage) and
+    silent NULL pack ids without; negatives gave negative ids."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents").withColumn("n_tok", F.lit(1))
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="budget"):
+            pack_sequences(docs, bad, token_col="n_tok")
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    """Review r7: stride > chunk_tokens passed the stride-only check and
+    emitted past-the-end chunks with negative n_tok_chunk."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.lm import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=-8)
+
+
+def test_mixture_sample_tolerates_rate_column_on_input(spark):
+    """Review r7: the temp rate column is __-prefixed like every other
+    operator's; a caller frame already carrying 'rate' used to raise
+    AMBIGUOUS_REFERENCE at planning time."""
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import mixture_sample
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .withColumn("n_tok", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("rate", F.lit(0.5))  # caller's own column, kept intact
+    )
+    out = mixture_sample(
+        docs, {"en": 1.0}, budget_tokens=10_000,
+        strata_col="lang", token_col="n_tok", key_cols=["doc_id"],
+    )
+    assert out.count() > 0
+    assert "rate" in out.columns  # the caller's column survives untouched
+    assert out.select(F.min("rate"), F.max("rate")).first() == (0.5, 0.5)
