@@ -15,10 +15,13 @@ def chunk_count(n: int, chunk_size: int) -> int:
     """Number of chunks ChunkWithSize produces for n items
     (reference internal/slices/slices.go:3-16): ceil(n / chunk_size),
     i.e. ((n - 1) // chunk_size) + 1 for n > 0."""
-    if n <= 0:
-        return 0
+    # validate unconditionally: behind the n<=0 early-return, a bad
+    # chunk_size wired at deploy time surfaced only on first non-empty
+    # data (review r7)
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
+    if n <= 0:
+        return 0
     return (n - 1) // chunk_size + 1
 
 

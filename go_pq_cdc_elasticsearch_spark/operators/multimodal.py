@@ -217,6 +217,13 @@ def sample_frames(
     blob is a concatenated-P6 "video" (codecs.decode_ppm_stream); every
     ``every_nth_frame``-th frame is re-encoded as standalone PPM bytes.
     Stub path: fixed-size byte slices stand in for decoded frames."""
+    # fail fast on the driver: a zero step otherwise dies inside every
+    # executor task as range()/slice ValueErrors buried in a Spark task
+    # failure stack after the job launched (review r7)
+    if every_n_bytes <= 0:
+        raise ValueError(f"every_n_bytes must be positive, got {every_n_bytes}")
+    if every_nth_frame <= 0:
+        raise ValueError(f"every_nth_frame must be positive, got {every_nth_frame}")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

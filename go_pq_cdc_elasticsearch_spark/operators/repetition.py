@@ -91,12 +91,20 @@ def repetition_metrics(
     )
 
     # top-1 gram per (doc, n) — deterministic tie-break, window top-1 with
-    # rank-limit pushdown (same plan family as cdc_apply)
+    # rank-limit pushdown (same plan family as cdc_apply). Ranked ONLY
+    # over the top_ns rows and dup sums computed ONLY over the dup_ns
+    # rows: the previous single pipeline ranked the 5-/10-gram populations
+    # (the most numerous — roughly one gram per word position) purely so
+    # an inner join could keep their dup rows, a full extra sort pass per
+    # (doc, n) partition whose top value nothing read (review r7). The two
+    # shapes UNION (disjoint n sets would make the old join empty); the
+    # final conditional aggregation reads each metric from its own rows.
     w = Window.partitionBy(id_col, "n").orderBy(
         F.col("c").desc(), F.length("gram").desc(), F.col("gram").desc()
     )
     top = (
-        counts.withColumn("rn", F.row_number().over(w))
+        counts.filter(F.col("n").isin(list(top_ns)))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             id_col,
@@ -104,13 +112,13 @@ def repetition_metrics(
             (F.col("c") * F.length("gram")).cast("double").alias("top_chars"),
         )
     )
-    dup = counts.groupBy(id_col, "n").agg(
+    dup = counts.filter(F.col("n").isin(list(dup_ns))).groupBy(id_col, "n").agg(
         F.sum("c").alias("total_pos"),
         F.coalesce(
             F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
         ).alias("dup_pos"),
     )
-    per_n = top.join(dup, [id_col, "n"])
+    per_n = top.unionByName(dup, allowMissingColumns=True)
 
     base = df.select(
         F.col(id_col), F.length(normalize_text(F.col(text_col))).alias("n_chars_norm")

@@ -109,8 +109,23 @@ class ContinuousAggregate(MaterializedView):
     def _compact_batch(self, batch: DataFrame) -> DataFrame:
         """Map-side reduction of a raw batch to per-group partial states."""
         aggs = [F.count(F.lit(1)).alias("n")]
+        # the outer cast pins the STORED width: Spark widens sum(decimal
+        # (30,10)) to decimal(38,10), so the creation path wrote 38,10
+        # bucket files while _resolve rewrites touched buckets at 30,10 —
+        # mixed physical widths whose readability then depended on WHICH
+        # file the reader sampled for the schema (a narrow sample bricks
+        # the view with PARQUET_COLUMN_DATA_TYPE_MISMATCH; review r7,
+        # divergence proven on disk). Must stay identical to _resolve's
+        # output width.
         aggs += [
-            F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}") for c in self.sum_cols
+            F.sum(F.col(c).cast(_DEC)).cast(_DEC).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        # per-column NON-NULL counts: deriving avg_<c> from the group row
+        # count n biased it low whenever the column carried NULLs (sum
+        # skips them, count(*) doesn't) — diverging from SQL AVG (review r7)
+        aggs += [
+            F.count(F.col(c)).alias(f"cnt_{c}") for c in self.sum_cols
         ]
         aggs += [F.min(c).alias(f"min_{c}") for c in self.min_cols]
         aggs += [F.max(c).alias(f"max_{c}") for c in self.max_cols]
@@ -127,6 +142,10 @@ class ContinuousAggregate(MaterializedView):
         aggs = [F.sum("n").cast("long").alias("n")]
         aggs += [
             F.sum(F.col(f"sum_{c}").cast(_DEC)).cast(_DEC).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        aggs += [
+            F.sum(f"cnt_{c}").cast("long").alias(f"cnt_{c}")
             for c in self.sum_cols
         ]
         aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in self.min_cols]
@@ -150,15 +169,21 @@ class ContinuousAggregate(MaterializedView):
     # -- read side -----------------------------------------------------------
 
     def read(self) -> DataFrame:
-        """The aggregate view; derives ``avg_<c>`` for each sum column.
-        No tombstone filtering — aggregates have no deletes."""
+        """The aggregate view; derives ``avg_<c>`` for each sum column
+        with SQL AVG semantics — sum over NON-NULL count (``cnt_<c>``), not
+        over the group row count ``n``, which would bias NULL-bearing
+        columns low; an all-NULL group gets NULL (review r7). No tombstone
+        filtering — aggregates have no deletes."""
         state = self.state()
         if state is None:
             raise FileNotFoundError(f"continuous aggregate not initialized: {self.path}")
         for c in self.sum_cols:
             state = state.withColumn(
                 f"avg_{c}",
-                (F.col(f"sum_{c}") / F.col("n")).cast("double"),
+                F.when(
+                    F.col(f"cnt_{c}") > 0,
+                    (F.col(f"sum_{c}") / F.col(f"cnt_{c}")).cast("double"),
+                ),
             )
         for c in self.distinct_cols:
             state = state.withColumn(

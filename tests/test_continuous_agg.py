@@ -190,3 +190,80 @@ def test_reopen_with_different_agg_config_raises(spark, sf_dir):
             max_cols=["value"],
             prepare=_bucketed,
         )
+
+
+def test_multi_bucket_partial_merge_keeps_uniform_decimal_width(spark):
+    """Review r7 (execution-confirmed): _compact_batch wrote ``sum_<c>``
+    as decimal(38,10) (Spark widens sum over decimal(30,10)) while
+    _resolve writes decimal(30,10), so after a merge touching a SUBSET of
+    buckets the bucket files diverged in physical decimal width and the
+    view became permanently unreadable and unmergeable
+    (FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH). Invisible at
+    test scale before this test because auto-sizing gave 1 bucket, where
+    every merge rewrites the only file."""
+    work = tempfile.mkdtemp(prefix="cagg_width_")
+    ca = ContinuousAggregate(
+        spark,
+        os.path.join(work, "agg"),
+        group_cols=["g"],
+        sum_cols=["v"],
+        n_buckets=4,
+    )
+    rows = spark.range(0, 64).select(
+        (F.col("id") % 16).cast("string").alias("g"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+    )
+    ca.merge_batch(rows, epoch_id=0)  # creation path: every bucket written
+    one = spark.createDataFrame([("3", 100.0)], "g string, v double")
+    ca.merge_batch(one, epoch_id=1)  # resolve path: a subset of buckets
+    # the load-bearing assertion is the ON-DISK uniformity: Spark 4 can
+    # WIDEN a narrow file into a wide sampled schema, so a read-side check
+    # alone passes or bricks depending on which file the reader samples
+    import glob
+
+    import pyarrow.parquet as pq
+
+    widths = set()
+    for f in glob.glob(os.path.join(work, "agg", "**", "*.parquet"), recursive=True):
+        sch = pq.read_schema(f)
+        widths |= {
+            str(sch.field(i).type)
+            for i in range(len(sch.names))
+            if sch.names[i].startswith("sum_")
+        }
+    assert widths == {"decimal128(30, 10)"}, widths
+    got = {r["g"]: (r["n"], float(r["sum_v"])) for r in ca.read().collect()}
+    assert len(got) == 16
+    assert got["3"] == (5, 6 * 3 + 144 + 100.0)
+    assert got["7"] == (4, 6 * 7 + 144.0)
+    # and the view stays MERGEABLE: a further merge reads existing buckets
+    ca.merge_batch(one, epoch_id=2)
+    assert {float(r["sum_v"]) for r in ca.read().filter("g = '3'").collect()} == {
+        6 * 3 + 144 + 200.0
+    }
+
+
+def test_avg_skips_nulls_like_sql(spark):
+    """Review r7: avg_<c> was sum/n with n = count(*) — biased low when
+    the column carries NULLs (sum skips them). Now sum/cnt_<c> over the
+    per-column non-null count; an all-NULL group gets SQL AVG's NULL."""
+    work = tempfile.mkdtemp(prefix="cagg_avg_")
+    ca = ContinuousAggregate(
+        spark, os.path.join(work, "agg"), group_cols=["g"], sum_cols=["v"]
+    )
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("b", None), ("b", None)],
+        "g string, v double",
+    )
+    ca.merge_batch(df, epoch_id=0)
+    got = {r["g"]: r for r in ca.read().collect()}
+    assert got["a"]["n"] == 2 and got["a"]["cnt_v"] == 1
+    assert float(got["a"]["avg_v"]) == 10.0  # NOT 5.0
+    assert got["b"]["n"] == 2 and got["b"]["cnt_v"] == 0
+    assert got["b"]["avg_v"] is None and got["b"]["sum_v"] is None
+    # counts stay mergeable across batches
+    ca.merge_batch(
+        spark.createDataFrame([("a", 20.0)], "g string, v double"), epoch_id=1
+    )
+    a = {r["g"]: r for r in ca.read().collect()}["a"]
+    assert (a["n"], a["cnt_v"], float(a["avg_v"])) == (3, 2, 15.0)
