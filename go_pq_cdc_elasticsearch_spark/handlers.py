@@ -18,8 +18,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark import model
-from go_pq_cdc_elasticsearch_spark.sink.actions import SCRIPT_UPDATE
-from go_pq_cdc_elasticsearch_spark.sink.actions import ACTION_SCHEMA, actions_from_envelope
+from go_pq_cdc_elasticsearch_spark.sink.actions import (
+    ACTION_SCHEMA,
+    SCRIPT_UPDATE,
+    actions_from_envelope,
+)
 
 
 def simple_handler(envelope: DataFrame, id_field: str = "id") -> DataFrame:

@@ -132,7 +132,17 @@ class IndexRouter:
             ht_items = [x for kv in ht_by_name.items() for x in kv]
             ht_map = F.create_map(*[F.lit(x) for x in ht_items])
             candidates.append(ht_map.getItem(F.col(table_col)))
-        if map_col is not None:
+        # The prefix probe consults ONLY mapping entries — NOT the
+        # chunk-derived names in `known`: _resolve's step 3 (and the Go
+        # findParentTable, connector.go:239-246) test candidates against
+        # the config mapping, so a table that merely shares a prefix with
+        # a hypertable CHUNK name (e.g. q_r_2024 vs chunk public.q_r) must
+        # stay unroutable. Probing the combined map routed rows the Python
+        # path and the reference drop (review r7, divergence proven live).
+        probe_entries = {k: v for k, v in self.mapping.items() if "." in k}
+        if probe_entries:
+            probe_items = [x for kv in probe_entries.items() for x in kv]
+            probe_map = F.create_map(*[F.lit(x) for x in probe_items])
             # prefix probe, SHORTEST proper prefix first to match
             # findParentTable (connector.go:239-246): extract the first i
             # _-segments, requiring a trailing '_' so only proper prefixes
@@ -141,7 +151,7 @@ class IndexRouter:
             # children of mapping entries with more segments than the cap.
             max_depth = max(
                 k.rpartition(".")[2].count("_") + 1 for k in self.mapping
-            ) if self.mapping else 0
+            )
             for i in range(1, max_depth + 1):
                 # [^_]* not [^_]+: segments may be EMPTY (a mapping name
                 # like a__b has one) — the + form never matched them, so
@@ -151,7 +161,7 @@ class IndexRouter:
                     F.col(table_col), "^([^_]*" + "_[^_]*" * (i - 1) + ")_", 1
                 )
                 candidates.append(
-                    map_col.getItem(F.concat_ws(".", F.col(schema_col), probe))
+                    probe_map.getItem(F.concat_ws(".", F.col(schema_col), probe))
                 )
         resolved = (
             F.coalesce(*candidates) if candidates else F.lit(None).cast("string")

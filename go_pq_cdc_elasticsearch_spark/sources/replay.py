@@ -51,9 +51,19 @@ def stage_event_files(
     )
     lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
     span = (hi - lo + 1) if hi is not None else 1
+    # the offset is cast to double BEFORE the multiply: (event_id-lo) *
+    # n_files as a long multiply overflows under ANSI for snowflake-scale
+    # id spans (~2^63/n_files — the id class that already forced
+    # DECIMAL(38,0) elsewhere; ARITHMETIC_OVERFLOW proven live, review
+    # r7). The result feeds a double division anyway, and IEEE double
+    # arithmetic keeps the split points environment-identical.
     slice_expr = F.least(
         F.lit(n_files - 1),
-        ((F.col("event_id") - F.lit(lo)) * n_files / F.lit(span)).cast("int"),
+        (
+            (F.col("event_id") - F.lit(lo)).cast("double")
+            * n_files
+            / F.lit(float(span))
+        ).cast("int"),
     )
     return stage_slices(
         events.withColumn("__f", slice_expr), out_dir, n_files=n_files
@@ -99,6 +109,24 @@ def stage_slices(df, out_dir: str, n_files: int, slice_col: str = "__f") -> list
             t = now + i * 2 + j * 0.001
             os.utime(dst, (t, t))
         paths.extend(slice_dsts)
+    # any partition dir outside 0..n_files-1 means rows the harvest loop
+    # would silently DELETE with the tmp dir — a NULL slice value (a
+    # when() without otherwise()) lands in __HIVE_DEFAULT_PARTITION__ and
+    # the replay feed would just be missing events, diverging from the
+    # oracle with no error (review r7). Fail loudly instead.
+    harvested = {f"{slice_col}={i}" for i in range(n_files)}
+    stray = [
+        d
+        for d in os.listdir(tmp)
+        if d.startswith(f"{slice_col}=")
+        and d not in harvested
+        and any(f.endswith(".parquet") for f in os.listdir(os.path.join(tmp, d)))
+    ]
+    if stray:
+        raise ValueError(
+            f"stage_slices: rows landed outside slices 0..{n_files - 1} "
+            f"(NULL or out-of-range {slice_col}): {sorted(stray)}"
+        )
     shutil.rmtree(tmp)
     return paths
 

@@ -36,14 +36,23 @@ def parquet_footer_stats(path: str) -> tuple[int, int]:
     """(num_rows, total_bytes) for a parquet file or directory, read from
     footer metadata only — no Spark job, no data pages touched. This is the
     snapshot-sizing input: at 100 TB an extra count() pre-pass is a full
-    second scan of the table, while footers are a few KB per file."""
+    second scan of the table, while footers are a few KB per file.
+
+    Directories are walked RECURSIVELY (partitioned datasets nest their
+    files under key=value subdirs), and a directory with no parquet files
+    at all raises instead of reporting an empty table: a (0, 0) answer for
+    a layout the glob merely couldn't see silently disabled the chunked
+    read's parallelism while load_table read the nested data fine (review
+    r7). A genuinely empty table still has a zero-row part file."""
     import pyarrow.parquet as pq
 
     files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if os.path.isdir(path)
         else [path]
     )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
     n_rows = 0
     n_bytes = 0
     for f in files:

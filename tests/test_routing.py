@@ -173,3 +173,28 @@ def test_prefix_probe_handles_empty_underscore_segments(spark):
     got = {x["table_name"]: x["index"] for x in r.route(df, drop_unmapped=False).collect()}
     assert got["a__b_2024"] == "idx" == r.resolve("public", "a__b_2024")
     assert got["unrelated_t"] is None
+
+
+def test_prefix_probe_ignores_chunk_entries_both_paths(spark):
+    """Review r7 (divergence proven live): the column path's prefix probe
+    consulted the combined known-map (mapping + hypertable chunk entries)
+    while resolve() and the Go findParentTable probe the config MAPPING
+    only — a table merely sharing a prefix with a chunk NAME (q_r_2024 vs
+    chunk public.q_r) was routed by route() and dropped by resolve().
+    Both paths must drop it; real chunk rows and real partition children
+    still route."""
+    r = IndexRouter(
+        {"public.a_b": "X"}, hypertable_parents={"public.q_r": "a_b"}
+    )
+    assert r.resolve("public", "q_r_2024") is None  # prefix of a CHUNK name
+    assert r.resolve("public", "q_r") == "X"  # the chunk itself
+    assert r.resolve("public", "a_b_2024") == "X"  # mapping prefix child
+    df = spark.createDataFrame(
+        [("public", "q_r_2024"), ("public", "q_r"), ("public", "a_b_2024")],
+        "table_schema string, table_name string",
+    )
+    got = {
+        rr["table_name"]: rr["index"]
+        for rr in r.route(df, drop_unmapped=False).collect()
+    }
+    assert got == {"q_r_2024": None, "q_r": "X", "a_b_2024": "X"}

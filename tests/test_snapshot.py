@@ -121,3 +121,22 @@ def test_snapshot_coverage_complete(spark, chunk):
     assert df.count() == plain.count()
     assert df.exceptAll(plain).count() == 0
     assert plain.exceptAll(df).count() == 0
+
+
+def test_footer_stats_recursive_and_loud_on_no_files(spark, tmp_path):
+    """Review r7: a partitioned dataset (files nested under key=value
+    dirs) read as (0, 0) by the non-recursive glob, silently disabling
+    the chunked read's parallelism; a dir with no parquet at all must
+    raise, not claim an empty table."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "part_ds")
+    spark.range(0, 1000).selectExpr("id", "id % 4 AS k").write.partitionBy(
+        "k"
+    ).parquet(out)
+    n_rows, n_bytes = parquet_footer_stats(out)
+    assert n_rows == 1000 and n_bytes > 0
+    no_parquet = tmp_path / "empty_dir_without_parquet"
+    no_parquet.mkdir()
+    with _pytest.raises(FileNotFoundError):
+        parquet_footer_stats(str(no_parquet))

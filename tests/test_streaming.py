@@ -155,3 +155,57 @@ def test_staged_events_cache_invalidates_on_regeneration(spark, sf_dir):
     os.utime(target, (st.st_atime, st.st_mtime + 1))  # simulate regeneration
     b = staged_events(spark, work, 2)
     assert b != a  # new fingerprint: restaged
+
+
+def test_stage_slices_fails_loudly_on_null_or_out_of_range_slice(spark, tmp_path):
+    """Review r7: rows whose slice value is NULL (a when() without
+    otherwise()) or outside 0..n_files-1 landed in unharvested partition
+    dirs and were DELETED with the staging tmp dir — the replay feed was
+    silently missing events. Must raise instead."""
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.sources.replay import stage_slices
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, None)], "event_id long, __f int"
+    )
+    with _pytest.raises(ValueError, match="outside slices"):
+        stage_slices(df, str(tmp_path / "a"), n_files=2)
+    df2 = spark.createDataFrame([(1, 0), (2, 7)], "event_id long, __f int")
+    with _pytest.raises(ValueError, match="outside slices"):
+        stage_slices(df2, str(tmp_path / "b"), n_files=2)
+    # the healthy shape still stages
+    ok = spark.createDataFrame([(1, 0), (2, 1)], "event_id long, __f int")
+    paths = stage_slices(ok, str(tmp_path / "c"), n_files=2)
+    assert len(paths) == 2
+
+
+def test_stage_event_files_survives_snowflake_scale_ids(spark, tmp_path):
+    """Review r7 (ANSI overflow proven live): (event_id - lo) * n_files
+    as a long multiply overflows for id spans near 2^63/n_files; the
+    slice offset is now double-cast before the multiply."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.sources.replay import (
+        EVENTS_LONG_TS_SCHEMA,
+        stage_event_files,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    big = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (9_000_000_000_000_000_000, "2024-01-01 00:01:00", 2, "view", 2.0, "{}"),
+            (4_500_000_000_000_000_000, "2024-01-01 00:02:00", 3, "click", 3.0, "{}"),
+        ],
+        EVENTS_LONG_TS_SCHEMA.replace("timestamp_ntz", "string"),
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    big.write.parquet(os.path.join(sf, "events.parquet"))
+    paths = stage_event_files(spark, sf, str(tmp_path / "staged"), n_files=4)
+    total = sum(
+        spark.read.parquet(p).count() for p in paths
+    )
+    assert total == 3  # zero loss, no ARITHMETIC_OVERFLOW
