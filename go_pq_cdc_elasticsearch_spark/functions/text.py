@@ -16,8 +16,38 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col) -> Column:
+    """Engine-portable ASCII case-fold (translate A-Z -> a-z, everything
+    else untouched). lower() itself DIVERGES between engines: Java
+    toLowerCase applies Unicode SpecialCasing conditionals (final sigma:
+    'ΟΔΟΣ' -> 'οδος') while DuckDB's utf8proc maps unconditionally
+    ('οδοσ') — verified live, review r7 — so any lower()-derived
+    fingerprint/n-gram/band hash differs per engine on affected scripts.
+    The ASCII fold is byte-identical in both engines (probed on Greek,
+    'İ', accents); non-ASCII case differences count as CONTENT in the
+    dedup normal form — the documented portable contract."""
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def ascii_projected(col) -> Column:
+    """Each non-ASCII CODEPOINT replaced by a single '?' — the portable
+    input form for levenshtein: Spark's distance counts codepoints while
+    DuckDB's counts BYTES ('café' vs 'cafe' is 1 vs 2 — verified live,
+    review r7), so the engines only agree when every char is one byte.
+    Projection preserves ASCII distances exactly; non-ASCII chars compare
+    as a placeholder (a documented, engine-portable approximation). Both
+    regex engines treat the class per-codepoint, so one multibyte char
+    becomes exactly one '?'."""
+    return F.regexp_replace(col, "[^\\x00-\\x7F]", "?")
+
+
 def normalize_text(col) -> Column:
-    """lower + collapse whitespace + trim (dedup normal form).
+    """ASCII-fold + collapse whitespace + trim (dedup normal form; see
+    ascii_lower for why the fold is ASCII-only).
 
     Order matters: trim() strips only ' ' in BOTH engines, so trimming
     BEFORE the collapse left edge tabs/newlines alive as a leading/
@@ -25,7 +55,7 @@ def normalize_text(col) -> Column:
     fingerprint than 'hello world', a missed exact-dup pair, and a
     phantom empty edge token in words() (review r5). Collapse first,
     then trim the now-plain spaces."""
-    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+    return F.trim(F.regexp_replace(ascii_lower(col), "\\s+", " "))
 
 
 def words(col) -> Column:

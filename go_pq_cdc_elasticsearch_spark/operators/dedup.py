@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from go_pq_cdc_elasticsearch_spark.functions.text import normalize_text, words
+from go_pq_cdc_elasticsearch_spark.functions.text import (
+    ascii_lower,
+    normalize_text,
+    words,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -588,7 +592,9 @@ def paragraph_dedup(
         )
         .filter(F.trim(F.col("__line")) != "")
     )
-    key = F.md5(F.lower(F.trim(F.col("__line"))))
+    # ascii_lower, not lower(): Unicode case-fold diverges per engine
+    # (functions/text.py::ascii_lower, review r7)
+    key = F.md5(ascii_lower(F.trim(F.col("__line"))))
     w = Window.partitionBy("__key").orderBy(F.col(id_col), F.col("__pos"))
     ranked = lines.withColumn("__key", key).withColumn(
         "__keep", F.row_number().over(w) == 1

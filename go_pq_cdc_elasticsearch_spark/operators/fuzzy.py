@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from go_pq_cdc_elasticsearch_spark.functions.text import ascii_projected
+
 
 def char_qgrams(col, q: int = 2) -> Column:
     """Array of DISTINCT character q-grams of a string column (blocking
@@ -51,14 +53,24 @@ def fuzzy_self_join(
     has more than ``max_dist * q`` q-grams (see module docstring);
     shorter outliers can be routed to a broadcast fallback by the caller.
     """
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
+    # grams AND the verify distance run on the ASCII projection (see
+    # functions/text.py::ascii_projected): byte-based vs codepoint-based
+    # levenshtein diverges between engines on any non-ASCII char, and
+    # blocking must use the SAME form as the verify or projected-equal
+    # pairs with disjoint raw grams escape the candidate set (review r7).
+    # Output s1/s2 stay the RAW strings.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        ascii_projected(F.col(text_col)).alias("__p"),
+    )
     # IDs ONLY through the gram join (review r6): carrying the string
     # payload onto every exploded gram row shipped ~len(s) × n_grams(s)
     # bytes per string through the shuffle and the candidate distinct —
     # quadratic in string length. The candidate pair set is (id1, id2);
     # strings join back ONCE per candidate for the verify (the
     # dedup_corpus grams_df pattern).
-    grams = base.select("__id", F.explode(char_qgrams(F.col("__s"), q)).alias("__g"))
+    grams = base.select("__id", F.explode(char_qgrams(F.col("__p"), q)).alias("__g"))
     a = grams.select(F.col("__id").alias("id1"), "__g")
     b = grams.select(F.col("__id").alias("id2"), "__g")
     cand = (
@@ -67,12 +79,18 @@ def fuzzy_self_join(
         .select("id1", "id2")
         .distinct()
     )
-    s1 = base.select(F.col("__id").alias("id1"), F.col("__s").alias("s1"))
-    s2 = base.select(F.col("__id").alias("id2"), F.col("__s").alias("s2"))
+    s1 = base.select(
+        F.col("__id").alias("id1"), F.col("__s").alias("s1"),
+        F.col("__p").alias("__p1"),
+    )
+    s2 = base.select(
+        F.col("__id").alias("id2"), F.col("__s").alias("s2"),
+        F.col("__p").alias("__p2"),
+    )
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .withColumn("dist", F.levenshtein(F.col("s1"), F.col("s2")).cast("long"))
+        .withColumn("dist", F.levenshtein(F.col("__p1"), F.col("__p2")).cast("long"))
         .filter(F.col("dist") <= max_dist)
         .select("id1", "id2", "s1", "s2", "dist")
     )

@@ -81,8 +81,13 @@ def q_c3_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_c4_scripted_update",
     oracle="""
         SELECT user_id, count(*) AS version,
+               -- CAST(... AS DOUBLE), NOT AS BIGINT: DuckDB's sum(BIGINT)
+               -- widens to HUGEINT and the BIGINT cast errors out-of-range
+               -- on exactly the per-user sums the Spark side's
+               -- DECIMAL(38,0) accumulation survives (review r7); the
+               -- double conversion is correctly rounded in both engines
                CAST(sum(CASE WHEN abs(value) < 9.0e14 THEN
-                   CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END) AS BIGINT)
+                   CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END) AS DOUBLE)
                    / 10000.0 AS stock
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id

@@ -12,6 +12,7 @@ from go_pq_cdc_elasticsearch_spark import model
 from go_pq_cdc_elasticsearch_spark.catalog import load_table
 from go_pq_cdc_elasticsearch_spark.handlers import simple_handler
 from go_pq_cdc_elasticsearch_spark.routing import IndexRouter
+from go_pq_cdc_elasticsearch_spark.functions import text as TX
 from go_pq_cdc_elasticsearch_spark.functions.rounding import pround
 from go_pq_cdc_elasticsearch_spark.functions.rounding import pround_sql as PR
 from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
@@ -143,7 +144,8 @@ def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         b2 AS (
             SELECT user_id, event_id, event_type, value,
-                   json_extract_string(props, '$.source') AS src
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.source') END AS src
             FROM events WHERE event_id <= 2000 AND event_id % 2 = 1
         ),
         unioned AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
@@ -694,7 +696,7 @@ def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s43_lateral_explode",
     oracle="""
         SELECT word, count(*) AS n FROM (
-            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            SELECT unnest(string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ')) AS word
             FROM documents WHERE doc_id <= 100)
         GROUP BY word
         ORDER BY n DESC, word LIMIT 25
@@ -751,7 +753,8 @@ def q_s34(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_partkey,
                regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonants,
-               levenshtein(p_brand, p_type) AS lev,
+               levenshtein(regexp_replace(p_brand, '[^\\x00-\\x7F]', '?', 'g'),
+                           regexp_replace(p_type, '[^\\x00-\\x7F]', '?', 'g')) AS lev,
                left(p_name, 5) AS l5,
                right(p_name, 5) AS r5,
                repeat(p_brand, 2) AS b2,
@@ -766,7 +769,10 @@ def q_s35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.regexp_replace("p_name", "[aeiou]", "_").alias("consonants"),
-        F.levenshtein("p_brand", "p_type").alias("lev"),
+        # ASCII-projected: byte- vs codepoint-levenshtein (review r7)
+        F.levenshtein(
+            TX.ascii_projected(F.col("p_brand")), TX.ascii_projected(F.col("p_type"))
+        ).alias("lev"),
         F.substring("p_name", 1, 5).alias("l5"),
         F.substring(F.col("p_name"), -5, 5).alias("r5"),
         F.repeat("p_brand", 2).alias("b2"),
@@ -982,9 +988,14 @@ def q_s46(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH n AS (SELECT DISTINCT p_name AS s FROM part
                    WHERE length(p_name) >= 6)
         SELECT a.s AS s1, b.s AS s2,
-               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+               -- ASCII projection before the distance: DuckDB levenshtein
+               -- is BYTE-based, Spark's codepoint-based (review r7) —
+               -- mirrors operators/fuzzy.py / functions/text.py
+               CAST(levenshtein(regexp_replace(a.s, '[^\\x00-\\x7F]', '?', 'g'),
+                                regexp_replace(b.s, '[^\\x00-\\x7F]', '?', 'g')) AS BIGINT) AS dist
         FROM n a JOIN n b ON a.s < b.s
-        WHERE levenshtein(a.s, b.s) <= 2
+        WHERE levenshtein(regexp_replace(a.s, '[^\\x00-\\x7F]', '?', 'g'),
+                          regexp_replace(b.s, '[^\\x00-\\x7F]', '?', 'g')) <= 2
     """,
 )
 def q_s47(spark: SparkSession, sf_dir: str) -> DataFrame:

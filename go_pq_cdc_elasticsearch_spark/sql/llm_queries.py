@@ -22,7 +22,8 @@ from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 
 # ---- shared oracle SQL fragments (DuckDB dialect) --------------------------
 
-NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# translate-fold, not lower(): see functions/text.py::ascii_lower (r7)
+NORM_SQL = "trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))"
 WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
 GRAMS_SQL = (
     "list_transform(range(1, len(w)-1), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))"
@@ -265,17 +266,23 @@ def q_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     win = 25
+    # `div`, NOT floor(id/W): the / is a DOUBLE division, so beyond
+    # ~2^53/W the bucket id rounds and a (id, id+1) neighbor pair can land
+    # TWO buckets apart — invisible to the jb/jb-1 probe while the
+    # oracle's exact integer range predicate keeps it (review r7;
+    # snowflake-scale ids are in the regeneration vocabulary). div is
+    # exact 64-bit integral division; ids are non-negative so div == floor
     a = emb.select(
         F.col("vec_id").alias("id1"),
         F.col("embedding").alias("e1"),
-        F.floor(F.col("vec_id") / win).alias("jb"),
+        F.expr(f"vec_id div {win}").alias("jb"),
     )
     b = emb.select(
         F.col("vec_id").alias("id2"),
         F.col("embedding").alias("e2"),
         F.explode(
             F.array(
-                F.floor(F.col("vec_id") / win), F.floor(F.col("vec_id") / win) - 1
+                F.expr(f"vec_id div {win}"), F.expr(f"vec_id div {win}") - 1
             )
         ).alias("jb"),
     )
@@ -851,7 +858,7 @@ def _grams_n_sql(n: int) -> str:
             FROM e0 WHERE trim(ls[pos]) <> ''
         ), r AS (
             SELECT doc_id, pos, line,
-                   row_number() OVER (PARTITION BY md5(lower(trim(line)))
+                   row_number() OVER (PARTITION BY md5(translate(trim(line), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
                                       ORDER BY doc_id, pos) = 1 AS keep
             FROM ln
         )

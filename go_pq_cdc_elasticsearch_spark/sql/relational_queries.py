@@ -224,9 +224,12 @@ def q_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_base_price,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE) AS sum_charge,
-               CAST(avg(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS avg_qty,
-               CAST(avg(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS avg_price,
-               CAST(avg(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                   / count(l_quantity) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                   / count(l_extendedprice) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE)
+                   / count(l_discount) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -235,7 +238,14 @@ def q_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_s9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: partial+final hash aggregation (Catalyst
-    emits the map-side partial automatically)."""
+    emits the map-side partial automatically).
+
+    Averages are the PORTABLE form — exact DECIMAL(30,10) sum cast to
+    DOUBLE, then ONE double division by the non-null count, identical
+    IEEE on both engines. avg(DECIMAL) itself diverges: Spark divides
+    exactly in decimal and HALF_UP-quantizes before the double cast,
+    DuckDB double-divides — adjacent doubles near rounding midpoints
+    (the q_l2 r5 live failure class; review r7)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
@@ -246,9 +256,21 @@ def q_s9(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
         _dec_sum(disc_price, "sum_disc_price"),
         _dec_sum(charge, "sum_charge"),
-        F.avg(F.col("l_quantity").cast("decimal(30,10)")).cast("double").alias("avg_qty"),
-        F.avg(F.col("l_extendedprice").cast("decimal(30,10)")).cast("double").alias("avg_price"),
-        F.avg(F.col("l_discount").cast("decimal(30,10)")).cast("double").alias("avg_disc"),
+        F.when(
+            F.count("l_quantity") > 0,
+            F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
+            / F.count("l_quantity"),
+        ).alias("avg_qty"),
+        F.when(
+            F.count("l_extendedprice") > 0,
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast("double")
+            / F.count("l_extendedprice"),
+        ).alias("avg_price"),
+        F.when(
+            F.count("l_discount") > 0,
+            F.sum(F.col("l_discount").cast("decimal(30,10)")).cast("double")
+            / F.count("l_discount"),
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -351,12 +373,17 @@ def q_s12(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run_sum,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
 )
 def q_s13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window with a row frame (sliding sum) + lag."""
-    events = load_table(spark, sf_dir, "events")
+    """Analytic window with a row frame (sliding sum) + lag.
+
+    NULL-ts rows are filtered on BOTH sides (the q_s31/q_s46 standing
+    rule): Spark windows order NULLS FIRST, DuckDB NULLS LAST, so an
+    unfiltered NULL event time shifts every neighbor's lag/run_sum
+    (review r7)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     order = [F.col("ts"), F.col("event_id")]
     w = Window.partitionBy("user_id").orderBy(*order)
     return events.select(
@@ -482,7 +509,11 @@ def q_s17(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         )
         + " AS total_charge, "
-        + PR("CAST(avg(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)", 4)
+        + PR(
+            "CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) "
+            "/ count(l_quantity)",
+            4,
+        )
         + """ AS mean_qty,
                CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
                CAST(min(l_extendedprice) AS DOUBLE) AS min_price
@@ -501,7 +532,12 @@ def q_s18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_charge"
         ),
         pround(
-            F.avg(F.col("l_quantity").cast("decimal(30,10)")).cast("double"), 4
+            F.when(
+                F.count("l_quantity") > 0,
+                F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
+                / F.count("l_quantity"),
+            ),
+            4,
         ).alias("mean_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.min("l_extendedprice").alias("min_price"),
@@ -536,7 +572,9 @@ def q_s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s20_json",
     oracle="""
         SELECT count(*) AS n FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+        WHERE CAST(CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END
+                   AS DOUBLE) > 50
     """,
 )
 def q_s20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,7 +585,10 @@ def q_s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     '62.5' to 63; Spark's ANSI cast throws CAST_INVALID_INPUT and kills
     the query) — props.k is integral in today's feed, but only the type
     is contractual. The double parse is identical in both engines and
-    the predicate itself is exact either way."""
+    the predicate itself is exact either way. The oracle guards with
+    json_valid(): DuckDB's json_extract_string RAISES on empty/malformed
+    props while Spark's get_json_object returns NULL — only the string
+    type is contractual, not well-formedness (review r7)."""
     events = load_table(spark, sf_dir, "events")
     return events.filter(
         F.get_json_object("props", "$.k").cast("double") > 50

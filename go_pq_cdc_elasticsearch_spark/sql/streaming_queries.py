@@ -118,7 +118,7 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                 >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
-            FROM events)
+            FROM events WHERE ts IS NOT NULL)
         GROUP BY user_id
     """,
     doc="Session windows (30m gap) per user == batch gaps-and-islands. "
@@ -127,7 +127,12 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    stream = _staged_stream(spark, sf_dir)
+    # NULL event times are filtered on BOTH sides (review r7): Spark's
+    # session_window cannot place a NULL-ts row (a user whose rows are all
+    # NULL-ts would vanish) while the batch oracle's lag() branch would
+    # count it as a session; mixed users additionally ride the
+    # NULLS FIRST/LAST window-order divergence.
+    stream = _staged_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     sess = stream.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -290,7 +295,15 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
             FROM events WHERE event_id < 2000
         )
-        SELECT user_id, CAST(value AS VARCHAR) AS v
+        SELECT user_id,
+               -- non-finite doubles render PG-style like the staged
+               -- payload (json.dumps == Postgres text format: 'NaN',
+               -- 'Infinity'); DuckDB's bare VARCHAR cast says 'nan'/'inf'
+               -- (review r7)
+               CASE WHEN isnan(value) THEN 'NaN'
+                    WHEN value = CAST('infinity' AS DOUBLE) THEN 'Infinity'
+                    WHEN value = CAST('-infinity' AS DOUBLE) THEN '-Infinity'
+                    ELSE CAST(value AS VARCHAR) END AS v
         FROM ranked WHERE rn = 1 AND event_type <> 'error'
     """,
     doc="Custom Python streaming DataSource (pgwal: LSN offsets, segment-"
@@ -504,7 +517,9 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_events,
                CAST(sum(floor(CAST(value AS DOUBLE) * 1000.0)) AS BIGINT)
                    AS total_mv
-        FROM events GROUP BY user_id
+        FROM events
+        WHERE abs(CAST(value AS DOUBLE)) < 1.0e6
+        GROUP BY user_id
     """,
     doc="Custom stateful operator (applyInPandasWithState, "
     "streaming/stateful.py::running_totals — the keyed-process-function "
@@ -513,14 +528,22 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch aggregate. Values are pre-quantized to integer millis "
     "(floor(value*1000), portable IEEE ops) so the state accumulation is "
     "exact and order-independent — the oracle hash checks the state "
-    "arithmetic itself, not a rounded shadow of it.",
+    "arithmetic itself, not a rounded shadow of it. The domain is "
+    "BOUNDED identically on both sides (|value| < 1e6; NaN/Inf/NULL "
+    "excluded by the same predicate): this gate pins the stateful "
+    "PLUMBING — unbounded ladder arithmetic is q_c4's job, and an "
+    "unguarded floor diverges (Spark saturates at 2^63, DuckDB keeps "
+    "the true double; float64 state loses order-independence past 2^53) "
+    "— review r7.",
 )
 def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from go_pq_cdc_elasticsearch_spark.streaming.stateful import running_totals
 
-    stream = _staged_stream(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir).filter(
+        F.abs(F.col("value").cast("double")) < F.lit(1.0e6)
+    )
     mv = stream.select(
         "user_id",
         F.floor(F.col("value").cast("double") * F.lit(1000.0))

@@ -250,3 +250,76 @@ def test_canon_big_double_branch_random_parity(spark, con):
         f"SELECT {cell} FROM canon_big_probe"
     ).fetchall()]
     assert got_spark == got_duck
+
+
+def test_portable_text_forms_parity_on_adversarial_unicode(spark, con):
+    """Review r7 — the engine-divergence classes fixed this round must stay
+    pinned: ascii_lower (Java toLowerCase applies final-sigma SpecialCasing,
+    utf8proc doesn't), ascii_projected + levenshtein (DuckDB counts BYTES,
+    Spark codepoints), and the json_valid-guarded extraction (DuckDB's
+    json_extract_string RAISES on malformed input where Spark's
+    get_json_object returns NULL). Each portable form must produce
+    byte-identical results in both engines on crafted adversarial inputs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.functions.text import (
+        ascii_lower,
+        ascii_projected,
+        normalize_text,
+    )
+
+    texts = [
+        "Hello WORLD",
+        "ΟΔΟΣ ΣΟΦΙΑΣ",          # Greek final-sigma SpecialCasing trigger
+        "CAFÉ İstanbul ß",       # accents, Turkish İ, sharp s
+        "café",                  # multibyte for the levenshtein projection
+        "cafe",
+        "naïve vs naive",
+        "",                      # empty
+        "  A\tB\nC  ",          # whitespace collapse interplay
+    ]
+    jsons = ['{"k": 1}', "", "{bad", "null", '{"k": "x"}', None]
+    probe = pd.DataFrame({"t": pd.Series(texts, dtype="object")})
+    jprobe = pd.DataFrame({"j": pd.Series(jsons, dtype="object")})
+    con.register("text_probe", probe)
+    con.register("json_probe", jprobe)
+    U, L = "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    try:
+        sdf = spark.createDataFrame([(t,) for t in texts], "t string")
+        got_s = [
+            tuple(r)
+            for r in sdf.select(
+                ascii_lower("t"),
+                normalize_text("t"),
+                ascii_projected("t"),
+                F.levenshtein(
+                    ascii_projected("t"), F.lit("caf?")
+                ).cast("long"),
+            ).collect()
+        ]
+        got_d = con.execute(
+            f"""SELECT translate(t, '{U}', '{L}'),
+                       trim(regexp_replace(translate(t, '{U}', '{L}'),
+                                           '\\s+', ' ', 'g')),
+                       regexp_replace(t, '[^\\x00-\\x7F]', '?', 'g'),
+                       CAST(levenshtein(
+                           regexp_replace(t, '[^\\x00-\\x7F]', '?', 'g'),
+                           'caf?') AS BIGINT)
+                FROM text_probe"""
+        ).fetchall()
+        assert got_s == [tuple(r) for r in got_d]
+
+        sj = spark.createDataFrame([(j,) for j in jsons], "j string")
+        got_sj = [r[0] for r in sj.select(F.get_json_object("j", "$.k")).collect()]
+        got_dj = [
+            r[0]
+            for r in con.execute(
+                "SELECT CASE WHEN json_valid(j) "
+                "THEN json_extract_string(j, '$.k') END FROM json_probe"
+            ).fetchall()
+        ]
+        assert got_sj == got_dj
+    finally:
+        con.unregister("text_probe")
+        con.unregister("json_probe")
