@@ -109,7 +109,9 @@ def action_meta_line(
     type_name: str | None = None,
 ) -> str:
     """One NDJSON metadata line (reference getEsActionJSON bulk/bulk.go:208-245;
-    the _type field is emitted only for ES < 7, bulk/bulk.go:194-206)."""
+    the _type field is emitted only for ES < 8 — is_type_supported gates at
+    major < 8 and tests pin _doc on 7.10 (ES 7 deprecated types but still
+    accepts them; 8 removed them), bulk/bulk.go:194-206)."""
     verb = ACTION_VERBS[action]
     meta: dict = {"_id": doc_id, "_index": index}
     if routing is not None:
@@ -195,15 +197,27 @@ def bulk_payloads(
     type_name: str | None = None,
 ) -> Iterator[bytes]:
     """Group framed actions into bulk request payloads honoring the
-    reference's count AND byte flush triggers (bulk/bulk.go:164)."""
+    reference's count AND byte flush triggers (bulk/bulk.go:164).
+
+    The byte trigger flushes BEFORE appending the action that would cross
+    the limit, so every emitted payload stays within
+    ``batch_byte_size_limit`` (a deployment tunes it to the cluster's
+    http.max_content_length; the old append-then-check shipped one
+    oversized request and ES rejected it with a fatal 413 — review r7).
+    A single action larger than the limit still ships alone: it cannot be
+    split, and the server's verdict on it is the only truth available."""
     buf: list[str] = []
     n_actions = 0
     n_bytes = 0
     for r in rows:
         lines = list(frame_actions([r], type_name))
+        add = sum(len(line.encode()) + 1 for line in lines)
+        if buf and n_bytes + add > batch_byte_size_limit:
+            yield ("\n".join(buf) + "\n").encode()
+            buf, n_actions, n_bytes = [], 0, 0
         buf.extend(lines)
         n_actions += 1
-        n_bytes += sum(len(line.encode()) + 1 for line in lines)
+        n_bytes += add
         if n_actions >= batch_size_limit or n_bytes >= batch_byte_size_limit:
             yield ("\n".join(buf) + "\n").encode()
             buf, n_actions, n_bytes = [], 0, 0

@@ -321,85 +321,92 @@ class LshDedupIndex:
             batch, self.text_col, id_c, self.k, self.bands,
             grams_df=new_grams,
         ).persist()
+        # everything below runs under try/finally: a crash-looping
+        # micro-batch (disk-full mid-append, analysis error in the verify
+        # join) that escaped between persist and unpersist leaked BOTH
+        # caches per redelivery attempt — the materialized.py merge_batch
+        # leak class (review r6 there, r7 here)
+        try:
 
-        # in-batch candidates: self-join within shared band buckets
-        a, b = bands.alias("a"), bands.alias("b")
-        intra = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col(f"a.{id_c}") < F.col(f"b.{id_c}")),
-            )
-            .select(
-                F.col(f"a.{id_c}").alias("id1"),
-                F.col(f"b.{id_c}").alias("id2"),
-            )
-        )
-
-        # cross-batch candidates: probe pruned state buckets
-        indexed = self._indexed_bands(bands)
-        if indexed is not None:
-            o = indexed.alias("o")
-            cross = (
+            # in-batch candidates: self-join within shared band buckets
+            a, b = bands.alias("a"), bands.alias("b")
+            intra = (
                 a.join(
-                    o,
-                    (F.col("a.band_idx") == F.col("o.band_idx"))
-                    & (F.col("a.band_hash") == F.col("o.band_hash"))
-                    & (F.col(f"a.{id_c}") != F.col(f"o.{id_c}")),
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col(f"a.{id_c}") < F.col(f"b.{id_c}")),
                 )
                 .select(
-                    F.least(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id1"),
-                    F.greatest(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id2"),
+                    F.col(f"a.{id_c}").alias("id1"),
+                    F.col(f"b.{id_c}").alias("id2"),
                 )
             )
-            cands = intra.unionByName(cross).distinct()
-        else:
-            cands = intra.distinct()
 
-        # candidate-only verification: the staged batch gram sets plus
-        # ONLY the corpus docs named by a candidate (semi-join before any
-        # tokenization — the old side never tokenizes the whole corpus)
-        cand_ids = (
-            cands.select(F.col("id1").alias(id_c))
-            .unionByName(cands.select(F.col("id2").alias(id_c)))
-            .distinct()
-        )
-        old_grams = doc_ngram_sets(
-            corpus.join(cand_ids, on=id_c, how="left_semi"),
-            self.text_col,
-            id_c,
-        )
-        # a doc can appear on both sides (batch doc already in the corpus
-        # store). When the texts agree the rows are identical; when they
-        # DIVERGE (a CDC update re-delivering an id with new text while
-        # the store still holds the old row, or vice versa) the batch side
-        # must win deterministically — max_by on an explicit side priority,
-        # never first() over a nondeterministic union order.
-        grams = (
-            new_grams.withColumn("__prio", F.lit(1))
-            .unionByName(old_grams.withColumn("__prio", F.lit(0)))
-            .groupBy(id_c)
-            .agg(F.max_by("grams", "__prio").alias("grams"))
-        )
-        g1 = grams.select(F.col(id_c).alias("id1"), F.col("grams").alias("__g1"))
-        g2 = grams.select(F.col(id_c).alias("id2"), F.col("grams").alias("__g2"))
-        verified = (
-            cands.join(g1, "id1")
-            .join(g2, "id2")
-            .withColumn("jaccard", jaccard_from_sets(F.col("__g1"), F.col("__g2")))
-            .filter(F.col("jaccard") >= F.lit(self.jaccard_threshold))
-            .select("id1", "id2", "jaccard")
-        )
-        # materialize BEFORE mutating the index (see docstring) —
-        # localCheckpoint keeps the pair set distributed (no driver
-        # transfer) while detaching it from the state the probe read
-        out = verified.localCheckpoint(eager=True)
+            # cross-batch candidates: probe pruned state buckets
+            indexed = self._indexed_bands(bands)
+            if indexed is not None:
+                o = indexed.alias("o")
+                cross = (
+                    a.join(
+                        o,
+                        (F.col("a.band_idx") == F.col("o.band_idx"))
+                        & (F.col("a.band_hash") == F.col("o.band_hash"))
+                        & (F.col(f"a.{id_c}") != F.col(f"o.{id_c}")),
+                    )
+                    .select(
+                        F.least(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id1"),
+                        F.greatest(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id2"),
+                    )
+                )
+                cands = intra.unionByName(cross).distinct()
+            else:
+                cands = intra.distinct()
 
-        self.view.append_batch(bands, epoch_id=epoch_id)
-        bands.unpersist()
-        new_grams.unpersist()
-        return out
+            # candidate-only verification: the staged batch gram sets plus
+            # ONLY the corpus docs named by a candidate (semi-join before any
+            # tokenization — the old side never tokenizes the whole corpus)
+            cand_ids = (
+                cands.select(F.col("id1").alias(id_c))
+                .unionByName(cands.select(F.col("id2").alias(id_c)))
+                .distinct()
+            )
+            old_grams = doc_ngram_sets(
+                corpus.join(cand_ids, on=id_c, how="left_semi"),
+                self.text_col,
+                id_c,
+            )
+            # a doc can appear on both sides (batch doc already in the corpus
+            # store). When the texts agree the rows are identical; when they
+            # DIVERGE (a CDC update re-delivering an id with new text while
+            # the store still holds the old row, or vice versa) the batch side
+            # must win deterministically — max_by on an explicit side priority,
+            # never first() over a nondeterministic union order.
+            grams = (
+                new_grams.withColumn("__prio", F.lit(1))
+                .unionByName(old_grams.withColumn("__prio", F.lit(0)))
+                .groupBy(id_c)
+                .agg(F.max_by("grams", "__prio").alias("grams"))
+            )
+            g1 = grams.select(F.col(id_c).alias("id1"), F.col("grams").alias("__g1"))
+            g2 = grams.select(F.col(id_c).alias("id2"), F.col("grams").alias("__g2"))
+            verified = (
+                cands.join(g1, "id1")
+                .join(g2, "id2")
+                .withColumn("jaccard", jaccard_from_sets(F.col("__g1"), F.col("__g2")))
+                .filter(F.col("jaccard") >= F.lit(self.jaccard_threshold))
+                .select("id1", "id2", "jaccard")
+            )
+            # materialize BEFORE mutating the index (see docstring) —
+            # localCheckpoint keeps the pair set distributed (no driver
+            # transfer) while detaching it from the state the probe read
+            out = verified.localCheckpoint(eager=True)
+
+            self.view.append_batch(bands, epoch_id=epoch_id)
+            return out
+        finally:
+            bands.unpersist()
+            new_grams.unpersist()
 
 
 class IncrementalDeduper(LshDedupIndex):

@@ -41,13 +41,10 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def compare(spark_df, con, oracle: str) -> list[str]:
-    """Return a list of problems (empty == match)."""
-    scols = list(spark_df.columns)
-    srows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+def compare_rows(scols, srows, ocols, orows) -> list[str]:
+    """THE comparison triplet (columns, rowcount, canonical values) —
+    the single implementation both compare() and tools/check.py use;
+    a second copy had already drifted once (review r5, again r7)."""
     problems = []
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
@@ -60,6 +57,16 @@ def compare(spark_df, con, oracle: str) -> list[str]:
             diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
             problems.append(f"values differ: {diffs}")
     return problems
+
+
+def compare(spark_df, con, oracle: str) -> list[str]:
+    """Return a list of problems (empty == match)."""
+    scols = list(spark_df.columns)
+    srows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    return compare_rows(scols, srows, ocols, orows)
 
 
 class FakeReplicationServer:

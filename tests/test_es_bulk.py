@@ -262,3 +262,40 @@ def test_unknown_action_and_null_index_fail_with_context():
         list(EB.frame_actions(
             [{"action": "delete", "doc_id": None, "index": "i",
               "routing": None, "source": None}]))
+
+
+def test_bulk_payload_byte_limit_is_a_ceiling():
+    """Review r7: the byte trigger must flush BEFORE appending the action
+    that would cross the limit — a deployment tunes the limit to the
+    cluster's http.max_content_length, and the old append-then-check
+    shipped one oversized request that ES rejects with a fatal 413. A
+    single action larger than the limit still ships alone."""
+    import json as _json
+
+    from go_pq_cdc_elasticsearch_spark.sink.es_bulk import bulk_payloads
+
+    def row(i, size):
+        return {
+            "action": "index", "doc_id": str(i), "index": "t",
+            "routing": None, "source": _json.dumps({"v": "x" * size}),
+        }
+
+    limit = 2000
+    rows = [row(i, 400) for i in range(20)]
+    payloads = list(bulk_payloads(rows, 10**6, limit))
+    assert len(payloads) > 1
+    assert all(len(p) <= limit for p in payloads)
+    # every action still ships exactly once, in order
+    ids = [
+        _json.loads(line)["index"]["_id"]
+        for p in payloads
+        for line in p.decode().splitlines()
+        if '"index"' in line and '"_id"' in line
+    ]
+    assert ids == [str(i) for i in range(20)]
+    # a single action above the limit ships alone (cannot be split)
+    big = [row(0, 400), row(1, 5000), row(2, 400)]
+    payloads = list(bulk_payloads(big, 10**6, limit))
+    assert len(payloads) == 3
+    assert len(payloads[1]) > limit  # the unsplittable one
+    assert len(payloads[0]) <= limit and len(payloads[2]) <= limit

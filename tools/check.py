@@ -20,7 +20,7 @@ from go_pq_cdc_elasticsearch_spark.sql import EXT_REGISTRY, REGISTRY  # noqa: E4
 # shared with the tests — a second copy here had already started to
 # drift from the one testing_utils.py documents as shared (review r5)
 from go_pq_cdc_elasticsearch_spark.testing_utils import (  # noqa: E402
-    canon_rows,
+    compare_rows,
     duckdb_con,
 )
 
@@ -63,17 +63,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sc = canon_rows(scols, srows)
-            oc = canon_rows(ocols, orows)
-            if sc != oc:
-                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+        problems = compare_rows(scols, srows, ocols, orows)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
