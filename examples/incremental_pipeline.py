@@ -60,7 +60,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_kept = 0
     for epoch, m in enumerate((0, 1, 2)):  # three arrival waves
         wave = docs.filter(F.col("doc_id") % 3 == m)
-        kept_wave = dd.dedup_batch(wave, corpus=docs, epoch_id=epoch)
+        # localCheckpoint: dedup_batch's lineage is the expensive stage
+        # (index probe + Jaccard verify); without pinning, the count()
+        # for the printout re-executed the whole thing a second time per
+        # wave (review r7)
+        kept_wave = dd.dedup_batch(
+            wave, corpus=docs, epoch_id=epoch
+        ).localCheckpoint(eager=True)
         enriched = kept_wave.withColumn(
             "n_tokens", TX.token_count_ws(F.col("text"))
         )

@@ -34,6 +34,15 @@ def asof_join(
     equal timestamps so ties are included.
     """
     on = list(on)
+    if not on:
+        # Window.partitionBy() accepts zero columns, so an empty key list
+        # only failed later in the NULL-key epilogue with an opaque
+        # 'condition should be a Column' TypeError (review r7); a global
+        # as-of (one partition) is expressible with a constant key
+        raise ValueError(
+            "asof_join requires at least one join key; for a global "
+            "as-of, pass a constant key column on both sides"
+        )
     reserved = {"__t", "__side", out_col}
     clash = reserved.intersection(left.columns)
     if clash:

@@ -41,6 +41,11 @@ def cdc_dedup(
     action with the same (id, index[, routing]) replaces the earlier one.
     ``seq_col`` is the explicit total order (LSN analog).
     """
+    if "__rn" in df.columns:
+        # same reserved-name discipline as asof_join: withColumn would
+        # silently OVERWRITE the caller's column and the epilogue drop
+        # would vanish it (review r7)
+        raise ValueError("cdc_dedup reserves the column name '__rn'")
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -223,6 +223,11 @@ def train_ivf_centroids(
 
     rows = (
         corpus.select(id_col, vec_col)
+        # malformed embeddings (NULL/empty) are excluded from TRAINING like
+        # every scorer excludes them from results (review r6 there, r7
+        # here): one NULL row in the sample crashed np.array on the driver
+        # before the hardened scorers ever ran
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .orderBy(_hash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample)
         .collect()
@@ -233,6 +238,12 @@ def train_ivf_centroids(
         # round-2 write_zordered empty-input bug); callers return empty
         # results for an empty centroid set
         return np.zeros((0, 0), dtype=np.float64)
+    # ragged rows (wrong-dimension vectors) would still make np.array
+    # raise: keep only the sample's dominant dimension, deterministically
+    from collections import Counter
+
+    dim = Counter(len(r[1]) for r in rows).most_common(1)[0][0]
+    rows = [r for r in rows if len(r[1]) == dim]
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -297,9 +308,18 @@ def with_ivf_cell(
                 pdf.loc[keep, out_col] = cell.astype("int32")
             yield pdf
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # schema mirrors the INPUT field types: a hardcoded array<float>
+    # silently narrowed double embeddings, so semantic_dedup's cosine
+    # threshold ran on float32-truncated copies — near-tau pairs flipped
+    # across the threshold vs the original column (review r7)
+    base = df.select(id_col, vec_col)
+    in_types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    return base.mapInPandas(
         assign,
-        schema=f"{id_col} long, {vec_col} array<float>, {out_col} int",
+        schema=(
+            f"{id_col} {in_types[id_col]}, "
+            f"{vec_col} {in_types[vec_col]}, {out_col} int"
+        ),
     )
 
 
@@ -338,11 +358,20 @@ def ivf_topk(
         return _empty_topk_result(corpus.sparkSession, id_col)
     c = with_ivf_cell(corpus, cents, id_col, vec_col)
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # NULL/empty/wrong-dim query vectors are SKIPPED like the other top-k
+    # paths (brute force filters them, LSH gives them a NULL signature) —
+    # one malformed query row crashed only the IVF operator (review r7)
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .collect()
+    )
     spark = corpus.sparkSession
     probe_rows = []
     n_probe = min(n_probe, len(cents))
     for r in q_rows:
+        if len(r[1]) != cents.shape[1]:
+            continue
         qv = np.array(list(r[1]), dtype=np.float64)
         n = np.linalg.norm(qv)
         sims = (qv / (n if n > 0 else 1.0)) @ cents.T

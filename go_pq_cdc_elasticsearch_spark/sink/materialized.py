@@ -223,8 +223,15 @@ class MaterializedView:
             return json.load(f)
 
     def _write_meta(self) -> None:
+        # ATOMIC (temp + rename): the meta file is load-bearing twice over
+        # — every open json.loads it with no recovery path for a torn
+        # write, and rebucket recovery treats its EXISTENCE in .rbnew as
+        # the completion marker (a crash mid-dump there rolled FORWARD
+        # onto a corrupt meta and deleted the only good copy in .rbold —
+        # review r7). os.replace makes existence imply completeness.
         os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, _META), "w") as f:
+        tmp = os.path.join(self.path, _META + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "n_buckets": self.n_buckets,
@@ -241,6 +248,7 @@ class MaterializedView:
                 },
                 f,
             )
+        os.replace(tmp, os.path.join(self.path, _META))
 
     def _meta_extra(self) -> dict:
         """Subclass hook: extra merge-contract config recorded in the view
@@ -373,6 +381,13 @@ class MaterializedView:
         and a row that hashes into a bucket outside the probed set on
         that second evaluation is silently discarded by the swap. Pin a
         non-deterministic frame with localCheckpoint() before merging."""
+        if _BUCKET_COL in batch.columns:
+            # same reserved-name discipline as asof_join/cdc_dedup: the
+            # withColumn below would silently overwrite the caller's
+            # column and the layout logic would misroute on it (review r7)
+            raise ValueError(
+                f"merge_batch reserves the column name '{_BUCKET_COL}'"
+            )
         if lineage is not None:
             if self._lineage is not None and lineage != self._lineage:
                 # genuinely different feeding query: its epoch counter is
@@ -538,34 +553,42 @@ class MaterializedView:
         None). Untouched bucket dirs are never opened."""
         parent = os.path.dirname(self.path) or "."
         tmp = tempfile.mkdtemp(prefix="mv_", dir=parent)
-        out = os.path.join(tmp, "data")
-        # record the view schema (sans bucket col) BEFORE the write: the
-        # meta-carried schema is what keeps an emptied view readable (see
-        # state()), and it must land even when the frame writes zero rows
-        fields = [f for f in df.schema.fields if f.name != _BUCKET_COL]
-        from pyspark.sql import types as T
+        # try/finally: a failed Spark write (executor loss, disk full —
+        # the crash-looping-batch class merge_batch's persist guard exists
+        # for) abandoned one partial mv_* staging dir per redelivery
+        # attempt, and nothing ever swept them (review r7)
+        try:
+            out = os.path.join(tmp, "data")
+            # record the view schema (sans bucket col) BEFORE the write: the
+            # meta-carried schema is what keeps an emptied view readable (see
+            # state()), and it must land even when the frame writes zero rows
+            fields = [f for f in df.schema.fields if f.name != _BUCKET_COL]
+            from pyspark.sql import types as T
 
-        self._schema_json = T.StructType(fields).json()
-        self._write_meta()
-        # align output tasks to buckets: ONE file per bucket dir per merge
-        # (without this, every shuffle partition writes its own sliver into
-        # every bucket — file count grows by tasks×buckets each batch and
-        # subsequent merges drown in footer reads)
-        df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
-            "overwrite"
-        ).partitionBy(_BUCKET_COL).parquet(out)
-        todo = (
-            buckets
-            if buckets is not None
-            else [
-                int(d.split("=", 1)[1])
-                for d in os.listdir(out)
-                if d.startswith(_BUCKET_COL + "=")
-            ]
-        )
-        for b in todo:
-            swap_bucket_dir(self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b)
-        shutil.rmtree(tmp, ignore_errors=True)
+            self._schema_json = T.StructType(fields).json()
+            self._write_meta()
+            # align output tasks to buckets: ONE file per bucket dir per merge
+            # (without this, every shuffle partition writes its own sliver into
+            # every bucket — file count grows by tasks×buckets each batch and
+            # subsequent merges drown in footer reads)
+            df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(_BUCKET_COL).parquet(out)
+            todo = (
+                buckets
+                if buckets is not None
+                else [
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(out)
+                    if d.startswith(_BUCKET_COL + "=")
+                ]
+            )
+            for b in todo:
+                swap_bucket_dir(
+                    self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def vacuum(self, watermark_seq: int) -> None:
         """Drop tombstones whose seq is <= watermark_seq (retention).

@@ -204,7 +204,20 @@ class WalStreamReader(DataSourceStreamReader):
             with open(os.path.join(self.path, "_committed"), "a") as f:
                 f.write(json.dumps(end) + "\n")
         except OSError:
-            pass
+            # swallowing keeps the STREAM alive (commit() must not kill a
+            # healthy query over the ack side-channel), but a silent drop
+            # stalls the slot's restart LSN invisibly — upstream retains
+            # WAL forever while everything reports progress (review r7).
+            # Log loudly; the next successful commit's larger cumulative
+            # frontier supersedes this one.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pgwal commit record append failed (slot ack frontier "
+                "will not advance until a later commit lands): %s",
+                end,
+                exc_info=True,
+            )
 
 
 class WalDataSource(DataSource):

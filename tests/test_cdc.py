@@ -118,3 +118,17 @@ def test_scripted_update_stock_sum_survives_large_values(spark):
            for r in scripted_update_merge(df).collect()}
     assert got[1] == (2, 1e15)
     assert got[2] == (1, 1.2345)
+
+
+def test_cdc_dedup_rejects_reserved_rn_column(spark):
+    """Review r7: a caller column named __rn was silently clobbered and
+    dropped; loud ValueError now (the asof_join discipline)."""
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_dedup
+
+    df = spark.createDataFrame(
+        [(1, 1, "x")], "user_id long, event_id long, __rn string"
+    )
+    with _pytest.raises(ValueError, match="__rn"):
+        cdc_dedup(df)

@@ -214,3 +214,45 @@ def test_ivf_topk_empty_corpus_returns_empty(spark):
         [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
     assert SIM.ivf_topk(corpus, queries, k=2).collect() == []
+
+
+def test_ivf_tolerates_malformed_embeddings_everywhere(spark):
+    """Review r7: one NULL/empty/ragged embedding in the training sample
+    crashed train_ivf_centroids on the driver (before the hardened
+    scorers ever ran), and one malformed QUERY vector crashed ivf_topk —
+    while brute force and LSH skip them. All three layers must tolerate:
+    training excludes them, assignment NULLs their cell, queries skip."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None),
+            (4, []), (5, [1.0, 0.0, 9.9]),  # NULL, empty, ragged
+            (6, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM.train_ivf_centroids(corpus, n_centroids=2)
+    assert cents.shape[1] == 2  # the dominant dimension won
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None), (12, []), (13, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = SIM.ivf_topk(corpus, queries, k=2, n_centroids=2, n_probe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    assert 10 in by_q and by_q[10]  # the healthy query answers
+    assert set(by_q) == {10}  # malformed queries skipped, not crashed
+
+
+def test_with_ivf_cell_preserves_input_types(spark):
+    """Review r7: the hardcoded array<float> output schema silently
+    narrowed double embeddings, so downstream cosine thresholds ran on
+    float32-truncated copies."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = SIM.train_ivf_centroids(corpus, n_centroids=2)
+    out = SIM.with_ivf_cell(corpus, cents)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
+        "embedding"
+    ] == "array<double>"

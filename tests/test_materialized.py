@@ -387,3 +387,43 @@ def test_rebucket_of_emptied_view_stays_readable(spark):
     # (_batch tuple order: event_id, event_type, user_id, value)
     mv2.merge_batch(_batch(spark, [(9, "insert", 7, 7.0)]))
     assert {r["user_id"] for r in mv2.read().collect()} == {7}
+
+
+def test_merge_batch_rejects_reserved_bucket_column(spark, tmp_path):
+    """Review r7: a caller batch already carrying __bucket was silently
+    overwritten and misrouted; the reserved name now raises loudly (the
+    asof_join/cdc_dedup discipline)."""
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+
+    view = MaterializedView(
+        spark, str(tmp_path / "v"), keys=("k",), seq_col="seq",
+        op_col="op", delete_op="delete",
+    )
+    bad = spark.createDataFrame(
+        [(1, 1, "upsert", 0)], "k long, seq long, op string, __bucket int"
+    )
+    with _pytest.raises(ValueError, match="__bucket"):
+        view.merge_batch(bad)
+
+
+def test_meta_write_is_atomic(spark, tmp_path):
+    """Review r7: _write_meta now goes through temp+rename, so a meta
+    file's existence implies completeness (rebucket recovery rolls
+    forward on exactly that signal) and no .tmp garbage survives."""
+    import json as _json
+    import os as _os
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+
+    path = str(tmp_path / "v")
+    view = MaterializedView(
+        spark, path, keys=("k",), seq_col="seq", op_col="op", delete_op="delete",
+    )
+    batch = spark.createDataFrame([(1, 1, "upsert")], "k long, seq long, op string")
+    view.merge_batch(batch, epoch_id=0)
+    meta = _os.path.join(path, "_VIEW_META.json")
+    assert _os.path.exists(meta)
+    _json.load(open(meta))  # complete, parseable
+    assert not _os.path.exists(meta + ".tmp")

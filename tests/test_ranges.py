@@ -165,3 +165,15 @@ def test_range_join_rejects_pathological_intervals(spark):
     )
     with pytest.raises(ValueError, match="non-finite"):
         bucketed_range_join(points, inf, "x", width=10.0).collect()
+
+
+def test_asof_join_requires_join_keys(spark):
+    """Review r7: an empty `on` failed deep inside the NULL-key epilogue
+    with an opaque TypeError; clear ValueError up front now."""
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with _pytest.raises(ValueError, match="at least one join key"):
+        asof_join(df, df, on=[], left_ts="ts", right_ts="ts")
