@@ -70,6 +70,14 @@ def bucketed_join(
     this flag (detecting one-file-per-bucket costs a listing) — with it,
     and the one-file-per-bucket layout write_bucketed guarantees, the plan
     has neither Exchange NOR Sort."""
+    # DELIBERATELY left set for the session (documented side effect, NOT
+    # restored): the flag is read at physical planning/EXECUTION of the
+    # returned lazy plan, which happens after this function returns — a
+    # set-and-restore made the Sort reappear the moment the caller ran
+    # the join (caught by test_bucketed_join_no_exchange when review r7
+    # tried exactly that). The cost to unrelated bucketed scans is a
+    # per-bucket file-count listing; a caller who objects can unset
+    # spark.sql.legacy.bucketedTableScan.outputOrdering afterwards.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)

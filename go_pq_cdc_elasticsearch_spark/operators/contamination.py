@@ -48,9 +48,16 @@ def decontaminate(
     at least one word-``n``-gram with any holdout document — the rows a
     curation pipeline would drop (anti-join) or down-weight.
     """
+    # the holdout side needs no id column (the id was selected and
+    # immediately discarded, crashing bare (text)-only eval-set frames
+    # and carrying a dead column through the distinct — review r7)
     hg = (
-        doc_gram_hashes(holdout, text_col, id_col, n)
-        .select("gh")
+        holdout.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "__gram"
+            )
+        )
+        .select(F.md5(F.col("__gram")).alias("gh"))
         .distinct()
     )
     tg = doc_gram_hashes(train, text_col, id_col, n)

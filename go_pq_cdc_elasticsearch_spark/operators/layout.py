@@ -71,9 +71,17 @@ def write_zordered(
     output file covers a tight hyper-rectangle in the curve columns, so
     min/max stats prune scans filtered on any of them."""
     bits = min(bits, 63 // max(1, len(cols)))  # keep the key in a long
+    # FINITE-only stats: Spark max() treats NaN as the largest double, so
+    # one NaN row made span NaN and every row's grid cell 0 — the Morton
+    # key silently interleaved a constant and scans pruned nothing
+    # (review r7); one Inf similarly flattened every finite row to cell 0
+    def _finite(c):
+        d = F.col(c).cast("double")
+        return F.when(~F.isnan(d) & ~d.isin(float("inf"), float("-inf")), d)
+
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        *[F.min(_finite(c)).alias(f"lo_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
     # empty input / all-NULL columns have no min/max: every row (there may
     # be none, or only NULL-keyed ones) lands on grid cell 0 via (0, 1)

@@ -52,6 +52,10 @@ def bucketed_range_join(
     the small side of this join by construction.
     """
     _MAX_BUCKETS_PER_INTERVAL = 4_000_000
+    if not width > 0:
+        # width=0 divided by zero in the guard itself; negative widths
+        # inverted every bucket comparison (review r7)
+        raise ValueError(f"bucketed_range_join: width must be positive, got {width}")
     span = F.max(
         F.col(hi_col).cast("double") - F.col(lo_col).cast("double")
     )
@@ -80,6 +84,13 @@ def bucketed_range_join(
     pb = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / F.lit(width)).cast("long")
     )
+    # reversed intervals (hi < lo) match nothing under the BETWEEN verify,
+    # but F.sequence(start, stop) generates a DESCENDING sequence when
+    # start > stop — a garbage row with swapped e12-scale bounds slipped
+    # past the positive-span guard and exploded ~1e11 cells anyway
+    # (review r7). Drop them before the explode: semantics unchanged
+    # (empty interval == no matches), guard now airtight.
+    intervals = intervals.filter(F.col(hi_col) >= F.col(lo_col))
     ib = intervals.withColumn(
         "__bucket",
         F.explode(

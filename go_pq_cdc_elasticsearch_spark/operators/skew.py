@@ -55,11 +55,26 @@ def salted_join(
     # substring check, not startswith: HASH_MAP_TYPE rejects MapType
     # RECURSIVELY, so struct<...map<...>...> / array<map<...>> columns
     # (the other CDC envelope shapes) are just as unhashable
+    if n_salts <= 0:
+        # n_salts=0 emptied the replicated right side (an inner join
+        # silently returned 0 rows) and pmod(hash, 0) is an ANSI
+        # DIVIDE_BY_ZERO at runtime (review r7)
+        raise ValueError(f"salted_join: n_salts must be positive, got {n_salts}")
     hashable = [c for c, t in left.dtypes if "map<" not in t]
     if not hashable:
         raise ValueError("salted_join needs at least one non-map left column")
+    # monotonically_increasing_id mixed in: when a hot key's rows are
+    # IDENTICAL across every hashable column (the CDC-envelope case — only
+    # the unhashable payload map varies), the row hash alone is one
+    # constant and the hot key still landed on a single salt, silently
+    # defeating the operator while paying the full right-side replication
+    # (review r7). The row id is not replay-deterministic, but the salt
+    # only controls partition PLACEMENT — join results are identical for
+    # any salt value, so determinism is not required here.
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in hashable]), F.lit(n_salts)
+        F.hash(*[F.col(c) for c in hashable])
+        + F.monotonically_increasing_id(),
+        F.lit(n_salts),
     ).alias("__salt")
     l_salted = left.select("*", salt)
     r_replicated = right.select(

@@ -150,6 +150,16 @@ def _duck_cell(name: str, duck_type: str) -> str:
         s = f"CAST({col} AS VARCHAR)"
     elif t == "DATE":
         s = f"strftime({col}, '%Y-%m-%d')"
+    elif "WITH TIME ZONE" in t:
+        # the Spark twin REJECTS instant timestamps because strftime of an
+        # instant renders in the session zone (checksum flips under the
+        # SPARK_GRAFT_TZ sweep); accepting TIMESTAMPTZ here via the bare
+        # startswith let the identical trap through on the oracle side as
+        # a flaky parity failure instead of this loud error (review r7)
+        raise TypeError(
+            f"column {name} is {duck_type}: instant timestamps are "
+            f"zone-dependent under strftime — emit NTZ or epoch integers"
+        )
     elif t.startswith("TIMESTAMP"):
         s = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
     elif t == "VARCHAR":

@@ -158,14 +158,29 @@ def _combo(parts: list[str]):
 
 
 def _combo_oracle(parts: list[str]) -> str | None:
+    import os
+
+    bootstrap = os.environ.get("SPARK_GRAFT_ORACLE_BOOTSTRAP") == "1"
     try:
         from go_pq_cdc_elasticsearch_spark.sql._ext_oracle_gen import (
             EXT_CANON_ORACLE,
         )
-    except ImportError:  # bootstrap: tools/gen_ext_oracle.py not yet run
+    except ImportError:
+        # bootstrap: tools/gen_ext_oracle.py not yet run in a fresh clone
+        # (the generator itself imports this module under the env flag)
         return None
-    if any(name not in EXT_CANON_ORACLE for name in parts):
-        return None  # bootstrap: generated file predates a new part
+    missing = [name for name in parts if name not in EXT_CANON_ORACLE]
+    if missing:
+        if bootstrap:
+            return None
+        # a silent None here demoted the WHOLE ~20-part combo from
+        # value-checked to rows-only: adding one part without rerunning
+        # the generator turned off value verification for every other
+        # part too, invisibly (review r7). Fail loudly instead.
+        raise RuntimeError(
+            f"folded oracle is stale — parts {missing} missing from "
+            f"_ext_oracle_gen.py; rerun: python tools/gen_ext_oracle.py"
+        )
     return "\nUNION ALL\n".join(EXT_CANON_ORACLE[name] for name in parts)
 
 

@@ -99,3 +99,38 @@ def test_write_zordered_empty_and_all_null(spark):
         write_zordered(nulls, os.path.join(d, "nulls"), ["a", "b"])
         got = spark.read.parquet(os.path.join(d, "nulls")).collect()
         assert sorted(r["b"] for r in got) == [1.0, 2.0]
+
+
+def test_zorder_stats_survive_nan_and_inf(spark, tmp_path):
+    """Review r7: one NaN made Spark's max() return NaN (NaN sorts
+    largest), flattening EVERY row's grid cell to 0 — the Morton key
+    interleaved a constant and scans pruned nothing. Stats are now
+    finite-only."""
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_elasticsearch_spark.operators.layout import write_zordered
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(1000)]
+        + [(float("nan"), 1.0), (float("inf"), 2.0)],
+        "a double, b double",
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "b"], n_files=4)
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) > 1
+    # finite rows must spread across files with DISJOINT-ish a-ranges
+    # (the pruning property); a constant grid would put one file with
+    # everything or identical min/max spans everywhere
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        sch = pq.read_schema(f)
+        idx = sch.names.index("a")
+        st = md.row_group(0).column(idx).statistics
+        if st and st.has_min_max:
+            spans.append((st.min, st.max))
+    spans = [s for s in spans if s[0] == s[0]]  # drop NaN-min groups
+    assert len({s for s in spans}) > 1  # genuinely clustered, not constant

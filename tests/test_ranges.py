@@ -177,3 +177,22 @@ def test_asof_join_requires_join_keys(spark):
     df = spark.createDataFrame([(1, 1)], "k long, ts long")
     with _pytest.raises(ValueError, match="at least one join key"):
         asof_join(df, df, on=[], left_ts="ts", right_ts="ts")
+
+
+def test_range_join_reversed_intervals_and_bad_width(spark):
+    """Review r7: a reversed interval (hi < lo) slipped past the
+    positive-span OOM guard and F.sequence generated a DESCENDING
+    cell explosion anyway; width<=0 divided by zero inside the guard.
+    Reversed intervals now match nothing (empty interval semantics)."""
+    import pytest as _pytest
+
+    pts = spark.createDataFrame([(5.0,)], "x double")
+    iv = spark.createDataFrame(
+        [(1.0e12, -1.0e12, "rev"), (0.0, 10.0, "ok")],
+        "lo double, hi double, tag string",
+    )
+    got = bucketed_range_join(pts, iv, "x", width=10.0).collect()
+    assert [r["tag"] for r in got] == ["ok"]  # no OOM, reversed dropped
+    for w in (0.0, -5.0):
+        with _pytest.raises(ValueError, match="width"):
+            bucketed_range_join(pts, iv, "x", width=w)
