@@ -257,41 +257,60 @@ class Connector:
             if self._repl_stop.is_set():
                 return
             # connection ended without a stop request: reconnect on the
-            # same slot. stop_event.wait doubles as the backoff sleep so
-            # close() isn't delayed by it.
-            log.warning(
-                "replication connection ended; reconnecting to %s:%s "
-                "slot=%s in %.1fs",
-                rs.host, rs.port, rs.slot, backoff,
-            )
-            if self._repl_stop.wait(backoff):
-                return
-            backoff = min(backoff * 2, 30.0)
-            # establish the NEW session fully BEFORE touching
-            # self._repl_client or the old socket: close()'s final ack
-            # sweep must always target the last GOOD session, and a
-            # cleanly-ended stream (CopyDone — e.g. a finite replay)
-            # leaves the old socket open and usable for acks while the
-            # server refuses new sessions
-            old = self._repl_client
-            try:
-                new = self._connect_replication()
-                new.start()
-                new.sock.settimeout(None)  # streaming: select()-paced
-            except BaseException as e:  # noqa: BLE001
-                if self._repl_stop.is_set():
+            # same slot, retrying INSIDE this inner loop. A failed attempt
+            # must NOT fall back into run_live_consumer on the old client
+            # (review r7): a cleanly-ended stream (CopyDone) leaves the
+            # old socket open-but-silent, so a re-entered poll() would
+            # heartbeat forever and the supervisor would never reach the
+            # reconnect code again — replication silently halted, the
+            # exact failure mode this supervisor exists for.
+            # stop_event.wait doubles as the backoff sleep so close()
+            # isn't delayed by it.
+            while True:
+                log.warning(
+                    "replication connection ended; reconnecting to %s:%s "
+                    "slot=%s in %.1fs",
+                    rs.host, rs.port, rs.slot, backoff,
+                )
+                if self._repl_stop.wait(backoff):
                     return
-                # server still down: keep trying with the grown backoff
-                log.warning("replication reconnect failed: %s", e)
-                continue
-            self._repl_client = new
-            if old is not None:
+                backoff = min(backoff * 2, 30.0)
+                # establish the NEW session fully BEFORE touching
+                # self._repl_client or the old socket: close()'s final ack
+                # sweep must always target the last GOOD session, and a
+                # cleanly-ended stream leaves the old socket usable for
+                # acks while the server refuses new sessions
+                old = self._repl_client
                 try:
-                    old.close()
-                except Exception:  # noqa: BLE001
-                    pass
-            self.consumer_restarts += 1
-            backoff = 1.0  # healthy reconnect: reset
+                    new = self._connect_replication()
+                    new.start()
+                    new.sock.settimeout(None)  # streaming: select()-paced
+                except BaseException as e:  # noqa: BLE001
+                    if self._repl_stop.is_set():
+                        return
+                    # server still down: retry with the grown backoff
+                    log.warning("replication reconnect failed: %s", e)
+                    continue
+                self._repl_client = new
+                if old is not None:
+                    try:
+                        old.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                if self._repl_stop.is_set():
+                    # close() ran while we were mid-handshake: it swept and
+                    # closed the OLD client and will never see this one —
+                    # without this check the fresh walsender session leaked
+                    # for the process lifetime, holding the slot 'in use'
+                    # (review r7)
+                    try:
+                        new.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    return
+                self.consumer_restarts += 1
+                backoff = 1.0  # healthy reconnect: reset
+                break
 
     def start(self, available_now: bool = False) -> "Connector":
         mode = self.cfg.snapshot_mode
@@ -319,7 +338,16 @@ class Connector:
             return self._start_after_connect(mode, available_now)
         except BaseException:
             # any later failure must release the walsender session, or
-            # the slot stays 'in use' for a retry in the same process
+            # the slot stays 'in use' for a retry in the same process.
+            # Stop the SUPERVISOR first (review r7): if the consumer
+            # thread was already started (e.g. writer.start() raised
+            # after it), merely closing the client made the supervisor
+            # treat it as a connection loss and RECONNECT — an orphaned
+            # replication session pumping segments behind a raised start()
+            if self._repl_stop is not None:
+                self._repl_stop.set()
+                if self._repl_thread is not None:
+                    self._repl_thread.join(timeout=10)
             if self._repl_client is not None:
                 try:
                     self._repl_client.close()
@@ -378,28 +406,33 @@ class Connector:
 
     def wait_until_ready(self, timeout_sec: float = 60.0) -> bool:
         """Reference WaitUntilReady: returns once the pipeline is live
-        (query started and not failed)."""
+        (query started and not failed).
+
+        Straight-line by design (review r7 removed a deadline loop whose
+        second iteration was unreachable): by the time this is callable,
+        ``start()`` has already returned, so the query object is either
+        active, failed, or terminated — there is no pending state to poll.
+        ``timeout_sec`` is kept for API compatibility; it can only matter
+        for ``timeout_sec <= 0``, which reports not-ready without looking.
+        """
         if self._query is None:
             return True  # snapshot_only: synchronous, already done
+        if timeout_sec <= 0:
+            return False
         import time
 
-        deadline = time.time() + timeout_sec
-        while time.time() < deadline:
-            if self._query.exception() is not None:
-                raise self._query.exception()
-            if self._query.isActive:
-                return True
-            # not active with no exception: an availableNow run that
-            # already drained terminated SUCCESSFULLY — ready, not a
-            # timeout (busy-waiting the full window here made a fast
-            # successful run read as 'never became ready'). Re-check the
-            # exception once after a beat in case termination won the race
-            # with its error being recorded.
-            time.sleep(0.1)
-            if self._query.exception() is not None:
-                raise self._query.exception()
+        if self._query.exception() is not None:
+            raise self._query.exception()
+        if self._query.isActive:
             return True
-        return False
+        # not active with no exception: an availableNow run that already
+        # drained terminated SUCCESSFULLY — ready, not a timeout. Re-check
+        # the exception once after a beat in case termination won the race
+        # with its error being recorded.
+        time.sleep(0.1)
+        if self._query.exception() is not None:
+            raise self._query.exception()
+        return True
 
     def await_drained(self) -> None:
         """Block until an availableNow run finishes (snapshot_only drain)."""

@@ -464,6 +464,13 @@ class ReplicationClient:
         # primary whose busy tables aren't the published ones (proven by
         # the live soak storm test before this existed).
         self.idle_wal_end = 0
+        # total frames read off the socket (any type) — the receiver-side
+        # liveness signal: a healthy link carries at least keepalives, so
+        # a long stretch with NO frame at all means the connection died
+        # without a FIN/RST (network partition, NAT idle-drop) and the
+        # consumer must reconnect rather than select() forever (review r7;
+        # the wal_receiver_timeout analog)
+        self.frames_seen = 0
         self.started = False
         # Delivery-order stamping state: pgoutput delivers TRANSACTIONS in
         # commit order, so the per-row XLogData wal_start is NOT monotone
@@ -641,6 +648,7 @@ class ReplicationClient:
                         yield None
                     continue
             t, body = read_frame(self.file)
+            self.frames_seen += 1
             if not t or t == b"Z":  # EOF / ReadyForQuery after CopyDone
                 return
             if t == b"E":
@@ -948,6 +956,7 @@ def run_live_consumer(
     batch_size: int = 200,
     ack_interval_sec: float = 1.0,
     flush_interval_sec: float = 5.0,
+    receiver_timeout_sec: float = 180.0,
 ) -> int:
     """The long-running consumer loop a live Connector runs in a thread:
     pump changes into segment files AND periodically forward the Spark
@@ -1021,10 +1030,35 @@ def run_live_consumer(
     last_acked = -1
     last_ack_t = 0.0
     last_flush_t = time.time()
+    # receiver-side liveness (the wal_receiver_timeout analog, review r7):
+    # a silent connection drop (no FIN/RST — partition, NAT idle-kill)
+    # never wakes select(), so poll() heartbeats forever and the
+    # supervisor never gets its chance to reconnect. A healthy server
+    # sends keepalives every ~wal_sender_timeout/2 (~30 s default); a
+    # stretch of receiver_timeout_sec with NO frame AT ALL means the link
+    # is dead — return (reconnectable), like a socket break.
+    last_frames = client.frames_seen
+    last_frame_t = time.time()
     idle_timeout = max(0.05, min(ack_interval_sec, flush_interval_sec) / 2)
     try:
         for change in client.poll(heartbeat=True, idle_timeout=idle_timeout):
             now = time.time()
+            if client.frames_seen != last_frames:
+                last_frames = client.frames_seen
+                last_frame_t = now
+            elif (
+                receiver_timeout_sec is not None
+                and now - last_frame_t > receiver_timeout_sec
+            ):
+                import logging as _logging
+
+                _logging.getLogger(__name__).warning(
+                    "no frame (not even a keepalive) for %.0fs — treating "
+                    "the replication link as dead and returning for "
+                    "reconnect",
+                    receiver_timeout_sec,
+                )
+                break
             if change is not None:
                 buf.append(change)
             if buf and (

@@ -19,7 +19,12 @@ def canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 6):.6f}"
+        # + 0.0 maps -0.0 to 0.0: engines disagreeing only in the SIGN of
+        # a zero at 6 decimals (cross-engine sum-order noise around 0, or
+        # an exact -0.0 product) formatted as '-0.000000' vs '0.000000' —
+        # a false mismatch for values equal at the declared tolerance
+        # (review r7)
+        return f"{round(v, 6) + 0.0:.6f}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -113,8 +118,11 @@ class FakeReplicationServer:
                 self._handle(f)
             except (OSError, ValueError):
                 pass
-            finally:
-                self.done.set()
+        # set AFTER the accept loop: with max_connections > 1, signalling
+        # in the per-connection finally reported "server finished" as soon
+        # as the FIRST connection closed, while a reconnect test's second
+        # stream was still in flight (review r7)
+        self.done.set()
 
     def _maybe_handle_startup(self, f, first: bytes) -> bytes:
         """Speak the real connection handshake: the first packet on a fresh
@@ -199,6 +207,15 @@ class FakeReplicationServer:
                     f.write(PG.frame(b"C", b"CREATE_REPLICATION_SLOT\x00"))
                     f.write(PG.frame(b"Z", b"I"))
                     f.flush()
+                elif sql.startswith("CREATE PUBLICATION"):
+                    # the docstring's drop-in claim covers
+                    # publication.createIfNotExists: a client with
+                    # create_publication=True previously hung forever
+                    # draining to a ReadyForQuery that never came
+                    # (review r7)
+                    f.write(PG.frame(b"C", b"CREATE PUBLICATION\x00"))
+                    f.write(PG.frame(b"Z", b"I"))
+                    f.flush()
                 elif sql.startswith("START_REPLICATION"):
                     # resume contract: logical replication re-delivers WHOLE
                     # transactions not yet confirmed — skip txns whose final
@@ -210,6 +227,13 @@ class FakeReplicationServer:
                     f.write(PG.copy_both_response())
                     f.flush()
                     self._stream(f, start_lsn)
+                else:
+                    # any other simple query: minimal CommandComplete +
+                    # ReadyForQuery so _run_simple_query can drain (a
+                    # silent fall-through blocked the client forever)
+                    f.write(PG.frame(b"C", b"OK\x00"))
+                    f.write(PG.frame(b"Z", b"I"))
+                    f.flush()
             elif t == b"d" and body[:1] == b"r":
                 self.acks.append(PG.parse_standby_status(body))
             elif t == b"c":

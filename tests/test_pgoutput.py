@@ -348,6 +348,7 @@ def test_poll_raises_on_error_response():
     c.decoder = PG.PgOutputDecoder()
     c.flushed_lsn = 0
     c.last_wal_end = 0
+    c.frames_seen = 0
     buf = PG.frame(b"E", b"SERROR\x00C57P01\x00Mterminating connection\x00\x00")
     c.file = io.BytesIO(buf)
     import pytest as _pytest
@@ -965,6 +966,74 @@ def test_fresh_slot_idle_drain_without_any_committed_frontier():
         PG.forward_checkpoint_acks(client, ckpt, last_acked=-1)
         PG.forward_committed_acks_tail(client, seg, last_acked=-1, offset=0)
         assert sent == [12345, 23456]
+    finally:
+        a.close()
+        b.close()
+
+
+def test_receiver_timeout_ends_consumer_on_silent_link(tmp_path):
+    """Review r7 (wal_receiver_timeout analog): a connection that dies
+    without FIN/RST never wakes select(), so poll() heartbeats forever
+    and the supervisor never gets to reconnect. run_live_consumer must
+    treat a stretch with NO frame at all as a dead link and return."""
+    import threading
+    import time as _time
+
+    a, b = socket.socketpair()
+    try:
+        client = PG.ReplicationClient(a, slot="s_liveness")
+        done = threading.Event()
+
+        def run():
+            PG.run_live_consumer(
+                client, str(tmp_path / "seg"),
+                ack_interval_sec=0.1, flush_interval_sec=0.1,
+                receiver_timeout_sec=1.0,
+            )
+            done.set()
+
+        t = threading.Thread(target=run, daemon=True)
+        t0 = _time.time()
+        t.start()
+        # total silence on the socket: the consumer must give up on its
+        # own (no stop_event, no socket error)
+        assert done.wait(15), "consumer never detected the dead link"
+        assert _time.time() - t0 >= 0.9  # not a spurious instant exit
+    finally:
+        a.close()
+        b.close()
+
+
+def test_receiver_timeout_not_tripped_by_keepalives(tmp_path):
+    """The inverse: a link carrying only keepalives (healthy idle stream)
+    must NOT be treated as dead — frames reset the liveness clock."""
+    import threading
+    import time as _time
+
+    a, b = socket.socketpair()
+    stop = threading.Event()
+    try:
+        client = PG.ReplicationClient(a, slot="s_live2")
+        done = threading.Event()
+
+        def run():
+            PG.run_live_consumer(
+                client, str(tmp_path / "seg2"), stop_event=stop,
+                ack_interval_sec=0.1, flush_interval_sec=0.1,
+                receiver_timeout_sec=1.0,
+            )
+            done.set()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        # keepalives every 0.4 s for 2.5 s — well past the 1 s timeout,
+        # but each frame resets the clock
+        for _ in range(6):
+            b.sendall(PG.copy_data(PG.keepalive(100, 0, False)))
+            _time.sleep(0.4)
+        assert not done.is_set(), "healthy keepalive-only link declared dead"
+        stop.set()
+        assert done.wait(10)
     finally:
         a.close()
         b.close()
