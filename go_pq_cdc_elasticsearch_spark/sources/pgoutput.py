@@ -26,6 +26,21 @@ Framing is exhaustively tested against a scripted fake replication server
 (default-on when the postgres binaries are present): slot creation, DML
 round-trip with REPLICA IDENTITY FULL before-images, ack/confirmed_flush
 progression, and no-redelivery resume.
+
+Protocol version: START_REPLICATION pins ``proto_version '1'`` (see the
+option string below) because v1 is complete for correctness — the
+walsender reorders in-progress transactions and delivers each one as a
+contiguous Begin..Commit burst, which is exactly what the commit-ordered
+consumer (wal.py txn_bounds / commit-end acks) assumes. PG14+ protocol v2
+adds *streamed in-progress transactions* (Stream Start/Stop/Commit/Abort
+frames): large transactions arrive while still open instead of spilling
+the walsender's reorder buffer to disk and bursting at commit — a
+commit-latency and WAL-retention-window optimization at 100-TB-class CDC,
+not a correctness change. The upgrade seam is narrow: pass
+``proto_version '2', streaming 'on'``, key decoder state by xid (v2
+prefixes content messages with the xid), buffer streamed chunks per xid
+in spill-able segments, and discard on Stream Abort; txn_bounds/ack logic
+is unchanged because acks still advance only at commit records.
 """
 
 from __future__ import annotations

@@ -241,3 +241,24 @@ def test_bounded_claim_queries_have_no_cartesian_blowup(spark):
         # of that single row — a CartesianProduct would mean the corpus
         # sides got crossed
         assert "CartesianProduct" not in plan, name
+
+
+def test_repetition_metrics_exactly_five_generates(spark):
+    # r7 union-branch pruning halved the gram explode work: the rank path
+    # explodes only top_ns (2,3,4) and the dup path only dup_ns (5,10) —
+    # 5 Generate operators total, one per n value. Before the pruning the
+    # single shared pipeline exploded all 5 n values into BOTH branches
+    # (10 Generates), doubling the dominant corpus-scale cost (PERF.md
+    # round-7 note). Pin the count so a refactor can't silently regress it.
+    from go_pq_cdc_elasticsearch_spark.operators.repetition import (
+        DUP_NS,
+        TOP_NS,
+        repetition_metrics,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = _optimized(repetition_metrics(docs))
+    n_generates = sum(
+        1 for ln in plan.splitlines() if ln.lstrip(" :+-").startswith("Generate ")
+    )
+    assert n_generates == len(set(TOP_NS) | set(DUP_NS)) == 5, plan
