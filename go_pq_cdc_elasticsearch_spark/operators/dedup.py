@@ -131,7 +131,22 @@ def minhash_bands(sig_col, bands: int = 4, rows_per_band: int = 4) -> Column:
     bands>k (review r6). Short docs get an EMPTY band array instead,
     matching the exploded form (which emits no rows for them): a doc with
     no shingles has no LSH identity, it is not near-duplicate of every
-    other empty doc."""
+    other empty doc.
+
+    ``bands * rows_per_band`` must fit the signature built by
+    ``minhash_signature(col, k)`` — the Column form can't see k at build
+    time, so the size check rides the expression (assert_true): without
+    it a mismatch died mid-job with a cryptic data-dependent
+    INVALID_ARRAY_INDEX under ANSI — and only once a doc with a non-empty
+    signature was reached (short-doc-only data passed) — while non-ANSI
+    silently hashed partial slices, the md5('') degeneracy the row form's
+    r5 guard exists to prevent (proven by execution, review r8)."""
+    if bands <= 0 or rows_per_band <= 0:
+        raise ValueError(
+            f"minhash_bands: bands ({bands}) and rows_per_band "
+            f"({rows_per_band}) must be positive"
+        )
+    needed = bands * rows_per_band
     band_arr = F.array(
         *[
             F.md5(
@@ -146,6 +161,17 @@ def minhash_bands(sig_col, bands: int = 4, rows_per_band: int = 4) -> Column:
             for b in range(bands)
         ]
     )
+    size_ok = F.assert_true(
+        F.size(sig_col) >= F.lit(needed),
+        F.lit(
+            f"minhash_bands: bands*rows_per_band = {needed} exceeds the "
+            "signature size — pass bands/rows_per_band matching "
+            "minhash_signature's k"
+        ),
+    )
+    # assert_true yields NULL on success; the isNull() wrap just sequences
+    # the check before the band hashing in one expression tree
+    band_arr = F.when(size_ok.isNull(), band_arr)
     return F.when(sig_col.getItem(0).isNotNull(), band_arr).otherwise(
         F.array().cast("array<string>")
     )
@@ -254,10 +280,17 @@ def connected_components(
     component = min id reachable — distributed min-label propagation.
 
     Each iteration: labels flow across edges (join) + keep the min per id
-    (agg). Converges in O(diameter) rounds; near-dup graphs are unions of
-    small cliques (diameter ~2-3), so this terminates in a few joins. The
-    loop stops early when an iteration changes nothing. No driver-side
-    graph state — only counts cross to the driver."""
+    (agg) + a pointer-jumping shortcut (label <- label[label]) that halves
+    the remaining chain length, so convergence is O(log diameter), not
+    O(diameter) — near-dup graphs are mostly small cliques (diameter
+    ~2-3), but PATH-shaped components (successive document revisions, each
+    similar only to its neighbor) are real, and edge-propagation alone
+    silently exhausted the iteration cap on a 30-node chain, returning
+    WRONG labels with no error (proven by execution, review r8). The loop
+    stops early when an iteration changes nothing and RAISES if the cap is
+    hit non-converged (with jumping, 20 rounds cover diameters beyond any
+    physical graph — the raise is a corruption tripwire, not a tuning
+    knob). No driver-side graph state — only counts cross to the driver."""
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -304,37 +337,69 @@ def connected_components(
     # actually changed (an extra self-join per round, generic-path only; a
     # hash-sum probe would risk a false-equal early exit on collision).
     _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    if numeric:
-        prev_sum = labels.agg(_label_sum).first()[0]
-    for _ in range(max_iterations):
-        # neighbor's current label, per edge
-        prop = (
-            sym.join(labels, sym.b == labels.id)
-            .select(F.col("a").alias("id"), F.col("component"))
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
+    converged = False
+    try:
         if numeric:
-            new_sum = new_labels.agg(_label_sum).first()[0]
-            converged = new_sum == prev_sum
-            prev_sum = new_sum
-        else:
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("p"), "id")
-                .filter(F.col("n.component") != F.col("p.component"))
-                .limit(1)
-                .count()
-                == 0
+            prev_sum = labels.agg(_label_sum).first()[0]
+        for _ in range(max_iterations):
+            # neighbor's current label, per edge
+            prop = (
+                sym.join(labels, sym.b == labels.id)
+                .select(F.col("a").alias("id"), F.col("component"))
             )
-        labels = new_labels
-        if converged:
-            break
-    sym.unpersist()
+            merged = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            # pointer-jumping shortcut: component <- label[component].
+            # Every component value is itself an id in the frame (labels
+            # start as the ids and only min-reduce over them), so the
+            # left join always hits; coalesce guards the self-row. This
+            # is what turns chain convergence logarithmic.
+            jump = merged.select(
+                F.col("id").alias("__m"), F.col("component").alias("__mc")
+            )
+            new_labels = (
+                merged.join(jump, merged.component == F.col("__m"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__mc"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            if numeric:
+                new_sum = new_labels.agg(_label_sum).first()[0]
+                converged = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                converged = (
+                    new_labels.alias("n")
+                    .join(labels.alias("p"), "id")
+                    .filter(F.col("n.component") != F.col("p.component"))
+                    .limit(1)
+                    .count()
+                    == 0
+                )
+            labels = new_labels
+            if converged:
+                break
+    finally:
+        # the convergence loop runs an eager job every round; an executor
+        # failure there must not leak the cached edge frame (the same
+        # try/finally class as process_batch r7 / merge_batch r6 — this
+        # path runs once per micro-batch under IncrementalDeduper)
+        sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — with pointer jumping this means a component of "
+            f"diameter > ~2^{max_iterations}; returning non-converged labels "
+            "would silently under-dedup"
+        )
     return labels
 
 
@@ -359,23 +424,29 @@ def dedup_corpus(
     # Jaccard verification — recomputing normalize+split+ngrams for each
     # consumer doubled the dominant scan cost (r2 perf item)
     grams = doc_ngram_sets(df, text_col, id_col).persist()
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, k, bands, grams_df=grams
-    )
-    g1 = grams.select(F.col(id_col).alias("id1"), F.col("grams").alias("__g1"))
-    g2 = grams.select(F.col(id_col).alias("id2"), F.col("grams").alias("__g2"))
-    verified = (
-        cands.join(g1, "id1")
-        .join(g2, "id2")
-        .filter(jaccard_from_sets(F.col("__g1"), F.col("__g2")) >= jaccard_threshold)
-        .select("id1", "id2")
-    )
-    comp = connected_components(verified)
-    # comp is localCheckpoint-materialized (independent of grams' lineage),
-    # so the cached gram sets — the heaviest intermediate — can be released
-    # before the caller executes the final anti-join; leaking them
-    # accumulated executor storage across repeated calls in one session
-    grams.unpersist()
+    try:
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, k, bands, grams_df=grams
+        )
+        g1 = grams.select(F.col(id_col).alias("id1"), F.col("grams").alias("__g1"))
+        g2 = grams.select(F.col(id_col).alias("id2"), F.col("grams").alias("__g2"))
+        verified = (
+            cands.join(g1, "id1")
+            .join(g2, "id2")
+            .filter(
+                jaccard_from_sets(F.col("__g1"), F.col("__g2"))
+                >= jaccard_threshold
+            )
+            .select("id1", "id2")
+        )
+        comp = connected_components(verified)
+    finally:
+        # comp is localCheckpoint-materialized (independent of grams'
+        # lineage), so the cached gram sets — the heaviest intermediate —
+        # can be released before the caller executes the final anti-join;
+        # leaking them (also on a raise inside CC's eager loop — review
+        # r8) accumulated executor storage across repeated calls
+        grams.unpersist()
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

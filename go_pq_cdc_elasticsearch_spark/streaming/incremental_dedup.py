@@ -55,6 +55,20 @@ from go_pq_cdc_elasticsearch_spark.sink.materialized import (
 )
 
 
+def _atomic_json_dump(path: str, obj) -> None:
+    """tmp + os.replace, the same discipline as MaterializedView._write_meta
+    (r7): every meta file here is load-bearing — opens json.load it with no
+    recovery path — so a crash mid-dump must never leave torn JSON that
+    bricks the index/deduper until manual repair (review r8)."""
+    import json
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class _BandSegmentIndex:
     """Append-only LSM-style band-row index, hash-bucketed by
     ``(band_idx, band_hash)`` for probe-side partition pruning.
@@ -113,13 +127,10 @@ class _BandSegmentIndex:
             return json.load(f)
 
     def _write_meta(self) -> None:
-        import json
-
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._meta_path(), "w") as f:
-            json.dump(
-                {"n_buckets": self.n_buckets, "last_epoch": self._last_epoch}, f
-            )
+        _atomic_json_dump(
+            self._meta_path(),
+            {"n_buckets": self.n_buckets, "last_epoch": self._last_epoch},
+        )
 
     def exists(self) -> bool:
         return os.path.exists(self._meta_path())
@@ -173,16 +184,22 @@ class _BandSegmentIndex:
 
         parent = os.path.dirname(self.path) or "."
         tmp = tempfile.mkdtemp(prefix="bsi_", dir=parent)
-        out = os.path.join(tmp, "data")
-        state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
-            self.n_buckets, F.col(_BUCKET_COL)
-        ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
-        # the rewritten copy is complete on disk before any live dir moves
-        for b in self._bucket_dirs():
-            swap_bucket_dir(
-                self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b
-            )
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            out = os.path.join(tmp, "data")
+            state.withColumn(_BUCKET_COL, self._bucket_expr()).repartition(
+                self.n_buckets, F.col(_BUCKET_COL)
+            ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+            # rewritten copy is complete on disk before any live dir moves
+            for b in self._bucket_dirs():
+                swap_bucket_dir(
+                    self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b
+                )
+        finally:
+            # a failed rewrite must not abandon a full index copy next to
+            # the live path on every retry (same try/finally class as
+            # _swap_buckets, review r8); after a successful swap this is
+            # the normal cleanup
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 class LshDedupIndex:
@@ -265,9 +282,7 @@ class LshDedupIndex:
                     f"index — mixing families silently leaks duplicates."
                 )
         else:
-            os.makedirs(path, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump(family, f)
+            _atomic_json_dump(meta_path, family)
 
     # -- probing -------------------------------------------------------------
 
@@ -282,12 +297,15 @@ class LshDedupIndex:
         if n == 1:
             touched = [0]
         else:
+            # the index's OWN layout expression, not an inline copy: a
+            # probe expression drifting from _bucket_expr (hash seed,
+            # column order, pmod handling) would prune away exactly the
+            # buckets that hold the matching band rows — every cross-batch
+            # near-dup silently missed (review r8)
             touched = sorted(
                 r["b"]
                 for r in probe_bands.select(
-                    F.pmod(
-                        F.hash(F.col("band_idx"), F.col("band_hash")), F.lit(n)
-                    ).alias("b")
+                    self.view._bucket_expr().alias("b")
                 )
                 .distinct()
                 .collect()
@@ -467,12 +485,25 @@ class IncrementalDeduper(LshDedupIndex):
         pairs = self.process_batch(batch, corpus, epoch_id=epoch_id)
 
         # 1. cross-batch drop: either pair end that is already kept
-        # condemns the OTHER end if it belongs to this batch
-        kept_prior = (
-            self.kept.read().select(id_c)
-            if self.kept.exists() and self.kept._bucket_dirs()
-            else None
-        )
+        # condemns the OTHER end if it belongs to this batch.
+        # "Prior" means STRICTLY EARLIER EPOCHS (seq < epoch_id): in the
+        # swap-before-frontier crash window the kept view already holds
+        # THIS epoch's ids from the crashed attempt, and condemning the
+        # batch against its own kept set diverges on transitive chains —
+        # pairs (1,2),(2,3) with J(1,3) < τ keep {1} on a clean run, but a
+        # redelivery that sees 1 as "prior" condemns 2, severs the chain,
+        # and keeps {1,3}: a permanent duplicate leak breaking the
+        # "redelivery recomputes the identical kept set" contract (proven
+        # by execution, review r8). Clique-shaped data masked it — every
+        # member pairs with the kept representative directly.
+        kept_prior = None
+        if self.kept.exists() and self.kept._bucket_dirs():
+            kept_prior = self.kept.read()
+            if epoch_id is not None:
+                kept_prior = kept_prior.filter(
+                    F.col(self.kept.seq_col) < F.lit(int(epoch_id))
+                )
+            kept_prior = kept_prior.select(id_c)
         surviving = batch
         if kept_prior is not None:
             kp1 = kept_prior.select(F.col(id_c).alias("id1"))
@@ -616,9 +647,7 @@ class IncrementalDeduper(LshDedupIndex):
                     (max(existing) + 1) if existing else 0,
                     (max(frontiers) + 1) if frontiers else 0,
                 )
-            os.makedirs(corpus_path, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump({"lineage": qid, "base": base}, f)
+            _atomic_json_dump(meta_path, {"lineage": qid, "base": base})
             return base
 
         def _prior_epoch_dirs(seq: int) -> list:

@@ -643,3 +643,133 @@ def test_lsh_index_rejects_hash_family_drift(spark, sf_dir):
     # subclass shares the meta contract
     with pytest.raises(ValueError, match="hash family"):
         IncrementalDeduper(spark, path, k=32, bands=8)
+
+
+def test_crash_window_redelivery_identical_on_transitive_chain(spark):
+    """Review r8: the swap-before-frontier crash window with CHAIN-shaped
+    duplicates (pairs (1,2),(2,3), J(1,3) < tau — the clique-shaped data
+    of the r6 test masked this). A redelivery that condemns the batch
+    against its OWN crashed-attempt kept ids severs the chain at 2 and
+    keeps {1,3} — a permanent duplicate leak vs the clean run's {1}.
+    kept_prior must mean STRICTLY EARLIER EPOCHS (seq < epoch_id)."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    words = [f"w{i}" for i in range(1, 31)]
+    chain = spark.createDataFrame(
+        [
+            (1, " ".join(words[0:20])),   # w1..w20
+            (2, " ".join(words[5:25])),   # w6..w25  J(1,2)~0.57
+            (3, " ".join(words[10:30])),  # w11..w30 J(2,3)~0.57, J(1,3)~0.29
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(k=16, bands=16, jaccard_threshold=0.5)
+
+    # clean baseline: the deterministic fold keeps only the chain min
+    work_a = tempfile.mkdtemp(prefix="dd_chain_a_")
+    dd_a = IncrementalDeduper(spark, os.path.join(work_a, "dd"), **kw)
+    dd_a.foreach_batch_writer(os.path.join(work_a, "corpus"))(chain, 0)
+    kept_clean = {r["doc_id"] for r in dd_a.kept.read().select("doc_id").collect()}
+    assert kept_clean == {1}
+
+    # crash window: kept bucket swap lands, frontier meta write dies
+    work_b = tempfile.mkdtemp(prefix="dd_chain_b_")
+    dd_b = IncrementalDeduper(spark, os.path.join(work_b, "dd"), **kw)
+    write_b = dd_b.foreach_batch_writer(os.path.join(work_b, "corpus"))
+    real_swap = dd_b.kept._swap_buckets
+    calls = {"n": 0}
+
+    def swap_then_die(df, buckets):
+        real_swap(df, buckets)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after swap, before meta")
+
+    dd_b.kept._swap_buckets = swap_then_die
+    with pytest.raises(RuntimeError, match="injected crash"):
+        write_b(chain, 0)
+    dd_b.kept._swap_buckets = real_swap
+    assert {r["doc_id"] for r in dd_b.kept.read().select("doc_id").collect()} == {1}
+
+    # redelivery must recompute the IDENTICAL kept set
+    write_b(chain, 0)
+    kept_redelivered = {
+        r["doc_id"] for r in dd_b.kept.read().select("doc_id").collect()
+    }
+    assert kept_redelivered == kept_clean, (
+        f"crash-window redelivery diverged: {kept_redelivered} vs clean "
+        f"{kept_clean} — transitive duplicate leaked"
+    )
+
+
+def test_meta_writes_are_atomic(spark, sf_dir):
+    """Review r8: all three JSON metas (_INDEX_META/_LSH_META/_CORPUS_META)
+    are load-bearing (every open json.loads them with no recovery path), so
+    a crash mid-write must never leave torn JSON. Kill the writer between
+    the tmp write and the rename: the prior meta must be intact (or absent)
+    and the store must reopen cleanly."""
+    import json
+
+    from go_pq_cdc_elasticsearch_spark.streaming import incremental_dedup as ID
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    work = tempfile.mkdtemp(prefix="dd_atomic_")
+    dd = ID.IncrementalDeduper(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    corpus = os.path.join(work, "corpus")
+    dd.foreach_batch_writer(corpus)(docs, 0)
+    index_meta = dd.view._meta_path()
+    before = open(index_meta).read()
+    json.loads(before)  # valid
+
+    real_replace = os.replace
+
+    def die_before_rename(src, dst):
+        if dst.endswith("_INDEX_META.json"):
+            raise RuntimeError("injected crash between tmp write and rename")
+        return real_replace(src, dst)
+
+    ID.os.replace = die_before_rename
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            dd.view._write_meta()
+    finally:
+        ID.os.replace = real_replace
+    # the live meta is untouched and still valid JSON; reopen works
+    assert open(index_meta).read() == before
+    reopened = ID.IncrementalDeduper(
+        spark, os.path.join(work, "dd"), jaccard_threshold=TAU
+    )
+    assert reopened.view._last_epoch == dd.view._last_epoch
+
+
+def test_compact_cleans_staging_on_failure(spark, sf_dir):
+    """Review r8: a failed compact rewrite must not abandon a full bsi_*
+    staging copy of the index next to the live path on every retry."""
+    import glob
+
+    from go_pq_cdc_elasticsearch_spark.streaming import incremental_dedup as ID
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    work = tempfile.mkdtemp(prefix="dd_compactfail_")
+    dd = LshDedupIndex(spark, os.path.join(work, "dd"), jaccard_threshold=TAU)
+    dd.process_batch(docs, docs.limit(0), epoch_id=0)
+
+    real = ID.swap_bucket_dir
+
+    def die(path, src, b):
+        raise RuntimeError("injected swap failure")
+
+    ID.swap_bucket_dir = die
+    try:
+        with pytest.raises(RuntimeError, match="injected swap failure"):
+            dd.view.compact()
+    finally:
+        ID.swap_bucket_dir = real
+    leftovers = glob.glob(os.path.join(work, "dd", "bsi_*")) + glob.glob(
+        os.path.join(work, "bsi_*")
+    )
+    assert leftovers == [], f"staging dirs leaked: {leftovers}"
+    # and the index is still fully usable (swap never started mid-bucket)
+    assert dd.view.read_buckets().count() > 0

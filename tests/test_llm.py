@@ -496,3 +496,66 @@ def test_minhash_bands_must_divide_k(spark):
         DD.minhash_band_rows(docs, k=4, bands=8)
     with pytest.raises(ValueError, match="must divide"):
         DD.minhash_band_rows(docs, k=16, bands=5)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Review r8: edge-propagation alone needed O(diameter) rounds, so a
+    30-node path (successive document revisions) silently exhausted the
+    default 20-iteration cap and returned WRONG labels with no error —
+    9 of 30 ids kept non-min components. Pointer jumping makes chain
+    convergence logarithmic; the exhausted cap now raises."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id1 long, id2 long"
+    )
+    labels = DD.connected_components(pairs)
+    assert {r["component"] for r in labels.collect()} == {1}
+
+    # string-id path takes the generic convergence probe: same contract
+    spairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(1, 30)],
+        "id1 string, id2 string",
+    )
+    slabels = DD.connected_components(spairs)
+    assert {r["component"] for r in slabels.collect()} == {"d01"}
+
+
+def test_connected_components_raises_when_cap_exhausted(spark):
+    """Review r8: a non-converged exit must be LOUD — returning partial
+    labels silently under-dedups (the corpus keeps several 'representatives'
+    of one component)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iterations=1)
+
+
+def test_minhash_bands_size_guard(spark):
+    """Review r8: the Column form can't see minhash_signature's k at build
+    time — a bands*rows_per_band overrun died mid-job with a cryptic
+    data-dependent INVALID_ARRAY_INDEX (ANSI) or silently hashed partial
+    slices (non-ANSI, the md5('') N^2 degeneracy). Loud, named error now;
+    non-positive params rejected at build time."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="exceeds the signature size"):
+        docs.select(
+            DD.minhash_bands(
+                DD.minhash_signature(F.col("text"), k=8), bands=4, rows_per_band=4
+            ).alias("b")
+        ).collect()
+    with pytest.raises(ValueError, match="must be positive"):
+        DD.minhash_bands(F.col("sig"), bands=0)
+    # the matched config still works and short docs still band to empty
+    ok = docs.select(
+        DD.minhash_bands(
+            DD.minhash_signature(F.col("text"), k=16), bands=4, rows_per_band=4
+        ).alias("b")
+    ).first()
+    assert len(ok["b"]) == 4
