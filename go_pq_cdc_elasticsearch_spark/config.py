@@ -126,10 +126,17 @@ class EsSinkSettings:
         return f"{int(self.batch_ticker_ms)} milliseconds"
 
     def pipeline_kwargs(self) -> dict[str, Any]:
-        """Flush-control kwargs for streaming/pipeline.run_es_pipeline."""
+        """Kwargs bridge to streaming/pipeline.run_es_pipeline — every knob
+        the pipeline consumes, not just flush control: typeName/version/
+        concurrentRequest used to be parsed, validated, then silently
+        dropped here (a ported 'typeName: _doc' config against ES 6 framed
+        every bulk line without _type — review r8)."""
         return {
             "batch_size_limit": self.batch_size_limit,
             "batch_byte_size_limit": self.batch_byte_size_limit,
+            "type_name": self.type_name,
+            "es_version": self.es_version,
+            "concurrent_requests": self.concurrent_requests,
         }
 
     def transports(self):

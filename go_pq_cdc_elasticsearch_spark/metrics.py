@@ -175,11 +175,16 @@ class PrometheusRegistry:
                 booked_index += float(v)
             else:
                 booked_delete += float(v)
+        # strictly positive residuals only: an observed dict carrying
+        # per-index '@' keys but no aggregate key made the residual
+        # NEGATIVE and decremented a Prometheus counter — counters are
+        # monotonic, so every rate()/increase() over the scrape broke
+        # (proven by execution, review r8)
         rem_i = float(observed.get("index_total", 0)) - booked_index
         rem_d = float(observed.get("delete_total", 0)) - booked_delete
-        if rem_i:
+        if rem_i > 0:
             self.increment_op("index", index, rem_i)
-        if rem_d:
+        if rem_d > 0:
             self.increment_op("delete", index, rem_d)
 
     @staticmethod

@@ -102,6 +102,36 @@ def envelope_from_events(events: DataFrame, table: str = "public.events") -> Dat
     )
 
 
+def remap_op_payloads(env: DataFrame, op_mapping) -> DataFrame:
+    """Apply an op-label remap AND re-seat the payload columns to match
+    the envelope contract (DELETE carries old_data only, everything else
+    new_data only).
+
+    The payload rewrite must be ONE select reading the ORIGINAL
+    old_data/new_data: sequenced withColumns first nulls old_data for a
+    row remapped DELETE->non-delete, so the second rewrite's
+    coalesce("new_data", "old_data") — written exactly for that row —
+    reads the already-nulled value and the row vanishes from the bulk
+    with no error (the keyless-action doc_id filter drops it). This
+    exact bug was fixed in run_es_pipeline and hand-mirrored into
+    q_c11; one shared helper ends the divergence risk (review r8)."""
+    env = env.withColumn("op", op_mapping(F.col("op")))
+    return env.select(
+        *[
+            F.when(is_delete(), F.coalesce("old_data", "new_data")).alias(
+                "old_data"
+            )
+            if c == "old_data"
+            else F.when(~is_delete(), F.coalesce("new_data", "old_data")).alias(
+                "new_data"
+            )
+            if c == "new_data"
+            else c
+            for c in env.columns
+        ]
+    )
+
+
 def payload_field(df_col: str, field: str):
     """Extract one field from a map payload column (R5 key extraction,
     reference integration_test/connector_test.go:628-638)."""

@@ -65,7 +65,14 @@ def q_c8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
                'events-idx' AS idx,
                count(*) AS n,
                j.n_roundtrip, j.n_ops
-        FROM (SELECT * FROM events WHERE user_id IS NOT NULL) events
+        -- event_type IS NOT NULL mirrors the engine's malformed-envelope
+        -- contract: a NULL op seats NEITHER payload side in
+        -- envelope_from_events, so the action is keyless and
+        -- simple_handler's doc_id filter drops it (acked) — the bare
+        -- CASE ELSE counted it as 'index' (caught by the extended nulls
+        -- variant, review r8)
+        FROM (SELECT * FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL) events
         CROSS JOIN (
             SELECT count(*) AS n_roundtrip,
                    count(DISTINCT json_extract_string(doc, '$.operation')) AS n_ops
@@ -85,30 +92,15 @@ def q_c8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
 def q_c11_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     env = model.envelope_from_events(events, table="public.events")
-    env = env.withColumn(
-        "op",
-        F.when(F.col("op") == "ERROR", model.DELETE).otherwise(model.INSERT),
-    )
-    # ONE select, not sequential withColumns (same latent bug fixed in
-    # streaming/pipeline.py run_es_pipeline): both rewrites must read the
-    # ORIGINAL old_data/new_data, or a row remapped DELETE->INSERT loses
-    # its payload — masked today only because the feed has no literal
-    # 'delete' event_type. The oracle mirrors the engine's keyless-action
-    # drop (simple_handler filters doc_id IS NOT NULL) with
-    # user_id IS NOT NULL.
-    env = env.select(
-        *[
-            F.when(model.is_delete(), F.coalesce("old_data", "new_data")).alias(
-                "old_data"
-            )
-            if c == "old_data"
-            else F.when(
-                ~model.is_delete(), F.coalesce("new_data", "old_data")
-            ).alias("new_data")
-            if c == "new_data"
-            else c
-            for c in env.columns
-        ]
+    # shared one-select dual rewrite (model.remap_op_payloads): this exact
+    # logic was duplicated here and in run_es_pipeline, and the sequenced-
+    # withColumns bug it guards against was fixed in one copy then
+    # hand-mirrored (review r8). The oracle mirrors the engine's
+    # keyless-action drop (simple_handler filters doc_id IS NOT NULL)
+    # with user_id IS NOT NULL.
+    env = model.remap_op_payloads(
+        env,
+        lambda op: F.when(op == "ERROR", model.DELETE).otherwise(model.INSERT),
     )
     routed = IndexRouter({"public.events": "events-idx"}).route(env)
     actions = simple_handler(routed)

@@ -63,13 +63,17 @@ def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
     oracle="""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
                count(*) AS n
-        FROM events GROUP BY w_start
+        FROM events WHERE ts IS NOT NULL GROUP BY w_start
     """,
     doc="Tumbling-window streaming count over multi-batch replay == batch "
     "date_trunc aggregation.",
 )
 def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _staged_stream(spark, sf_dir)
+    # explicit NULL-ts filter on BOTH sides (the q_t3 idiom): Spark's
+    # TimeWindowing injects an implicit ts IS NOT NULL, while the bare
+    # oracle GROUP BY emitted a NULL w_start group — one NULL ts in a
+    # regenerated feed broke rowcount parity (proven by execution, r8)
+    stream = _staged_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = stream.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -85,11 +89,11 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH starts AS (
             SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) AS w
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             UNION ALL
             SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000)
                    - INTERVAL 30 MINUTE AS w
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n
         FROM starts GROUP BY w_start
@@ -98,7 +102,9 @@ def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expansion of each event into its two covering windows.",
 )
 def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _staged_stream(spark, sf_dir)
+    # NULL-ts filtered on both sides — see q_t1 (here the bare oracle
+    # emitted TWO spurious NULL rows per NULL-ts event, one per UNION arm)
+    stream = _staged_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = stream.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -304,7 +310,12 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN value = CAST('infinity' AS DOUBLE) THEN 'Infinity'
                     WHEN value = CAST('-infinity' AS DOUBLE) THEN '-Infinity'
                     ELSE CAST(value AS VARCHAR) END AS v
-        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        -- NULL event_type plays INSERT on the engine side (the staging
+        -- maps only the literal 'error' to DELETE), so the oracle must
+        -- keep the NULL row too: a bare <> 'error' is NULL for NULL
+        -- event_type and silently dropped the user whose latest event
+        -- carried one (proven by execution, review r8)
+        FROM ranked WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
     """,
     doc="Custom Python streaming DataSource (pgwal: LSN offsets, segment-"
     "parallel catch-up, commit-as-ack) driven end-to-end: events re-encoded "

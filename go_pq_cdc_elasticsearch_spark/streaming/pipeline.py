@@ -135,6 +135,9 @@ def run_es_pipeline(
     batch_size_limit: int = 1000,
     batch_byte_size_limit: int = 10 * 1024 * 1024,
     op_mapping=None,
+    type_name: str | None = None,
+    es_version: str | None = None,
+    concurrent_requests: int | None = None,
 ) -> None:
     """The reference's complete dataflow (connector.go §3.1), live-ES mode:
 
@@ -159,26 +162,9 @@ def run_es_pipeline(
     def write(batch_df, epoch_id: int) -> None:  # noqa: ARG001
         env = model.envelope_from_events(batch_df, table=table)
         if op_mapping is not None:
-            env = env.withColumn("op", op_mapping(F.col("op")))
-            # ONE select, not sequential withColumns: both rewrites must
-            # read the ORIGINAL old_data/new_data. Sequenced, the first
-            # nulls old_data for a row remapped DELETE->non-delete, so the
-            # second's coalesce("new_data", "old_data") — written exactly
-            # for that row — read the already-nulled value and the row
-            # vanished from the bulk with no error (doc_id NULL filter).
-            env = env.select(
-                *[
-                    F.when(model.is_delete(), F.coalesce("old_data", "new_data"))
-                    .alias("old_data")
-                    if c == "old_data"
-                    else F.when(
-                        ~model.is_delete(), F.coalesce("new_data", "old_data")
-                    ).alias("new_data")
-                    if c == "new_data"
-                    else c
-                    for c in env.columns
-                ]
-            )
+            # one-select dual rewrite, shared with q_c11 — see the
+            # helper's docstring for the sequenced-withColumns bug
+            env = model.remap_op_payloads(env, op_mapping)
         routed = router.route(env)  # unmapped => dropped (acked), R6
         actions = handler(routed)
         # R8: last write per action key wins WITHIN the batch, decided by
@@ -188,11 +174,19 @@ def run_es_pipeline(
         # (null routing still groups correctly).
         dedup_keys = ("doc_id", "index", "routing") if "routing" in actions.columns else ("doc_id", "index")
         compact = cdc_dedup(actions, keys=dedup_keys, seq_col="seq")
+        # type_name/es_version/concurrent_requests pass straight through:
+        # EsSinkSettings parsed+validated them but this bridge silently
+        # dropped them — a ported 'typeName: _doc' config against ES 6
+        # framed bulk lines without _type and every item was rejected,
+        # and concurrentRequest degraded to 1 with no error (review r8)
         write_bulk(
             compact.drop("seq"),
             transport,
             batch_size_limit=batch_size_limit,
             batch_byte_size_limit=batch_byte_size_limit,
+            type_name=type_name,
+            es_version=es_version,
+            concurrent_requests=concurrent_requests,
         )
 
     stream = read_event_stream(spark, staged_dir, max_files_per_trigger)
@@ -284,7 +278,10 @@ def staged_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
         for old_key in [
             k for k in _STAGED_CACHE if k[0] == sf_dir and k[1] == n_files
         ]:
-            _STAGED_CACHE.pop(old_key)
+            # default=None: two callers racing the same regeneration
+            # eviction on this shared module-global dict must not KeyError
+            # each other (review r8)
+            _STAGED_CACHE.pop(old_key, None)
         staged = os.path.join(tempfile.mkdtemp(prefix="cdc_stage_"), "staged")
         stage_event_files(spark, sf_dir, staged, n_files=n_files)
         _STAGED_CACHE[key] = staged

@@ -145,3 +145,80 @@ def test_op_mapping_remapped_delete_keeps_payload(spark, es_url):
     assert set(STORE) == {("events-idx", "7"), ("events-idx", "9")}
     # the remapped-DELETE row's payload survived and won the dedup
     assert abs(float(STORE[("events-idx", "7")]["value"]) - 9.5) < 1e-9
+
+
+RAW_BODIES: list = []
+
+
+class _RecordingES(_StatefulES):
+    def do_POST(self):  # noqa: N802
+        # capture the raw NDJSON before the stateful apply
+        body_len = int(self.headers["Content-Length"])
+        # peek: BaseHTTPRequestHandler reads from rfile once, so buffer it
+        data = self.rfile.read(body_len)
+        RAW_BODIES.append(data)
+        import io
+
+        self.rfile = io.BytesIO(data)
+        self.headers.replace_header("Content-Length", str(len(data)))
+        super().do_POST()
+
+
+def test_config_knobs_reach_the_bulk_frames(spark, sf_dir):
+    """Review r8: EsSinkSettings parsed typeName/version/concurrentRequest
+    but pipeline_kwargs dropped them — a ported 'typeName: _doc' config
+    against ES 6 framed every bulk line without _type (every item
+    rejected) and concurrentRequest silently degraded to 1. The knobs
+    must now flow config -> pipeline_kwargs -> run_es_pipeline ->
+    write_bulk -> framed metadata."""
+    import os
+    import tempfile
+
+    from go_pq_cdc_elasticsearch_spark.config import es_settings_from_dict
+
+    es = es_settings_from_dict(
+        {
+            "urls": ["http://unused:9200"],
+            "typeName": "_doc",
+            "version": "6.8.23",
+            "concurrentRequest": 2,
+            "batchSizeLimit": 500,
+        }
+    )
+    kw = es.pipeline_kwargs()
+    assert kw["type_name"] == "_doc"
+    assert kw["es_version"] == "6.8.23"
+    assert kw["concurrent_requests"] == 2
+
+    RAW_BODIES.clear()
+    STORE.clear()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _RecordingES)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        work = tempfile.mkdtemp(prefix="es_knobs_")
+        staged = os.path.join(work, "staged")
+        stage_event_files(spark, sf_dir, staged, n_files=2)
+        run_es_pipeline(
+            spark,
+            staged_dir=staged,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            router=IndexRouter({"public.events": "events-idx"}),
+            transport=http_transport(f"http://127.0.0.1:{server.server_port}"),
+            op_mapping=lambda op: F.when(op == "ERROR", "DELETE").otherwise(
+                "INSERT"
+            ),
+            **kw,
+        )
+    finally:
+        server.shutdown()
+    metas = [
+        json.loads(ln)
+        for b in RAW_BODIES
+        for ln in b.decode().splitlines()
+        if ln.startswith('{"index"') or ln.startswith('{"delete"')
+    ]
+    assert metas, "no bulk frames recorded"
+    # ES 6 + typeName => _type on EVERY metadata line
+    assert all(
+        next(iter(m.values())).get("_type") == "_doc" for m in metas
+    ), "typeName did not reach the framed metadata"

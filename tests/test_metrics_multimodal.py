@@ -253,3 +253,25 @@ def test_prometheus_re_serve_closes_previous_listener():
     p3 = reg.serve(port=p2)
     assert p3 == p2
     reg.close()
+
+
+def test_observe_result_residual_never_decrements():
+    """Review r8: an observed dict carrying per-index '@' bookings but no
+    aggregate key produced a NEGATIVE residual and drove a Prometheus
+    counter backwards — counters are monotonic; every rate()/increase()
+    over the scrape broke. Residuals must apply only when positive."""
+    from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+    reg = PrometheusRegistry(host="h", slot_name="s")
+    reg.observe_result({"index_total@users": 40}, index="fallback")
+    lines = [
+        ln
+        for ln in reg.render().splitlines()
+        if "index_total" in ln and not ln.startswith("#")
+    ]
+    by_index = {}
+    for ln in lines:
+        val = float(ln.rsplit(" ", 1)[1])
+        by_index["users" if 'index_name="users"' in ln else "fallback"] = val
+    assert by_index.get("users") == 40.0
+    assert by_index.get("fallback", 0.0) >= 0.0, lines

@@ -209,3 +209,56 @@ def test_stage_event_files_survives_snowflake_scale_ids(spark, tmp_path):
         spark.read.parquet(p).count() for p in paths
     )
     assert total == 3  # zero loss, no ARITHMETIC_OVERFLOW
+
+
+def test_null_ts_and_null_event_type_parity(spark, sf_dir, tmp_path):
+    """Review r8 (regeneration-fragility lens): the two nullable event
+    columns the standing nulls variant never exercised. A NULL ts is
+    silently filtered by Spark's TimeWindowing while a bare oracle GROUP
+    BY kept a NULL group (q_t1/q_t2); a NULL event_type on a user's
+    LATEST event plays INSERT on the engine side while the oracle's bare
+    <> 'error' dropped it (q_t7). Both proven divergent pre-fix; this
+    pins the crafted-feed parity in-tree (the extended
+    tools/variant_data.py nulls variant covers it in the standing
+    sweep)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_elasticsearch_spark.sql import REGISTRY
+    from go_pq_cdc_elasticsearch_spark.testing_utils import compare, duckdb_con
+
+    dst = str(tmp_path / "sf_nulled")
+    os.makedirs(dst)
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)
+        if name != "events.parquet":
+            shutil.copy(f, os.path.join(dst, name))
+            continue
+        t = pq.read_table(f)
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        ts = t.column("ts").to_pylist()
+        et = t.column("event_type").to_pylist()
+        # NULL ts on one row; NULL event_type on some user's LATEST
+        # event inside q_t7's event_id < 2000 staging window
+        ts[0] = None
+        best = {}
+        for i, (e, u) in enumerate(zip(eid, uid)):
+            if e is not None and e < 2000 and u is not None:
+                if u not in best or e > eid[best[u]]:
+                    best[u] = i
+        assert best, "no eligible row for the NULL event_type probe"
+        et[next(iter(best.values()))] = None
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["ts"] = pa.array(ts, type=t.schema.field("ts").type)
+        cols["event_type"] = pa.array(et, type=pa.string())
+        pq.write_table(pa.table(cols), os.path.join(dst, name))
+
+    con = duckdb_con(dst)
+    for qid in ("q_t1_stream_tumbling", "q_t2_stream_sliding", "q_t7_wal_source_cdc"):
+        q = REGISTRY[qid]
+        problems = compare(q.spark(spark, dst), con, q.oracle)
+        assert not problems, f"{qid}: {problems}"

@@ -72,13 +72,19 @@ def _events_with_nulls(table: pa.Table) -> pa.Table:
 
     max_id = pc.max(table.column("event_id")).as_py()
     ts0 = table.column("ts")[0].as_py()
+    # rows 5-6 (review r8): NULL ts and NULL event_type were the two
+    # nullable event columns this variant never exercised — a NULL ts
+    # broke q_t1/q_t2 rowcount parity (Spark's TimeWindowing filters it,
+    # a bare oracle GROUP BY kept a NULL group) and a NULL event_type on
+    # a user's LATEST event broke q_t7 (engine plays INSERT, the oracle's
+    # bare <> 'error' dropped it). Both proven by execution pre-fix.
     extra = {
-        "event_id": [max_id + 1, max_id + 2, max_id + 3, max_id + 4],
-        "ts": [ts0] * 4,
-        "user_id": [None, 5, 7, None],
-        "event_type": ["click", "purchase", "click", "error"],
-        "value": [1.5, None, 2.5, None],
-        "props": [None, '{"k": 62.5}', '{"k": 80}', "{}"],
+        "event_id": [max_id + i for i in range(1, 7)],
+        "ts": [ts0] * 4 + [None, ts0],
+        "user_id": [None, 5, 7, None, 9, 11],
+        "event_type": ["click", "purchase", "click", "error", "click", None],
+        "value": [1.5, None, 2.5, None, 3.5, 4.5],
+        "props": [None, '{"k": 62.5}', '{"k": 80}', "{}", "{}", "{}"],
     }
     et = pa.table(
         {c: pa.array(extra[c], table.schema.field(c).type) for c in table.schema.names}
