@@ -562,10 +562,16 @@ def cosine(col_a, col_b) -> Column:
     )
     # zero-norm/empty vectors: NULL, not a crash — Spark 4's default ANSI
     # mode raises DIVIDE_BY_ZERO on the bare division, while DuckDB's
-    # x/0.0 is NULL (the oracle COS_SQL has no guard), so NULL is both the
-    # safe and the parity-preserving value
+    # x/0.0 is NULL. NULL elements and ragged pairs already fold to a NULL
+    # dot; the final wrap extends the contract to NaN (a NaN element would
+    # otherwise produce a NaN sim, which Spark's descending sort ranks
+    # ABOVE every real similarity — a defective vector at rank 1 of every
+    # top-k, review r8). Defective pairs have NO similarity: NULL, which
+    # never ranks and never crosses a threshold — the oracle COS_SQL
+    # carries the identical guard.
     denom = na * nb
-    return F.when(denom != F.lit(0.0), dot / denom)
+    sim = F.when(denom != F.lit(0.0), dot / denom)
+    return F.when(~F.isnan(sim), sim)
 
 
 def winnow_fingerprints(

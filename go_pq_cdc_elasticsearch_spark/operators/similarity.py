@@ -89,13 +89,20 @@ def _local_topk_scorer(q_rows, k: int, id_col: str, mat_col: str):
         for pdf in batches:
             if pdf.empty or len(qids) == 0:
                 continue
-            # NULL/empty/wrong-dim corpus vectors: excluded from scoring
-            # (the declarative cosine yields NULL for them, which a top-k
-            # never selects) — np.array over a ragged list otherwise
-            # crashes the whole operator on one bad row (review r6)
+            # NULL/empty/wrong-dim/non-finite corpus vectors: excluded from
+            # scoring (the declarative cosine yields NULL for them, which a
+            # top-k never selects) — np.array over a ragged list otherwise
+            # crashes the whole operator on one bad row (review r6), and a
+            # NULL ELEMENT arrives here as NaN (Arrow->pandas), whose NaN
+            # sims rank ABOVE every real similarity in the global window
+            # even though the local lexsort puts them last — a defective
+            # vector at rank 1 whenever a batch is smaller than k (proven
+            # by the nulls_rel variant, review r8)
             vals = pdf[mat_col]
             keep = vals.map(
-                lambda v: v is not None and len(v) == dim
+                lambda v: v is not None
+                and len(v) == dim
+                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
             ).to_numpy(dtype=bool)
             if not keep.all():
                 pdf = pdf[keep]
@@ -289,13 +296,20 @@ def with_ivf_cell(
         for pdf in batches:
             if pdf.empty:
                 continue
-            # NULL/empty/wrong-dim vectors can't be assigned a cell —
-            # emit them with a NULL cell instead of crashing the Arrow
-            # worker on a ragged np.array (review r6); a NULL cell never
-            # matches a probe's cell list, so they are never candidates
+            # NULL/empty/wrong-dim/non-finite vectors can't be assigned a
+            # cell — emit them with a NULL cell instead of crashing the
+            # Arrow worker on a ragged np.array (review r6); a NULL cell
+            # never matches a probe's cell list, so they are never
+            # candidates. Non-finite matters doubly here: a NULL ELEMENT
+            # arrives as NaN (Arrow->pandas), argmax over its NaN sims
+            # "assigned" it cell 0, and the probe join then scored it NaN —
+            # rank 1 of every touching query (proven by the nulls_rel
+            # variant, review r8)
             vals = pdf[vec_col]
             keep = vals.map(
-                lambda v: v is not None and len(v) == dim
+                lambda v: v is not None
+                and len(v) == dim
+                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
             ).to_numpy(dtype=bool)
             pdf = pdf[[id_col, vec_col]].copy()
             pdf[out_col] = None

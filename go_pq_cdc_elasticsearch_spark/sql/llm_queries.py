@@ -28,11 +28,32 @@ WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
 GRAMS_SQL = (
     "list_transform(range(1, len(w)-1), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))"
 )
-HASH_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
-COS_SQL = (
-    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+# NULL keys coalesce to the same \x00 sentinel operators/sampling.py's
+# hash_bucket uses: md5(NULL) is NULL and DuckDB's concat SKIPS the NULL,
+# so the bucket expression collapsed to the literal '0x' and the BIGINT
+# cast errored out the whole oracle on one NULL doc_id (proven by the
+# nulls_rel variant, review r8). For never-NULL inputs (grams, literals)
+# the coalesce is a no-op.
+HASH_SQL = "CAST(concat('0x', substr(md5(coalesce({x}, chr(0))), 1, 8)) AS BIGINT)"
+# Defective-vector contract (review r8, proven by the nulls_rel variant):
+# a pair involving a NULL element, mismatched lengths, or a NaN result has
+# NO similarity — NULL, which never ranks and never crosses a threshold.
+# The bare form diverged from the engine three ways: DuckDB's list_sum
+# SKIPS NULL elements (partial dot where Spark's fold is NULL), list_zip
+# pads ragged pairs with NULLs (partial dot again), and NaN compares as
+# larger-than-everything in a DuckDB threshold/order while the engine
+# excludes it.
+_COS_RAW = (
+    "(list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))"
+    " * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))"
+)
+COS_SQL = (
+    "(CASE WHEN len({a}) = len({b})"
+    " AND len(list_filter({a}, v -> v IS NULL)) = 0"
+    " AND len(list_filter({b}, v -> v IS NULL)) = 0"
+    " AND NOT isnan(coalesce(" + _COS_RAW + ", 0.0))"
+    " THEN " + _COS_RAW + " END)"
 )
 # portable 6dp round of a similarity column (see functions/rounding.py —
 # in-engine round() diverges between engines on decimal-tie doubles)

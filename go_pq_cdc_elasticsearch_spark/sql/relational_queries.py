@@ -348,16 +348,24 @@ def q_s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                      ORDER BY o_totalprice DESC NULLS LAST,
+                                               o_orderkey ASC NULLS LAST) AS rn
             FROM orders)
         WHERE rn <= 3
     """,
 )
 def q_s12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window: top-3 orders by price per customer."""
+    """Ranking window: top-3 orders by price per customer.
+
+    NULL placement is EXPLICIT on both sides (review r8): Spark's bare
+    asc() is NULLS FIRST while DuckDB's default is NULLS LAST, so an
+    all-NULL orders row (every column is contractually nullable) ranked
+    differently on the tiebreak column — proven divergent by the
+    nulls_rel variant."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
     )
     return (
         orders.withColumn("rn", F.row_number().over(w))

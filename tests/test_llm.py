@@ -559,3 +559,77 @@ def test_minhash_bands_size_guard(spark):
         ).alias("b")
     ).first()
     assert len(ok["b"]) == 4
+
+
+def test_defective_vectors_have_no_similarity(spark, sf_dir):
+    """Review r8 (nulls_rel variant findings): a vector with a NULL or NaN
+    element, an empty vector, or a ragged pair has NO similarity — NULL,
+    never a rank. Pre-fix, a NULL element reached pandas as NaN: IVF's
+    argmax 'assigned' it cell 0 and its NaN sims ranked it #1 of every
+    touching query (Spark sorts NaN above all reals), and the brute-force
+    scorer leaked NaN rows whenever a batch was smaller than k. DuckDB's
+    list_sum meanwhile SKIPPED the NULL element (partial dot), so the
+    oracle disagreed three ways."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_elasticsearch_spark.operators import similarity as SIM
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import cosine
+    from go_pq_cdc_elasticsearch_spark.sql import EXT_REGISTRY
+    from go_pq_cdc_elasticsearch_spark.testing_utils import compare, duckdb_con
+
+    # unit level: fold cosine NULLs every defective shape
+    base = [0.25] * 4
+    rows = [
+        ("elem_null", [None, 0.25, 0.25, 0.25], base),
+        ("elem_nan", [float("nan"), 0.25, 0.25, 0.25], base),
+        ("empty", [], base),
+        ("ragged", [0.25, 0.25], base),
+        ("clean", base, base),
+    ]
+    df = spark.createDataFrame(rows, "name string, a array<float>, b array<float>")
+    sims = {r["name"]: r["sim"] for r in df.select(
+        "name", cosine(F.col("a"), F.col("b")).alias("sim")).collect()}
+    assert sims["clean"] is not None and abs(sims["clean"] - 1.0) < 1e-9
+    for name in ("elem_null", "elem_nan", "empty", "ragged"):
+        assert sims[name] is None, f"{name}: {sims[name]}"
+
+    # operator level on a crafted corpus (small batches force the leak):
+    # defective vectors never appear in any top-k
+    work = tempfile.mkdtemp(prefix="defvec_")
+    dst = os.path.join(work, "sf")
+    os.makedirs(dst)
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)
+        if name != "embeddings.parquet":
+            shutil.copy(f, os.path.join(dst, name))
+            continue
+        t = pq.read_table(f)
+        dim = len(t.column("embedding")[0].as_py())
+        elem_null = [None] + [0.25] * (dim - 1)
+        mx = max(v for v in t.column("vec_id").to_pylist() if v is not None)
+        extra = pa.table({
+            "vec_id": pa.array([mx + 1, mx + 2, mx + 3], type=t.schema.field("vec_id").type),
+            "embedding": pa.array([None, elem_null, []], type=t.schema.field("embedding").type),
+            "label": pa.array([None, 0, 0], type=t.schema.field("label").type),
+        })
+        pq.write_table(pa.concat_tables([t, extra]), os.path.join(dst, name))
+
+    emb = load_table(spark, dst, "embeddings").repartition(32)  # tiny batches
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = SIM.brute_force_topk(emb, q, k=20)
+    assert bf.filter(F.col("vec_id") > mx).count() == 0
+    ivf = SIM.ivf_topk(emb, q, k=5, n_centroids=4, n_probe=4)
+    assert ivf.filter(F.col("vec_id") > mx).count() == 0
+
+    # oracle parity of the embedding-facing driver queries on this corpus
+    con = duckdb_con(dst)
+    for qid in ("q_l6_embedding_neardup", "q_lx1b_ivf_anchor"):
+        qq = EXT_REGISTRY[qid]
+        problems = compare(qq.spark(spark, dst), con, qq.oracle)
+        assert not problems, f"{qid}: {problems}"

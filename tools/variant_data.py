@@ -59,7 +59,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path  # noqa: E402
 
-VARIANTS = ("rowshuffle", "rg_small", "ts_ns", "nulls", "edge", "empty_events")
+VARIANTS = (
+    "rowshuffle",
+    "rg_small",
+    "ts_ns",
+    "nulls",
+    "edge",
+    "empty_events",
+    "nulls_rel",
+)
 
 
 def _shuffled(table: pa.Table, seed: int) -> pa.Table:
@@ -126,6 +134,64 @@ def _lineitem_with_fractional(table: pa.Table) -> pa.Table:
     return pa.concat_tables([table, et])
 
 
+def _with_null_rows(table: pa.Table, key_col: str, name: str) -> pa.Table:
+    """Append two adversarial rows: one ALL-NULL, one with a fresh key and
+    every other column NULL. TESTDATA.md guarantees nothing about
+    nullability and every physical column is nullable — the relational
+    tables had never been probed with NULLs (the round-8 extension of the
+    events-only nulls variant, which found three live divergences on its
+    first run there)."""
+    import pyarrow.compute as pc
+
+    key_t = table.schema.field(key_col).type
+    mx = pc.max(table.column(key_col)).as_py()
+    fresh = (mx or 0) + 1 if pa.types.is_integer(key_t) else f"__null_probe_{name}"
+    rows = {c: [None, None] for c in table.schema.names}
+    rows[key_col] = [None, fresh]
+    et = pa.table(
+        {c: pa.array(rows[c], table.schema.field(c).type) for c in table.schema.names}
+    )
+    return pa.concat_tables([table, et])
+
+
+def _embeddings_with_nulls(table: pa.Table) -> pa.Table:
+    """NULL embedding, NULL vector ELEMENT, empty vector, NULL label —
+    the shapes the r7 IVF hardening handles; every other vector operator
+    (brute-force cosine, LSH, SQ8, semantic dedup) must survive them too."""
+    import pyarrow.compute as pc
+
+    mx = pc.max(table.column("vec_id")).as_py()
+    dim = len(table.column("embedding")[0].as_py() or [])
+    base = [0.25] * dim
+    elem_null = list(base)
+    if dim:
+        elem_null[0] = None
+    extra = {
+        "vec_id": [mx + 1, mx + 2, mx + 3, mx + 4],
+        "embedding": [None, elem_null, [], base],
+        "label": [None, 0, 0, None],
+    }
+    et = pa.table(
+        {
+            c: pa.array(extra[c], table.schema.field(c).type)
+            for c in table.schema.names
+        }
+    )
+    return pa.concat_tables([table, et])
+
+
+_NULLS_REL_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+}
+
+
 def _events_ns(table: pa.Table) -> pa.Table:
     i = table.schema.get_field_index("ts")
     if i < 0:
@@ -160,6 +226,13 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 # parquet 2.6 is required for a real TIMESTAMP(NANOS)
                 # physical annotation (1.0/2.4 would silently coerce to us)
                 kw.update(version="2.6", coerce_timestamps=None)
+            elif variant == "nulls_rel":
+                if name in _NULLS_REL_KEYS:
+                    t = _with_null_rows(t, _NULLS_REL_KEYS[name], name)
+                elif name == "embeddings":
+                    t = _embeddings_with_nulls(t)
+                elif name == "events":
+                    t = _events_with_nulls(t)
             elif variant == "empty_events" and name == "events":
                 # zero-row feed, same schema: every streaming/CDC query
                 # must return its oracle's empty result instead of raising
