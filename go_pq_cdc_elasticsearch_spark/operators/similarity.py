@@ -252,6 +252,16 @@ def train_ivf_centroids(
     dim = Counter(len(r[1]) for r in rows).most_common(1)[0][0]
     rows = [r for r in rows if len(r[1]) == dim]
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # non-finite vectors (a NULL element arrives as NaN; NaN/Inf data) are
+    # excluded from training like they are from every scorer's candidacy:
+    # one NaN row poisons its centroid's mean and every later assignment
+    # against it (review r8 — the nulls_rel NaN/Inf vectors fired numpy's
+    # invalid-divide warning right here)
+    finite = np.isfinite(mat).all(axis=1)
+    if not finite.all():
+        mat = mat[finite]
+        if not len(mat):
+            return np.zeros((0, 0), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]

@@ -1571,7 +1571,15 @@ def _quantized_topk_oracle(k: int = 5) -> str:
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
-            FROM embeddings),
+            FROM embeddings
+            -- defective vectors (NULL/NaN/Inf elements, empty) have no
+            -- similarity and never rank — same contract as COS_SQL; the
+            -- bare form quantized NaN to NaN codes whose NaN sims DuckDB
+            -- ranks ABOVE every real score (nulls_rel variant, review r8)
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, v -> v IS NULL
+                      OR isnan(CAST(v AS DOUBLE))
+                      OR isinf(CAST(v AS DOUBLE)))) = 0),
         quant AS (
             SELECT vec_id,
                    list_transform(embedding, x ->

@@ -166,10 +166,15 @@ def _embeddings_with_nulls(table: pa.Table) -> pa.Table:
     elem_null = list(base)
     if dim:
         elem_null[0] = None
+    elem_nan = list(base)
+    elem_inf = list(base)
+    if dim:
+        elem_nan[0] = float("nan")
+        elem_inf[0] = float("inf")
     extra = {
-        "vec_id": [mx + 1, mx + 2, mx + 3, mx + 4],
-        "embedding": [None, elem_null, [], base],
-        "label": [None, 0, 0, None],
+        "vec_id": [mx + i for i in range(1, 7)],
+        "embedding": [None, elem_null, [], base, elem_nan, elem_inf],
+        "label": [None, 0, 0, None, 0, 0],
     }
     et = pa.table(
         {
