@@ -100,15 +100,22 @@ def _local_topk_scorer(q_rows, k: int, id_col: str, mat_col: str):
             # by the nulls_rel variant, review r8)
             vals = pdf[mat_col]
             keep = vals.map(
-                lambda v: v is not None
-                and len(v) == dim
-                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+                lambda v: v is not None and len(v) == dim
             ).to_numpy(dtype=bool)
             if not keep.all():
                 pdf = pdf[keep]
                 if pdf.empty:
                     continue
             mat = np.array(pdf[mat_col].tolist(), dtype=np.float64)
+            # finiteness masked VECTORIZED on the built matrix (one
+            # C-level pass), not per-row in the Python keep lambda —
+            # this is the per-batch hot path
+            finite = np.isfinite(mat).all(axis=1)
+            if not finite.all():
+                pdf = pdf[finite]
+                if pdf.empty:
+                    continue
+                mat = mat[finite]
             ids = pdf[id_col].to_numpy()
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0  # zero corpus vector: sim 0.0, not NaN
@@ -317,19 +324,25 @@ def with_ivf_cell(
             # variant, review r8)
             vals = pdf[vec_col]
             keep = vals.map(
-                lambda v: v is not None
-                and len(v) == dim
-                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+                lambda v: v is not None and len(v) == dim
             ).to_numpy(dtype=bool)
             pdf = pdf[[id_col, vec_col]].copy()
             pdf[out_col] = None
             good = pdf[keep]
             if not good.empty:
                 mat = np.array(good[vec_col].tolist(), dtype=np.float64)
-                norms = np.linalg.norm(mat, axis=1)
-                norms[norms == 0] = 1.0
-                cell = ((mat / norms[:, None]) @ cents.T).argmax(axis=1)
-                pdf.loc[keep, out_col] = cell.astype("int32")
+                # finiteness masked vectorized on the built matrix (one
+                # C-level pass, not a per-row Python lambda); non-finite
+                # rows keep the NULL cell like None/ragged ones
+                finite = np.isfinite(mat).all(axis=1)
+                cells = np.full(len(good), None, dtype=object)
+                if finite.any():
+                    fm = mat[finite]
+                    norms = np.linalg.norm(fm, axis=1)
+                    norms[norms == 0] = 1.0
+                    cell = ((fm / norms[:, None]) @ cents.T).argmax(axis=1)
+                    cells[finite] = cell.astype("int32")
+                pdf.loc[keep, out_col] = cells
             yield pdf
 
     # schema mirrors the INPUT field types: a hardcoded array<float>
@@ -544,6 +557,20 @@ def quantize_embeddings(
     scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
     safe = F.when(scale == F.lit(0.0), F.lit(1.0)).otherwise(scale)
     q = F.transform(v, lambda x: F.floor(x / safe + F.lit(0.5)).cast("tinyint"))
+    # non-finite vectors (NaN/Inf element) quantized to ALL-ZERO codes —
+    # Spark's floor maps NaN/x-div-Inf to 0 — whose zero-norm guard then
+    # scored a real 0.0: a defective vector INSIDE the top-k whenever a
+    # query has fewer than k positive neighbors (review r8; the
+    # defective-vector contract says NULL — never ranks). NULL-element
+    # vectors already carry the NULL through floor.
+    finite = ~F.exists(
+        v,
+        lambda x: F.isnan(x)
+        | (x == F.lit(float("inf")))
+        | (x == F.lit(float("-inf"))),
+    )
+    q = F.when(finite, q)
+    scale = F.when(finite, scale)
     return df.select(
         F.col(id_col),
         q.alias(out_vec),

@@ -42,7 +42,11 @@ HASH_SQL = "CAST(concat('0x', substr(md5(coalesce({x}, chr(0))), 1, 8)) AS BIGIN
 # SKIPS NULL elements (partial dot where Spark's fold is NULL), list_zip
 # pads ragged pairs with NULLs (partial dot again), and NaN compares as
 # larger-than-everything in a DuckDB threshold/order while the engine
-# excludes it.
+# excludes it. The guard textually inlines the raw fold twice (condition
+# + THEN); accepted: this doubles ORACLE-side cost in tools/check.py
+# only (the engine never runs this SQL), and splicing a named
+# subexpression into the seven call sites' differing SQL shapes isn't
+# worth the check-tool seconds.
 _COS_RAW = (
     "(list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"

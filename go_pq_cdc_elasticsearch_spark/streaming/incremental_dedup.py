@@ -498,12 +498,22 @@ class IncrementalDeduper(LshDedupIndex):
         # member pairs with the kept representative directly.
         kept_prior = None
         if self.kept.exists() and self.kept._bucket_dirs():
-            kept_prior = self.kept.read()
-            if epoch_id is not None:
-                kept_prior = kept_prior.filter(
-                    F.col(self.kept.seq_col) < F.lit(int(epoch_id))
+            if epoch_id is None:
+                # without an epoch the crashed-attempt scoping below is
+                # impossible, and a RE-RUN of the same wave would condemn
+                # the batch against its own kept ids — the chain-severing
+                # duplicate leak the seq filter exists to prevent (review
+                # r8). Every in-repo caller passes an epoch; refuse rather
+                # than silently risk divergence against existing state.
+                raise ValueError(
+                    "dedup_batch: epoch_id is required once the kept view "
+                    "has state (pass a monotone wave number; a re-run of "
+                    "the same wave must see only strictly-earlier epochs "
+                    "as 'prior')"
                 )
-            kept_prior = kept_prior.select(id_c)
+            kept_prior = self.kept.read().filter(
+                F.col(self.kept.seq_col) < F.lit(int(epoch_id))
+            ).select(id_c)
         surviving = batch
         if kept_prior is not None:
             kp1 = kept_prior.select(F.col(id_c).alias("id1"))
@@ -543,9 +553,23 @@ class IncrementalDeduper(LshDedupIndex):
         lineage: str | None = None,
     ) -> None:
         seq = 0 if epoch_id is None else int(epoch_id)
+        rows = kept_batch.select(self.id_col)
+        if self.kept.exists() and self.kept._bucket_dirs():
+            # first-kept epoch WINS: a later wave legitimately re-feeding
+            # an already-kept id must not overwrite its seq, or the id
+            # loses 'prior' status (seq < epoch) on a redelivery of that
+            # later wave and the recompute diverges — the same chain-
+            # severing leak _compute_kept's epoch scoping prevents
+            # (review r8). The kept view is an id registry; re-upserting
+            # an existing id carries no information anyway.
+            # pinned: merge_batch evaluates its input twice (probe +
+            # write) while REWRITING the kept buckets this lazy anti-join
+            # reads — the second evaluation would see post-swap state
+            rows = rows.join(
+                self.kept.read().select(self.id_col), self.id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         self.kept.merge_batch(
-            kept_batch.select(self.id_col)
-            .withColumn("seq", F.lit(seq))
+            rows.withColumn("seq", F.lit(seq))
             .withColumn("op", F.lit("upsert")),
             epoch_id=epoch_id,
             lineage=lineage,

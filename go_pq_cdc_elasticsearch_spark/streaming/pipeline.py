@@ -138,6 +138,7 @@ def run_es_pipeline(
     type_name: str | None = None,
     es_version: str | None = None,
     concurrent_requests: int | None = None,
+    info_transport=None,
 ) -> None:
     """The reference's complete dataflow (connector.go §3.1), live-ES mode:
 
@@ -158,6 +159,28 @@ def run_es_pipeline(
     from go_pq_cdc_elasticsearch_spark.sink.es_bulk import write_bulk
 
     handler = handler or simple_handler
+
+    # A configured _type with an UNKNOWN ES version is ambiguous in a way
+    # that fails either direction: framing it breaks ES 8 (types removed —
+    # every item rejected, the batch retries forever), dropping it breaks
+    # ES 6 ('type is missing'). The reference never hits this because its
+    # client detects the version at init (client.go:51-74) before any
+    # gating — so do the same here when an Info transport is available,
+    # and refuse loudly otherwise (review r8; the config bridge used to
+    # silently drop typeName instead, which "worked" on 8 by accident).
+    if type_name is not None and es_version is None:
+        if info_transport is None:
+            raise ValueError(
+                "run_es_pipeline: type_name is set but es_version is "
+                "unknown — pass es_version or info_transport (e.g. "
+                "EsSinkSettings.transports()[1]) so the _type gate can "
+                "resolve; framing blind breaks ES 8, dropping breaks ES 6"
+            )
+        from go_pq_cdc_elasticsearch_spark.sink.es_bulk import (
+            detect_es_version,
+        )
+
+        es_version = detect_es_version(info_transport)
 
     def write(batch_df, epoch_id: int) -> None:  # noqa: ARG001
         env = model.envelope_from_events(batch_df, table=table)

@@ -222,3 +222,72 @@ def test_config_knobs_reach_the_bulk_frames(spark, sf_dir):
     assert all(
         next(iter(m.values())).get("_type") == "_doc" for m in metas
     ), "typeName did not reach the framed metadata"
+
+
+def test_type_name_with_unknown_version_detects_or_refuses(spark, sf_dir):
+    """Review r8 self-review: a configured _type with an UNKNOWN ES version
+    fails either way (framing breaks ES 8, dropping breaks ES 6 — and the
+    old bridge silently dropped it). run_es_pipeline must autodetect via
+    an Info transport when given one, and refuse loudly otherwise."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.sink.es_bulk import http_info_transport
+
+    with pytest.raises(ValueError, match="es_version is unknown"):
+        run_es_pipeline(
+            spark,
+            staged_dir="/nonexistent",
+            checkpoint_dir="/nonexistent",
+            router=IndexRouter({"public.events": "events-idx"}),
+            transport=lambda payload: "",
+            type_name="_doc",  # version omitted, no info transport
+        )
+
+    # with an Info transport reporting ES 6, detection happens and _type
+    # is framed (same recording server as the knobs test)
+    RAW_BODIES.clear()
+    STORE.clear()
+
+    class _Info6(_RecordingES):
+        def do_GET(self):  # noqa: N802
+            out = json.dumps(
+                {"name": "fake", "version": {"number": "6.8.23"}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Info6)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        work = tempfile.mkdtemp(prefix="es_detect_")
+        staged = os.path.join(work, "staged")
+        stage_event_files(spark, sf_dir, staged, n_files=2)
+        run_es_pipeline(
+            spark,
+            staged_dir=staged,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            router=IndexRouter({"public.events": "events-idx"}),
+            transport=http_transport(base),
+            op_mapping=lambda op: F.when(op == "ERROR", "DELETE").otherwise(
+                "INSERT"
+            ),
+            type_name="_doc",
+            info_transport=http_info_transport(base),
+        )
+    finally:
+        server.shutdown()
+    metas = [
+        json.loads(ln)
+        for b in RAW_BODIES
+        for ln in b.decode().splitlines()
+        if ln.startswith('{"index"') or ln.startswith('{"delete"')
+    ]
+    assert metas and all(
+        next(iter(m.values())).get("_type") == "_doc" for m in metas
+    )

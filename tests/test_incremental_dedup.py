@@ -773,3 +773,46 @@ def test_compact_cleans_staging_on_failure(spark, sf_dir):
     assert leftovers == [], f"staging dirs leaked: {leftovers}"
     # and the index is still fully usable (swap never started mid-bucket)
     assert dd.view.read_buckets().count() > 0
+
+
+def test_refeed_kept_id_preserves_prior_status_and_none_epoch_refused(spark):
+    """Review r8 self-review: (a) a later wave re-feeding an already-kept
+    id must NOT overwrite its first-kept seq — else a redelivery of that
+    wave no longer sees it as 'prior' (seq < epoch) and the recompute
+    diverges; (b) epoch_id=None against existing kept state is refused
+    (the crashed-attempt scoping is impossible without an epoch)."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    words = [f"w{i}" for i in range(1, 31)]
+    X = " ".join(words[0:20])
+    Y = " ".join(words[3:23])  # J(X,Y) high
+    kw = dict(k=16, bands=16, jaccard_threshold=0.5)
+    work = tempfile.mkdtemp(prefix="dd_refeed_")
+    dd = IncrementalDeduper(spark, os.path.join(work, "dd"), **kw)
+
+    b3 = spark.createDataFrame([(10, X)], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dd.dedup_batch(b3, empty, epoch_id=3)
+    seq3 = {r["doc_id"]: r["seq"] for r in dd.kept.read().collect()}
+    assert seq3 == {10: 3}
+
+    # wave 5 re-feeds X (id 10) alongside near-dup Y (id 2 < 10)
+    b5 = spark.createDataFrame([(10, X), (2, Y)], "doc_id long, text string")
+    corpus = b3  # X's text is the stored corpus
+    kept5 = {r["doc_id"] for r in dd.dedup_batch(b5, corpus, epoch_id=5).collect()}
+    assert kept5 == {10}, kept5  # X prior (seq 3) condemns Y
+    seq_after = {r["doc_id"]: r["seq"] for r in dd.kept.read().collect()}
+    assert seq_after == {10: 3}, (
+        f"re-feed overwrote the first-kept seq: {seq_after}"
+    )
+
+    # redelivery of wave 5 recomputes identically (X still 'prior')
+    kept5b = {r["doc_id"] for r in dd.dedup_batch(b5, corpus, epoch_id=5).collect()}
+    assert kept5b == {10}
+    assert {r["doc_id"] for r in dd.kept.read().collect()} == {10}
+
+    # (b) None epoch against existing state is refused
+    with pytest.raises(ValueError, match="epoch_id is required"):
+        dd.dedup_batch(b5, corpus, epoch_id=None)
