@@ -67,6 +67,7 @@ VARIANTS = (
     "edge",
     "empty_events",
     "nulls_rel",
+    "unicode_rel",
 )
 
 
@@ -185,6 +186,45 @@ def _embeddings_with_nulls(table: pa.Table) -> pa.Table:
     return pa.concat_tables([table, et])
 
 
+# adversarial strings for unicode_rel: characters that collide with the
+# repo's own canonical separators ('|' and 'ø' in the checksum concat_ws,
+# '\x1f'/'\x00' in hash_bucket), unicode SpecialCasing scripts (final
+# sigma), embedded newlines/tabs, leading/trailing whitespace, an empty
+# string, and a 1000-char value — the relational string columns had only
+# ever seen the generator's clean vocabulary (review r8; the documents
+# edge variant covers only the documents table)
+_ADVERSARIAL_STRINGS = (
+    "pipe|and øslash",
+    "ΟΔΟΣ café 雪",
+    "line\nbreak\ttab",
+    "  padded  ",
+    "",
+    "Z" * 1000,
+)
+
+
+def _unicode_rel_rows(table: pa.Table, key_col: str) -> pa.Table:
+    """Append len(_ADVERSARIAL_STRINGS) rows with fresh integer keys and
+    every string column cycling through the adversarial vocabulary;
+    non-string non-key columns copy row 0's values."""
+    import pyarrow.compute as pc
+
+    n = len(_ADVERSARIAL_STRINGS)
+    mx = pc.max(table.column(key_col)).as_py() or 0
+    rows: dict = {}
+    for fld in table.schema:
+        if fld.name == key_col:
+            rows[fld.name] = [mx + 1 + i for i in range(n)]
+        elif pa.types.is_string(fld.type) or pa.types.is_large_string(fld.type):
+            rows[fld.name] = list(_ADVERSARIAL_STRINGS)
+        else:
+            rows[fld.name] = [table.column(fld.name)[0].as_py()] * n
+    et = pa.table(
+        {c: pa.array(rows[c], table.schema.field(c).type) for c in table.schema.names}
+    )
+    return pa.concat_tables([table, et])
+
+
 _NULLS_REL_KEYS = {
     "region": "r_regionkey",
     "nation": "n_nationkey",
@@ -238,6 +278,8 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                     t = _embeddings_with_nulls(t)
                 elif name == "events":
                     t = _events_with_nulls(t)
+            elif variant == "unicode_rel" and name in _NULLS_REL_KEYS:
+                t = _unicode_rel_rows(t, _NULLS_REL_KEYS[name])
             elif variant == "empty_events" and name == "events":
                 # zero-row feed, same schema: every streaming/CDC query
                 # must return its oracle's empty result instead of raising
