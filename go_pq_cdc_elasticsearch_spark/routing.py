@@ -47,11 +47,20 @@ class IndexRouter:
         # 1. exact
         if full in self.mapping:
             return self.mapping[full]
-        # 2. hypertable chunk -> parent
-        parent = self.hypertable_parents.get(full) or self.hypertable_parents.get(
-            table_name
-        )
-        if parent is not None:
+        # 2. hypertable chunk -> parent. BOTH candidate entries are tried
+        # (qualified first, then name-only): an `or` short-circuit on the
+        # qualified entry let a parent that resolves to NO mapping shadow
+        # a name-only entry whose parent IS mapped — route()'s column path
+        # skips unmapped qualified entries and falls through to the
+        # name-only map, so the two paths disagreed on the same row
+        # (review r8; same divergence class as the r7 prefix-probe fix).
+        # An empty-string parent value counts as missing on both paths.
+        for parent in (
+            self.hypertable_parents.get(full),
+            self.hypertable_parents.get(table_name),
+        ):
+            if not parent:
+                continue
             # A bare (schema-less) parent name defaults to public — the
             # SAME normalization route() applies. Qualifying with the
             # CHUNK's schema was wrong twice over: the chunk lives in

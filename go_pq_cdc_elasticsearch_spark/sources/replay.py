@@ -34,6 +34,42 @@ EVENTS_LONG_TS_SCHEMA = (
 )
 
 
+def _event_id_bounds(spark: SparkSession, sf_dir: str, events) -> tuple:
+    """(min, max) of event_id — from parquet row-group FOOTER statistics
+    when every row group carries them (a few KB of metadata, no Spark
+    job), else the agg fallback. The bare agg was a full extra scan of
+    the events table per staging call, paid by every e2e test and bench
+    run — the same cost class parquet_feed_empty was de-jobbed for
+    (review r8). Footer min/max ignore NULLs exactly like the agg."""
+    try:
+        import pyarrow.parquet as pq
+
+        from go_pq_cdc_elasticsearch_spark.catalog import table_path
+        from go_pq_cdc_elasticsearch_spark.sources.snapshot import (
+            _parquet_data_files,
+        )
+
+        lo = hi = None
+        for f in _parquet_data_files(table_path(sf_dir, "events")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("event_id")
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                if md.row_group(rg).num_rows == 0:
+                    continue
+                stats = col.statistics
+                if stats is None or not stats.has_min_max:
+                    raise LookupError("row group without event_id stats")
+                if stats.min is not None:
+                    lo = stats.min if lo is None else min(lo, stats.min)
+                if stats.max is not None:
+                    hi = stats.max if hi is None else max(hi, stats.max)
+        return lo, hi
+    except Exception:  # noqa: BLE001 — stats absent/odd layout: one agg job
+        row = events.agg(F.min("event_id"), F.max("event_id")).first()
+        return row[0], row[1]
+
+
 def stage_event_files(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> list[str]:
@@ -49,7 +85,7 @@ def stage_event_files(
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp_ntz")
     )
-    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir, events)
     span = (hi - lo + 1) if hi is not None else 1
     # the offset is cast to double BEFORE the multiply: (event_id-lo) *
     # n_files as a long multiply overflows under ANSI for snowflake-scale
@@ -57,13 +93,24 @@ def stage_event_files(
     # DECIMAL(38,0) elsewhere; ARITHMETIC_OVERFLOW proven live, review
     # r7). The result feeds a double division anyway, and IEEE double
     # arithmetic keeps the split points environment-identical.
-    slice_expr = F.least(
-        F.lit(n_files - 1),
-        (
-            (F.col("event_id") - F.lit(lo)).cast("double")
-            * n_files
-            / F.lit(float(span))
-        ).cast("int"),
+    # NULL seq stays a NULL slice so stage_slices' fail-loud guard FIRES:
+    # F.least skips NULL args, so the bare form silently staged a
+    # NULL-event_id row into the LAST slice — replayed out of position
+    # with no error, breaking "replay order == LSN order" and making
+    # seq-resolved LWW nondeterministic for that key (review r8; the
+    # guard below was written exactly for this and was unreachable). A
+    # row without a replay position cannot be ordered — the pgoutput
+    # stamp this column models is never NULL.
+    slice_expr = F.when(
+        F.col("event_id").isNotNull(),
+        F.least(
+            F.lit(n_files - 1),
+            (
+                (F.col("event_id") - F.lit(lo)).cast("double")
+                * n_files
+                / F.lit(float(span))
+            ).cast("int"),
+        ),
     )
     return stage_slices(
         events.withColumn("__f", slice_expr), out_dir, n_files=n_files

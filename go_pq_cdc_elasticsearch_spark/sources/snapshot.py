@@ -32,25 +32,44 @@ from go_pq_cdc_elasticsearch_spark.operators.chunks import chunk_count
 DEFAULT_CHUNK_SIZE = 8000  # reference README.md:224
 
 
+def _parquet_data_files(path: str) -> list[str]:
+    """The parquet files Spark's reader will actually scan under ``path``:
+    recursive (partitioned datasets nest files under key=value subdirs)
+    but EXCLUDING any file whose relative path has a component starting
+    with '_' or '.' — Spark skips those (``_temporary`` from an
+    in-progress/crashed write, ``_stage`` dirs, dotfiles), so counting
+    them inflated the sizing stats: a half-complete overwrite doubled
+    n_rows and forced ~2x the correct chunk parallelism with nothing
+    failing loudly (review r8)."""
+    if not os.path.isdir(path):
+        return [path]
+    out = []
+    for f in sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, path)
+        if any(part.startswith(("_", ".")) for part in rel.split(os.sep)):
+            continue
+        out.append(f)
+    return out
+
+
 def parquet_footer_stats(path: str) -> tuple[int, int]:
     """(num_rows, total_bytes) for a parquet file or directory, read from
     footer metadata only — no Spark job, no data pages touched. This is the
     snapshot-sizing input: at 100 TB an extra count() pre-pass is a full
     second scan of the table, while footers are a few KB per file.
 
-    Directories are walked RECURSIVELY (partitioned datasets nest their
-    files under key=value subdirs), and a directory with no parquet files
-    at all raises instead of reporting an empty table: a (0, 0) answer for
-    a layout the glob merely couldn't see silently disabled the chunked
-    read's parallelism while load_table read the nested data fine (review
-    r7). A genuinely empty table still has a zero-row part file."""
+    Directories are walked recursively via ``_parquet_data_files`` (which
+    also mirrors Spark's hidden-path exclusions), and a directory with no
+    parquet files at all raises instead of reporting an empty table: a
+    (0, 0) answer for a layout the glob merely couldn't see silently
+    disabled the chunked read's parallelism while load_table read the
+    nested data fine (review r7). A genuinely empty table still has a
+    zero-row part file."""
     import pyarrow.parquet as pq
 
-    files = (
-        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-        if os.path.isdir(path)
-        else [path]
-    )
+    files = _parquet_data_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     n_rows = 0
@@ -77,15 +96,16 @@ def parquet_feed_empty(
     every bench run purely to serve the zero-row robustness variant."""
     import pyarrow.parquet as pq
 
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    # same recursive, hidden-path-excluding listing the sizing stats use
+    # (review r8): the previous top-level-only glob could "prove" a MIXED
+    # layout empty — a zero-row top-level part next to data nested in
+    # partition subdirs passed every per-file check while Spark read the
+    # nested rows fine, flipping the empty-feed gate queries to the empty
+    # frame with no error
+    files = _parquet_data_files(path)
     if not files:
-        # a directory with no top-level .parquet files (nested/partitioned
-        # layout this non-recursive scan can't see) must degrade to "not
-        # provably empty", NOT claim emptiness for data it didn't look at
+        # no visible parquet files: degrade to "not provably empty",
+        # never claim emptiness for data the listing didn't see
         return False
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -144,12 +164,26 @@ def snapshot_read(
     comparable.)
     """
     df = load_table(spark, sf_dir, table)
-    n_rows, n_bytes = parquet_footer_stats(table_path(sf_dir, table))
+    path = table_path(sf_dir, table)
+    n_rows, n_bytes = parquet_footer_stats(path)
     parts = max(1, chunk_count(n_rows, chunk_size))
-    max_split = _parse_bytes(
+    # Spark's ACTUAL split sizing, not a bare bytes/maxPartitionBytes
+    # ratio (review r8): maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/defaultParallelism)) and the packer
+    # charges openCost per file — the bare ratio only ever UNDERcounted
+    # the natural partitions, so the repartition branch fired (a full
+    # shuffle of the snapshot) for scans that already met the
+    # chunk-derived parallelism on their own.
+    max_part = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    natural = max(1, -(-n_bytes // max_split))
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    n_files = len(_parquet_data_files(path))
+    max_split = min(max_part, max(open_cost, -(-n_bytes // parallelism)))
+    natural = max(1, -(-(n_bytes + n_files * open_cost) // max_split))
     if natural < parts:
         df = df.repartition(parts)
     return df

@@ -198,3 +198,31 @@ def test_prefix_probe_ignores_chunk_entries_both_paths(spark):
         for rr in r.route(df, drop_unmapped=False).collect()
     }
     assert got == {"q_r_2024": None, "q_r": "X", "a_b_2024": "X"}
+
+
+def test_unmapped_qualified_chunk_falls_back_to_name_entry(spark):
+    """Review r8: a qualified hypertable entry whose parent resolves to NO
+    mapping must not shadow a name-only entry whose parent IS mapped —
+    the `or` short-circuit in resolve() did, while route()'s column path
+    skipped the unmapped qualified entry and routed via the name map, so
+    the two paths disagreed on the same row."""
+    r = IndexRouter(
+        {"public.metrics": "m-idx"},
+        hypertable_parents={"s.chunk1": "orphan", "chunk1": "metrics"},
+    )
+    assert r.resolve("s", "chunk1") == "m-idx"
+    df = spark.createDataFrame(
+        [("s", "chunk1"), ("x", "chunk1"), ("s", "other")],
+        "table_schema string, table_name string",
+    )
+    routed = {
+        (row["table_schema"], row["table_name"]): row["index"]
+        for row in r.route(df).collect()
+    }
+    assert routed == {("s", "chunk1"): "m-idx", ("x", "chunk1"): "m-idx"}
+    # empty-string parent values count as missing on both paths
+    r2 = IndexRouter(
+        {"public.metrics": "m-idx"},
+        hypertable_parents={"s.chunk1": "", "chunk1": "metrics"},
+    )
+    assert r2.resolve("s", "chunk1") == "m-idx"

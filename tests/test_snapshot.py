@@ -140,3 +140,73 @@ def test_footer_stats_recursive_and_loud_on_no_files(spark, tmp_path):
     no_parquet.mkdir()
     with _pytest.raises(FileNotFoundError):
         parquet_footer_stats(str(no_parquet))
+
+
+def test_footer_stats_skip_hidden_paths(spark, sf_dir, tmp_path):
+    """Review r8: the recursive glob counted files Spark's reader skips
+    (any path component starting with '_' or '.') — a crashed write's
+    _temporary dir doubled n_rows and forced ~2x the correct chunk
+    parallelism with nothing failing loudly."""
+    import shutil
+
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+    from go_pq_cdc_elasticsearch_spark.sources.snapshot import (
+        parquet_feed_empty,
+        parquet_footer_stats,
+    )
+
+    src = table_path(sf_dir, "region")
+    d = tmp_path / "region_t"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    shutil.copy(src, d / "part-000.parquet")
+    shutil.copy(src, d / "_temporary" / "0" / "part-001.parquet")
+    shutil.copy(src, d / ".hidden.parquet")
+    clean_rows, _ = parquet_footer_stats(src)
+    n_rows, _ = parquet_footer_stats(str(d))
+    assert n_rows == clean_rows, (
+        f"hidden-path files inflated the stats: {n_rows} vs {clean_rows}"
+    )
+    # feed_empty sees through nested layouts now: a zero-row top-level
+    # part next to nested real data must NOT prove the feed empty
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = tmp_path / "mixed"
+    (m / "k=1").mkdir(parents=True)
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, 0), m / "empty-part.parquet")
+    pq.write_table(t, m / "k=1" / "data.parquet")
+    assert parquet_feed_empty(str(m)) is False
+
+
+def test_stage_event_files_null_seq_fails_loud(spark, sf_dir, tmp_path):
+    """Review r8: F.least skips NULL args, so a NULL-event_id row was
+    silently staged into the LAST slice (replayed out of position, no
+    error) instead of hitting stage_slices' fail-loud NULL-slice guard —
+    the guard written exactly for this was unreachable. A row without a
+    replay position cannot be ordered."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.sources.replay import stage_event_files
+
+    dst = tmp_path / "sf_nullseq"
+    dst.mkdir()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)
+        if name != "events.parquet":
+            shutil.copy(f, dst / name)
+            continue
+        t = pq.read_table(f)
+        eid = t.column("event_id").to_pylist()
+        eid[0] = None
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["event_id"] = pa.array(eid, type=pa.int64())
+        pq.write_table(pa.table(cols), dst / name)
+    with pytest.raises(Exception, match="NULL or out-of-range"):
+        stage_event_files(spark, str(dst), str(tmp_path / "staged"), n_files=4)
