@@ -12,8 +12,16 @@ from pyspark.sql import functions as F
 # Deliberately small, deterministic stopword list (shared with oracles).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# Engine-portable whitespace CLASS, spelled out: Java's \s includes
+# U+000B (vertical tab) while DuckDB/RE2's \s does NOT (verified live,
+# review r8) — any \s in a normal form silently diverged fingerprints,
+# token counts, n-grams and punct ratios between engine and oracle on
+# text containing a vertical tab. Both regex engines accept the
+# explicit escapes below identically.
+PORTABLE_WS = " \\t\\n\\x0B\\f\\r"
+
 # BPE-ish tokenizer regex: word pieces or single non-space symbols.
-BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+BPE_TOKEN_RE = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{PORTABLE_WS}]"
 
 
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -55,7 +63,7 @@ def normalize_text(col) -> Column:
     fingerprint than 'hello world', a missed exact-dup pair, and a
     phantom empty edge token in words() (review r5). Collapse first,
     then trim the now-plain spaces."""
-    return F.trim(F.regexp_replace(ascii_lower(col), "\\s+", " "))
+    return F.trim(F.regexp_replace(ascii_lower(col), f"[{PORTABLE_WS}]+", " "))
 
 
 def words(col) -> Column:
@@ -99,7 +107,7 @@ def punct_ratio(col) -> Column:
     \\p{L}-based class is not portable across the two regex engines);
     treat it as a symbol-noise signal for ASCII-dominant corpora, not a
     linguistic punctuation measure."""
-    n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, f"[^a-zA-Z0-9{PORTABLE_WS}]", ""))
     return F.when(
         F.length(col) > 0, n_punct.cast("double") / F.length(col)
     )

@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from go_pq_cdc_elasticsearch_spark.operators.dedup import word_ngrams
 
 
+def _gram_hash_rows(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
+    """Exploded md5 word-n-gram rows ``(*keep, gh)`` — the ONE gram-hash
+    normal form both the train and holdout sides derive from (review r8:
+    the holdout side re-spelled this inline, so a future change to the
+    hashing contract applied to one copy would silently make train and
+    holdout gram keys incomparable — zero contamination hits, no error)."""
+    return df.select(
+        *keep,
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__gram"),
+    ).select(*keep, F.md5(F.col("__gram")).alias("gh"))
+
+
 def doc_gram_hashes(
     df: DataFrame,
     text_col: str = "text",
@@ -29,10 +41,7 @@ def doc_gram_hashes(
     n: int = 8,
 ) -> DataFrame:
     """Distinct word-``n``-gram md5 hashes per document: ``(id_col, gh)``."""
-    return df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__gram"),
-    ).select(F.col(id_col), F.md5(F.col("__gram")).alias("gh"))
+    return _gram_hash_rows(df, text_col, n, F.col(id_col))
 
 
 def decontaminate(
@@ -50,16 +59,9 @@ def decontaminate(
     """
     # the holdout side needs no id column (the id was selected and
     # immediately discarded, crashing bare (text)-only eval-set frames
-    # and carrying a dead column through the distinct — review r7)
-    hg = (
-        holdout.select(
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-                "__gram"
-            )
-        )
-        .select(F.md5(F.col("__gram")).alias("gh"))
-        .distinct()
-    )
+    # and carrying a dead column through the distinct — review r7); the
+    # gram-hash normal form is SHARED with the train side (review r8)
+    hg = _gram_hash_rows(holdout, text_col, n).distinct()
     tg = doc_gram_hashes(train, text_col, id_col, n)
     return tg.join(hg, "gh").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hit_grams")

@@ -41,7 +41,23 @@ def hash_bucket(*cols: Column | str) -> Column:
     keep/drop decision (review r6; deterministic sampling bias). The
     sentinel (\\x00) keeps the encoding injective for any real text key;
     single non-NULL columns hash identically to before (the oracle-twin
-    form)."""
+    form).
+
+    Key-type contract (review r8): string/integral/boolean/date keys only
+    when cross-engine replay parity matters. The cast-to-string of a
+    DOUBLE key renders via Java's shortest-repr in Spark and C++'s in
+    DuckDB — the repo's verified round-3/5 trap ('1.0E25' vs '1e+25') —
+    so a float-keyed sample keeps DIFFERENT rows per engine with no
+    error. Columns passed by name are not type-checkable here
+    (expression building has no schema); callers own the contract, and
+    zero key columns is refused below (concat_ws over nothing is '' —
+    every row in ONE constant bucket, an all-or-nothing 'sample')."""
+    if not cols:
+        raise ValueError(
+            "hash_bucket: at least one key column is required — an empty "
+            "key hashes every row into one constant bucket, making the "
+            "sample deterministically all-or-nothing"
+        )
     key = F.concat_ws(
         "\x1f",
         *[
@@ -164,6 +180,13 @@ def select_to_budget(
     (greedy prefix — the standard curation rule). One window shuffle on the
     partition key; at scale prefer a partition column (per-domain budgets)
     over a single global window, same rationale as ``pack_sequences``.
+
+    NULL-token convention (review r8, stated): a doc whose token count is
+    NULL is DROPPED and consumes no budget — its own cumulative sum is
+    NULL (window sums skip NULLs in BOTH engines, so the oracle twin
+    agrees by construction) and NULL <= budget filters it; later docs'
+    sums simply never include it. A doc that cannot be counted cannot be
+    budgeted.
     """
     w = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
@@ -191,12 +214,26 @@ def pack_sequences(
         # mid-stage) and silent NULL pack ids without it; negative budgets
         # produce negative ids — fail at call time like chunk_documents
         raise ValueError(f"budget must be positive, got {budget}")
+    if "__pc" in docs.columns:
+        # same reserved-name discipline as cdc_dedup's __rn (r7)
+        raise ValueError("pack_sequences reserves the column name '__pc'")
     w = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
     ).orderBy(order_col)
+    # determinism contract: order_col must be UNIQUE per partition (every
+    # in-repo caller orders by doc_id). Ties would make the cumulative sum
+    # — and therefore pack assignments — depend on shuffle arrival order,
+    # silently breaking the module's replay/retry byte-stability promise.
     prev_cum = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    return docs.withColumn("pack_id", (prev_cum / budget).cast("long")).withColumn(
-        "pack_tokens", (prev_cum % budget).cast("long")
+    # `div`, not (x / budget).cast('long'): the / is a DOUBLE division, so
+    # beyond ~2^53 cumulative tokens the quotient rounds (one pack off vs
+    # the oracle's exact `//`) — the repo's documented floor(bigint/N)
+    # trap, and pack_tokens beside it was already exact via % (review r8)
+    return (
+        docs.withColumn("__pc", prev_cum.cast("long"))
+        .withColumn("pack_id", F.expr(f"__pc div {int(budget)}"))
+        .withColumn("pack_tokens", (F.col("__pc") % budget).cast("long"))
+        .drop("__pc")
     )

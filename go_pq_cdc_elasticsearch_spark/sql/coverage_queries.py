@@ -688,7 +688,7 @@ def q_s44(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_s43_lateral_explode",
     oracle="""
         SELECT word, count(*) AS n FROM (
-            SELECT unnest(string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ')) AS word
+            SELECT unnest(string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
             FROM documents WHERE doc_id <= 100)
         GROUP BY word
         ORDER BY n DESC, word LIMIT 25

@@ -23,7 +23,13 @@ from go_pq_cdc_elasticsearch_spark.sql.registry import ext_query, query
 # ---- shared oracle SQL fragments (DuckDB dialect) --------------------------
 
 # translate-fold, not lower(): see functions/text.py::ascii_lower (r7)
-NORM_SQL = "trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))"
+# the whitespace class is spelled out via TX.PORTABLE_WS: Java's \\s
+# includes \\x0B, RE2's does not (verified live, review r8) — one
+# constant shared with the engine side
+NORM_SQL = (
+    "trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+    f"'abcdefghijklmnopqrstuvwxyz'), '[{TX.PORTABLE_WS}]+', ' ', 'g'))"
+)
 WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
 GRAMS_SQL = (
     "list_transform(range(1, len(w)-1), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))"
@@ -369,7 +375,7 @@ _STOPWORDS_SQL = "[" + ",".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 _L8_STOP_SQL = f"""CAST(len(list_filter({WORDS_SQL},
                      x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
                      / len({WORDS_SQL})"""
-_L8_PUNCT_SQL = """CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+_L8_PUNCT_SQL = """CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                      / length(text)"""
 _L8_QUAL_SQL = f"""0.4 * least(len({WORDS_SQL}) / 200.0, 1.0)
                      + 0.3 * (1.0 - {_L8_PUNCT_SQL})
@@ -678,7 +684,7 @@ def _quality_gate_oracle() -> str:
         f" / {n_words}"
     )
     punct = (
-        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))"
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))"
         " AS DOUBLE) / length(text)"
     )
     stop = (
@@ -808,7 +814,7 @@ def _budget_select_oracle() -> str:
     quality = PR(
         "0.4 * least(len(w) / 200.0, 1.0)"
         " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text,"
-        " '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))"
+        " '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) / length(text))"
         " + 0.3 * least(5.0 * (CAST(len(list_filter(w,"
         f" x -> list_contains({_STOPWORDS_SQL}, x)))"
         " AS DOUBLE) / len(w)), 1.0)",

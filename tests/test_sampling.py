@@ -136,3 +136,32 @@ def test_mixture_sample_tolerates_rate_column_on_input(spark):
     assert out.count() > 0
     assert "rate" in out.columns  # the caller's column survives untouched
     assert out.select(F.min("rate"), F.max("rate")).first() == (0.5, 0.5)
+
+
+def test_hash_bucket_refuses_empty_keys_and_pack_div_exact(spark):
+    """Review r8: (a) zero key columns hashed every row into ONE constant
+    bucket — a 'keep 50%' sample deterministically returned all or
+    nothing with no error; (b) pack_id used a double division whose
+    quotient rounds beyond ~2^53 cumulative tokens (the repo's documented
+    floor(bigint/N) trap) — now exact integral div like the oracle's //;
+    (c) '__pc' is a reserved name like cdc_dedup's '__rn'."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.sampling import (
+        hash_sample,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="at least one key column"):
+        hash_sample(df, 0.5, [])
+    with pytest.raises(ValueError, match="reserves the column name"):
+        pack_sequences(df.withColumn("__pc", F.lit(1)), budget=512,
+                       token_col="n_tok", order_col="doc_id")
+    # exactness at the double-rounding boundary: cumulative 2^53+1 tokens
+    big = spark.createDataFrame(
+        [(1, (1 << 53) + 1), (2, 10)], "doc_id long, n_tok long"
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in pack_sequences(
+        big, budget=512, token_col="n_tok", order_col="doc_id").collect()}
+    assert out[2] == ((1 << 53) + 1) // 512  # exact, not double-rounded

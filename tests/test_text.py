@@ -106,3 +106,47 @@ def test_time_bucket_rejects_bad_minutes(spark):
         time_bucket_ntz("ts", -5)
     with pytest.raises(ValueError, match="positive divisor"):
         time_bucket_ntz("ts", 7)
+
+
+def test_whitespace_class_is_engine_portable(spark):
+    """Review r8 (live-probed): Java's \\s includes U+000B (vertical tab),
+    DuckDB/RE2's does not — a \\s in the dedup normal form silently
+    diverged fingerprints/token counts/n-grams/punct ratios between
+    engine and oracle on any text containing one. Both sides now spell
+    the class out (PORTABLE_WS); this pins Spark-vs-DuckDB equality on a
+    vertical-tab-bearing text for every derived signal."""
+    import duckdb
+
+    from go_pq_cdc_elasticsearch_spark.sql.llm_queries import NORM_SQL
+
+    s = "a\x0bb\tc  d\x0c"
+    row = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(
+            TX.normalize_text(F.col("text")).alias("norm"),
+            TX.token_count_ws(F.col("text")).alias("ws"),
+            TX.token_count_bpe(F.col("text")).alias("bpe"),
+            TX.punct_ratio(F.col("text")).alias("punct"),
+            TX.fingerprint(F.col("text")).alias("fp"),
+        )
+        .first()
+    )
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame({"text": [s]}))
+    dn, dws, dbpe, dpunct, dfp = con.execute(
+        f"""SELECT {NORM_SQL},
+                   CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT),
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                        / length(text),
+                   substr(md5({NORM_SQL}), 1, 16)
+            FROM documents"""
+    ).fetchone()
+    assert row["norm"] == dn == "a b c d"
+    assert row["ws"] == dws == 4
+    assert row["bpe"] == dbpe == 4
+    assert abs(row["punct"] - dpunct) < 1e-12
+    assert row["fp"] == dfp

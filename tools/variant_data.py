@@ -196,7 +196,7 @@ def _embeddings_with_nulls(table: pa.Table) -> pa.Table:
 _ADVERSARIAL_STRINGS = (
     "pipe|and øslash",
     "ΟΔΟΣ café 雪",
-    "line\nbreak\ttab",
+    "line\nbreak\ttab\x0bvtab",
     "  padded  ",
     "",
     "Z" * 1000,
