@@ -238,6 +238,9 @@ def from_reference_config(
             # (review r5): a ported config relying on auto-creation then
             # failed at stream start with 'publication does not exist'
             create_publication=bool(pub.get("createIfNotExists", False)),
+            # optional upgrade knob (no reference analog — go-pq-cdc pins
+            # v1): 2 enables PG14+ streamed in-progress transactions
+            proto_version=int(cdc.get("protoVersion") or 1),
         )
     conn = ConnectorConfig(
         staged_dir=staged_dir,

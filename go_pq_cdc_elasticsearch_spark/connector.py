@@ -56,6 +56,12 @@ class ReplicationSettings:
     # not hang it for the OS default (minutes+) before wait_until_ready
     # can even run
     connect_timeout_sec: float = 15.0
+    # pgoutput protocol: 1 (default, works on PG 10+) or 2 (PG 14+,
+    # streamed in-progress transactions — large txns arrive while still
+    # open instead of bursting at commit; the client buffers per xid with
+    # a disk spill and still delivers at Stream Commit, so downstream
+    # semantics are identical; see sources/pgoutput.py's module docstring)
+    proto_version: int = 1
 
 
 @dataclass
@@ -175,7 +181,10 @@ class Connector:
             (rs.host, rs.port), timeout=rs.connect_timeout_sec
         )
         client = PG.ReplicationClient(
-            sock, slot=rs.slot, publication=rs.publication
+            sock,
+            slot=rs.slot,
+            publication=rs.publication,
+            proto_version=rs.proto_version,
         )
         try:
             # a backend rejects any command before the startup handshake

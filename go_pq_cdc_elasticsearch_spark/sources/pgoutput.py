@@ -27,20 +27,24 @@ Framing is exhaustively tested against a scripted fake replication server
 round-trip with REPLICA IDENTITY FULL before-images, ack/confirmed_flush
 progression, and no-redelivery resume.
 
-Protocol version: START_REPLICATION pins ``proto_version '1'`` (see the
-option string below) because v1 is complete for correctness — the
+Protocol version: v1 (the default) is complete for correctness — the
 walsender reorders in-progress transactions and delivers each one as a
 contiguous Begin..Commit burst, which is exactly what the commit-ordered
 consumer (wal.py txn_bounds / commit-end acks) assumes. PG14+ protocol v2
-adds *streamed in-progress transactions* (Stream Start/Stop/Commit/Abort
-frames): large transactions arrive while still open instead of spilling
-the walsender's reorder buffer to disk and bursting at commit — a
+(``ReplicationClient(proto_version=2)``, which sends ``proto_version '2',
+streaming 'on'``) adds *streamed in-progress transactions* (Stream
+Start/Stop/Commit/Abort frames): large transactions arrive while still
+open instead of spilling the walsender's reorder buffer
+(logical_decoding_work_mem) to disk and bursting at commit — a
 commit-latency and WAL-retention-window optimization at 100-TB-class CDC,
-not a correctness change. The upgrade seam is narrow: pass
-``proto_version '2', streaming 'on'``, key decoder state by xid (v2
-prefixes content messages with the xid), buffer streamed chunks per xid
-in spill-able segments, and discard on Stream Abort; txn_bounds/ack logic
-is unchanged because acks still advance only at commit records.
+not a correctness change. The client keys streamed content by xid (v2
+prefixes in-stream messages with the producing (sub)txn's xid), buffers
+per toplevel xid with a disk spill past ``stream_spill_threshold``
+changes, discards on Stream Abort (whole txn or subtransaction), and
+releases each transaction downstream at its Stream Commit — so delivery
+stays commit-ordered and txn_bounds/ack logic is untouched (acks still
+advance only at commit records). Proven against a real PG 15 walsender
+with logical_decoding_work_mem=64kB in tests/test_live_postgres.py.
 """
 
 from __future__ import annotations
@@ -277,6 +281,38 @@ def encode_truncate(relids: list[int], flags: int = 0) -> bytes:
     return body
 
 
+# ---- pgoutput protocol v2 (PG14+) streamed-transaction frames --------------
+# Wire shapes per the logical streaming replication protocol docs
+# (protocol.sgml, "Stream Start" .. "Stream Abort").
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack("!IB", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(
+    xid: int, commit_lsn: int, end_lsn: int, ts_us: int
+) -> bytes:
+    return b"c" + struct.pack("!IBQQQ", xid, 0, commit_lsn, end_lsn, ts_us)
+
+
+def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
+    return b"A" + struct.pack("!II", xid, subxid if subxid is not None else xid)
+
+
+def in_stream(xid: int, msg: bytes) -> bytes:
+    """Wrap a content message (R/Y/I/U/D/T/M) as it appears INSIDE a
+    stream block: protocol v2 prefixes the producing transaction's xid
+    (the SUBtransaction's xid when the change came from a savepoint scope)
+    right after the type byte — Stream Abort with a subxid discards
+    exactly the messages carrying that xid."""
+    return msg[:1] + struct.pack("!I", xid) + msg[1:]
+
+
 # TupleData column sentinel: 'u' = unchanged TOASTed value (the server
 # elided a large column NOT covered by the replica identity). It must stay
 # distinguishable from 'n' (SQL NULL): conflating them nulls the column in
@@ -307,11 +343,130 @@ def _parse_tuple(buf: bytes, pos: int) -> tuple[list, int]:
     return out, pos
 
 
+class _StreamBuffer:
+    """Per-toplevel-xid holding area for a protocol-v2 streamed
+    transaction: changes arrive segment by segment while the transaction
+    is still OPEN upstream and may yet abort, so nothing is released
+    downstream until Stream Commit (delivery stays commit-ordered, acks
+    stay commit-bounded — the same contract as v1).
+
+    Bounded memory by design: past ``spill_threshold`` buffered changes,
+    entries overflow to a JSON-lines spool file — a streamed transaction
+    exists precisely because it was too big for the WALSENDER's decoding
+    buffer, so the client must not assume it fits in the client's RAM
+    either. Change dicts are JSON-safe by construction (ints, strings,
+    None, string->string|None maps).
+
+    Subtransaction aborts (Stream Abort with subxid != xid) only RECORD
+    the doomed xid: in-memory entries are filtered immediately, spooled
+    ones are skipped at release — no spool rewriting."""
+
+    __slots__ = ("mem", "aborted", "spool", "spool_path", "spilled", "_dir")
+
+    def __init__(self, spill_dir: str | None):
+        self.mem: list[tuple[int, dict]] = []
+        self.aborted: set[int] = set()
+        self.spool = None
+        self.spool_path: str | None = None
+        self.spilled = 0
+        self._dir = spill_dir
+
+    def add(self, msg_xid: int, change: dict, spill_threshold: int) -> None:
+        if self.spool is None and len(self.mem) < spill_threshold:
+            self.mem.append((msg_xid, change))
+            return
+        if self.spool is None:
+            import json
+            import tempfile
+
+            self.spool = tempfile.NamedTemporaryFile(
+                mode="w+",
+                encoding="utf-8",
+                dir=self._dir,
+                prefix="pgstream-",
+                suffix=".jsonl",
+                delete=False,
+            )
+            self.spool_path = self.spool.name
+            for x, c in self.mem:
+                self.spool.write(json.dumps({"x": x, "c": c}) + "\n")
+            self.spilled = len(self.mem)
+            self.mem = []
+        import json
+
+        self.spool.write(json.dumps({"x": msg_xid, "c": change}) + "\n")
+        self.spilled += 1
+
+    def abort_sub(self, subxid: int) -> None:
+        self.aborted.add(subxid)
+        self.mem = [(x, c) for x, c in self.mem if x != subxid]
+
+    def release(self):
+        """Yield surviving changes in arrival order (spool first — it holds
+        the oldest entries — then the in-memory tail); the spool file is
+        removed when the iterator is exhausted OR closed early."""
+        import json
+
+        try:
+            if self.spool is not None:
+                self.spool.flush()
+                self.spool.seek(0)
+                for line in self.spool:
+                    rec = json.loads(line)
+                    if rec["x"] not in self.aborted:
+                        yield rec["c"]
+            for x, c in self.mem:
+                if x not in self.aborted:
+                    yield c
+        finally:
+            self.discard()
+
+    def discard(self) -> None:
+        import os
+
+        if self.spool is not None:
+            try:
+                self.spool.close()
+            except OSError:
+                pass
+            self.spool = None
+        if self.spool_path is not None:
+            try:
+                os.unlink(self.spool_path)
+            except OSError:
+                pass
+            self.spool_path = None
+        self.mem = []
+
+
+@dataclass
+class StreamCommit:
+    """Decoder result for a protocol-v2 Stream Commit frame: the buffered
+    transaction is now durable upstream — ``changes`` iterates the
+    surviving buffered change dicts (commit timestamp already applied)
+    and ``end_lsn`` is the commit record's end position (the safe ack
+    bound, exactly like a v1 Commit)."""
+
+    xid: int
+    end_lsn: int
+    commit_ts: str
+    changes: object  # iterator of change dicts
+
+
 @dataclass
 class PgOutputDecoder:
     """Stateful pgoutput payload decoder: Relation messages register the
     column layout (like go-pq-cdc caches relations); data messages yield
-    change dicts in the wal segment schema."""
+    change dicts in the wal segment schema.
+
+    Protocol v2 (PG14+, ``streaming 'on'``): Stream Start/Stop bracket
+    segments of a large in-progress transaction; content messages inside
+    a segment carry a leading xid, which is stripped and used to buffer
+    the change per toplevel transaction (``_StreamBuffer`` — disk-spilled
+    past ``stream_spill_threshold``). Stream Commit returns a
+    ``StreamCommit`` whose ``changes`` the client releases downstream in
+    one commit-ordered burst; Stream Abort discards the buffer (whole
+    transaction) or marks a subtransaction's xid doomed."""
 
     relations: dict[int, dict] = field(default_factory=dict)
     current_xid: int | None = None
@@ -326,9 +481,86 @@ class PgOutputDecoder:
     truncate_skipped: int = 0
     truncated_tables: list = field(default_factory=list)
     _TRUNCATED_TABLES_CAP = 256
+    # --- protocol v2 streamed-transaction state ---
+    # xid of the OPEN stream segment (between Stream Start and Stream
+    # Stop); content frames read while this is set carry a leading msg
+    # xid and are buffered, not returned
+    stream_xid: int | None = None
+    streamed: dict = field(default_factory=dict)  # toplevel xid -> _StreamBuffer
+    stream_spill_dir: str | None = None
+    # changes held in RAM per streamed txn before spooling to disk — a
+    # streamed txn exceeded the WALSENDER's logical_decoding_work_mem, so
+    # the client must not assume it fits in client RAM either
+    stream_spill_threshold: int = 8192
+    stream_txns_started: int = 0
+    stream_txns_committed: int = 0
+    stream_txns_aborted: int = 0
+    stream_subtxns_aborted: int = 0
+    stream_changes_spilled: int = 0  # cumulative rows written to spool files
 
-    def decode(self, payload: bytes, lsn: int) -> dict | None:
+    def discard_streams(self) -> None:
+        """Drop every buffered in-progress streamed transaction (client
+        close / reconnect teardown): deletes spool files. Safe — nothing
+        un-committed was delivered downstream, and an abandoned slot
+        redelivers the transaction after its commit on reconnect."""
+        for buf in self.streamed.values():
+            buf.discard()
+        self.streamed.clear()
+        self.stream_xid = None
+
+    def decode(self, payload: bytes, lsn: int) -> "dict | StreamCommit | None":
         kind = payload[:1]
+        if kind == b"S":  # Stream Start: Int32 xid, Int8 first_segment
+            (xid,) = struct.unpack_from("!I", payload, 1)
+            self.stream_xid = xid
+            if xid not in self.streamed:
+                self.streamed[xid] = _StreamBuffer(self.stream_spill_dir)
+                self.stream_txns_started += 1
+            return None
+        if kind == b"E":  # Stream Stop: end of this segment
+            self.stream_xid = None
+            return None
+        if kind == b"c":  # Stream Commit: the buffered txn is durable
+            xid, _flags, _clsn, end_lsn, ts_us = struct.unpack_from(
+                "!IBQQQ", payload, 1
+            )
+            buf = self.streamed.pop(xid, None)
+            self.stream_txns_committed += 1
+            ts = _us_to_iso(ts_us)
+
+            def _stamped(it, ts=ts):
+                for c in it:
+                    c["ts"] = ts
+                    yield c
+
+            return StreamCommit(
+                xid=xid,
+                end_lsn=end_lsn,
+                commit_ts=ts,
+                changes=_stamped(buf.release()) if buf is not None else iter(()),
+            )
+        if kind == b"A":  # Stream Abort: whole txn (subxid==xid) or subtxn
+            xid, subxid = struct.unpack_from("!II", payload, 1)
+            if subxid == xid:
+                buf = self.streamed.pop(xid, None)
+                if buf is not None:
+                    buf.discard()
+                self.stream_txns_aborted += 1
+            else:
+                buf = self.streamed.get(xid)
+                if buf is not None:
+                    buf.abort_sub(subxid)
+                self.stream_subtxns_aborted += 1
+            return None
+        # inside a stream segment, content messages carry the producing
+        # (sub)transaction's xid right after the type byte (v2): strip it
+        # and remember it — Stream Abort discards by exactly that xid
+        msg_xid: int | None = None
+        if self.stream_xid is not None and kind in (
+            b"R", b"Y", b"I", b"U", b"D", b"T", b"M",
+        ):
+            (msg_xid,) = struct.unpack_from("!I", payload, 1)
+            payload = kind + payload[5:]
         if kind == b"R":
             relid = struct.unpack_from("!I", payload, 1)[0]
             ns, pos = _cstring(payload, 5)
@@ -374,19 +606,38 @@ class PgOutputDecoder:
                 else:
                     raise ValueError(f"unknown tuple tag {tag!r}")
             op = {b"I": "INSERT", b"U": "UPDATE", b"D": "DELETE"}[kind]
-            return {
+            change = {
                 "lsn": lsn,
                 "op": op,
                 "table_schema": rel["ns"],
                 "table_name": rel["name"],
                 "before": before,
                 "after": after,
-                "ts": self.commit_ts,
+                # in-stream: the commit timestamp is unknown until Stream
+                # Commit (there is no Begin) — filled at release. Reusing
+                # self.commit_ts here would stamp the PREVIOUS txn's time.
+                "ts": None if msg_xid is not None else self.commit_ts,
             }
+            if msg_xid is not None:
+                # buffered, not returned: the txn is still open upstream
+                # and may abort. Keyed by the TOPLEVEL xid (the stream
+                # block's), entries tagged with the producing (sub)xid.
+                buf = self.streamed.setdefault(
+                    self.stream_xid, _StreamBuffer(self.stream_spill_dir)
+                )
+                before = buf.spilled
+                buf.add(msg_xid, change, self.stream_spill_threshold)
+                self.stream_changes_spilled += buf.spilled - before
+                return None
+            return change
         if kind == b"T":
             # Truncate: Int32 nrels, Int8 flags (1=CASCADE, 2=RESTART
             # IDENTITY), Int32 relid[nrels]. Parity with the reference is
             # to skip it — but observably (see the field docs above).
+            # In-stream (v2) truncates count immediately, even if the
+            # streamed txn later aborts: the counter is an operator alert
+            # ("these tables may be stale"), where over-alerting on an
+            # aborted TRUNCATE is the safe direction.
             import logging
 
             (nrels,) = struct.unpack_from("!I", payload, 1)
@@ -438,10 +689,28 @@ class ReplicationClient:
         client.ack(lsn)                 # StandbyStatusUpdate (the R12 ack)
     """
 
-    def __init__(self, sock, slot: str, publication: str = "pub"):
+    def __init__(
+        self,
+        sock,
+        slot: str,
+        publication: str = "pub",
+        proto_version: int = 1,
+        stream_spill_dir: str | None = None,
+    ):
         import collections
         import re
         import threading
+
+        # v1: complete for correctness (commit-ordered Begin..Commit
+        # bursts). v2 (PG14+): adds streamed in-progress transactions —
+        # START_REPLICATION gains ``streaming 'on'`` and poll() releases
+        # each streamed txn at its Stream Commit (see PgOutputDecoder).
+        if proto_version not in (1, 2):
+            raise ValueError(
+                f"unsupported pgoutput proto_version {proto_version!r} "
+                f"(supported: 1, 2)"
+            )
+        self.proto_version = proto_version
 
         # fail fast on names the replication grammar can't take: slot names
         # are restricted server-side (ReplicationSlotValidateName: lower
@@ -461,7 +730,7 @@ class ReplicationClient:
         self.file = sock.makefile("rwb", buffering=0)
         self.slot = slot
         self.publication = publication
-        self.decoder = PgOutputDecoder()
+        self.decoder = PgOutputDecoder(stream_spill_dir=stream_spill_dir)
         self.flushed_lsn = 0
         self.last_wal_end = 0
         # Keepalive-carried decode progress that is SAFE to confirm once
@@ -613,10 +882,18 @@ class ReplicationClient:
         # grammar: double any single quote so a quoted publication name
         # can't terminate the option early and desync START_REPLICATION
         pub = self.publication.replace("'", "''")
+        # v2 additionally asks the walsender to STREAM large in-progress
+        # transactions (instead of spilling its reorder buffer and
+        # bursting at commit) — the client buffers them per xid and still
+        # delivers at Stream Commit, so downstream semantics are
+        # unchanged (see the module docstring's protocol-version note)
+        opts = f"proto_version '{self.proto_version}', publication_names '{pub}'"
+        if self.proto_version >= 2:
+            opts += ", streaming 'on'"
         self._send(
             query_message(
                 f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(start_lsn)} "
-                f"(proto_version '1', publication_names '{pub}')"
+                f"({opts})"
             )
         )
         while True:
@@ -695,9 +972,19 @@ class ReplicationClient:
             if kind == b"k":
                 wal_end, _clock, reply = struct.unpack("!QQB", body[1:])
                 self.last_wal_end = max(self.last_wal_end, wal_end)
-                if self.decoder.current_xid is None:
-                    # not mid-transaction: see idle_wal_end's field docs
-                    # for why this position can never over-ack
+                if (
+                    self.decoder.current_xid is None
+                    and self.decoder.stream_xid is None
+                    and not self.decoder.streamed
+                ):
+                    # not mid-transaction, not mid-stream-segment, and no
+                    # streamed txn buffered-but-uncommitted: see
+                    # idle_wal_end's field docs for why this position can
+                    # never over-ack. (A buffered streamed txn's commit is
+                    # provably above any keepalive read before its Stream
+                    # Commit frame — frames are in order — so the extra
+                    # ``streamed`` gate is conservatism, not correctness;
+                    # it also keeps "idle" meaning actually-idle.)
                     self.idle_wal_end = max(self.idle_wal_end, wal_end)
                 if reply:
                     self.ack(self.flushed_lsn)
@@ -709,7 +996,20 @@ class ReplicationClient:
                 self.last_wal_end = max(self.last_wal_end, wal_end)
                 payload = body[25:]
                 change = self.decoder.decode(payload, wal_start)
-                if change is not None:
+                if isinstance(change, StreamCommit):
+                    # protocol v2: release the whole buffered streamed txn
+                    # in one commit-ordered burst. Each change keeps its
+                    # true decode-time wal_start when monotone, else is
+                    # bumped — the same clamp as the v1 row path. The
+                    # bound is appended AFTER the burst so ack_frontier
+                    # only covers the txn once every row is delivered.
+                    for ch in change.changes:
+                        stamp = max(ch["lsn"], self.last_stamp + 1)
+                        self.last_stamp = stamp
+                        ch["lsn"] = stamp
+                        yield ch
+                    self._append_txn_bound(change.end_lsn)
+                elif change is not None:
                     # monotone stamp (see __init__): true wal_start when
                     # already increasing, else bumped past the last stamp —
                     # commit-ordered delivery + this clamp give the strict
@@ -727,25 +1027,28 @@ class ReplicationClient:
                     _flags, _clsn, end_lsn, _ts = struct.unpack_from(
                         "!BQQQ", payload, 1
                     )
-                    with self._ack_lock:
-                        self.txn_bounds.append((self.last_stamp, end_lsn))
-                        # Bound the deque: one entry per delivered txn is
-                        # only drained by ack_frontier(), so a stalled
-                        # consumer (Spark query down, walsender still
-                        # delivering) would grow it without limit. Past the
-                        # cap, merge adjacent pairs — (s1,e1),(s2,e2) →
-                        # (s2,e2) — which halves the length and only
-                        # COARSENS ack granularity (a frontier in [s1,s2)
-                        # acks the previous entry instead; under-ack is the
-                        # safe at-least-once direction). Memory stays
-                        # <= TXN_BOUNDS_CAP small tuples (~a few MB).
-                        if len(self.txn_bounds) >= self.TXN_BOUNDS_CAP:
-                            bounds = list(self.txn_bounds)
-                            self.txn_bounds.clear()
-                            self.txn_bounds.extend(bounds[1::2])
-                            if len(bounds) % 2:  # odd: keep the newest
-                                self.txn_bounds.append(bounds[-1])
+                    self._append_txn_bound(end_lsn)
                 continue
+
+    def _append_txn_bound(self, end_lsn: int) -> None:
+        """Record (last delivered stamp, commit end_lsn) for ack
+        translation — shared by the v1 Commit and v2 Stream Commit paths."""
+        with self._ack_lock:
+            self.txn_bounds.append((self.last_stamp, end_lsn))
+            # Bound the deque: one entry per delivered txn is only drained
+            # by ack_frontier(), so a stalled consumer (Spark query down,
+            # walsender still delivering) would grow it without limit.
+            # Past the cap, merge adjacent pairs — (s1,e1),(s2,e2) →
+            # (s2,e2) — which halves the length and only COARSENS ack
+            # granularity (a frontier in [s1,s2) acks the previous entry
+            # instead; under-ack is the safe at-least-once direction).
+            # Memory stays <= TXN_BOUNDS_CAP small tuples (~a few MB).
+            if len(self.txn_bounds) >= self.TXN_BOUNDS_CAP:
+                bounds = list(self.txn_bounds)
+                self.txn_bounds.clear()
+                self.txn_bounds.extend(bounds[1::2])
+                if len(bounds) % 2:  # odd: keep the newest
+                    self.txn_bounds.append(bounds[-1])
 
     @property
     def truncate_skipped(self) -> int:
@@ -850,6 +1153,9 @@ class ReplicationClient:
             self.sock.close()
         except OSError:
             pass
+        # v2: delete any spooled in-progress streamed transactions — the
+        # slot redelivers them after their commit on the next connection
+        self.decoder.discard_streams()
 
 
 def stream_to_segments(

@@ -101,6 +101,7 @@ class FakeReplicationServer:
         self.slots: list[str] = []
         self.copy_done_replies = 0  # client CopyDone answers (graceful end)
         self.startups: list[dict] = []
+        self.start_queries: list[str] = []  # raw START_REPLICATION commands
         self.server = socket.create_server(("127.0.0.1", 0))
         self.port = self.server.getsockname()[1]
         self.done = threading.Event()
@@ -217,6 +218,7 @@ class FakeReplicationServer:
                     f.write(PG.frame(b"Z", b"I"))
                     f.flush()
                 elif sql.startswith("START_REPLICATION"):
+                    self.start_queries.append(sql)
                     # resume contract: logical replication re-delivers WHOLE
                     # transactions not yet confirmed — skip txns whose final
                     # (commit) lsn is <= the requested start, resend the rest

@@ -114,10 +114,12 @@ def pg():
     shutil.rmtree(work, ignore_errors=True)
 
 
-def _connect(slot: str) -> PG.ReplicationClient:
+def _connect(slot: str, proto_version: int = 1) -> PG.ReplicationClient:
     sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
     sock.settimeout(30)  # a hung read fails the test instead of the session
-    client = PG.ReplicationClient(sock, slot=slot, publication="cdc_pub")
+    client = PG.ReplicationClient(
+        sock, slot=slot, publication="cdc_pub", proto_version=proto_version
+    )
     client.startup(user="postgres", database="cdc_db")
     return client
 
@@ -1234,3 +1236,101 @@ def test_live_ddl_drop_column_mid_stream(pg, spark):
     assert got[2]["name"] == "b" and got[2]["extra"] == "e2"  # untouched
     assert got[3]["name"] == "k" and got[3]["extra"] == "e10"
     assert got[4]["name"] == "c" and got[4]["extra"] is None  # post-DDL row
+
+
+def test_live_proto_v2_streamed_transactions(pg):
+    """Protocol v2 against the real PG 15 walsender: with this session's
+    logical_decoding_work_mem forced to the 64kB floor, a multi-thousand-row
+    transaction exceeds the walsender's reorder buffer and is STREAMED
+    while still open (Stream Start/Stop segments, xid-prefixed content
+    frames) instead of bursting at commit. Proves end-to-end on the real
+    wire: (1) streamed rows are buffered — spilling to disk past the
+    client threshold — and released exactly once at Stream Commit, in
+    commit order with monotone stamps; (2) a ROLLBACK'd streamed
+    transaction delivers nothing (Stream Abort discards the buffer, spool
+    included); (3) a ROLLBACK TO SAVEPOINT inside a streamed transaction
+    discards only the subtransaction's rows (Stream Abort with subxid);
+    (4) the ack path is unchanged — the frontier translates to the stream
+    commit's end_lsn and confirmed_flush advances past it."""
+    client = _connect("live_slot_v2", proto_version=2)
+    # the decoding context created at START_REPLICATION inherits this
+    # walsender session's GUCs (logical replication connections accept
+    # plain SQL): the 64kB floor makes ~5k-row txns stream
+    client._run_simple_query("SET logical_decoding_work_mem = '64kB'", "SET")
+    client.create_slot()
+    # tiny in-memory threshold so the client-side disk spill engages on
+    # test-sized data (production default is 8192)
+    client.decoder.stream_spill_threshold = 512
+    client.start()
+
+    n_commit, n_abort, n_sub = 5000, 5000, 3000
+    # (1) one big COMMITTED transaction
+    pg["sql"](
+        "INSERT INTO users (name, email) "
+        f"SELECT 'v2_'||g, g||'@v2' FROM generate_series(1,{n_commit}) g",
+        db="cdc_db",
+    )
+    # (2) one big ROLLBACK'd transaction — already streamed when it aborts
+    pg["sql"](
+        "BEGIN; INSERT INTO users (name, email) "
+        f"SELECT 'v2gone_'||g, NULL FROM generate_series(1,{n_abort}) g; "
+        "ROLLBACK;",
+        db="cdc_db",
+    )
+    # (3) savepoint rollback inside a streamed transaction: keep1/keep2
+    # survive, the subtransaction's rows must not
+    pg["sql"](
+        "BEGIN; "
+        "INSERT INTO users (name, email) VALUES ('v2keep1', 'k1@v2'); "
+        "SAVEPOINT sp; "
+        "INSERT INTO users (name, email) "
+        f"SELECT 'v2sub_'||g, NULL FROM generate_series(1,{n_sub}) g; "
+        "ROLLBACK TO sp; "
+        "INSERT INTO users (name, email) VALUES ('v2keep2', 'k2@v2'); "
+        "COMMIT;",
+        db="cdc_db",
+    )
+
+    try:
+        got = _collect(client, n_commit + 2, deadline_sec=120.0)
+        names = [c["after"]["name"] for c in got]
+        assert len(got) == n_commit + 2, f"got {len(got)} rows"
+        # exactly-once, commit-ordered: all v2_ rows first, then the two
+        # savepoint-survivors; nothing from the aborted txn or subtxn
+        assert names[:n_commit] == [f"v2_{i}" for i in range(1, n_commit + 1)]
+        assert names[n_commit:] == ["v2keep1", "v2keep2"]
+        assert not [n for n in names if n.startswith(("v2gone_", "v2sub_"))]
+        stamps = [c["lsn"] for c in got]
+        assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+        # all three transactions actually STREAMED (the server chose v2
+        # delivery, this test didn't just replay the v1 path), the client
+        # spilled to disk, and the aborts were observed
+        d = client.decoder
+        assert d.stream_txns_started >= 3, d
+        assert d.stream_txns_committed >= 2, d
+        assert d.stream_txns_aborted >= 1, d
+        assert d.stream_subtxns_aborted >= 1, d
+        assert d.stream_changes_spilled > 0, d
+        assert not d.streamed  # every buffer drained or discarded
+        # streamed rows carry the commit timestamp
+        assert all(c["ts"] for c in got)
+        # ack path: frontier -> stream commit end_lsn; server accepts it
+        acked = client.ack_frontier(stamps[-1])
+        assert acked > 0
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            flushed = pg["sql"](
+                "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+                "WHERE slot_name='live_slot_v2'"
+            )
+            if flushed and _lsn_int(flushed) >= acked:
+                break
+            time.sleep(0.5)
+        assert _lsn_int(flushed) >= acked, (flushed, acked)
+    finally:
+        client.close()
+    # no spool files left behind
+    import glob as _glob
+    import tempfile as _tf
+
+    assert not _glob.glob(os.path.join(_tf.gettempdir(), "pgstream-*.jsonl"))
