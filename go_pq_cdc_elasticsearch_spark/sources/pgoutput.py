@@ -529,9 +529,17 @@ class PgOutputDecoder:
             ts = _us_to_iso(ts_us)
 
             def _stamped(it, ts=ts):
-                for c in it:
-                    c["ts"] = ts
-                    yield c
+                # the finally guarantees the underlying release() generator
+                # (whose own finally deletes the spool file) closes even
+                # when THIS wrapper is closed early instead of exhausted
+                try:
+                    for c in it:
+                        c["ts"] = ts
+                        yield c
+                finally:
+                    close = getattr(it, "close", None)
+                    if close is not None:
+                        close()
 
             return StreamCommit(
                 xid=xid,
@@ -769,6 +777,13 @@ class ReplicationClient:
         # newest fully-delivered transaction (txn_bounds, appended at each
         # Commit message).
         self.last_stamp = 0
+        # in-progress v2 stream release: [change-iterator, commit end_lsn].
+        # Held on the CLIENT, not in poll()'s locals — a consumer that
+        # breaks out of poll() mid-burst (collect-n-then-stop loops) and
+        # later starts a NEW poll() must get the remaining rows of the
+        # released transaction; in v1 the analogous undelivered rows sit
+        # in the socket where the next poll() naturally finds them.
+        self._pending_stream: list | None = None
         self.txn_bounds = collections.deque()
         # see the Commit-frame handler: past this many undrained entries,
         # adjacent bounds are pairwise-merged (coarser, never unsafe, acks)
@@ -932,7 +947,25 @@ class ReplicationClient:
         frames)."""
         import select as _select
 
+        _END = object()
         while True:
+            # drain a partially-released streamed transaction BEFORE
+            # touching the socket: one row per loop iteration, so a
+            # consumer may break anywhere and the remainder stays queued
+            # in client state for the next poll() call. The commit bound
+            # is appended only once every row is out.
+            if self._pending_stream is not None:
+                it, end_lsn = self._pending_stream
+                ch = next(it, _END)
+                if ch is _END:
+                    self._append_txn_bound(end_lsn)
+                    self._pending_stream = None
+                    continue
+                stamp = max(ch["lsn"], self.last_stamp + 1)
+                self.last_stamp = stamp
+                ch["lsn"] = stamp
+                yield ch
+                continue
             if idle_timeout is not None:
                 ready, _, _ = _select.select([self.sock], [], [], idle_timeout)
                 if not ready:
@@ -997,18 +1030,13 @@ class ReplicationClient:
                 payload = body[25:]
                 change = self.decoder.decode(payload, wal_start)
                 if isinstance(change, StreamCommit):
-                    # protocol v2: release the whole buffered streamed txn
-                    # in one commit-ordered burst. Each change keeps its
-                    # true decode-time wal_start when monotone, else is
-                    # bumped — the same clamp as the v1 row path. The
-                    # bound is appended AFTER the burst so ack_frontier
-                    # only covers the txn once every row is delivered.
-                    for ch in change.changes:
-                        stamp = max(ch["lsn"], self.last_stamp + 1)
-                        self.last_stamp = stamp
-                        ch["lsn"] = stamp
-                        yield ch
-                    self._append_txn_bound(change.end_lsn)
+                    # protocol v2: release the buffered streamed txn in
+                    # one commit-ordered burst, via the client-state drain
+                    # at the top of the loop (break-safe). Each change
+                    # keeps its true decode-time wal_start when monotone,
+                    # else is bumped — the same clamp as the v1 row path;
+                    # the bound is appended only after the full drain.
+                    self._pending_stream = [iter(change.changes), change.end_lsn]
                 elif change is not None:
                     # monotone stamp (see __init__): true wal_start when
                     # already increasing, else bumped past the last stamp —
@@ -1154,7 +1182,17 @@ class ReplicationClient:
         except OSError:
             pass
         # v2: delete any spooled in-progress streamed transactions — the
-        # slot redelivers them after their commit on the next connection
+        # slot redelivers them after their commit on the next connection.
+        # A half-drained release (consumer stopped mid-burst) is closed
+        # explicitly: its buffer was already popped from decoder.streamed,
+        # so only closing the iterator (-> release()'s finally) removes
+        # the spool file.
+        if self._pending_stream is not None:
+            try:
+                self._pending_stream[0].close()
+            except Exception:  # noqa: BLE001 — best-effort temp cleanup
+                pass
+            self._pending_stream = None
         self.decoder.discard_streams()
 
 

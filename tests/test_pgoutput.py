@@ -349,6 +349,7 @@ def test_poll_raises_on_error_response():
     c.flushed_lsn = 0
     c.last_wal_end = 0
     c.frames_seen = 0
+    c._pending_stream = None
     buf = PG.frame(b"E", b"SERROR\x00C57P01\x00Mterminating connection\x00\x00")
     c.file = io.BytesIO(buf)
     import pytest as _pytest
@@ -1223,3 +1224,84 @@ def test_proto_version_validation():
 class _DummySock:
     def makefile(self, *a, **k):
         return io.BytesIO()
+
+
+def test_v2_break_mid_burst_then_new_poll_loses_nothing():
+    """A consumer that breaks out of poll() mid-release (collect-n loops)
+    must get the REST of the streamed transaction from a subsequent
+    poll() call: the release is held in client state, not in the
+    abandoned generator's locals. (In v1 the analogous undelivered rows
+    sit in the socket where the next poll() finds them.)"""
+    cols = ["id"]
+    relid = 510
+    seg = [
+        (100, PG.encode_stream_start(970)),
+        (100, PG.in_stream(970, PG.encode_relation(relid, "public", "t", cols))),
+    ]
+    for i in range(6):
+        seg.append((101 + i, PG.in_stream(970, PG.encode_insert(relid, [str(i)]))))
+    seg += [
+        (110, PG.encode_stream_stop()),
+        (200, PG.encode_stream_commit(970, 200, 201, 777_000_000)),
+    ]
+    server = FakeReplicationServer([seg], keepalive_each_txn=False)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(
+        sock, slot="v2_break", publication="pub", proto_version=2
+    )
+    client.create_slot()
+    client.start(start_lsn=0)
+    first = []
+    for ch in client.poll():
+        first.append(ch)
+        if len(first) == 2:
+            break  # abandon this generator mid-burst
+    rest = list(client.poll())  # a brand-new poll() call
+    ids = [c["after"]["id"] for c in first + rest]
+    assert ids == [str(i) for i in range(6)]
+    stamps = [c["lsn"] for c in first + rest]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+    # the commit bound landed exactly once, after the full drain
+    assert [e for _, e in client.txn_bounds] == [201]
+    client.close()
+    server.done.wait(5)
+
+
+def test_v2_close_mid_burst_removes_spool(tmp_path):
+    """client.close() during a half-drained release must delete the spool
+    file: the buffer was already popped from decoder.streamed at Stream
+    Commit, so only closing the pending iterator reaches release()'s
+    cleanup."""
+    cols = ["id"]
+    relid = 511
+    seg = [
+        (100, PG.encode_stream_start(980)),
+        (100, PG.in_stream(980, PG.encode_relation(relid, "public", "t", cols))),
+    ]
+    for i in range(8):
+        seg.append((101 + i, PG.in_stream(980, PG.encode_insert(relid, [str(i)]))))
+    seg += [
+        (110, PG.encode_stream_stop()),
+        (200, PG.encode_stream_commit(980, 200, 201, 777_000_000)),
+    ]
+    server = FakeReplicationServer([seg], keepalive_each_txn=False)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(
+        sock,
+        slot="v2_close",
+        publication="pub",
+        proto_version=2,
+        stream_spill_dir=str(tmp_path),
+    )
+    client.decoder.stream_spill_threshold = 2  # force the spool
+    client.create_slot()
+    client.start(start_lsn=0)
+    got = 0
+    for ch in client.poll():
+        got += 1
+        if got == 3:
+            break  # mid-burst: spool still holds undelivered rows
+    assert list(tmp_path.glob("pgstream-*.jsonl")), "expected a live spool"
+    client.close()
+    assert not list(tmp_path.glob("pgstream-*.jsonl"))
+    server.done.wait(5)
