@@ -184,7 +184,16 @@ def frame_actions(
                     f"body is required"
                 )
             # scripted_upsert:true — reference bulk/bulk.go:230-239
-            body = json.loads(r["source"])
+            try:
+                body = json.loads(r["source"])
+            except ValueError as e:
+                # same doc-addressed failure contract as the NULL guards
+                # above: a malformed script body otherwise dies as a bare
+                # JSONDecodeError mid-partition with no way to find the row
+                raise ValueError(
+                    f"script_update action for doc_id={r['doc_id']!r} "
+                    f"index={r['index']!r} has a non-JSON script body: {e}"
+                ) from e
             yield json.dumps(
                 {"script": body, "scripted_upsert": True}, separators=(",", ":")
             )
@@ -230,9 +239,19 @@ def parse_bulk_response(response_body: str) -> tuple[list[dict], list[dict]]:
     reference hasResponseError/joinErrors (bulk/bulk.go:321-378).
     Each returned dict carries _id, _index, status, error."""
     body = json.loads(response_body)
+    if not isinstance(body, dict) or "items" not in body:
+        # every POSTed payload carries >= 1 action, so a real bulk API
+        # response ALWAYS has an items array — a body without one is not
+        # a bulk response at all (transport pointed at a non-ES service,
+        # a proxy/LB error page served as 200 JSON, a top-level error
+        # shape). Treating it as zero-item success acked the batch and
+        # lost every document in it.
+        raise ValueError(
+            f"not a bulk API response (no 'items'): {response_body[:300]!r}"
+        )
     oks: list[dict] = []
     errs: list[dict] = []
-    for item in body.get("items", []):
+    for item in body["items"]:
         (verb, info), = item.items()
         rec = {
             "_id": info.get("_id"),
@@ -278,19 +297,53 @@ def write_bulk(
     effective_type = resolve_type_name(type_name, es_version)
 
     def run_partition(rows):
-        def dicts():
-            for row in rows:
-                yield row.asDict()
-
-        for payload in bulk_payloads(
-            dicts(), batch_size_limit, batch_byte_size_limit, effective_type
-        ):
-            body = transport(payload)
-            _, errs = parse_bulk_response(body)
-            if errs and on_error == "fail":
-                raise RuntimeError(f"bulk request had {len(errs)} item errors: {errs[:3]}")
+        dispatch_bulk_rows(
+            (row.asDict() for row in rows),
+            transport,
+            batch_size_limit,
+            batch_byte_size_limit,
+            effective_type,
+            on_error,
+        )
 
     actions.foreachPartition(run_partition)
+
+
+def dispatch_bulk_rows(
+    rows: Iterable[dict],
+    transport: Callable[[bytes], str],
+    batch_size_limit: int,
+    batch_byte_size_limit: int,
+    type_name: str | None,
+    on_error: str,
+) -> None:
+    """One partition's worth of write_bulk: frame, POST, enforce the error
+    contract. Module-level (not a closure) so the per-item error handling
+    is directly unit-testable — foreachPartition bodies run in worker
+    processes where a test can't observe logging."""
+    for payload in bulk_payloads(
+        rows, batch_size_limit, batch_byte_size_limit, type_name
+    ):
+        body = transport(payload)
+        _, errs = parse_bulk_response(body)
+        if errs:
+            if on_error == "fail":
+                raise RuntimeError(
+                    f"bulk request had {len(errs)} item errors: {errs[:3]}"
+                )
+            # 'continue' drops the items by contract (the caller chose
+            # fire-and-forget over write_bulk_results/DLQ) — but a
+            # SILENT drop left zero trace of lost documents anywhere;
+            # at minimum the executor log must say what and how many
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bulk write dropped %d rejected items "
+                "(on_error='continue'; use write_bulk_with_dlq to "
+                "capture them): first=%s",
+                len(errs),
+                errs[0],
+            )
 
 
 def _basic_auth_header(username: str, password: str | None) -> str:

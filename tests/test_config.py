@@ -151,6 +151,20 @@ def test_reference_config_carries_replication_credentials():
     rs = conn.replication
     # dropping these authenticated as postgres/postgres with no password
     assert (rs.user, rs.database, rs.password) == ("cdc_user", "cdc_db", "cdc_pass")
+    # protocol defaults to v1 (works on PG 10+; go-pq-cdc pins v1 too)
+    assert rs.proto_version == 1
+
+
+def test_reference_config_proto_version_opt_in():
+    from go_pq_cdc_elasticsearch_spark.config import from_reference_config
+
+    conn, _es = from_reference_config(
+        {"cdc": {"host": "pg", "protoVersion": "2", "slot": {"name": "s"}}},
+        staged_dir="/tmp/x",
+        view_path="/tmp/y",
+        checkpoint_dir="/tmp/z",
+    )
+    assert conn.replication.proto_version == 2
 
 
 def test_es_urls_scalar_string_not_exploded():

@@ -299,3 +299,57 @@ def test_bulk_payload_byte_limit_is_a_ceiling():
     assert len(payloads) == 3
     assert len(payloads[1]) > limit  # the unsplittable one
     assert len(payloads[0]) <= limit and len(payloads[2]) <= limit
+
+
+def test_non_bulk_response_is_loud_not_zero_item_success():
+    """A 200 body WITHOUT an items array is not a bulk response (transport
+    pointed at a non-ES service, proxy error page as JSON, top-level error
+    shape) — treating it as zero-item success acked the batch and lost
+    every document in it."""
+    import pytest as _pytest
+
+    for body in ("{}", '{"error":{"reason":"nope"},"status":400}', "[]"):
+        with _pytest.raises(ValueError, match="not a bulk API response"):
+            EB.parse_bulk_response(body)
+    # a REAL bulk response with an empty items array still parses
+    assert EB.parse_bulk_response('{"items":[],"errors":false}') == ([], [])
+
+
+def test_write_bulk_continue_logs_dropped_items(caplog):
+    """on_error='continue' drops rejected items by contract, but never
+    silently: the worker log names the count and the first item. Tested
+    at the dispatch_bulk_rows level — the exact code foreachPartition
+    runs, which executes in worker processes a test can't observe."""
+    import logging
+
+    def bad_transport(payload: bytes) -> str:
+        return (
+            '{"errors":true,"items":[{"index":{"_id":"1","_index":"x",'
+            '"status":400,"error":{"type":"mapper_parsing_exception"}}}]}'
+        )
+
+    rows = [
+        {"action": "index", "doc_id": "1", "index": "x", "routing": None,
+         "source": "{}"}
+    ]
+    with caplog.at_level(logging.WARNING):
+        EB.dispatch_bulk_rows(iter(rows), bad_transport, 1000, 10**6, None,
+                              "continue")
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("dropped 1 rejected items" in m for m in msgs), msgs
+
+
+def test_script_update_malformed_json_fails_with_context():
+    import pytest as _pytest
+
+    rows = [
+        {
+            "action": "script_update",
+            "doc_id": "k9",
+            "index": "idx",
+            "routing": None,
+            "source": "{not json",
+        }
+    ]
+    with _pytest.raises(ValueError, match=r"doc_id='k9'.*non-JSON script body"):
+        list(EB.frame_actions(rows))
