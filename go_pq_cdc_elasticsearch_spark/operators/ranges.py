@@ -52,6 +52,16 @@ def bucketed_range_join(
     the small side of this join by construction.
     """
     _MAX_BUCKETS_PER_INTERVAL = 4_000_000
+    for side, cols in (("points", points.columns), ("intervals", intervals.columns)):
+        if "__bucket" in cols:
+            # same reserved-name discipline as cdc_dedup/asof_join/
+            # merge_batch: withColumn would silently OVERWRITE a caller's
+            # __bucket on the points side, and the join-by-name would
+            # collide ambiguously on the interval side
+            raise ValueError(
+                f"bucketed_range_join reserves the column name '__bucket' "
+                f"({side} side carries one)"
+            )
     if not width > 0:
         # width=0 divided by zero in the guard itself; negative widths
         # inverted every bucket comparison (review r7)

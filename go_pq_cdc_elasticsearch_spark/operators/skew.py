@@ -42,6 +42,16 @@ def salted_join(
     full join came back as 8 rows). Salt the other side instead.
     """
     on = list(on)
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "__salt" in cols:
+            # same reserved-name discipline as cdc_dedup/asof_join: the
+            # select("*", salt) would DUPLICATE the name and the join on
+            # [*on, '__salt'] then dies ambiguous (or worse, matches the
+            # caller's column instead of the salt)
+            raise ValueError(
+                f"salted_join reserves the column name '__salt' "
+                f"({side} side carries one)"
+            )
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi/left_anti, not {how!r}"

@@ -196,3 +196,20 @@ def test_range_join_reversed_intervals_and_bad_width(spark):
     for w in (0.0, -5.0):
         with _pytest.raises(ValueError, match="width"):
             bucketed_range_join(pts, iv, "x", width=w)
+
+
+def test_range_join_reserves_bucket_column(spark):
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.ranges import bucketed_range_join
+
+    pts = spark.createDataFrame([(1.0, 0)], "v double, __bucket int")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with _pytest.raises(ValueError, match="__bucket.*points"):
+        bucketed_range_join(pts, iv, "v")
+    with _pytest.raises(ValueError, match="__bucket.*intervals"):
+        bucketed_range_join(
+            iv.select("lo", "hi"),
+            iv.withColumnRenamed("lo", "__bucket"),
+            "lo", lo_col="__bucket", hi_col="hi",
+        )

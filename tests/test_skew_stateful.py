@@ -145,3 +145,16 @@ def test_salted_join_disperses_identical_rows_and_validates_n_salts(spark):
     assert salts > 1
     with _pytest.raises(ValueError, match="n_salts"):
         salted_join(left, right, ["k"], n_salts=0)
+
+
+def test_salted_join_reserves_salt_column(spark):
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, 0)], "k int, __salt int")
+    r = spark.createDataFrame([(1, "x")], "k int, v string")
+    with _pytest.raises(ValueError, match="__salt.*left"):
+        salted_join(l, r, ["k"])
+    with _pytest.raises(ValueError, match="__salt.*right"):
+        salted_join(r, l, ["k"])
