@@ -1305,3 +1305,62 @@ def test_v2_close_mid_burst_removes_spool(tmp_path):
     client.close()
     assert not list(tmp_path.glob("pgstream-*.jsonl"))
     server.done.wait(5)
+
+
+def test_v2_delivery_is_semantically_identical_to_v1():
+    """The upgrade contract in one test: the SAME logical transaction
+    delivered the v1 way (Begin..Commit burst) and the v2 way (streamed
+    segments + Stream Commit) produces identical change dicts — same ops,
+    images, commit timestamp — and the same ackable commit end position.
+    Only the monotone stamps may differ (delivery ordinals, not WAL
+    truth)."""
+    cols = ["id", "v"]
+    relid = 600
+    ts_us = 777_000_000
+    rows = [(["1", "a"],), (["2", None],), (["3", "c"],)]
+
+    def run(script, slot):
+        server = FakeReplicationServer([script], keepalive_each_txn=False)
+        sock = socket.create_connection(("127.0.0.1", server.port))
+        client = PG.ReplicationClient(
+            sock, slot=slot, publication="pub", proto_version=2
+        )
+        client.create_slot()
+        client.start(start_lsn=0)
+        changes = list(client.poll())
+        acked = client.ack_frontier(changes[-1]["lsn"]) if changes else -1
+        client.close()
+        server.done.wait(5)
+        return changes, acked
+
+    v1_script = [
+        (100, PG.encode_relation(relid, "public", "t", cols)),
+        (100, PG.encode_begin(104, ts_us, xid=700)),
+    ] + [
+        (101 + i, PG.encode_insert(relid, vals)) for i, (vals,) in enumerate(rows)
+    ] + [(104, PG.encode_commit(104, 105, ts_us))]
+
+    v2_script = [
+        (100, PG.encode_stream_start(700)),
+        (100, PG.in_stream(700, PG.encode_relation(relid, "public", "t", cols))),
+    ] + [
+        (101 + i, PG.in_stream(700, PG.encode_insert(relid, vals)))
+        for i, (vals,) in enumerate(rows)
+    ] + [
+        (104, PG.encode_stream_stop()),
+        (104, PG.encode_stream_commit(700, 104, 105, ts_us)),
+    ]
+
+    v1_changes, v1_acked = run(v1_script, "eq_v1")
+    v2_changes, v2_acked = run(v2_script, "eq_v2")
+
+    def canon(changes):
+        return [
+            {k: v for k, v in c.items() if k != "lsn"} for c in changes
+        ]
+
+    assert canon(v1_changes) == canon(v2_changes)
+    assert v1_acked == v2_acked == 105
+    for got in (v1_changes, v2_changes):
+        stamps = [c["lsn"] for c in got]
+        assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
