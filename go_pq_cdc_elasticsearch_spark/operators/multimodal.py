@@ -170,6 +170,14 @@ def resize_images(
     decode BMP/PPM, nearest-neighbor resample with numpy index arithmetic,
     re-encode in the same format. Stub path: bytes pass through, target
     dims recorded in meta."""
+    # fail fast on the driver (same contract as sample_frames' step
+    # guards): np.arange(width<=0) is silently EMPTY, so a zero/negative
+    # target dimension produced 0x0 images — every downstream decode sees
+    # degenerate pixels instead of this call site erroring
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"resize_images: target dims must be positive, got {width}x{height}"
+        )
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np

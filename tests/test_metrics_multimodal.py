@@ -275,3 +275,17 @@ def test_observe_result_residual_never_decrements():
         by_index["users" if 'index_name="users"' in ln else "fallback"] = val
     assert by_index.get("users") == 40.0
     assert by_index.get("fallback", 0.0) >= 0.0, lines
+
+
+def test_resize_rejects_nonpositive_dims(spark):
+    import pytest as _pytest
+
+    from go_pq_cdc_elasticsearch_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, "image", None, None)],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    for w, h in ((0, 4), (4, 0), (-2, 4)):
+        with _pytest.raises(ValueError, match="must be positive"):
+            resize_images(df, w, h)
