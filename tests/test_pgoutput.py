@@ -1364,3 +1364,163 @@ def test_v2_delivery_is_semantically_identical_to_v1():
     for got in (v1_changes, v2_changes):
         stamps = [c["lsn"] for c in got]
         assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+
+
+# ---- v2 fuzz: every txn randomly delivered as v1 burst or v2 stream --------
+
+
+def _txn_streamed(relid, cols, start_lsn, rows, table=("public", "events")):
+    """The same logical transaction _txn() builds, delivered the protocol-v2
+    way: Stream Start / xid-prefixed content / Stream Stop / Stream Commit.
+    Row lsns are identical to the v1 form so the fuzz's expected list is
+    delivery-form-independent."""
+    xid = start_lsn  # unique per txn in these scripts
+    msgs = [
+        (start_lsn, PG.encode_stream_start(xid)),
+        (start_lsn, PG.in_stream(xid, PG.encode_relation(relid, table[0], table[1], cols))),
+    ]
+    lsn = start_lsn
+    for row in rows:
+        op, vals = row[0], row[1]
+        old = row[2] if len(row) > 2 else None
+        lsn += 1
+        if op == "I":
+            m = PG.encode_insert(relid, vals)
+        elif op == "U":
+            m = PG.encode_update(relid, vals, old_values=old)
+        else:
+            m = PG.encode_delete(relid, vals)
+        msgs.append((lsn, PG.in_stream(xid, m)))
+    msgs.append((lsn + 1, PG.encode_stream_stop()))
+    msgs.append((lsn + 1, PG.encode_stream_commit(xid, lsn + 1, lsn + 2, 777_000_000)))
+    return msgs
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_fuzz_v2_mixed_delivery_with_restart(data):
+    """The v1 fuzz contract extended to protocol v2: each scripted
+    transaction is INDEPENDENTLY delivered as a v1 Begin..Commit burst or
+    a v2 streamed block (drawn per txn), with a mid-stream kill + resume
+    from the acked LSN. Whatever the mix, the LSN-deduped change set is
+    exactly the expected one — the delivery form must be invisible."""
+    txns, expected = data.draw(_scripts())
+    # re-express a random subset of txns in streamed form. _scripts built
+    # each txn as [Relation, Begin, rows..., Commit] with known lsns —
+    # rebuild from the expected rows for the chosen ones.
+    by_txn: list[list] = []
+    for msgs in txns:
+        if data.draw(st.booleans()):
+            by_txn.append(msgs)  # keep v1 form
+            continue
+        # recover (relid, cols, start_lsn, rows) from the v1 script
+        rel_payload = msgs[0][1]
+        relid = struct.unpack_from("!I", rel_payload, 1)[0]
+        start_lsn = msgs[0][0]
+        # decode the row messages back to (op, vals) via a scratch decoder
+        scratch = PG.PgOutputDecoder()
+        scratch.decode(rel_payload, 0)
+        scratch.decode(PG.encode_begin(1, 0, 1), 0)
+        cols = scratch.relations[relid]["cols"]
+        table = (
+            scratch.relations[relid]["ns"],
+            scratch.relations[relid]["name"],
+        )
+        rows = []
+        for _lsn, payload in msgs[2:-1]:
+            ch = scratch.decode(payload, 0)
+            if ch["op"] == "INSERT":
+                rows.append(("I", [ch["after"].get(c) for c in cols]))
+            elif ch["op"] == "UPDATE":
+                rows.append((
+                    "U",
+                    [ch["after"].get(c) for c in cols],
+                    [ch["before"].get(c) for c in cols]
+                    if ch["before"] is not None
+                    else None,
+                ))
+            else:
+                rows.append(("D", [ch["before"].get(c) for c in cols]))
+        by_txn.append(_txn_streamed(relid, cols, start_lsn, rows, table))
+    cut = data.draw(st.integers(0, len(expected)))
+
+    server = FakeReplicationServer(by_txn, max_connections=2)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(sock, slot="fz2", publication="pub",
+                                  proto_version=2)
+    client.create_slot()
+    client.start(start_lsn=0)
+    got: dict[int, dict] = {}
+    n = 0
+    for ch in client.poll():
+        got[ch["lsn"]] = ch
+        client.ack(ch["lsn"])
+        n += 1
+        if n >= cut:
+            break
+    client.close()
+
+    sock2 = socket.create_connection(("127.0.0.1", server.port))
+    client2 = PG.ReplicationClient(sock2, slot="fz2", publication="pub",
+                                   proto_version=2)
+    client2.start(start_lsn=client.flushed_lsn)
+    for ch in client2.poll():
+        got[ch["lsn"]] = ch
+        client2.ack(ch["lsn"])
+    client2.close()
+
+    assert sorted(got) == [e[0] for e in expected]
+    for lsn, table, cols, op, before, after in expected:
+        ch = got[lsn]
+        assert ch["op"] == op and ch["table_name"] == table
+        assert ch["before"] == _row(cols, before)
+        assert ch["after"] == _row(cols, after)
+
+
+def test_v2_keepalive_idle_gate_excludes_buffered_streams():
+    """The idle-frontier extension must NOT record a keepalive position
+    while a streamed transaction is buffered-but-uncommitted (conservative
+    gate: 'idle' means actually idle) nor mid-segment."""
+    c = PG.ReplicationClient.__new__(PG.ReplicationClient)
+    c.decoder = PG.PgOutputDecoder()
+    c.flushed_lsn = 0
+    c.last_wal_end = 0
+    c.frames_seen = 0
+    c._pending_stream = None
+    c.idle_wal_end = 0
+    c.last_stamp = 0
+    import collections
+    import threading
+
+    c.txn_bounds = collections.deque()
+    c.TXN_BOUNDS_CAP = 65536
+    c._send_lock = threading.Lock()
+    c._ack_lock = threading.Lock()
+    c.sock = None
+
+    def feed(frames: bytes):
+        c.file = io.BytesIO(frames)
+        return list(c.poll())
+
+    ka = PG.frame(b"d", PG.keepalive(500, 0, False))
+    # mid-segment keepalive: not recorded
+    feed(
+        PG.frame(b"d", PG.xlog_data(10, 10, 0, PG.encode_stream_start(9)))
+        + ka
+    )
+    assert c.idle_wal_end == 0
+    # segment closed but txn 9 still buffered: still not recorded
+    feed(PG.frame(b"d", PG.xlog_data(11, 11, 0, PG.encode_stream_stop())) + ka)
+    assert c.idle_wal_end == 0
+    # committed: buffer drained -> the next keepalive records
+    feed(
+        PG.frame(
+            b"d", PG.xlog_data(12, 12, 0, PG.encode_stream_commit(9, 12, 13, 0))
+        )
+        + ka
+    )
+    assert c.idle_wal_end == 500
