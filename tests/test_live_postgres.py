@@ -1427,3 +1427,66 @@ def test_live_proto_v2_full_consumer_chain_to_spark_view(pg, spark):
     for g in (1, n // 2, n):
         assert state[f"v2e2e_{g}"] == f"{g}@e2e"
     assert not [k for k in state if k.startswith("v2e2egone_")]
+
+
+def test_live_proto_v2_crash_mid_stream_redelivers_in_full(pg):
+    """The v2 at-least-once story: a consumer that dies AFTER receiving
+    stream segments but BEFORE the Stream Commit has delivered nothing
+    downstream (the buffer dies with it) — and because acks only advance
+    at commit records, a fresh client on the same slot receives the WHOLE
+    transaction after it commits, exactly once. Deterministic: the
+    transaction is held open from a separate psql session while the first
+    consumer observes its segments, so no kill-timing race."""
+    import subprocess
+
+    client = _connect("live_slot_v2_crash", proto_version=2)
+    client._run_simple_query("SET logical_decoding_work_mem = '64kB'", "SET")
+    client.create_slot()
+    client.start()
+
+    # hold a big txn OPEN in a second session: with the 64kB floor the
+    # walsender streams its segments while it is still uncommitted
+    s1 = subprocess.Popen(
+        ["su", "-s", "/bin/bash", "postgres", "-c",
+         f"cd /tmp && psql -h 127.0.0.1 -p {PORT} -U postgres -d cdc_db "
+         f"-v ON_ERROR_STOP=1"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    n = 3000
+    s1.stdin.write(
+        "BEGIN;\nINSERT INTO users (name, email) "
+        f"SELECT 'v2crash_'||g, g||'@c' FROM generate_series(1,{n}) g;\n"
+        "SELECT 1;\n"
+    )
+    s1.stdin.flush()
+
+    # wait until the first consumer has SEEN stream segments (buffered,
+    # nothing deliverable yet — poll only heartbeats)
+    deadline = time.time() + 30
+    got_pre = []
+    for ch in client.poll(heartbeat=True, idle_timeout=0.2):
+        if ch is not None:
+            got_pre.append(ch)
+        if client.decoder.stream_txns_started >= 1 or time.time() > deadline:
+            break
+    assert client.decoder.stream_txns_started >= 1, "txn never streamed"
+    assert not got_pre, "uncommitted streamed rows must not be delivered"
+    flushed = client.flushed_lsn
+    client.close()  # crash: the buffered segments die with the consumer
+
+    # now the transaction commits — only after the crash
+    out, err = s1.communicate("COMMIT;\n", timeout=30)
+    assert s1.returncode == 0, f"held session failed: {err}"
+
+    client2 = _connect("live_slot_v2_crash", proto_version=2)
+    client2._run_simple_query("SET logical_decoding_work_mem = '64kB'", "SET")
+    client2.start(start_lsn=flushed)
+    try:
+        got = _collect(client2, n, deadline_sec=120.0)
+        names = [c["after"]["name"] for c in got]
+        assert names == [f"v2crash_{i}" for i in range(1, n + 1)]
+        stamps = [c["lsn"] for c in got]
+        assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+    finally:
+        client2.close()
