@@ -1524,3 +1524,33 @@ def test_v2_keepalive_idle_gate_excludes_buffered_streams():
         + ka
     )
     assert c.idle_wal_end == 500
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_v2_stream_buffer_matches_list_model(data, tmp_path_factory):
+    """_StreamBuffer (mem + spool + subtxn-abort filtering) against a plain
+    list model: any interleaving of adds (random producing xids) and
+    subtransaction aborts, at any spill threshold, must release exactly
+    the model's surviving changes in arrival order — and leave no spool
+    file behind."""
+    tmp = tmp_path_factory.mktemp("sbuf")
+    threshold = data.draw(st.integers(1, 6))
+    buf = PG._StreamBuffer(str(tmp))
+    model = []
+    aborted = set()
+    n_ops = data.draw(st.integers(0, 40))
+    for i in range(n_ops):
+        if data.draw(st.booleans()):
+            xid = data.draw(st.integers(900, 904))
+            change = {"lsn": i, "op": "INSERT", "after": {"i": str(i)}}
+            buf.add(xid, change, threshold)
+            model.append((xid, change))
+        else:
+            sub = data.draw(st.integers(900, 904))
+            buf.abort_sub(sub)
+            aborted.add(sub)
+    released = list(buf.release())
+    expected = [c for x, c in model if x not in aborted]
+    assert released == expected
+    assert not list(tmp.glob("pgstream-*.jsonl"))
