@@ -137,11 +137,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:  # noqa: ARG001
         (202, PG.encode_delete(1, ["2", None])),
         (203, PG.encode_commit(203, 204, 0)),
     ])
+    # a transaction delivered the PROTOCOL V2 way (PG14+ streamed
+    # in-progress txn: Stream Start / xid-prefixed content / Stream Stop /
+    # Stream Commit) — the client buffers it and releases at commit, so
+    # downstream sees ordinary changes; proto_version=2 below opts in
+    txns.append([
+        (300, PG.encode_stream_start(3)),
+        (300, PG.in_stream(3, rel)),
+        (301, PG.in_stream(3, PG.encode_insert(1, ["4", "hopper"]))),
+        (302, PG.encode_stream_stop()),
+        (303, PG.encode_stream_commit(3, 303, 304, 0)),
+    ])
     pg_port, pg_acks = start_fake_postgres(txns)
 
     # 2. slot consumer -> wal segments
     sock = socket.create_connection(("127.0.0.1", pg_port))
-    client = PG.ReplicationClient(sock, slot="cdc", publication="pub")
+    client = PG.ReplicationClient(sock, slot="cdc", publication="pub",
+                                  proto_version=2)
     client.create_slot()
     client.start()
     n = PG.stream_to_segments(client, seg_dir, batch_size=2)
@@ -203,7 +215,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:  # noqa: ARG001
     from go_pq_cdc_elasticsearch_spark.sources.wal import write_wal_segment
 
     write_wal_segment(seg_dir, [{
-        "lsn": 301, "op": "INSERT", "table_schema": "public",
+        "lsn": 401, "op": "INSERT", "table_schema": "public",
         "table_name": "users", "before": None,
         "after": {"user_id": "3", "name": "grace"}, "ts": None,
     }])
