@@ -175,6 +175,9 @@ def _minhash_family_sql(j: int) -> str:
 
 
 def _minhash_oracle(k: int = 16, bands: int = 8) -> str:
+    # n_docs is count(DISTINCT doc_id): the Spark side counts DOCUMENTS
+    # (countDistinct over band rows), and a duplicated doc row made a
+    # bare count(*) diverge (dup_rel variant)
     rows = k // bands
     sig_entries = ",\n            ".join(
         _minhash_family_sql(j) for j in range(k)
@@ -205,7 +208,7 @@ def _minhash_oracle(k: int = 16, bands: int = 8) -> str:
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                  AND a.doc_id < b.doc_id
         )
-        SELECT (SELECT count(*) FROM g) AS n_docs,
+        SELECT (SELECT count(DISTINCT doc_id) FROM g) AS n_docs,
                (SELECT count(DISTINCT band_hash) FROM bands) AS n_buckets,
                (SELECT count(*) FROM pairs) AS n_candidate_pairs
     """
@@ -329,15 +332,21 @@ def q_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_expr_sql() -> str:
+    """The 16-bit SimHash as a single per-row expression over ``w`` —
+    shared by the standalone oracle and q_l7's row-level compose."""
     h = HASH_SQL.format(x="t")
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(w, t -> CASE WHEN ({h} // {2**b}) % 2 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
         for b in range(16)
     )
+    return f"CAST({bit_terms} AS BIGINT)"
+
+
+def _simhash_oracle() -> str:
     return f"""
-        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+        SELECT doc_id, {_simhash_expr_sql()} AS simhash
         FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 200)
     """
 
@@ -414,10 +423,12 @@ def q_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
-    # seed 0, not -1, matching functions/text.py::lang_id — markerless
-    # documents must stay 'und' instead of the first language "winning"
-    # with a 0-hit score
+def _langid_expr_sql() -> str:
+    """Language-ID argmax as a single per-row expression over ``w`` —
+    shared by the standalone oracle and q_l7's row-level compose.
+    Seed 0, not -1, matching functions/text.py::lang_id — markerless
+    documents must stay 'und' instead of the first language "winning"
+    with a 0-hit score."""
     best_lang, best_score = "'und'", "0"
     for lang, markers in TX.LANG_MARKERS.items():
         lst = ", ".join(f"'{m}'" for m in markers)
@@ -426,8 +437,12 @@ def _langid_oracle() -> str:
         )
         best_lang = f"(CASE WHEN {score} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
         best_score = f"(CASE WHEN {score} > {best_score} THEN {score} ELSE {best_score} END)"
+    return best_lang
+
+
+def _langid_oracle() -> str:
     return f"""
-        SELECT doc_id, {best_lang} AS lang_pred
+        SELECT doc_id, {_langid_expr_sql()} AS lang_pred
         FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents WHERE doc_id <= 200)
     """
 
@@ -1130,12 +1145,23 @@ def q_l25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_id join (set after definition so the fragments above are available).
 from go_pq_cdc_elasticsearch_spark.sql.registry import EXT_REGISTRY as _EXT  # noqa: E402
 
+# ROW-LEVEL compose, not a 3-way doc_id self-join: the Spark side is one
+# per-row select, and the join form fanned out multiplicatively on a
+# duplicated doc_id (2x2x2 rows for one dup — dup_rel variant). Every
+# fragment is a per-row expression over (text, w), so the compose can be
+# a single pass that preserves input-row multiplicity exactly.
 _EXT["q_l7_simhash"].oracle = f"""
-    SELECT s.doc_id, s.simhash, f.tok_ws, f.tok_bpe, f.stop_ratio,
-           f.punct_r, f.quality, f.fp, l.lang_pred
-    FROM ({_simhash_oracle()}) s
-    JOIN ({_EXT["q_l8_text_features"].oracle}) f ON f.doc_id = s.doc_id
-    JOIN ({_langid_oracle()}) l ON l.doc_id = s.doc_id
+    SELECT doc_id,
+           {_simhash_expr_sql()} AS simhash,
+           CAST(len({WORDS_SQL}) AS BIGINT) AS tok_ws,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS tok_bpe,
+           {_L8_STOP_PR} AS stop_ratio,
+           {_L8_PUNCT_PR} AS punct_r,
+           {_L8_QUAL_PR} AS quality,
+           substr(md5({NORM_SQL}), 1, 16) AS fp,
+           {_langid_expr_sql()} AS lang_pred
+    FROM (SELECT doc_id, text, {WORDS_SQL} AS w
+          FROM documents WHERE doc_id <= 200)
 """
 
 
@@ -1188,11 +1214,18 @@ def _dedup_corpus_oracle(k: int = 16, bands: int = 8, tau: float = 0.7) -> str:
             UNION
             SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
         ),
-        comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        dropped_rows AS (
+            -- ROWS, not ids: the engine removes every row of a dropped
+            -- doc_id, so a duplicated dropped doc counts twice on both
+            -- sides (dup_rel variant; identical on unique-key data)
+            SELECT count(*) AS n FROM documents d
+            JOIN comp c ON c.id = d.doc_id AND c.id <> c.component
+        )
         SELECT (SELECT count(*) FROM documents) AS n_docs,
-               (SELECT count(*) FROM comp WHERE id <> component) AS n_dropped,
+               (SELECT n FROM dropped_rows) AS n_dropped,
                (SELECT count(*) FROM documents) -
-               (SELECT count(*) FROM comp WHERE id <> component) AS n_after
+               (SELECT n FROM dropped_rows) AS n_after
     """
 
 
@@ -1285,7 +1318,13 @@ def q_lx2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     media = MM.synthetic_bmp_media(docs)
     feats = MM.extract_features(media, decode_stub=False)
-    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    # the join-back dimension MUST be unique per media_id: a duplicated
+    # doc row otherwise fans the join quadratically (2 feats rows x 2 src
+    # rows = 4) and every per-source stat silently double-counts — found
+    # by the dup_rel variant. Exact duplicates make pick-any well-defined.
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), "source"
+    ).dropDuplicates(["media_id"])
     f = F.col("features")
     return (
         feats.join(src, on="media_id")
@@ -1773,7 +1812,11 @@ def _incremental_dedup_oracle(k: int = 16, bands: int = 8, tau: float = 0.7) -> 
         ), g AS (
             SELECT doc_id, {GRAMS_SQL} AS grams FROM base WHERE len(w) >= 3
         ), gd AS (
-            SELECT doc_id, list_distinct(grams) AS grams FROM g
+            -- DISTINCT: the verify join below is per doc_id, and a
+            -- duplicated doc row otherwise fans every touching pair into
+            -- duplicate output rows (dup_rel variant; the engine's index
+            -- emits each discovered pair once)
+            SELECT DISTINCT doc_id, list_distinct(grams) AS grams FROM g
         ), sig_t AS (
             SELECT doc_id, [{sig_entries}] AS sig FROM g
         ), banded AS (

@@ -183,13 +183,19 @@ def q_s7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_s8_asof_join",
+    # correlated PER-ROW form, not JOIN..GROUP BY p.event_id: asof_join
+    # emits one output row per LEFT ROW (the standard as-of contract), and
+    # the grouped form silently collapsed duplicated purchase rows — an
+    # oracle-only uniqueness assumption found by the dup_rel variant
     oracle="""
         SELECT p.event_id,
-               strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
-        FROM events p LEFT JOIN events c
-          ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+               strftime((SELECT max(c.ts) FROM events c
+                         WHERE c.user_id = p.user_id
+                           AND c.event_type = 'click'
+                           AND c.ts <= p.ts),
+                        '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+        FROM events p
         WHERE p.event_type = 'purchase'
-        GROUP BY p.event_id
     """,
 )
 def q_s8(spark: SparkSession, sf_dir: str) -> DataFrame:

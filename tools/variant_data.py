@@ -68,7 +68,23 @@ VARIANTS = (
     "empty_events",
     "nulls_rel",
     "unicode_rel",
+    "dup_rel",
 )
+
+
+def _with_dup_rows(table: pa.Table, seed: int, frac: float = 0.02) -> pa.Table:
+    """EXACT duplicates of ~frac of the rows appended (dup_rel variant):
+    both engines compute on identical data, so every oracle must stay in
+    parity on inputs where 'unique key' assumptions are violated — the
+    duplicated rows are byte-identical, so even order-tied window picks
+    are value-indistinguishable (a duplicate with DIFFERENT non-key values
+    would be out-of-contract: seq ties have no defined winner)."""
+    if table.num_rows == 0:
+        return table
+    n = max(1, int(table.num_rows * frac))
+    idx = np.random.RandomState(seed).choice(table.num_rows, size=n, replace=False)
+    dups = table.take(pa.array(np.sort(idx)))
+    return pa.concat_tables([table, dups])
 
 
 def _shuffled(table: pa.Table, seed: int) -> pa.Table:
@@ -280,6 +296,23 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                     t = _events_with_nulls(t)
             elif variant == "unicode_rel" and name in _NULLS_REL_KEYS:
                 t = _unicode_rel_rows(t, _NULLS_REL_KEYS[name])
+            elif variant == "dup_rel" and name not in (
+                "region", "nation", "embeddings"
+            ):
+                # region/nation stay unique: broadcast-dim queries assume
+                # the TPC-H 1:N shape there and a duplicated dim row
+                # changes results IDENTICALLY on both engines anyway —
+                # excluded only to keep the variant's delta interpretable.
+                # embeddings stays unique: q_lx1/q_lx4's bounded-claim
+                # machinery (planted +1e6 ids, exact-top-k identity,
+                # k-means training sets) has vec_id uniqueness as a stated
+                # PRECONDITION of the claim design — duplicate ids change
+                # what the approximate and exact twins each compute in
+                # ways the claim was never defined over. The operators
+                # themselves take dup-robustness from the defective-vector
+                # contract (r8) and content-level duplicates are their
+                # entire purpose (planted scaled copies, tested).
+                t = _with_dup_rows(t, seed)
             elif variant == "empty_events" and name == "events":
                 # zero-row feed, same schema: every streaming/CDC query
                 # must return its oracle's empty result instead of raising
