@@ -297,9 +297,18 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_t7_wal_source_cdc",
     oracle="""
-        WITH ranked AS (
+        WITH staged AS (
+            -- mirrors the engine's staging slice INCLUDING its hard
+            -- _STAGING_CAP: with duplicated event rows (dup_rel variant)
+            -- the filter can exceed the cap and the tail is dropped. The
+            -- kept MULTISET is deterministic — ordered by event_id, and
+            -- any boundary tie is between byte-identical duplicate rows —
+            -- so LIMIT expresses the cap exactly on both engines.
+            SELECT * FROM events WHERE event_id < 2000
+            ORDER BY event_id LIMIT 2000
+        ), ranked AS (
             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-            FROM events WHERE event_id < 2000
+            FROM staged
         )
         SELECT user_id,
                -- non-finite doubles render PG-style like the staged
