@@ -364,20 +364,30 @@ def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stay NULL, not the literal 'null' string
         return None if r["value"] is None else json.dumps(r["value"])
 
-    msgs = [
-        {
-            "lsn": r["event_id"],
-            "op": "DELETE" if r["event_type"] == "error" else "INSERT",
-            "table_schema": "public",
-            "table_name": "events",
-            "before": {"id": _id(r)} if r["event_type"] == "error" else None,
-            "after": None
-            if r["event_type"] == "error"
-            else {"id": _id(r), "v": _v(r)},
-            "ts": r["ts"].isoformat() if r["ts"] is not None else None,
-        }
-        for r in events
-    ]
+    msgs = []
+    prev_lsn = 0
+    for r in events:
+        # the wal segment contract is STRICTLY increasing lsn per line
+        # (sources/wal.py): duplicated event rows (dup_rel variant) would
+        # stage equal lsns, where a segment-boundary split silently drops
+        # one copy — apply the live consumer's monotone clamp instead
+        # (pgoutput.py poll(); the bumped copy is byte-identical, so the
+        # LWW view result is unchanged)
+        lsn = max(r["event_id"], prev_lsn + 1)
+        prev_lsn = lsn
+        msgs.append(
+            {
+                "lsn": lsn,
+                "op": "DELETE" if r["event_type"] == "error" else "INSERT",
+                "table_schema": "public",
+                "table_name": "events",
+                "before": {"id": _id(r)} if r["event_type"] == "error" else None,
+                "after": None
+                if r["event_type"] == "error"
+                else {"id": _id(r), "v": _v(r)},
+                "ts": r["ts"].isoformat() if r["ts"] is not None else None,
+            }
+        )
     if not msgs:
         # empty events table (regeneration shape q_t4 already guards):
         # zero segments means zero micro-batches and an uninitialized
