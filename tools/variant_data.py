@@ -69,7 +69,23 @@ VARIANTS = (
     "nulls_rel",
     "unicode_rel",
     "dup_rel",
+    "colperm",
 )
+
+
+def _with_permuted_columns(table: pa.Table, seed: int) -> pa.Table:
+    """Reversed-then-rotated column order (colperm variant): a driver
+    regeneration is free to write parquet columns in any physical order,
+    and every reader must address columns BY NAME — anything positional
+    (schema index, struct field order, DESCRIBE-order assumptions)
+    breaks here."""
+    names = list(table.schema.names)
+    if len(names) < 2:
+        return table
+    rot = seed % len(names)
+    perm = list(reversed(names))
+    perm = perm[rot:] + perm[:rot]
+    return table.select(perm)
 
 
 def _with_dup_rows(table: pa.Table, seed: int, frac: float = 0.02) -> pa.Table:
@@ -313,6 +329,8 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 # contract (r8) and content-level duplicates are their
                 # entire purpose (planted scaled copies, tested).
                 t = _with_dup_rows(t, seed)
+            elif variant == "colperm":
+                t = _with_permuted_columns(t, seed)
             elif variant == "empty_events" and name == "events":
                 # zero-row feed, same schema: every streaming/CDC query
                 # must return its oracle's empty result instead of raising
