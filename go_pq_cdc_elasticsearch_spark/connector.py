@@ -62,6 +62,11 @@ class ReplicationSettings:
     # a disk spill and still delivers at Stream Commit, so downstream
     # semantics are identical; see sources/pgoutput.py's module docstring)
     proto_version: int = 1
+    # where v2 stream buffers spill past the in-memory threshold (None =
+    # the system temp dir). A deployment sizes this like any spill volume:
+    # a streamed txn exceeded the server's logical_decoding_work_mem, so
+    # its spool can be GBs on a busy OLTP primary.
+    stream_spill_dir: str | None = None
 
 
 @dataclass
@@ -185,6 +190,7 @@ class Connector:
             slot=rs.slot,
             publication=rs.publication,
             proto_version=rs.proto_version,
+            stream_spill_dir=rs.stream_spill_dir,
         )
         try:
             # a backend rejects any command before the startup handshake

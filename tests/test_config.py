@@ -190,3 +190,22 @@ def test_parse_duration_bare_nanoseconds_rejected():
     assert parse_duration_ms(3_600_000) == 3_600_000.0  # 1 h in bare ms
     assert parse_duration_ms(999_999_999) == 999_999_999.0  # not ns-shaped
     assert parse_duration_ms(999_999) == 999_999.0  # below 1e6: always ms
+
+
+def test_replication_settings_spill_dir_reaches_client(tmp_path):
+    """stream_spill_dir plumbs from ReplicationSettings through
+    Connector._connect_replication's ReplicationClient construction (unit:
+    verify the decoder receives it via a directly-built client — the
+    Connector passes rs.stream_spill_dir verbatim)."""
+    import io
+
+    from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+    class _S:
+        def makefile(self, *a, **k):
+            return io.BytesIO()
+
+    c = PG.ReplicationClient(
+        _S(), slot="s", proto_version=2, stream_spill_dir=str(tmp_path)
+    )
+    assert c.decoder.stream_spill_dir == str(tmp_path)
