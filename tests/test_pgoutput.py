@@ -1554,3 +1554,49 @@ def test_v2_stream_buffer_matches_list_model(data, tmp_path_factory):
     expected = [c for x, c in model if x not in aborted]
     assert released == expected
     assert not list(tmp.glob("pgstream-*.jsonl"))
+
+
+def test_run_live_consumer_seeds_stamps_above_segments_v2_stream():
+    """The v2 twin of the seeding test: a REDELIVERED STREAMED transaction's
+    released rows carry their original (low) decode-time wal positions —
+    the monotone clamp in the release drain must bump them above every
+    stamp already flushed by the previous consumer, or the Spark
+    checkpoint frontier filters them out forever (the r5 interleaved-txn
+    bug class, v2 edition)."""
+    from go_pq_cdc_elasticsearch_spark.sources import wal as W
+
+    d = tempfile.mkdtemp(prefix="seed_v2_")
+    W.write_wal_segment(
+        d,
+        [{"lsn": 500, "op": "INSERT", "table_schema": "public",
+          "table_name": "t", "before": None, "after": {"id": "old"},
+          "ts": "t"}],
+    )
+    cols = ["id", "v"]
+    relid = 620
+    seg = [
+        (100, PG.encode_stream_start(990)),
+        (100, PG.in_stream(990, PG.encode_relation(relid, "public", "t", cols))),
+        (101, PG.in_stream(990, PG.encode_insert(relid, ["9", "x"]))),
+        (102, PG.in_stream(990, PG.encode_insert(relid, ["10", "y"]))),
+        (103, PG.encode_stream_stop()),
+        (200, PG.encode_stream_commit(990, 200, 201, 777_000_000)),
+    ]
+    server = FakeReplicationServer([seg], keepalive_each_txn=False)
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    client = PG.ReplicationClient(
+        sock, slot="s_seed_v2", publication="pub", proto_version=2
+    )
+    client.create_slot()
+    client.start()
+    PG.run_live_consumer(
+        client, d, batch_size=1, ack_interval_sec=9, flush_interval_sec=9
+    )
+    stamps = sorted(
+        json.loads(line)["lsn"]
+        for s, p in W.list_segments(d)
+        for line in open(p)
+    )
+    # released rows (true wal 101/102) stamped past the on-disk 500
+    assert stamps == [500, 501, 502]
+    client.close()
