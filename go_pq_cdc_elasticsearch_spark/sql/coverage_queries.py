@@ -367,11 +367,20 @@ def q_s26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = orders.crossJoin(F.broadcast(approx)).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)
+        # coalesce: over EMPTY input the sums are NULL and the rank
+        # booleans went three-valued NULL vs the oracle's vacuous TRUE
+        # (empty_rel variant); with 0, abs(0 - 0) <= 5 holds naturally
+        F.coalesce(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("__le50"),
-        F.sum(
-            F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("__le95"),
     )
     n_d = F.col("n").cast("double")
@@ -420,6 +429,8 @@ def q_s27(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(o_orderpriority, 'ALL') AS prio,
                count(*) AS n
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        -- Spark emits no grouping-set rows over empty input (see q_s11)
+        HAVING count(*) > 0
     """,
 )
 def q_s28(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +831,8 @@ def q_s36(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping(l_linestatus) AS g_status,
                count(*) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        -- Spark emits no grouping-set rows over empty input (see q_s11)
+        HAVING count(*) > 0
     """,
 )
 def q_s37(spark: SparkSession, sf_dir: str) -> DataFrame:

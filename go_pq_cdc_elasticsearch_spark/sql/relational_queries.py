@@ -314,13 +314,18 @@ def q_s10_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_exact"),
     ).select(
         "n_exact",
-        (
+        # empty input: n_exact 0 makes the ratio an ANSI DIVIDE_BY_ZERO
+        # crash (found by the empty_rel variant); the sketch of nothing is
+        # exactly right, so the claim is 0 == 0 there
+        F.when(F.col("n_exact") == 0, F.col("__a") == F.lit(0))
+        .otherwise(
             F.abs(
                 F.col("__a").cast("double") / F.col("n_exact").cast("double")
                 - F.lit(1.0)
             )
             <= F.lit(0.06)
-        ).alias("within_3sigma"),
+        )
+        .alias("within_3sigma"),
     )
 
 
@@ -332,6 +337,12 @@ def q_s10_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        -- engine-semantics pin (empty_rel variant): Spark's grouping-sets
+        -- implementation (Expand-based) emits NO grand-total row over
+        -- EMPTY input, while standard SQL/DuckDB emit the () grouping
+        -- set's zero row; every row-backed group has count(*) > 0, so
+        -- this clause is identity on non-empty input
+        HAVING count(*) > 0
     """,
 )
 def q_s11(spark: SparkSession, sf_dir: str) -> DataFrame:

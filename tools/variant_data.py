@@ -70,6 +70,7 @@ VARIANTS = (
     "unicode_rel",
     "dup_rel",
     "colperm",
+    "empty_rel",
 )
 
 
@@ -331,6 +332,12 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 t = _with_dup_rows(t, seed)
             elif variant == "colperm":
                 t = _with_permuted_columns(t, seed)
+            elif variant == "empty_rel":
+                # a completely empty database, same schemas: every query
+                # must return its oracle's answer (empty or a defined
+                # zero/NULL aggregate row) instead of raising on an
+                # uninitialized view / empty-sample / empty-centroid path
+                t = t.slice(0, 0)
             elif variant == "empty_events" and name == "events":
                 # zero-row feed, same schema: every streaming/CDC query
                 # must return its oracle's empty result instead of raising
