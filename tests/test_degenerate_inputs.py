@@ -256,3 +256,32 @@ def test_with_ivf_cell_preserves_input_types(spark):
     assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
         "embedding"
     ] == "array<double>"
+
+
+def test_empty_database_claim_queries_do_not_crash(spark, tmp_path):
+    """In-suite pin of the empty_rel variant's crash class: the bounded-
+    claim queries whose guards divide/sum over data-derived counts must
+    run on a COMPLETELY empty database and produce their defined answers
+    (found live: approx-distinct died with ANSI DIVIDE_BY_ZERO, approx-
+    percentile's claims went three-valued NULL)."""
+    import pyarrow.parquet as pq
+
+    from go_pq_cdc_elasticsearch_spark.catalog import TABLES, table_path
+    from go_pq_cdc_elasticsearch_spark.sql import EXT_REGISTRY, REGISTRY
+
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        t = pq.read_table(table_path(src, name)).slice(0, 0)
+        pq.write_table(t, table_path(str(tmp_path), name))
+
+    r = REGISTRY["q_s10_count_distinct"].spark(spark, str(tmp_path)).collect()
+    assert [row["n"] for row in r] == [0]
+    r = EXT_REGISTRY["q_s10_approx_distinct"].spark(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["n_exact"] == 0 and r[0]["within_3sigma"] is True
+    r = EXT_REGISTRY["q_s26_approx_percentile"].spark(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["n"] == 0
+    assert r[0]["rank_ok_p50"] is True and r[0]["rank_ok_p95"] is True
+    # Spark's grouping sets emit NO rows over empty input — the engine
+    # semantics the oracles pin with HAVING count(*) > 0
+    assert REGISTRY["q_s11_rollup"].spark(spark, str(tmp_path)).count() == 0
+    assert EXT_REGISTRY["q_s28_cube"].spark(spark, str(tmp_path)).count() == 0
