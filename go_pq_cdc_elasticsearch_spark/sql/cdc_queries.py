@@ -152,6 +152,12 @@ def q_c6_snapshot_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_c7_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # EMPTY-table convention (empty_rel variant): (0-1)/8000 truncates
+    # toward zero in BOTH engines (Spark double->long cast, DuckDB's //),
+    # so both answer 1. Python's // FLOORS (-1//8000 == -1), so porting
+    # this expression to driver-side Python arithmetic would diverge;
+    # the pure helper operators/chunks.py::chunk_count returns 0 for n=0
+    # by its own documented contract — different convention, same family.
     return li.agg(
         (((F.count(F.lit(1)) - 1) / 8000).cast("long") + 1).alias("n_chunks")
     )
