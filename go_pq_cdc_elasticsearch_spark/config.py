@@ -239,8 +239,16 @@ def from_reference_config(
             # failed at stream start with 'publication does not exist'
             create_publication=bool(pub.get("createIfNotExists", False)),
             # optional upgrade knob (no reference analog — go-pq-cdc pins
-            # v1): 2 enables PG14+ streamed in-progress transactions
-            proto_version=int(cdc.get("protoVersion") or 1),
+            # v1): 2 enables PG14+ streamed in-progress transactions.
+            # Only an ABSENT/null key defaults to 1: `or 1` silently
+            # coerced an explicit protoVersion of 0 to 1 instead of
+            # letting ReplicationClient's fail-fast ValueError surface
+            # the misconfiguration (advice r9)
+            proto_version=(
+                1
+                if cdc.get("protoVersion") is None
+                else int(cdc["protoVersion"])
+            ),
         )
     conn = ConnectorConfig(
         staged_dir=staged_dir,

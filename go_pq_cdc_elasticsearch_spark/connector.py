@@ -67,6 +67,14 @@ class ReplicationSettings:
     # a streamed txn exceeded the server's logical_decoding_work_mem, so
     # its spool can be GBs on a busy OLTP primary.
     stream_spill_dir: str | None = None
+    # per-session GUCs applied right after the startup handshake (SET
+    # name = 'value' over the walsender connection — logical replication
+    # connections accept simple SQL). The canonical use is
+    # {"logical_decoding_work_mem": "64kB"} to force the server to
+    # stream large transactions instead of buffering them (pairs with
+    # proto_version=2); applied on every session the supervisor opens,
+    # including reconnects, so the behavior survives failover.
+    session_settings: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -197,6 +205,16 @@ class Connector:
             client.startup(
                 user=rs.user, database=rs.database, password=rs.password
             )
+            for name, value in rs.session_settings.items():
+                # identifier-only name guard: GUC names are [a-z0-9_.]
+                # and an unvalidated f-string here would be an injection
+                # surface on a connection that can run arbitrary SQL
+                import re as _re
+
+                if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", name):
+                    raise ValueError(f"invalid session setting name {name!r}")
+                sval = str(value).replace("'", "''")
+                client._run_simple_query(f"SET {name} = '{sval}'", "SET")
             if rs.create_publication:
                 # publication BEFORE slot: the slot's consistent point
                 # should see the publication in place (matches the

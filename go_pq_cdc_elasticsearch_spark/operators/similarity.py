@@ -498,12 +498,24 @@ def semantic_dedup(
         connected_components,
     )
 
-    cents = train_ivf_centroids(df, n_centroids, iters, sample, id_col, vec_col)
-    # persist: cells feeds BOTH sides of the pair self-join — unpersisted,
-    # the Arrow/mapInPandas cell-assignment pass (full-corpus matmul +
-    # Python worker round-trip, the dominant cost) executes twice (same
-    # double-evaluation dedup_corpus persists its grams against)
-    cells = with_ivf_cell(df, cents, id_col, vec_col).persist()
+    if n_centroids <= 1:
+        # degenerate exact config (the q_lx4 test anchor): with ONE cell
+        # every row's argmax is cell 0 no matter what the centroid is, so
+        # the k-means train (a driver collect + Lloyd's run) and the
+        # full-corpus assignment matmul (Arrow mapInPandas round-trip)
+        # are pure waste — a literal column is semantically identical
+        # and keeps this config entirely JVM-side (review r9 perf)
+        cells = df.withColumn("cell", F.lit(0)).persist()
+    else:
+        cents = train_ivf_centroids(
+            df, n_centroids, iters, sample, id_col, vec_col
+        )
+        # persist: cells feeds BOTH sides of the pair self-join —
+        # unpersisted, the Arrow/mapInPandas cell-assignment pass
+        # (full-corpus matmul + Python worker round-trip, the dominant
+        # cost) executes twice (same double-evaluation dedup_corpus
+        # persists its grams against)
+        cells = with_ivf_cell(df, cents, id_col, vec_col).persist()
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1")
     )

@@ -350,33 +350,58 @@ class _StreamBuffer:
     downstream until Stream Commit (delivery stays commit-ordered, acks
     stay commit-bounded — the same contract as v1).
 
-    Bounded memory by design: past ``spill_threshold`` buffered changes,
-    entries overflow to a JSON-lines spool file — a streamed transaction
-    exists precisely because it was too big for the WALSENDER's decoding
-    buffer, so the client must not assume it fits in the client's RAM
-    either. Change dicts are JSON-safe by construction (ints, strings,
-    None, string->string|None maps).
+    Bounded memory by design: past ``spill_threshold`` buffered changes
+    OR ``spill_threshold_bytes`` of serialized payload — whichever trips
+    first — entries overflow to a JSON-lines spool file. A streamed
+    transaction exists precisely because it was too big for the
+    WALSENDER's decoding buffer, so the client must not assume it fits
+    in the client's RAM either; a count-only bound let a txn of very
+    WIDE rows (large text/TOAST values) hold multi-GB before spilling
+    (review r9), hence the byte bound. Change dicts are JSON-safe by
+    construction (ints, strings, None, string->string|None maps); the
+    in-memory tail holds the SERIALIZED line (sized exactly, written
+    verbatim on spill) rather than the dict.
 
     Subtransaction aborts (Stream Abort with subxid != xid) only RECORD
     the doomed xid: in-memory entries are filtered immediately, spooled
     ones are skipped at release — no spool rewriting."""
 
-    __slots__ = ("mem", "aborted", "spool", "spool_path", "spilled", "_dir")
+    __slots__ = (
+        "mem", "mem_bytes", "aborted", "spool", "spool_path", "spilled",
+        "_dir",
+    )
 
     def __init__(self, spill_dir: str | None):
-        self.mem: list[tuple[int, dict]] = []
+        self.mem: list[tuple[int, str]] = []  # (producing xid, json line)
+        self.mem_bytes = 0
         self.aborted: set[int] = set()
         self.spool = None
         self.spool_path: str | None = None
         self.spilled = 0
         self._dir = spill_dir
 
-    def add(self, msg_xid: int, change: dict, spill_threshold: int) -> None:
-        if self.spool is None and len(self.mem) < spill_threshold:
-            self.mem.append((msg_xid, change))
+    def add(
+        self,
+        msg_xid: int,
+        change: dict,
+        spill_threshold: int,
+        spill_threshold_bytes: int | None = None,
+    ) -> None:
+        import json
+
+        line = json.dumps({"x": msg_xid, "c": change})
+        if (
+            self.spool is None
+            and len(self.mem) < spill_threshold
+            and (
+                spill_threshold_bytes is None
+                or self.mem_bytes + len(line) <= spill_threshold_bytes
+            )
+        ):
+            self.mem.append((msg_xid, line))
+            self.mem_bytes += len(line)
             return
         if self.spool is None:
-            import json
             import tempfile
 
             self.spool = tempfile.NamedTemporaryFile(
@@ -388,18 +413,20 @@ class _StreamBuffer:
                 delete=False,
             )
             self.spool_path = self.spool.name
-            for x, c in self.mem:
-                self.spool.write(json.dumps({"x": x, "c": c}) + "\n")
+            for _x, mline in self.mem:
+                self.spool.write(mline + "\n")
             self.spilled = len(self.mem)
             self.mem = []
-        import json
-
-        self.spool.write(json.dumps({"x": msg_xid, "c": change}) + "\n")
+            self.mem_bytes = 0
+        self.spool.write(line + "\n")
         self.spilled += 1
 
     def abort_sub(self, subxid: int) -> None:
         self.aborted.add(subxid)
-        self.mem = [(x, c) for x, c in self.mem if x != subxid]
+        kept = [(x, ln) for x, ln in self.mem if x != subxid]
+        if len(kept) != len(self.mem):
+            self.mem = kept
+            self.mem_bytes = sum(len(ln) for _x, ln in kept)
 
     def release(self):
         """Yield surviving changes in arrival order (spool first — it holds
@@ -415,9 +442,9 @@ class _StreamBuffer:
                     rec = json.loads(line)
                     if rec["x"] not in self.aborted:
                         yield rec["c"]
-            for x, c in self.mem:
+            for x, ln in self.mem:
                 if x not in self.aborted:
-                    yield c
+                    yield json.loads(ln)["c"]
         finally:
             self.discard()
 
@@ -437,6 +464,37 @@ class _StreamBuffer:
                 pass
             self.spool_path = None
         self.mem = []
+        self.mem_bytes = 0
+
+
+def sweep_stale_spools(spill_dir: str | None) -> int:
+    """Best-effort removal of orphaned stream spool files
+    (``pgstream-*.jsonl``) left in ``spill_dir`` by a hard crash.
+
+    Safe by the ownership contract: a spill dir belongs to ONE consumer
+    (callers that share a directory between concurrent clients are
+    out-of-contract — give each client its own dir, as the Connector's
+    docs say to size/point the spill volume per deployment). ``None``
+    (the system temp dir default) is NOT swept: that directory is shared
+    with arbitrary other processes and sessions, so the ownership
+    argument doesn't hold there — NamedTemporaryFile names are
+    collision-free and the OS reaps /tmp on its own schedule.
+
+    Returns the number of files removed (observability/tests). Errors
+    are swallowed per-file: a sweep must never block a client start."""
+    import glob as _glob
+    import os as _os
+
+    if spill_dir is None:
+        return 0
+    removed = 0
+    for path in _glob.glob(_os.path.join(spill_dir, "pgstream-*.jsonl")):
+        try:
+            _os.unlink(path)
+            removed += 1
+        except OSError:
+            pass
+    return removed
 
 
 @dataclass
@@ -490,8 +548,12 @@ class PgOutputDecoder:
     stream_spill_dir: str | None = None
     # changes held in RAM per streamed txn before spooling to disk — a
     # streamed txn exceeded the WALSENDER's logical_decoding_work_mem, so
-    # the client must not assume it fits in client RAM either
+    # the client must not assume it fits in client RAM either. Both bounds
+    # apply, whichever trips first: the COUNT bound for many narrow rows,
+    # the BYTE bound (serialized size) for few very wide rows — a
+    # count-only bound admitted multi-GB of TOAST-wide rows (review r9)
     stream_spill_threshold: int = 8192
+    stream_spill_threshold_bytes: int = 16 << 20  # 16 MiB per streamed txn
     stream_txns_started: int = 0
     stream_txns_committed: int = 0
     stream_txns_aborted: int = 0
@@ -634,7 +696,12 @@ class PgOutputDecoder:
                     self.stream_xid, _StreamBuffer(self.stream_spill_dir)
                 )
                 before = buf.spilled
-                buf.add(msg_xid, change, self.stream_spill_threshold)
+                buf.add(
+                    msg_xid,
+                    change,
+                    self.stream_spill_threshold,
+                    self.stream_spill_threshold_bytes,
+                )
                 self.stream_changes_spilled += buf.spilled - before
                 return None
             return change
@@ -738,6 +805,16 @@ class ReplicationClient:
         self.file = sock.makefile("rwb", buffering=0)
         self.slot = slot
         self.publication = publication
+        # Crash hygiene: every SOFT exit path deletes stream spool files
+        # (release/discard/close, all tested), but a hard crash (SIGKILL,
+        # OOM, power loss) mid-streamed-txn orphans pgstream-*.jsonl in
+        # the spill dir with nobody left to unlink them — over enough
+        # crash cycles on a persistent spill volume that is unbounded
+        # disk. The spill dir is CLIENT-OWNED by contract (one consumer
+        # per slot, one spill dir per consumer — mirroring the
+        # one-connector-per-slot model), so anything matching the spool
+        # pattern at construction predates this session and is stale.
+        sweep_stale_spools(stream_spill_dir)
         self.decoder = PgOutputDecoder(stream_spill_dir=stream_spill_dir)
         self.flushed_lsn = 0
         self.last_wal_end = 0

@@ -1477,19 +1477,34 @@ def q_lx4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    planted = base.unionByName(dups)
-    kept_exact = SIM.semantic_dedup(planted, tau=0.99, n_centroids=1)
-    kept_approx = SIM.semantic_dedup(planted, tau=0.99, n_centroids=8)
+    # pin the tiny planted slice (<=540 rows) once: both dedup legs and
+    # the ids anti-joins otherwise re-run the parquet scan + filter +
+    # union per evaluation (~5 evaluations across the two legs)
+    planted = base.unionByName(dups).localCheckpoint(eager=True)
     ids = planted.select("vec_id")
-    # pinned: each dropped set feeds multiple counts/joins below, and its
-    # lineage contains a full semantic_dedup run (k-means + CC) that would
-    # re-execute per consumer
-    dropped_exact = ids.join(
-        kept_exact.select("vec_id"), "vec_id", "left_anti"
-    ).localCheckpoint(eager=True)
-    dropped_approx = ids.join(
-        kept_approx.select("vec_id"), "vec_id", "left_anti"
-    ).localCheckpoint(eager=True)
+
+    # The two semantic_dedup legs are INDEPENDENT serial pipelines of
+    # fixed machinery (train/assign, pair join, eager CC rounds, eager
+    # checkpoint — ~20 small driver-synchronous jobs each), so running
+    # them sequentially doubled the wall for no reason; two threads
+    # submit their jobs concurrently and the scheduler interleaves them
+    # (this query was the slowest declared query by 3x and ~25% of the
+    # whole bench wall — review r9 perf). Each leg is pinned with an
+    # eager localCheckpoint because the dropped set feeds multiple
+    # counts/joins below and its lineage would re-execute per consumer.
+    def _dropped_for(n_centroids: int):
+        kept = SIM.semantic_dedup(planted, tau=0.99, n_centroids=n_centroids)
+        return ids.join(
+            kept.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(_dropped_for, 1)
+        f_approx = pool.submit(_dropped_for, 8)
+        dropped_exact = f_exact.result()
+        dropped_approx = f_approx.result()
     n_vecs = ids.agg(F.count(F.lit(1)).alias("n_vecs"))
     n_exact = dropped_exact.agg(F.count(F.lit(1)).alias("n_dropped_exact"))
     n_hit = dropped_approx.join(dropped_exact, "vec_id", "left_semi").agg(

@@ -209,3 +209,38 @@ def test_replication_settings_spill_dir_reaches_client(tmp_path):
         _S(), slot="s", proto_version=2, stream_spill_dir=str(tmp_path)
     )
     assert c.decoder.stream_spill_dir == str(tmp_path)
+
+
+def test_reference_config_proto_version_explicit_invalid_not_coerced():
+    """An EXPLICIT protoVersion of 0 must reach ReplicationClient's
+    fail-fast ValueError, not be silently coerced to 1 by an `or 1`
+    falsy-default (advice r9): a misconfigured port of a reference
+    config should fail loudly at connect, not run v1 behind the
+    operator's back."""
+    import io
+
+    from go_pq_cdc_elasticsearch_spark.config import from_reference_config
+    from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+
+    conn, _es = from_reference_config(
+        {"cdc": {"host": "pg", "protoVersion": 0, "slot": {"name": "s"}}},
+        staged_dir="/tmp/x",
+        view_path="/tmp/y",
+        checkpoint_dir="/tmp/z",
+    )
+    assert conn.replication.proto_version == 0  # preserved, not coerced
+
+    class _S:
+        def makefile(self, *a, **k):
+            return io.BytesIO()
+
+    with pytest.raises(ValueError, match="proto_version"):
+        PG.ReplicationClient(_S(), slot="s", proto_version=0)
+
+    # absent and explicit-null keys still default to v1
+    for cdc in ({"host": "pg"}, {"host": "pg", "protoVersion": None}):
+        conn2, _ = from_reference_config(
+            {"cdc": {**cdc, "slot": {"name": "s"}}},
+            staged_dir="/tmp/x", view_path="/tmp/y", checkpoint_dir="/tmp/z",
+        )
+        assert conn2.replication.proto_version == 1

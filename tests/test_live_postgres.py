@@ -135,6 +135,25 @@ def _collect(client: PG.ReplicationClient, n: int, deadline_sec: float = 30.0):
     return got
 
 
+def _view_state(c) -> "dict | None":
+    """One polling read of a live Connector's view, or None when the read
+    landed in a transient not-ready window so the caller's deadline loop
+    just retries: (a) view not initialized yet (Python FileNotFoundError),
+    (b) the documented read-during-swap window — the per-bucket two-rename
+    swap (sink/materialized.py module doc) can make a concurrently-planned
+    scan lose its listed file, surfacing as a Py4J-wrapped
+    java.io.FileNotFoundException mid-collect."""
+    try:
+        return {r["id"]: r["payload"]["v"] for r in c.read().collect()}
+    except FileNotFoundError:
+        return None
+    except Exception as e:  # noqa: BLE001 — inspect, rethrow non-transient
+        msg = str(e)
+        if "FileNotFoundException" in msg or "PATH_NOT_FOUND" in msg:
+            return None
+        raise
+
+
 def test_live_insert_update_delete_roundtrip(pg):
     client = _connect("live_slot_rt")
     client.create_slot()
@@ -410,13 +429,20 @@ def test_live_truncate_skipped_but_counted(pg):
         client.close()
 
 
-def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
+@pytest.mark.parametrize("proto_version", [1, 2])
+def test_live_chaos_soak_kill_restart_zero_loss(pg, spark, proto_version):
     """VERDICT r6 item 5 (mirrors connector_test.go:428-621 at volume):
     ~100k rows across 4 concurrent writer sessions, with a mid-stream
     walsender kill followed by a full server restart. The consumer
     reconnects on the same slot, redelivers (at-least-once), and the
     seq-resolved keyed merge must land EXACTLY the 100k rows — zero loss,
-    zero duplication in the view. Runtime-capped via drain deadlines."""
+    zero duplication in the view. Runtime-capped via drain deadlines.
+
+    VERDICT r9 item 5: also run under proto_version=2 with the session's
+    logical_decoding_work_mem floored at 64kB, so every 5k-row writer
+    transaction arrives as a STREAMED in-progress transaction — the kill
+    and reconnect then exercise the v2 buffer/spool/discard machinery at
+    soak volume, not just the targeted v2 tests."""
     import glob
     import json as _json
     import subprocess
@@ -427,13 +453,26 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
 
     N = 100_000
     WRITERS = 4
+    table = f"soak_v{proto_version}"
+    slot = f"live_slot_soak_v{proto_version}"
     pg["sql"](
-        "CREATE TABLE IF NOT EXISTS soak (id int PRIMARY KEY, v text NOT NULL)",
+        f"CREATE TABLE IF NOT EXISTS {table} (id int PRIMARY KEY, v text NOT NULL)",
         db="cdc_db",
     )
-    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE soak", db="cdc_db")
+    pg["sql"](f"ALTER PUBLICATION cdc_pub ADD TABLE {table}", db="cdc_db")
 
-    client = _connect("live_slot_soak")
+    def _soak_connect():
+        c = _connect(slot, proto_version=proto_version)
+        if proto_version == 2:
+            # floor the walsender's decode buffer so every 5k-row writer
+            # txn is STREAMED (v2 buffer/spool machinery under soak load)
+            c._run_simple_query("SET logical_decoding_work_mem = '64kB'", "SET")
+            # spill early: the kill below must be able to catch in-flight
+            # txns with spool files on disk, not just in-memory buffers
+            c.decoder.stream_spill_threshold = 512
+        return c
+
+    client = _soak_connect()
     client.create_slot()
     client.start()
     work = tempfile.mkdtemp(prefix="live_soak_")
@@ -464,7 +503,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
             lo = w * per + j * chunk + 1
             hi = w * per + (j + 1) * chunk
             stmts.append(
-                f"INSERT INTO soak SELECT g, 'v'||g FROM "
+                f"INSERT INTO {table} SELECT g, 'v'||g FROM "
                 f"generate_series({lo},{hi}) g;"
             )
         p = subprocess.Popen(
@@ -493,7 +532,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
         time.sleep(0.2)
     pg["sql"](
         "SELECT pg_terminate_backend(active_pid) FROM pg_replication_slots "
-        "WHERE slot_name='live_slot_soak' AND active_pid IS NOT NULL"
+        f"WHERE slot_name='{slot}' AND active_pid IS NOT NULL"
     )
     for th in threads:
         th.join(timeout=120)
@@ -508,9 +547,8 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
 
     # reconnect on the SAME slot; redelivery from the slot's restart point
     # is the at-least-once contract — the seq merge absorbs duplicates
-    client2 = _connect("live_slot_soak")
+    client2 = _soak_connect()
     client2.start()
-    stop2 = threading.Event()
     t2 = threading.Thread(target=consume, args=(client2,), daemon=True)
     t2.start()
 
@@ -521,7 +559,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
                 with open(f) as fh:
                     for line in fh:
                         d = _json.loads(line)
-                        if d.get("table_name") == "soak" and d.get("after"):
+                        if d.get("table_name") == table and d.get("after"):
                             ids.add(int(d["after"]["id"]))
             except (OSError, ValueError):
                 continue
@@ -540,12 +578,12 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     # VERDICT r7 item 4 — mid-soak TRUNCATE while the consumer is live:
     # not replicated as deletes (reference parity), but observably counted,
     # and the view built below must still land EXACTLY the 100k rows
-    pg["sql"]("TRUNCATE soak", db="cdc_db")
+    pg["sql"](f"TRUNCATE {table}", db="cdc_db")
     deadline = time.time() + 60
     while time.time() < deadline and client2.truncate_skipped < 1:
         time.sleep(0.2)
     assert client2.truncate_skipped >= 1
-    assert "public.soak" in client2.decoder.truncated_tables
+    assert f"public.{table}" in client2.decoder.truncated_tables
 
     # Spark end: segments -> pgwal stream -> keyed seq-resolved view.
     # Redelivered rows carry higher clamp stamps; LWW keeps one row per id.
@@ -554,7 +592,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     W.register(spark)
     stream = (
         spark.readStream.format("pgwal").option("path", seg_dir).load()
-        .filter("table_name = 'soak'")
+        .filter(f"table_name = '{table}'")
     )
     from pyspark.sql import functions as F
 
@@ -584,7 +622,7 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
     def slot_lsns() -> dict:
         row = pg["sql"](
             "SELECT restart_lsn, confirmed_flush_lsn FROM "
-            "pg_replication_slots WHERE slot_name='live_slot_soak'"
+            f"pg_replication_slots WHERE slot_name='{slot}'"
         )
         restart, confirmed = row.split("|")
         return {"restart": _lsn_int(restart), "confirmed": _lsn_int(confirmed)}
@@ -634,9 +672,30 @@ def test_live_chaos_soak_kill_restart_zero_loss(pg, spark):
         f"{post['restart']:#x})"
     )
 
-    stop2.set()
+    stop.set()  # consume() closes over `stop`; a separate stop2 event
+    # here was a no-op, so t2.join always burned its full timeout (r9)
     t2.join(timeout=60)
     client2.close()
+    client.close()  # idempotent; discards any v2 buffers the kill stranded
+
+    if proto_version == 2:
+        # the soak genuinely exercised the stream machinery: the 64kB
+        # work-mem floor must have streamed the 5k-row writer txns (at
+        # least across both consumer generations), and the lowered spill
+        # threshold must have pushed buffered rows through the spool path
+        started = (
+            client.decoder.stream_txns_started
+            + client2.decoder.stream_txns_started
+        )
+        spilled = (
+            client.decoder.stream_changes_spilled
+            + client2.decoder.stream_changes_spilled
+        )
+        assert started >= 1, "no transaction ever streamed under v2 soak"
+        assert spilled > 0, "v2 soak never exercised the disk-spool path"
+        # teardown hygiene: close() above ran discard_streams — nothing
+        # buffered may survive either consumer generation
+        assert not client.decoder.streamed and not client2.decoder.streamed
 
     agg = view.read().agg(
         F.count(F.lit(1)).alias("n"),
@@ -800,13 +859,23 @@ def test_live_ddl_add_column_and_widen_mid_stream(pg, spark):
     assert got[5000000001]["score"] == 43 and got[5000000001]["name"] == "u5"
 
 
-def test_live_connector_supervised_reconnect(pg, spark):
+@pytest.mark.parametrize("proto_version", [1, 2])
+def test_live_connector_supervised_reconnect(pg, spark, proto_version):
     """Review r6: run_live_consumer returning on a reconnectable
     termination must NOT silently halt replication — the Connector's
     supervisor reconnects on the same slot. Kill the walsender backend
     AND restart the whole server under a running Connector; rows written
     after the restart must land in the view, and consumer_restarts must
-    record the recovery."""
+    record the recovery.
+
+    VERDICT r9 item 5, proto_version=2 leg: the session work-mem floor
+    (via ReplicationSettings.session_settings, reapplied on every
+    reconnect) streams large txns; before the kill a big transaction is
+    held OPEN so the consumer has it buffered with a spool file on disk,
+    and the reconnect teardown must run discard_streams on the OLD
+    client — observed directly (buffer emptied, spool unlinked). After
+    recovery a committed 5k-row txn must stream end-to-end into the
+    view through the NEW session."""
     import glob
 
     from go_pq_cdc_elasticsearch_spark.connector import (
@@ -815,12 +884,16 @@ def test_live_connector_supervised_reconnect(pg, spark):
         ReplicationSettings,
     )
 
+    table = f"sup_v{proto_version}"
+    slot = f"live_slot_sup_v{proto_version}"
     pg["sql"](
-        "CREATE TABLE IF NOT EXISTS sup (id int PRIMARY KEY, v text NOT NULL)",
+        f"CREATE TABLE IF NOT EXISTS {table} (id int PRIMARY KEY, v text NOT NULL)",
         db="cdc_db",
     )
-    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE sup", db="cdc_db")
+    pg["sql"](f"ALTER PUBLICATION cdc_pub ADD TABLE {table}", db="cdc_db")
     work = tempfile.mkdtemp(prefix="conn_sup_")
+    spill_dir = os.path.join(work, "spill")
+    os.makedirs(spill_dir)
     cfg = ConnectorConfig(
         staged_dir=os.path.join(work, "staged"),
         view_path=os.path.join(work, "view"),
@@ -830,26 +903,65 @@ def test_live_connector_supervised_reconnect(pg, spark):
         op_col="op",
         delete_op="DELETE",
         replication=ReplicationSettings(
-            host="127.0.0.1", port=PORT, slot="live_slot_sup",
+            host="127.0.0.1", port=PORT, slot=slot,
             publication="cdc_pub", database="cdc_db",
-            batch_size=2, ack_interval_sec=0.2,
+            # v1 keeps the original tiny batch (2-row scenario); the v2
+            # leg pushes a 2k-row streamed txn through the view, which at
+            # batch_size=2 means ~1000 segment files — minutes of staging
+            batch_size=2 if proto_version == 1 else 500,
+            ack_interval_sec=0.2,
+            proto_version=proto_version,
+            stream_spill_dir=spill_dir if proto_version == 2 else None,
+            session_settings=(
+                {"logical_decoding_work_mem": "64kB"}
+                if proto_version == 2 else {}
+            ),
         ),
     )
     c = Connector(spark, cfg)
     c.start()
+    held = None
     try:
         assert c.wait_until_ready(timeout_sec=120)
-        pg["sql"]("INSERT INTO sup VALUES (1, 'before')", db="cdc_db")
+        pg["sql"](f"INSERT INTO {table} VALUES (1, 'before')", db="cdc_db")
         deadline = time.time() + 60
         while time.time() < deadline and not glob.glob(
             os.path.join(work, "staged", "wal_*.ndjson")
         ):
             time.sleep(0.2)
 
+        old_client = c._repl_client
+        if proto_version == 2:
+            # force the spool path, then hold a big txn OPEN so the kill
+            # catches it buffered (segments received, commit pending)
+            old_client.decoder.stream_spill_threshold = 8
+            held = subprocess.Popen(
+                ["su", "-s", "/bin/bash", "postgres", "-c",
+                 f"cd /tmp && psql -h 127.0.0.1 -p {PORT} -U postgres "
+                 f"-d cdc_db -v ON_ERROR_STOP=1"],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+            held.stdin.write(
+                f"BEGIN;\nINSERT INTO {table} "
+                "SELECT g, 'held'||g FROM generate_series(1000, 3999) g;\n"
+                "SELECT 1;\n"
+            )
+            held.stdin.flush()
+            deadline = time.time() + 60
+            while time.time() < deadline and not (
+                old_client.decoder.streamed
+                and glob.glob(os.path.join(spill_dir, "pgstream-*.jsonl"))
+            ):
+                time.sleep(0.2)
+            assert old_client.decoder.streamed, "held txn never streamed"
+            assert glob.glob(os.path.join(spill_dir, "pgstream-*.jsonl")), \
+                "held txn never reached the spool"
+
         # chaos: kill the walsender, then restart the whole server
         pg["sql"](
             "SELECT pg_terminate_backend(active_pid) FROM pg_replication_slots "
-            "WHERE slot_name='live_slot_sup' AND active_pid IS NOT NULL"
+            f"WHERE slot_name='{slot}' AND active_pid IS NOT NULL"
         )
         data = os.path.join(pg["work"], "data")
         r = _su(
@@ -868,22 +980,52 @@ def test_live_connector_supervised_reconnect(pg, spark):
         )
         assert c.consumer_error is None
 
-        pg["sql"]("INSERT INTO sup VALUES (2, 'after')", db="cdc_db")
+        if proto_version == 2:
+            # the held txn died with the server restart (aborted, never
+            # redelivered); the reconnect teardown closed the OLD client,
+            # whose close() runs discard_streams — observed directly:
+            assert not old_client.decoder.streamed, (
+                "reconnect teardown left buffered streamed txns behind"
+            )
+            assert not glob.glob(
+                os.path.join(spill_dir, "pgstream-*.jsonl")
+            ), "reconnect teardown left spool files behind"
+            assert c._repl_client is not old_client  # genuinely new session
+
+        pg["sql"](f"INSERT INTO {table} VALUES (2, 'after')", db="cdc_db")
+        expect = {"1": "before", "2": "after"}
+        if proto_version == 2:
+            # a COMMITTED big txn through the NEW session: the reapplied
+            # session work-mem floor must stream it (proves
+            # session_settings survive reconnects), and it must land in
+            # the view end to end
+            pg["sql"](
+                f"INSERT INTO {table} "
+                "SELECT g, 'post'||g FROM generate_series(5000, 6999) g",
+                db="cdc_db",
+            )
+            expect.update({str(g): f"post{g}" for g in range(5000, 7000)})
         deadline = time.time() + 180
         state = {}
         while time.time() < deadline:
-            try:
-                state = {
-                    r2["id"]: r2["payload"]["v"] for r2 in c.read().collect()
-                }
-            except FileNotFoundError:
-                state = {}
-            if {"1", "2"} <= set(state):
+            state = _view_state(c) or {}
+            if set(expect) <= set(state):
                 break
             time.sleep(0.5)
-        assert state.get("1") == "before" and state.get("2") == "after", state
+        assert {k: state.get(k) for k in expect} == expect, (
+            f"{len(state)} rows; sample diff: "
+            f"{[(k, state.get(k), expect[k]) for k in list(expect)[:5]]}"
+        )
+        if proto_version == 2:
+            assert c._repl_client.decoder.stream_txns_started >= 1, (
+                "post-reconnect session never streamed (session_settings "
+                "not reapplied?)"
+            )
     finally:
         c.close()
+        if held is not None:
+            held.stdin.close()
+            held.wait(timeout=30)
 
 
 def test_live_single_giant_transaction_bounded_stream_ack_past_commit(pg, spark):
@@ -1490,3 +1632,189 @@ def test_live_proto_v2_crash_mid_stream_redelivers_in_full(pg):
         assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
     finally:
         client2.close()
+
+
+def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
+    pg, spark
+):
+    """VERDICT r9 item 1 — the one reference-proven end-to-end contract
+    that was only fake-tested: initial mode's slot-BEFORE-snapshot
+    handoff under writers racing the backfill
+    (integration_test/snapshot_test.go:25-193: pre-seeded rows arrive
+    via snapshot, concurrent inserts via the stream, zero gap and zero
+    duplication; connector.py:160's ordering rationale, proven here
+    against the real walsender).
+
+    The race is made DETERMINISTIC, not hoped-for: the snapshot read is
+    a lazy mapInPandas that (1) reads the first half of the table, (2)
+    signals the writer, (3) waits for the writer's racing DML to land,
+    (4) reads the second half. Because Connector.start() evaluates the
+    snapshot AFTER CREATE_REPLICATION_SLOT and BEFORE
+    START_REPLICATION, every racing change is guaranteed to fall inside
+    the backfill window — and the snapshot is guaranteed to be PARTLY
+    STALE (first half read pre-DML) and PARTLY FRESH (second half read
+    post-DML), so the merge must absorb both directions at once:
+      - ids 1..100 updated after their snapshot read: the stream's
+        higher-seq UPDATE must beat the stale snapshot row (lsn=0);
+      - ids 151..200 updated before their snapshot read: snapshot and
+        stream deliver the same final value — idempotent overlap, no
+        flap, no dup;
+      - ids 281..300 deleted mid-backfill: absent from phase-2 AND
+        tombstoned by the stream — gone either way;
+      - ids 301..400 inserted mid-backfill: phase-2 captures them AND
+        the stream redelivers them — exactly one row each;
+      - ids 101..150 / 201..280 untouched: snapshot-only rows survive.
+    """
+    import threading
+
+    from pyspark.sql import functions as F  # noqa: F401 (schema literals)
+
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        Connector,
+        ConnectorConfig,
+        ReplicationSettings,
+    )
+
+    pg["sql"](
+        "CREATE TABLE IF NOT EXISTS handoff (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"]("ALTER TABLE handoff REPLICA IDENTITY FULL", db="cdc_db")
+    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE handoff", db="cdc_db")
+    pg["sql"](
+        "INSERT INTO handoff SELECT g, 'seed' FROM generate_series(1, 300) g",
+        db="cdc_db",
+    )
+
+    work = tempfile.mkdtemp(prefix="conn_handoff_")
+    flag_phase1 = os.path.join(work, "snap_phase1")
+    flag_dml_done = os.path.join(work, "dml_done")
+    port = PORT  # captured by value for the executor-side closure
+
+    def lazy_snapshot(_it):
+        # runs INSIDE Connector.start(), after slot creation: a real
+        # backfill read racing real writers. psql straight from the
+        # Python worker (trust auth covers host connections too).
+        import subprocess as sp
+        import time as _t
+
+        import pandas as pd
+
+        def read_rows(where):
+            r = sp.run(
+                ["psql", "-h", "127.0.0.1", "-p", str(port), "-U",
+                 "postgres", "-d", "cdc_db", "-Atc",
+                 f"SELECT id, v FROM handoff WHERE {where} ORDER BY id"],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert r.returncode == 0, f"snapshot psql failed: {r.stderr}"
+            rows = []
+            for line in r.stdout.strip().splitlines():
+                i, v = line.split("|", 1)
+                rows.append((0, "INSERT", int(i), {"id": i, "v": v}))
+            return rows
+
+        rows = read_rows("id <= 150")  # pre-DML: guaranteed-stale half
+        with open(flag_phase1, "w"):
+            pass
+        deadline = _t.time() + 120
+        while not os.path.exists(flag_dml_done):
+            if _t.time() > deadline:
+                raise TimeoutError("writer never finished its racing DML")
+            _t.sleep(0.1)
+        rows += read_rows("id > 150")  # post-DML: guaranteed-fresh half
+        yield pd.DataFrame(rows, columns=["lsn", "op", "id", "payload"])
+
+    snap = spark.range(1).mapInPandas(
+        lazy_snapshot,
+        schema="lsn long, op string, id int, payload map<string,string>",
+    )
+
+    writer_err: list = []
+
+    def racing_writer():
+        try:
+            deadline = time.time() + 180
+            while not os.path.exists(flag_phase1):
+                if time.time() > deadline:
+                    raise TimeoutError("snapshot phase 1 never signalled")
+                time.sleep(0.1)
+            pg["sql"](
+                "UPDATE handoff SET v='updated' WHERE id <= 100", db="cdc_db"
+            )
+            pg["sql"](
+                "UPDATE handoff SET v='updated2' WHERE id BETWEEN 151 AND 200",
+                db="cdc_db",
+            )
+            pg["sql"](
+                "DELETE FROM handoff WHERE id BETWEEN 281 AND 300", db="cdc_db"
+            )
+            pg["sql"](
+                "INSERT INTO handoff SELECT g, 'new' "
+                "FROM generate_series(301, 400) g",
+                db="cdc_db",
+            )
+        except BaseException as e:  # surface in the main thread's assert
+            writer_err.append(e)
+        finally:
+            with open(flag_dml_done, "w"):
+                pass
+
+    t = threading.Thread(target=racing_writer, daemon=True)
+    t.start()
+
+    cfg = ConnectorConfig(
+        staged_dir=os.path.join(work, "staged"),
+        view_path=os.path.join(work, "view"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        snapshot_mode="initial",
+        keys=("id",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+        replication=ReplicationSettings(
+            host="127.0.0.1", port=PORT, slot="live_slot_handoff",
+            publication="cdc_pub", database="cdc_db",
+            batch_size=50, ack_interval_sec=0.2,
+        ),
+    )
+    c = Connector(spark, cfg, snapshot_df=snap)
+    c.start()
+    try:
+        assert c.wait_until_ready(timeout_sec=120)
+        t.join(timeout=180)
+        assert not writer_err, f"racing writer failed: {writer_err[0]!r}"
+
+        expected = {}
+        for i in range(1, 101):
+            expected[str(i)] = "updated"
+        for i in range(101, 151):
+            expected[str(i)] = "seed"
+        for i in range(151, 201):
+            expected[str(i)] = "updated2"
+        for i in range(201, 281):
+            expected[str(i)] = "seed"
+        for i in range(301, 401):
+            expected[str(i)] = "new"
+        # ids 281..300: deleted mid-backfill, must NOT appear
+
+        deadline = time.time() + 240
+        state: dict = {}
+        while time.time() < deadline:
+            state = _view_state(c) or {}
+            if state == expected:
+                break
+            time.sleep(0.5)
+        assert state == expected, (
+            f"handoff view diverged: {len(state)} rows vs "
+            f"{len(expected)} expected; "
+            f"missing={sorted(set(expected) - set(state), key=int)[:10]}, "
+            f"extra={sorted(set(state) - set(expected), key=int)[:10]}, "
+            f"wrong={[(k, state[k], expected[k]) for k in state if k in expected and state[k] != expected[k]][:10]}"
+        )
+        assert c.consumer_error is None
+        # zero duplication is structural (keyed view), but prove the
+        # count matches too: 400 live ids minus 20 deletes
+        assert len(state) == 380
+    finally:
+        c.close()

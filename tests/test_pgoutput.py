@@ -1600,3 +1600,92 @@ def test_run_live_consumer_seeds_stamps_above_segments_v2_stream():
     # released rows (true wal 101/102) stamped past the on-disk 500
     assert stamps == [500, 501, 502]
     client.close()
+
+
+def test_stale_spool_sweep_on_client_construction(tmp_path):
+    """VERDICT r9 item 4: a SIGKILL mid-streamed-txn orphans
+    pgstream-*.jsonl spool files (every SOFT path deletes them; a hard
+    crash can't) — constructing a ReplicationClient over the same
+    client-owned spill dir must sweep them, or repeated crash cycles
+    fill the spill volume. Non-matching files are untouched, and the
+    shared system temp dir (spill_dir=None) is never swept."""
+    import io
+
+    stale1 = tmp_path / "pgstream-dead1.jsonl"
+    stale2 = tmp_path / "pgstream-dead2.jsonl"
+    other = tmp_path / "not-a-spool.jsonl"
+    for f in (stale1, stale2, other):
+        f.write_text('{"x": 1, "c": {}}\n')
+
+    class _S:
+        def makefile(self, *a, **k):
+            return io.BytesIO()
+
+    PG.ReplicationClient(
+        _S(), slot="s", proto_version=2, stream_spill_dir=str(tmp_path)
+    )
+    assert not stale1.exists() and not stale2.exists()
+    assert other.exists()  # only the spool naming pattern is swept
+    # None (system temp dir) is out of the ownership contract: no-op
+    assert PG.sweep_stale_spools(None) == 0
+
+
+def test_stale_spool_sweep_errors_are_best_effort(tmp_path, monkeypatch):
+    """A file another process races us for (or a permission oddity) must
+    not block client construction — unlink errors are swallowed
+    per-file and the rest of the sweep proceeds."""
+    import os as _os
+
+    a = tmp_path / "pgstream-a.jsonl"
+    b = tmp_path / "pgstream-b.jsonl"
+    a.write_text("x")
+    b.write_text("x")
+    real_unlink = _os.unlink
+
+    def flaky(path, *args, **kw):
+        if str(path).endswith("pgstream-a.jsonl"):
+            raise OSError("simulated EACCES")
+        return real_unlink(path, *args, **kw)
+
+    monkeypatch.setattr(_os, "unlink", flaky)
+    assert PG.sweep_stale_spools(str(tmp_path)) == 1
+    assert a.exists() and not b.exists()
+
+
+def test_v2_byte_threshold_spills_wide_rows_before_count(tmp_path):
+    """ADVICE r9: stream_spill_threshold bounds buffered changes by COUNT
+    only — a streamed txn of very WIDE rows (large text/TOAST values)
+    could hold multi-GB in client RAM before the 8192-row default
+    tripped. The byte bound must spill first for wide rows: 4 rows of
+    ~1 KB each against a 2 KB byte bound spool from the 3rd row on,
+    long before the count threshold (100) would."""
+    d = PG.PgOutputDecoder(
+        stream_spill_dir=str(tmp_path),
+        stream_spill_threshold=100,
+        stream_spill_threshold_bytes=2048,
+    )
+    relid = 601
+    d.decode(PG.encode_stream_start(970), 10)
+    d.decode(
+        PG.in_stream(970, PG.encode_relation(relid, "public", "t", ["id", "v"])),
+        10,
+    )
+    wide = "w" * 1024
+    for i in range(4):
+        d.decode(PG.in_stream(970, PG.encode_insert(relid, [str(i), wide])), 11 + i)
+    buf = d.streamed[970]
+    assert buf.spilled > 0, "byte bound never tripped for wide rows"
+    assert buf.mem_bytes <= 2048
+    assert list(tmp_path.glob("pgstream-*.jsonl"))
+    # delivery is unchanged: all 4 rows, arrival order, spool removed
+    sc = d.decode(PG.encode_stream_commit(970, 900, 901, 777_000_000), 50)
+    got = [c["after"]["id"] for c in sc.changes]
+    assert got == ["0", "1", "2", "3"]
+    assert not list(tmp_path.glob("pgstream-*.jsonl"))
+
+
+def test_v2_byte_threshold_default_is_bounded():
+    """The decoder default must actually carry a byte bound (16 MiB) —
+    a None default would reintroduce the count-only hole."""
+    d = PG.PgOutputDecoder()
+    assert d.stream_spill_threshold_bytes == 16 << 20

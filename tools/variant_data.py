@@ -71,6 +71,7 @@ VARIANTS = (
     "dup_rel",
     "colperm",
     "empty_rel",
+    "wide_rel",
 )
 
 
@@ -102,6 +103,31 @@ def _with_dup_rows(table: pa.Table, seed: int, frac: float = 0.02) -> pa.Table:
     idx = np.random.RandomState(seed).choice(table.num_rows, size=n, replace=False)
     dups = table.take(pa.array(np.sort(idx)))
     return pa.concat_tables([table, dups])
+
+
+def _with_extra_columns(table: pa.Table, seed: int) -> pa.Table:
+    """2-3 EXTRA trailing columns appended to every table (wide_rel
+    variant): a driver regeneration is free to produce a schema
+    SUPERSET, and both engines read the same files — so anything that
+    selects columns by position, asserts exact column counts, packs
+    `struct(*)` across a whole row, or fails to project before a
+    schema-sensitive step breaks here while explicit-by-name projection
+    sails through. Values are deterministic from the seed so reruns are
+    stable."""
+    rng = np.random.RandomState(seed * 31 + 7)
+    n = table.num_rows
+    extras = [
+        ("zz_extra_note", pa.array(
+            [f"x{seed}_{i}" for i in range(n)], type=pa.string())),
+        ("zz_extra_flag", pa.array(rng.rand(n) < 0.5)),
+    ]
+    if seed % 2:  # 2 or 3 extras, varying per table
+        extras.append(
+            ("zz_extra_num", pa.array(np.round(rng.rand(n) * 100, 3))),
+        )
+    for name, col in extras:
+        table = table.append_column(name, col)
+    return table
 
 
 def _shuffled(table: pa.Table, seed: int) -> pa.Table:
@@ -332,6 +358,8 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 t = _with_dup_rows(t, seed)
             elif variant == "colperm":
                 t = _with_permuted_columns(t, seed)
+            elif variant == "wide_rel":
+                t = _with_extra_columns(t, seed)
             elif variant == "empty_rel":
                 # a completely empty database, same schemas: every query
                 # must return its oracle's answer (empty or a defined
