@@ -77,7 +77,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        # normalize the declared columns first, but PASS THROUGH any extra
+        # trailing columns a regeneration added (the wide_rel contract:
+        # DuckDB reads the raw file, so dropping unknowns here would
+        # diverge the two engines on any future whole-row projection)
+        known = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        extras = [c for c in df.columns if c not in known]
+        return df.select(*known, *extras)
     return spark.read.parquet(table_path(sf_dir, name))
 
 

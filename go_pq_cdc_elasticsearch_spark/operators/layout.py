@@ -70,7 +70,17 @@ def write_zordered(
     """Write ``df`` as parquet clustered on the Z-curve of ``cols``: each
     output file covers a tight hyper-rectangle in the curve columns, so
     min/max stats prune scans filtered on any of them."""
-    bits = min(bits, 63 // max(1, len(cols)))  # keep the key in a long
+    if not cols:
+        # an empty curve-column list would interleave NOTHING: the key is
+        # the constant 0, every row range-partitions into one file, and
+        # the caller believes the layout is clustered — fail loudly
+        raise ValueError("write_zordered needs at least one curve column")
+    if "__z" in df.columns:
+        # same reserved-name discipline as cdc_dedup/salted_join/merge_batch
+        # (review r9): withColumn below would silently OVERWRITE the
+        # caller's column and then drop it from the written output
+        raise ValueError("write_zordered reserves the column name '__z'")
+    bits = min(bits, 63 // len(cols))  # keep the key in a long
     # FINITE-only stats: Spark max() treats NaN as the largest double, so
     # one NaN row made span NaN and every row's grid cell 0 — the Morton
     # key silently interleaved a constant and scans pruned nothing

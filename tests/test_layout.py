@@ -134,3 +134,17 @@ def test_zorder_stats_survive_nan_and_inf(spark, tmp_path):
             spans.append((st.min, st.max))
     spans = [s for s in spans if s[0] == s[0]]  # drop NaN-min groups
     assert len({s for s in spans}) > 1  # genuinely clustered, not constant
+
+
+def test_write_zordered_reserved_name_and_empty_cols(spark, tmp_path):
+    """Review r9: the same reserved-name discipline the other operators
+    carry — a caller column named __z would be silently overwritten by
+    the curve key and then dropped from the written output; an empty
+    curve-column list would write a constant-key 'clustered' layout."""
+    import pytest
+
+    df = spark.range(4).selectExpr("id AS a", "id AS __z")
+    with pytest.raises(ValueError, match="__z"):
+        write_zordered(df, str(tmp_path / "zz"), ["a"])
+    with pytest.raises(ValueError, match="at least one curve column"):
+        write_zordered(spark.range(4), str(tmp_path / "zz"), [])
