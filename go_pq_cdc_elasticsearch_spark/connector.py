@@ -205,12 +205,12 @@ class Connector:
             client.startup(
                 user=rs.user, database=rs.database, password=rs.password
             )
+            import re as _re
+
             for name, value in rs.session_settings.items():
                 # identifier-only name guard: GUC names are [a-z0-9_.]
                 # and an unvalidated f-string here would be an injection
                 # surface on a connection that can run arbitrary SQL
-                import re as _re
-
                 if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", name):
                     raise ValueError(f"invalid session setting name {name!r}")
                 sval = str(value).replace("'", "''")

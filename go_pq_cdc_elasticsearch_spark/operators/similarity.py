@@ -504,7 +504,11 @@ def semantic_dedup(
         # the k-means train (a driver collect + Lloyd's run) and the
         # full-corpus assignment matmul (Arrow mapInPandas round-trip)
         # are pure waste — a literal column is semantically identical
-        # and keeps this config entirely JVM-side (review r9 perf)
+        # and keeps this config entirely JVM-side (review r9 perf).
+        # Defective vectors (NULL/ragged/non-finite) now reach the pair
+        # join where with_ivf_cell gave them a NULL cell — equivalent,
+        # because cosine() folds every defective pair to a NULL sim that
+        # never crosses tau (nulls_rel-gated)
         cells = df.withColumn("cell", F.lit(0)).persist()
     else:
         cents = train_ivf_centroids(

@@ -481,7 +481,14 @@ def sweep_stale_spools(spill_dir: str | None) -> int:
     collision-free and the OS reaps /tmp on its own schedule.
 
     Returns the number of files removed (observability/tests). Errors
-    are swallowed per-file: a sweep must never block a client start."""
+    are swallowed per-file: a sweep must never block a client start.
+
+    Reconnect note: the Connector reuses one spill dir across supervisor
+    reconnects, so the NEW session's sweep can unlink a spool the OLD
+    client still holds open — safe on POSIX (the open fd keeps the
+    unlinked inode readable; the old client's buffered streams are
+    discarded at teardown anyway, and its own unlink maps to a swallowed
+    ENOENT). The supervised-reconnect v2 live test drives this path."""
     import glob as _glob
     import os as _os
 
@@ -551,7 +558,10 @@ class PgOutputDecoder:
     # the client must not assume it fits in client RAM either. Both bounds
     # apply, whichever trips first: the COUNT bound for many narrow rows,
     # the BYTE bound (serialized size) for few very wide rows — a
-    # count-only bound admitted multi-GB of TOAST-wide rows (review r9)
+    # count-only bound admitted multi-GB of TOAST-wide rows (review r9).
+    # Byte size is len() of the serialized json line — code points, so
+    # within 4x of UTF-8/RAM bytes for astral-plane text: an order-of-
+    # magnitude RAM guard, not an exact accountant
     stream_spill_threshold: int = 8192
     stream_spill_threshold_bytes: int = 16 << 20  # 16 MiB per streamed txn
     stream_txns_started: int = 0

@@ -150,3 +150,31 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
     t7 = {"q_a": 9.0}
     assert bench._regression_gate(t7, 0.01, lambda n: -1.0) == {}
+
+
+def test_load_table_events_passes_through_superset_columns(spark, tmp_path):
+    """In-suite pin of the wide_rel contract for the ONE table with a
+    normalizing projection (review r9): a regeneration is free to write a
+    schema SUPERSET, and load_table must hand queries the same columns
+    the raw file hands the DuckDB oracle — declared six first (order
+    normalized), unknown extras passed through, never silently dropped."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    t = t.append_column("zz_extra", pa.array(["x"] * t.num_rows))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{name}.parquet", str(d))
+    df = load_table(spark, str(d), "events")
+    assert df.columns[:6] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    assert "zz_extra" in df.columns
+    assert df.select("zz_extra").first()[0] == "x"
