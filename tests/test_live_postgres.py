@@ -1634,8 +1634,9 @@ def test_live_proto_v2_crash_mid_stream_redelivers_in_full(pg):
         client2.close()
 
 
+@pytest.mark.parametrize("proto_version", [1, 2])
 def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
-    pg, spark
+    pg, spark, proto_version
 ):
     """VERDICT r9 item 1 — the one reference-proven end-to-end contract
     that was only fake-tested: initial mode's slot-BEFORE-snapshot
@@ -1675,14 +1676,15 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
         ReplicationSettings,
     )
 
+    table = f"handoff_v{proto_version}"
     pg["sql"](
-        "CREATE TABLE IF NOT EXISTS handoff (id int PRIMARY KEY, v text NOT NULL)",
+        f"CREATE TABLE IF NOT EXISTS {table} (id int PRIMARY KEY, v text NOT NULL)",
         db="cdc_db",
     )
-    pg["sql"]("ALTER TABLE handoff REPLICA IDENTITY FULL", db="cdc_db")
-    pg["sql"]("ALTER PUBLICATION cdc_pub ADD TABLE handoff", db="cdc_db")
+    pg["sql"](f"ALTER TABLE {table} REPLICA IDENTITY FULL", db="cdc_db")
+    pg["sql"](f"ALTER PUBLICATION cdc_pub ADD TABLE {table}", db="cdc_db")
     pg["sql"](
-        "INSERT INTO handoff SELECT g, 'seed' FROM generate_series(1, 300) g",
+        f"INSERT INTO {table} SELECT g, 'seed' FROM generate_series(1, 300) g",
         db="cdc_db",
     )
 
@@ -1704,7 +1706,7 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
             r = sp.run(
                 ["psql", "-h", "127.0.0.1", "-p", str(port), "-U",
                  "postgres", "-d", "cdc_db", "-Atc",
-                 f"SELECT id, v FROM handoff WHERE {where} ORDER BY id"],
+                 f"SELECT id, v FROM {table} WHERE {where} ORDER BY id"],
                 capture_output=True, text=True, timeout=60,
             )
             assert r.returncode == 0, f"snapshot psql failed: {r.stderr}"
@@ -1740,17 +1742,22 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
                     raise TimeoutError("snapshot phase 1 never signalled")
                 time.sleep(0.1)
             pg["sql"](
-                "UPDATE handoff SET v='updated' WHERE id <= 100", db="cdc_db"
+                f"UPDATE {table} SET v='updated' WHERE id <= 100", db="cdc_db"
             )
             pg["sql"](
-                "UPDATE handoff SET v='updated2' WHERE id BETWEEN 151 AND 200",
+                f"UPDATE {table} SET v='updated2' WHERE id BETWEEN 151 AND 200",
                 db="cdc_db",
             )
             pg["sql"](
-                "DELETE FROM handoff WHERE id BETWEEN 281 AND 300", db="cdc_db"
+                f"DELETE FROM {table} WHERE id BETWEEN 281 AND 300", db="cdc_db"
             )
+            # v2 leg: the insert wave carries a ~1.2 KB pad so its ONE
+            # transaction exceeds the 64kB work-mem floor and arrives
+            # STREAMED (100 rows x ~1.3 KB decoded ≈ 130 KB); the v1 leg
+            # keeps the same payload so both legs assert identical values
             pg["sql"](
-                "INSERT INTO handoff SELECT g, 'new' "
+                f"INSERT INTO {table} "
+                "SELECT g, 'new' || repeat('y', 1200) "
                 "FROM generate_series(301, 400) g",
                 db="cdc_db",
             )
@@ -1773,9 +1780,19 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
         op_col="op",
         delete_op="DELETE",
         replication=ReplicationSettings(
-            host="127.0.0.1", port=PORT, slot="live_slot_handoff",
+            host="127.0.0.1", port=PORT, slot=f"live_slot_handoff_v{proto_version}",
             publication="cdc_pub", database="cdc_db",
             batch_size=50, ack_interval_sec=0.2,
+            proto_version=proto_version,
+            # v2 leg: floor the walsender's decode buffer so the racing
+            # DML txns (100-400 row UPDATEs/INSERTs) arrive as STREAMED
+            # in-progress transactions during the backfill window — the
+            # handoff contract must hold when the stream side is v2
+            # buffered/spooled delivery, not just v1 commit bursts
+            session_settings=(
+                {"logical_decoding_work_mem": "64kB"}
+                if proto_version == 2 else {}
+            ),
         ),
     )
     c = Connector(spark, cfg, snapshot_df=snap)
@@ -1794,8 +1811,9 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
             expected[str(i)] = "updated2"
         for i in range(201, 281):
             expected[str(i)] = "seed"
+        pad = "new" + "y" * 1200
         for i in range(301, 401):
-            expected[str(i)] = "new"
+            expected[str(i)] = pad
         # ids 281..300: deleted mid-backfill, must NOT appear
 
         deadline = time.time() + 240
@@ -1816,5 +1834,11 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
         # zero duplication is structural (keyed view), but prove the
         # count matches too: 400 live ids minus 20 deletes
         assert len(state) == 380
+        if proto_version == 2:
+            # the v2 leg is only meaningful if the racing DML actually
+            # STREAMED (work-mem floor low enough for the 100-400 row txns)
+            assert c._repl_client.decoder.stream_txns_started >= 1, (
+                "handoff v2 leg never streamed a transaction"
+            )
     finally:
         c.close()

@@ -1536,6 +1536,11 @@ def test_v2_stream_buffer_matches_list_model(data, tmp_path_factory):
     file behind."""
     tmp = tmp_path_factory.mktemp("sbuf")
     threshold = data.draw(st.integers(1, 6))
+    # r9: the byte bound joins the model — drawn small enough (or None)
+    # that either bound can be the one that trips, including mid-run
+    byte_threshold = data.draw(
+        st.one_of(st.none(), st.integers(1, 400))
+    )
     buf = PG._StreamBuffer(str(tmp))
     model = []
     aborted = set()
@@ -1543,8 +1548,11 @@ def test_v2_stream_buffer_matches_list_model(data, tmp_path_factory):
     for i in range(n_ops):
         if data.draw(st.booleans()):
             xid = data.draw(st.integers(900, 904))
-            change = {"lsn": i, "op": "INSERT", "after": {"i": str(i)}}
-            buf.add(xid, change, threshold)
+            # variable-width payload so the byte accounting is exercised
+            # on non-uniform rows, not a constant per-line size
+            change = {"lsn": i, "op": "INSERT",
+                      "after": {"i": "x" * data.draw(st.integers(0, 60))}}
+            buf.add(xid, change, threshold, byte_threshold)
             model.append((xid, change))
         else:
             sub = data.draw(st.integers(900, 904))
