@@ -75,7 +75,7 @@ def pg():
             # test's WAL window stays inspectable); keep headroom above the
             # current test count or create_slot fails module-late with
             # "all replication slots are in use"
-            "\nwal_level=logical\nmax_replication_slots=24\nmax_wal_senders=24\n"
+            "\nwal_level=logical\nmax_replication_slots=32\nmax_wal_senders=32\n"
             f"port={PORT}\nlisten_addresses='127.0.0.1'\n"
             f"unix_socket_directories='{work}'\nlogging_collector=off\n"
             # keepalives every ~timeout/2 (~5 s) instead of the 30 s
@@ -1842,3 +1842,56 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
             )
     finally:
         c.close()
+
+
+def test_live_password_authentication_roundtrip(pg):
+    """The startup handshake's AuthenticationCleartextPassword branch
+    (reference configs carry cdc.password, README.md:186-198) against a
+    real backend — previously untested even in the fakes. A dedicated
+    role gets a `password`-method hba rule (prepended, so it matches
+    before the trust rule; scoped to the role, so every other test keeps
+    trust); the client must (a) fail loudly with the documented message
+    when no password is configured, (b) fail on a wrong password, and
+    (c) complete the handshake and stream a change with the right one."""
+    data = os.path.join(pg["work"], "data")
+    # no DO-$$ block: the sql() helper routes through bash, where $$
+    # expands to the shell PID
+    if pg["sql"]("SELECT count(*) FROM pg_roles WHERE rolname='repl_pw'") == "0":
+        pg["sql"](
+            "CREATE ROLE repl_pw LOGIN REPLICATION SUPERUSER "
+            "PASSWORD 'sekrit'"
+        )
+    r = _su(
+        f"sed -i '1i host all repl_pw 127.0.0.1/32 password' {data}/pg_hba.conf"
+    )
+    assert r.returncode == 0, r.stderr
+    pg["sql"]("SELECT pg_reload_conf()")
+
+    def connect_as(password):
+        sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+        sock.settimeout(30)
+        client = PG.ReplicationClient(
+            sock, slot="live_slot_pw", publication="cdc_pub"
+        )
+        client.startup(user="repl_pw", database="cdc_db", password=password)
+        return client
+
+    # (a) no password configured: the documented loud failure, not a hang
+    with pytest.raises(RuntimeError, match="requests a password"):
+        connect_as(None)
+    # (b) wrong password: the server's ErrorResponse surfaces
+    with pytest.raises(RuntimeError, match="startup failed"):
+        connect_as("wrong")
+    # (c) right password: full replication session over the authed link
+    client = connect_as("sekrit")
+    try:
+        client.create_slot()
+        client.start()
+        pg["sql"](
+            "INSERT INTO users (name, email) VALUES ('pwuser', 'pw@x')",
+            db="cdc_db",
+        )
+        got = _collect(client, 1, deadline_sec=60.0)
+        assert got and got[0]["after"]["name"] == "pwuser"
+    finally:
+        client.close()
