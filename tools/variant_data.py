@@ -72,6 +72,7 @@ VARIANTS = (
     "colperm",
     "empty_rel",
     "wide_rel",
+    "combo_rel",
 )
 
 
@@ -360,6 +361,27 @@ def generate(src_dir: str, out_root: str) -> list[str]:
                 t = _with_permuted_columns(t, seed)
             elif variant == "wide_rel":
                 t = _with_extra_columns(t, seed)
+            elif variant == "combo_rel":
+                # INTERACTION variant (r9): stack every value-level and
+                # layout-level perturbation the individual variants apply,
+                # in a fixed order — null rows, then exact duplicates,
+                # then extra wide columns, then permuted column order,
+                # then a row shuffle. Each constituent is 111/111 alone;
+                # this catches code whose guards hold one perturbation at
+                # a time but interact (e.g. a NULL-keyed duplicated row
+                # reaching a window tie through a positionally-read
+                # column). Same per-table exclusions as the constituents.
+                if name in _NULLS_REL_KEYS:
+                    t = _with_null_rows(t, _NULLS_REL_KEYS[name], name)
+                elif name == "embeddings":
+                    t = _embeddings_with_nulls(t)
+                elif name == "events":
+                    t = _events_with_nulls(t)
+                if name not in ("region", "nation", "embeddings"):
+                    t = _with_dup_rows(t, seed)
+                t = _with_extra_columns(t, seed)
+                t = _with_permuted_columns(t, seed)
+                t = _shuffled(t, seed)
             elif variant == "empty_rel":
                 # a completely empty database, same schemas: every query
                 # must return its oracle's answer (empty or a defined
