@@ -363,10 +363,10 @@ class Connector:
         try:
             if self.cfg.replication is not None and mode != "snapshot_only":
                 # slot first, snapshot second — see _connect_replication.
-                # INSIDE the cleanup try: a failure mid-handshake (SCRAM
-                # demanded after the socket was assigned, a non-duplicate
-                # create_slot error) must also release the session, or a
-                # start() retry orphans an open walsender
+                # INSIDE the cleanup try: a failure mid-handshake (an
+                # auth rejection after the socket was assigned, a
+                # non-duplicate create_slot error) must also release the
+                # session, or a start() retry orphans an open walsender
                 self._repl_client = self._connect_replication()
             return self._start_after_connect(mode, available_now)
         except BaseException:

@@ -136,6 +136,81 @@ def startup_message(
     return struct.pack("!I", len(body) + 4) + body
 
 
+class ScramSha256Client:
+    """SCRAM-SHA-256 client state machine (RFC 5802 mechanics, RFC 7677
+    hash parameters) — pure stdlib (hashlib/hmac/base64/secrets), no
+    channel binding (gs2 header ``n,,``; a plain-TCP walsender session
+    has no TLS channel to bind, and the server accepts the
+    client-doesn't-support flag).
+
+    PostgreSQL 14+ stores ``scram-sha-256`` verifiers by default and
+    managed providers commonly REQUIRE the SCRAM exchange (hba method
+    ``scram-sha-256``), where the cleartext path is refused outright —
+    without this, a reference user's ``cdc.password`` config could not
+    connect at all. The username inside the SCRAM message is empty by
+    default: PostgreSQL ignores it (the startup packet's user won), per
+    its own docs. Passwords are used as-is (SASLprep identity for ASCII
+    — matching what a reference deployment's Go pgx stack does for the
+    common case).
+
+    Messages are verified BOTH ways: the server must extend the client
+    nonce (downgrade/replay guard) and the final ``v=`` server signature
+    must match the locally derived one (proves the server actually holds
+    the verifier, not just our proof)."""
+
+    def __init__(self, password: str, username: str = "", nonce: str | None = None):
+        import secrets
+
+        self.password = password
+        self.nonce = nonce or secrets.token_urlsafe(18)
+        self.gs2 = "n,,"
+        self.client_first_bare = f"n={username},r={self.nonce}"
+        self._server_sig: str | None = None
+
+    def client_first(self) -> bytes:
+        return (self.gs2 + self.client_first_bare).encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import base64
+        import hashlib
+        import hmac
+
+        sf = server_first.decode()
+        attrs = dict(p.split("=", 1) for p in sf.split(","))
+        full_nonce = attrs["r"]
+        if not full_nonce.startswith(self.nonce):
+            # a nonce that does not EXTEND ours is a replayed or spliced
+            # exchange — abort before proving anything
+            raise RuntimeError(
+                "SCRAM server nonce does not extend the client nonce"
+            )
+        salt = base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.password.encode(), salt, iters
+        )
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        cfwp = (
+            f"c={base64.b64encode(self.gs2.encode()).decode()},r={full_nonce}"
+        )
+        auth_msg = ",".join([self.client_first_bare, sf, cfwp]).encode()
+        client_sig = hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        self._server_sig = base64.b64encode(
+            hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+        ).decode()
+        return (cfwp + ",p=" + base64.b64encode(proof).decode()).encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        attrs = dict(
+            p.split("=", 1) for p in server_final.decode().split(",")
+        )
+        if self._server_sig is None or attrs.get("v") != self._server_sig:
+            raise RuntimeError("SCRAM server signature verification failed")
+
+
 class ReplicationStreamError(RuntimeError):
     """ErrorResponse received inside the CopyBoth stream. ``sqlstate``
     carries the server's error code so consumers can distinguish a
@@ -897,10 +972,14 @@ class ReplicationClient:
         """StartupMessage handshake (``replication=database``): a backend
         rejects ANY command before this — the first write on a fresh
         connection must be the untyped startup packet, not a Query frame.
-        Handles AuthenticationOk (0) and AuthenticationCleartextPassword
-        (3); SCRAM is out of scope (use a trust/password hba entry for the
-        replication role, as the reference's docs assume)."""
+        Handles AuthenticationOk (0), AuthenticationCleartextPassword (3)
+        and SASL SCRAM-SHA-256 (10/11/12 — the PG14+ default verifier
+        format, which managed providers commonly REQUIRE; see
+        ScramSha256Client). md5 (5) is deliberately absent: it is
+        deprecated upstream and every server that offers it also accepts
+        cleartext or SCRAM hba methods."""
         self._send(startup_message(user, database))
+        scram: ScramSha256Client | None = None
         while True:
             t, body = read_frame(self.file)
             if not t:
@@ -916,6 +995,42 @@ class ReplicationClient:
                         )
                     self._send(frame(b"p", password.encode() + b"\x00"))
                     continue
+                if auth == 10:  # AuthenticationSASL: cstring mechanism list
+                    if password is None:
+                        raise RuntimeError(
+                            "server requests a password; none configured"
+                        )
+                    names = [
+                        m.decode() for m in body[4:].split(b"\x00") if m
+                    ]
+                    # plain SCRAM-SHA-256 only: the -PLUS variant requires
+                    # TLS channel binding this plain-TCP client can't offer
+                    if "SCRAM-SHA-256" not in names:
+                        raise RuntimeError(
+                            f"unsupported SASL mechanisms {names} "
+                            f"(only SCRAM-SHA-256 is implemented)"
+                        )
+                    scram = ScramSha256Client(password)
+                    first = scram.client_first()
+                    self._send(frame(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack("!I", len(first))
+                        + first,
+                    ))
+                    continue
+                if auth == 11:  # AuthenticationSASLContinue
+                    if scram is None:
+                        raise RuntimeError(
+                            "SASLContinue before SASL negotiation"
+                        )
+                    self._send(frame(b"p", scram.client_final(body[4:])))
+                    continue
+                if auth == 12:  # AuthenticationSASLFinal: verify v=...
+                    if scram is None:
+                        raise RuntimeError("SASLFinal before SASL negotiation")
+                    scram.verify_server_final(body[4:])
+                    continue  # AuthenticationOk follows
                 raise RuntimeError(f"unsupported authentication method {auth}")
             if t in (b"S", b"K", b"N"):  # ParameterStatus/BackendKeyData/Notice
                 continue

@@ -1895,3 +1895,59 @@ def test_live_password_authentication_roundtrip(pg):
         assert got and got[0]["after"]["name"] == "pwuser"
     finally:
         client.close()
+
+
+def test_live_scram_sha256_authentication_roundtrip(pg):
+    """SCRAM-SHA-256 against a real backend (the PG14+ default verifier
+    format; managed providers commonly REQUIRE the scram hba method,
+    where the cleartext path is refused outright). A dedicated role gets
+    a `scram-sha-256` hba rule; the client must complete the full RFC
+    5802 exchange — including verifying the server's v= signature — and
+    then run a real replication session. Wrong password and no password
+    fail loudly."""
+    data = os.path.join(pg["work"], "data")
+    if pg["sql"]("SELECT count(*) FROM pg_roles WHERE rolname='repl_scram'") == "0":
+        pg["sql"](
+            "CREATE ROLE repl_scram LOGIN REPLICATION SUPERUSER "
+            "PASSWORD 'scrampw'"
+        )
+    # PG14+ password_encryption defaults to scram-sha-256, but pin it:
+    # the stored verifier must BE a scram verifier for the hba method
+    assert pg["sql"](
+        "SELECT substr(rolpassword, 1, 13) FROM pg_authid "
+        "WHERE rolname='repl_scram'"
+    ) == "SCRAM-SHA-256"
+    r = _su(
+        f"sed -i '1i host all repl_scram 127.0.0.1/32 scram-sha-256' "
+        f"{data}/pg_hba.conf"
+    )
+    assert r.returncode == 0, r.stderr
+    pg["sql"]("SELECT pg_reload_conf()")
+
+    def connect_as(password):
+        sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+        sock.settimeout(30)
+        client = PG.ReplicationClient(
+            sock, slot="live_slot_scram", publication="cdc_pub"
+        )
+        client.startup(
+            user="repl_scram", database="cdc_db", password=password
+        )
+        return client
+
+    with pytest.raises(RuntimeError, match="requests a password"):
+        connect_as(None)
+    with pytest.raises(RuntimeError, match="startup failed"):
+        connect_as("wrong")
+    client = connect_as("scrampw")
+    try:
+        client.create_slot()
+        client.start()
+        pg["sql"](
+            "INSERT INTO users (name, email) VALUES ('scramuser', 'sc@x')",
+            db="cdc_db",
+        )
+        got = _collect(client, 1, deadline_sec=60.0)
+        assert got and got[0]["after"]["name"] == "scramuser"
+    finally:
+        client.close()

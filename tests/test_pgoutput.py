@@ -1697,3 +1697,41 @@ def test_v2_byte_threshold_default_is_bounded():
     a None default would reintroduce the count-only hole."""
     d = PG.PgOutputDecoder()
     assert d.stream_spill_threshold_bytes == 16 << 20
+
+
+def test_scram_sha256_rfc7677_test_vector():
+    """ScramSha256Client against the PUBLISHED RFC 7677 §3 exchange
+    (user=user pass=pencil, fixed client nonce): every derived message
+    and the server-signature check must match the spec byte for byte —
+    a deterministic pin on the whole derivation (PBKDF2 -> ClientKey ->
+    StoredKey -> AuthMessage -> proof -> ServerSignature)."""
+    c = PG.ScramSha256Client(
+        "pencil", username="user", nonce="rOprNGfwEbeRWgbNEkqO"
+    )
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    assert c.client_final(server_first) == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # the matching server signature verifies...
+    c.verify_server_final(b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    # ...and a tampered one is rejected (server must PROVE the verifier)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="server signature"):
+        c.verify_server_final(b"v=AAAATRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+
+
+def test_scram_rejects_non_extending_server_nonce():
+    """A server-first whose nonce does not EXTEND the client nonce is a
+    spliced/replayed exchange — the client must abort before sending any
+    proof material."""
+    import pytest as _pytest
+
+    c = PG.ScramSha256Client("pw", nonce="clientnonce")
+    with _pytest.raises(RuntimeError, match="nonce"):
+        c.client_final(b"r=somethingelse,s=V2hhdA==,i=4096")
