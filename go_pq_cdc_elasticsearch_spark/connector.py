@@ -67,6 +67,13 @@ class ReplicationSettings:
     # a streamed txn exceeded the server's logical_decoding_work_mem, so
     # its spool can be GBs on a busy OLTP primary.
     stream_spill_dir: str | None = None
+    # TLS for the walsender link (libpq sslmode semantics for the levels
+    # that change client behavior): "disable" (default, plain TCP),
+    # "require" (encrypt, no peer authentication), "verify-full" (cert
+    # verified against ssl_ca_file + hostname match). Managed providers
+    # commonly refuse non-SSL connections outright.
+    ssl_mode: str = "disable"
+    ssl_ca_file: str | None = None
     # per-session GUCs applied right after the startup handshake (SET
     # name = 'value' over the walsender connection — logical replication
     # connections accept simple SQL). The canonical use is
@@ -193,6 +200,20 @@ class Connector:
         sock = socket.create_connection(
             (rs.host, rs.port), timeout=rs.connect_timeout_sec
         )
+        if rs.ssl_mode != "disable":
+            # TLS negotiation must precede the startup packet; a refusal
+            # ('N') raises rather than downgrading. On failure close the
+            # raw socket — negotiate_ssl only returns a wrapped one.
+            try:
+                sock = PG.negotiate_ssl(
+                    sock, rs.host, rs.ssl_mode, rs.ssl_ca_file
+                )
+            except BaseException:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                raise
         client = PG.ReplicationClient(
             sock,
             slot=rs.slot,

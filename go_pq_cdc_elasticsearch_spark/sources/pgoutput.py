@@ -136,6 +136,48 @@ def startup_message(
     return struct.pack("!I", len(body) + 4) + body
 
 
+def negotiate_ssl(sock, host: str, mode: str = "require", ca_file: str | None = None):
+    """PostgreSQL SSLRequest dance + TLS wrap of a fresh connection —
+    run BEFORE the startup packet (the server expects SSLRequest as the
+    very first bytes when TLS is wanted; libpq protocol flow).
+
+    ``mode`` follows libpq sslmode semantics for the two levels that
+    change client behavior:
+    - ``require``: encrypt, do NOT authenticate the peer (no cert/host
+      verification) — exactly libpq's sslmode=require trust model;
+      protects against passive snooping, not active MITM.
+    - ``verify-full``: verify the server cert against ``ca_file`` AND
+      match the hostname — the full authentication level.
+    A server answering ``N`` (SSL refused) fails loudly in both modes:
+    the caller asked for TLS, silently continuing in cleartext would be
+    a downgrade. Returns the wrapped socket (all client machinery works
+    unchanged on it; poll() additionally consults SSLSocket.pending()
+    so frames buffered inside the TLS layer can't stall its select)."""
+    import ssl
+
+    if mode not in ("require", "verify-full"):
+        raise ValueError(
+            f"unsupported ssl mode {mode!r} (require | verify-full)"
+        )
+    sock.sendall(struct.pack("!II", 8, 80877103))  # SSLRequest
+    resp = sock.recv(1)
+    if resp != b"S":
+        raise RuntimeError(
+            f"server refused SSL (answered {resp!r}) but ssl mode "
+            f"{mode!r} requires it — not silently downgrading to cleartext"
+        )
+    if mode == "verify-full":
+        if ca_file is None:
+            raise ValueError("verify-full needs ssl_ca_file")
+        ctx = ssl.create_default_context(cafile=ca_file)
+        # create_default_context already sets CERT_REQUIRED+check_hostname
+    else:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    return ctx.wrap_socket(sock, server_hostname=host)
+
+
 class ScramSha256Client:
     """SCRAM-SHA-256 client state machine (RFC 5802 mechanics, RFC 7677
     hash parameters) — pure stdlib (hashlib/hmac/base64/secrets), no
@@ -1169,11 +1211,21 @@ class ReplicationClient:
                 yield ch
                 continue
             if idle_timeout is not None:
-                ready, _, _ = _select.select([self.sock], [], [], idle_timeout)
-                if not ready:
-                    if heartbeat:
-                        yield None
-                    continue
+                # TLS: one record can carry several frames — after
+                # read_frame consumes the first, the rest sit DECRYPTED
+                # inside the SSL layer where select() on the raw fd
+                # cannot see them (the same parked-frame stall the
+                # unbuffered file exists to prevent). SSLSocket.pending()
+                # reports exactly those bytes; check it before selecting.
+                pending = getattr(self.sock, "pending", None)
+                if pending is None or pending() == 0:
+                    ready, _, _ = _select.select(
+                        [self.sock], [], [], idle_timeout
+                    )
+                    if not ready:
+                        if heartbeat:
+                            yield None
+                        continue
             t, body = read_frame(self.file)
             self.frames_seen += 1
             if not t or t == b"Z":  # EOF / ReadyForQuery after CopyDone

@@ -1951,3 +1951,103 @@ def test_live_scram_sha256_authentication_roundtrip(pg):
         assert got and got[0]["after"]["name"] == "scramuser"
     finally:
         client.close()
+
+
+def test_live_ssl_require_and_verify_full_roundtrip(pg):
+    """TLS on the walsender link against a real backend: enable ssl=on
+    with a self-signed cert (IP SAN so verify-full's hostname match can
+    pass), then prove BOTH client levels — `require` (encrypt, no peer
+    auth) and `verify-full` (CA + hostname) — complete the SSLRequest
+    dance, the startup handshake, and a real replication session. Also
+    exercises poll()'s SSLSocket.pending() path: with TLS, frames
+    buffered inside the SSL layer are invisible to select(), and an
+    idle_timeout poll must not stall on them."""
+    import subprocess
+
+    data = os.path.join(pg["work"], "data")
+    ssldir = tempfile.mkdtemp(prefix="pgssl_")
+    crt, key = os.path.join(ssldir, "server.crt"), os.path.join(ssldir, "server.key")
+    r = subprocess.run(
+        ["openssl", "req", "-new", "-x509", "-days", "2", "-nodes",
+         "-out", crt, "-keyout", key, "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    # the postmaster (postgres user) must own+read them, key mode 0600
+    for f, mode in ((crt, "644"), (key, "600")):
+        assert _su(f"true").returncode == 0  # su plumbing sanity
+        subprocess.run(["cp", f, data], check=True)
+        base = os.path.join(data, os.path.basename(f))
+        subprocess.run(["chown", "postgres:postgres", base], check=True)
+        subprocess.run(["chmod", mode, base], check=True)
+    with open(os.path.join(data, "postgresql.conf"), "a") as f:
+        f.write("\nssl=on\nssl_cert_file='server.crt'\nssl_key_file='server.key'\n")
+    pg["sql"]("SELECT pg_reload_conf()")  # ssl is sighup-context (PG>=10)
+    deadline = time.time() + 30
+    while time.time() < deadline and pg["sql"]("SHOW ssl") != "on":
+        time.sleep(0.3)
+    assert pg["sql"]("SHOW ssl") == "on"
+
+    def connect_tls(mode, ca_file=None, slot="live_slot_ssl"):
+        sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+        sock.settimeout(30)
+        wrapped = PG.negotiate_ssl(sock, "127.0.0.1", mode, ca_file)
+        client = PG.ReplicationClient(wrapped, slot=slot, publication="cdc_pub")
+        client.startup(user="postgres", database="cdc_db")
+        return client
+
+    # require: encrypted session end to end
+    client = connect_tls("require")
+    try:
+        assert client.sock.version() is not None  # genuinely TLS
+        client.create_slot()
+        client.start()
+        pg["sql"](
+            "INSERT INTO users (name, email) VALUES ('ssluser', 'ssl@x')",
+            db="cdc_db",
+        )
+        got = []
+        end = time.time() + 60
+        # idle_timeout poll: the pending() path must surface frames the
+        # TLS layer buffered past the first read
+        for ch in client.poll(heartbeat=True, idle_timeout=0.2):
+            if ch is not None:
+                got.append(ch)
+            if got or time.time() > end:
+                break
+        assert got and got[0]["after"]["name"] == "ssluser"
+    finally:
+        client.close()
+
+    # verify-full: the self-signed cert IS the CA; hostname must match
+    # the IP SAN. A same-slot reconnect also proves slot reuse over TLS.
+    client2 = connect_tls("verify-full", ca_file=crt)
+    try:
+        client2.start()
+        pg["sql"](
+            "INSERT INTO users (name, email) VALUES ('ssluser2', 'ssl2@x')",
+            db="cdc_db",
+        )
+        # same slot, nothing acked in leg 1: at-least-once redelivers
+        # ssluser first — proof the slot state survived the TLS reconnect
+        got = _collect(client2, 2, deadline_sec=60.0)
+        assert [c["after"]["name"] for c in got] == ["ssluser", "ssluser2"]
+    finally:
+        client2.close()
+
+    # verify-full against the WRONG CA must fail the TLS handshake
+    import ssl as _ssl
+
+    other = tempfile.mkdtemp(prefix="pgssl_other_")
+    r = subprocess.run(
+        ["openssl", "req", "-new", "-x509", "-days", "2", "-nodes",
+         "-out", os.path.join(other, "other.crt"),
+         "-keyout", os.path.join(other, "other.key"),
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    with pytest.raises(_ssl.SSLError):
+        connect_tls("verify-full", ca_file=os.path.join(other, "other.crt"))

@@ -1735,3 +1735,41 @@ def test_scram_rejects_non_extending_server_nonce():
     c = PG.ScramSha256Client("pw", nonce="clientnonce")
     with _pytest.raises(RuntimeError, match="nonce"):
         c.client_final(b"r=somethingelse,s=V2hhdA==,i=4096")
+
+
+def test_negotiate_ssl_refusal_and_bad_mode():
+    """A server answering 'N' to SSLRequest must fail LOUDLY when the
+    caller asked for TLS — silently continuing in cleartext is a
+    downgrade attack surface; and unknown modes are rejected before any
+    bytes move."""
+    import socket
+    import struct as _struct
+    import threading
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported ssl mode"):
+        PG.negotiate_ssl(None, "h", mode="prefer")
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def refuse():
+        conn, _ = srv.accept()
+        req = conn.recv(8)
+        # the dance's first bytes must be a well-formed SSLRequest
+        assert _struct.unpack("!II", req) == (8, 80877103)
+        conn.sendall(b"N")
+        conn.close()
+
+    t = threading.Thread(target=refuse, daemon=True)
+    t.start()
+    cli = socket.create_connection(srv.getsockname(), timeout=10)
+    try:
+        with _pytest.raises(RuntimeError, match="refused SSL"):
+            PG.negotiate_ssl(cli, "127.0.0.1", mode="require")
+    finally:
+        cli.close()
+        srv.close()
+        t.join(timeout=10)
