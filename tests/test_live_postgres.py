@@ -2051,3 +2051,31 @@ def test_live_ssl_require_and_verify_full_roundtrip(pg):
     assert r.returncode == 0, r.stderr
     with pytest.raises(_ssl.SSLError):
         connect_tls("verify-full", ca_file=os.path.join(other, "other.crt"))
+
+
+def test_live_tls_plus_scram_combined(pg):
+    """The managed-provider shape: TLS transport AND SCRAM auth on one
+    session (runs after the ssl and scram tests, so the server already
+    has ssl=on and the repl_scram role + scram hba rule). The full
+    stack — SSLRequest dance, TLS handshake, SASL SCRAM-SHA-256
+    exchange over the encrypted link, replication session — end to end."""
+    if pg["sql"]("SHOW ssl") != "on":
+        pytest.skip("ssl test did not run first (module order changed)")
+    sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+    sock.settimeout(30)
+    wrapped = PG.negotiate_ssl(sock, "127.0.0.1", "require")
+    client = PG.ReplicationClient(
+        wrapped, slot="live_slot_tls_scram", publication="cdc_pub"
+    )
+    client.startup(user="repl_scram", database="cdc_db", password="scrampw")
+    try:
+        client.create_slot()
+        client.start()
+        pg["sql"](
+            "INSERT INTO users (name, email) VALUES ('tslscram', 'ts@x')",
+            db="cdc_db",
+        )
+        got = _collect(client, 1, deadline_sec=60.0)
+        assert got and got[0]["after"]["name"] == "tslscram"
+    finally:
+        client.close()
