@@ -262,3 +262,30 @@ def test_repetition_metrics_exactly_five_generates(spark):
         1 for ln in plan.splitlines() if ln.lstrip(" :+-").startswith("Generate ")
     )
     assert n_generates == len(set(TOP_NS) | set(DUP_NS)) == 5, plan
+
+
+def test_semantic_dedup_exact_config_stays_jvm_side(spark):
+    """r9 perf pin: the n_centroids=1 exact config (the q_lx4 anchor twin)
+    must not touch Python at all — no k-means train collect, no Arrow
+    cell-assignment pass. The pair-candidate plan is pure JVM (literal
+    cell + self-join + cosine column algebra); a regression back to
+    with_ivf_cell would reintroduce an ArrowEvalPython/MapInPandas stage."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    out = semantic_dedup(
+        emb.select("vec_id", "embedding"), tau=0.99, n_centroids=1
+    )
+    plan = _plan(out)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    # and it still computes: planted exact duplicate must be dropped
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(dup)
+    kept = semantic_dedup(planted, tau=0.999, n_centroids=1)
+    assert kept.count() == 50  # the scaled-up twin removed, nothing else
