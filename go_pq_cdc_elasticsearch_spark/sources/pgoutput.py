@@ -1022,6 +1022,7 @@ class ReplicationClient:
         cleartext or SCRAM hba methods."""
         self._send(startup_message(user, database))
         scram: ScramSha256Client | None = None
+        scram_verified = False
         while True:
             t, body = read_frame(self.file)
             if not t:
@@ -1029,6 +1030,16 @@ class ReplicationClient:
             if t == b"R":
                 (auth,) = struct.unpack_from("!I", body, 0)
                 if auth == 0:  # AuthenticationOk
+                    # Once a SCRAM exchange started, AuthenticationOk is
+                    # only acceptable AFTER AuthenticationSASLFinal proved
+                    # the server holds the stored verifier — a peer that
+                    # skips message 12 must not be able to fail the
+                    # mutual-auth check open.
+                    if scram is not None and not scram_verified:
+                        raise RuntimeError(
+                            "server sent AuthenticationOk without completing "
+                            "the SCRAM exchange (no SASLFinal server proof)"
+                        )
                     continue
                 if auth == 3:  # cleartext password
                     if password is None:
@@ -1072,11 +1083,17 @@ class ReplicationClient:
                     if scram is None:
                         raise RuntimeError("SASLFinal before SASL negotiation")
                     scram.verify_server_final(body[4:])
+                    scram_verified = True
                     continue  # AuthenticationOk follows
                 raise RuntimeError(f"unsupported authentication method {auth}")
             if t in (b"S", b"K", b"N"):  # ParameterStatus/BackendKeyData/Notice
                 continue
             if t == b"Z":  # ReadyForQuery
+                if scram is not None and not scram_verified:
+                    raise RuntimeError(
+                        "server sent ReadyForQuery without completing "
+                        "the SCRAM exchange (no SASLFinal server proof)"
+                    )
                 return
             if t == b"E":
                 raise RuntimeError(f"startup failed: {parse_error_response(body)}")

@@ -1848,10 +1848,11 @@ def test_live_initial_mode_snapshot_stream_handoff_under_concurrent_writes(
             # live per-session, so sum the first and current sessions
             # (the view assertions above already proved delivery); only
             # a >1-reconnect storm leaves a middle session unobserved.
-            started = (
-                first_client.decoder.stream_txns_started
-                + c._repl_client.decoder.stream_txns_started
-            )
+            # sum only DISTINCT sessions: with no reconnect, first_client
+            # IS c._repl_client and a naive sum double-counts it
+            started = first_client.decoder.stream_txns_started
+            if c._repl_client is not first_client:
+                started += c._repl_client.decoder.stream_txns_started
             assert started >= 1 or c.consumer_restarts > 1, (
                 f"handoff v2 leg never streamed a transaction "
                 f"(restarts={c.consumer_restarts})"

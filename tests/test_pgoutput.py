@@ -1737,6 +1737,64 @@ def test_scram_rejects_non_extending_server_nonce():
         c.client_final(b"r=somethingelse,s=V2hhdA==,i=4096")
 
 
+def test_scram_server_skipping_sasl_final_fails_closed():
+    """ADVICE r9: a server that STARTS a SCRAM exchange but jumps straight
+    to AuthenticationOk (skipping AuthenticationSASLFinal, message 12)
+    never proved it holds the stored verifier — the mutual-auth promise in
+    ScramSha256Client's docstring. startup() must abort, not fail open.
+    Both escape hatches are pinned: AuthenticationOk and a ReadyForQuery
+    arriving with the exchange still unverified."""
+    import base64
+
+    import pytest as _pytest
+
+    for skip_auth_ok in (False, True):
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+
+        def run(server=srv, skip=skip_auth_ok):
+            conn, _ = server.accept()
+            f = conn.makefile("rb")
+            (ln,) = struct.unpack("!I", f.read(4))
+            f.read(ln - 4)  # startup payload
+            conn.sendall(
+                PG.frame(b"R", struct.pack("!I", 10) + b"SCRAM-SHA-256\x00\x00")
+            )
+            t, body = PG.read_frame(f)  # SASLInitialResponse
+            assert t == b"p"
+            mech_end = body.index(b"\x00")
+            (flen,) = struct.unpack_from("!I", body, mech_end + 1)
+            client_first = body[mech_end + 5 : mech_end + 5 + flen]
+            attrs = dict(
+                p.split(b"=", 1) for p in client_first.split(b",")[2:]
+            )
+            server_first = (
+                b"r=" + attrs[b"r"] + b"EXT,s="
+                + base64.b64encode(b"salt1234") + b",i=4096"
+            )
+            conn.sendall(PG.frame(b"R", struct.pack("!I", 11) + server_first))
+            PG.read_frame(f)  # client-final (proof) — discarded on purpose
+            if not skip:
+                # fail-open attempt #1: AuthenticationOk without SASLFinal
+                conn.sendall(PG.frame(b"R", struct.pack("!I", 0)))
+            # fail-open attempt #2: straight to ReadyForQuery
+            conn.sendall(PG.frame(b"Z", b"I"))
+            conn.close()
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        sock = socket.create_connection(srv.getsockname(), timeout=10)
+        c = PG.ReplicationClient(sock, slot="s")
+        try:
+            with _pytest.raises(RuntimeError, match="SCRAM"):
+                c.startup(user="u", database="d", password="pw")
+        finally:
+            sock.close()
+            srv.close()
+            th.join(timeout=10)
+
+
 def test_negotiate_ssl_refusal_and_bad_mode():
     """A server answering 'N' to SSLRequest must fail LOUDLY when the
     caller asked for TLS — silently continuing in cleartext is a
