@@ -538,27 +538,33 @@ def jaccard_from_sets(ga, gb) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def cosine(col_a, col_b) -> Column:
-    """Cosine similarity of two array<float/double> columns, accumulated in
-    double (matches the oracle's list_zip + double-cast formulation)."""
+def l2_norm(col) -> Column:
+    """Per-row L2 norm with EXACTLY ``cosine``'s arithmetic (the same
+    transform/aggregate expression tree). A pair operator that precomputes
+    this once per ROW and combines via ``cosine_from_norms`` is
+    bit-identical to calling ``cosine`` per pair — the norm does not
+    depend on the pairing — while cutting the per-pair interpreted
+    higher-order-function work from three array folds to one (the dot).
+    Measured on semantic_dedup's 540-vector all-pairs leg: the pair join
+    was ~3x dominated by the two redundant norm folds (r10 perf)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_from_norms(col_a, col_b, na, nb) -> Column:
+    """Cosine similarity given the two vectors AND their precomputed
+    ``l2_norm`` columns — the per-pair half of the factored form (see
+    ``l2_norm``). Edge contract identical to ``cosine``: NULL (never NaN)
+    for zero-norm/empty/ragged/NULL/NaN inputs."""
     dot = F.aggregate(
         F.zip_with(col_a, col_b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(col_a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(col_b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
     )
     # zero-norm/empty vectors: NULL, not a crash — Spark 4's default ANSI
     # mode raises DIVIDE_BY_ZERO on the bare division, while DuckDB's
@@ -572,6 +578,12 @@ def cosine(col_a, col_b) -> Column:
     denom = na * nb
     sim = F.when(denom != F.lit(0.0), dot / denom)
     return F.when(~F.isnan(sim), sim)
+
+
+def cosine(col_a, col_b) -> Column:
+    """Cosine similarity of two array<float/double> columns, accumulated in
+    double (matches the oracle's list_zip + double-cast formulation)."""
+    return cosine_from_norms(col_a, col_b, l2_norm(col_a), l2_norm(col_b))
 
 
 def winnow_fingerprints(
@@ -646,15 +658,28 @@ def paragraph_dedup(
     least one non-blank line; ``text`` is NULL when every line was a repeat
     of an earlier occurrence.
 
-    Scale shape: two shuffles. (1) a window over the line's md5 (128-bit —
-    a 32/64-bit key would silently merge distinct lines at corpus scale,
-    and the grouping must be collision-free because it decides which text
-    survives); line text rides the shuffle because reassembly needs it —
-    shuffle bytes ~ corpus text size, the floor for any reassembling
-    dedup. (2) a groupBy on the doc id to rebuild documents. No driver
-    state, no cross product. The first-occurrence rule (vs. reference-free
-    "drop all copies") keeps exactly one copy of boilerplate, matching the
-    keep-first convention of exact_dedup.
+    Scale shape (reworked r10, VERDICT r9 item 3): the keep-first decision
+    is an AGGREGATE, not a window. At corpus scale the line key is heavily
+    skewed — the hottest boilerplate lines (cookie banners, license
+    headers) appear in a large fraction of documents, and a
+    ``row_number() over (partition by key)`` window funnels every copy of
+    a hot key into ONE task with no map-side reduction. Here the winner
+    per key is ``min(struct(doc_id, pos, line))`` over the line's md5
+    (128-bit — a 32/64-bit key would silently merge distinct lines at
+    corpus scale, and the grouping must be collision-free because it
+    decides which text survives): partial aggregation collapses each map
+    partition's copies of a hot key to one candidate BEFORE the shuffle,
+    so the reduce side sees at most one row per (map task, key) no matter
+    how hot the key is. ``(doc_id, pos)`` is unique per exploded line, so
+    the struct min reproduces the window's (doc id, position) first-
+    occurrence order exactly, and the winning line text rides inside the
+    min struct — no join back onto the skewed key is needed at all.
+    Reassembly is then a groupBy on the doc id over WINNERS ONLY (≤ one
+    row per distinct line), plus a cheap per-doc line count joined on the
+    doc id (never skewed: one row per doc on both sides). The
+    first-occurrence rule (vs. reference-free "drop all copies") keeps
+    exactly one copy of boilerplate, matching the keep-first convention
+    of exact_dedup.
     """
     # F.split takes a Java regex; sep is a LITERAL separator (reassembly
     # below concatenates it literally), so quote it — a caller passing
@@ -672,24 +697,45 @@ def paragraph_dedup(
     # ascii_lower, not lower(): Unicode case-fold diverges per engine
     # (functions/text.py::ascii_lower, review r7)
     key = F.md5(ascii_lower(F.trim(F.col("__line"))))
-    w = Window.partitionBy("__key").orderBy(F.col(id_col), F.col("__pos"))
-    ranked = lines.withColumn("__key", key).withColumn(
-        "__keep", F.row_number().over(w) == 1
+    # winner per normalized line = lexicographic min over (doc id, pos);
+    # (doc_id, pos) is unique so the trailing __line never breaks a tie —
+    # it rides along so the surviving RAW text (pre-normalization) comes
+    # out of the aggregate without a join back onto the skewed key
+    winners = (
+        lines.groupBy(key.alias("__key"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("__wid"),
+                    F.col("__pos").alias("__wpos"),
+                    F.col("__line").alias("__wline"),
+                )
+            ).alias("__first")
+        )
+        .select(
+            F.col("__first.__wid").alias(id_col),
+            F.col("__first.__wpos").alias("__pos"),
+            F.col("__first.__wline").alias("__line"),
+        )
     )
-    kept_struct = F.when(
-        F.col("__keep"), F.struct(F.col("__pos"), F.col("__line"))
-    )
-    return ranked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
-        F.when(
-            F.sum(F.col("__keep").cast("long")) > 0,
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x.getField("__line"),
+    kept = winners.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
                 ),
+                lambda x: x.getField("__line"),
             ),
         ).alias("text"),
+    )
+    counts = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # left join: a doc whose every line was a repeat has no winners row —
+    # n_kept = 0, text = NULL (the documented contract)
+    return counts.join(kept, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "text",
     )

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from go_pq_cdc_elasticsearch_spark.operators.dedup import _hash64, cosine
+from go_pq_cdc_elasticsearch_spark.operators.dedup import (
+    _hash64,
+    cosine,
+    cosine_from_norms,
+    l2_norm,
+)
 
 
 def _empty_topk_result(spark, id_col: str) -> DataFrame:
@@ -416,11 +421,21 @@ def ivf_topk(
             probe_rows.append((int(r[0]), list(r[1]), int(cell)))
     q = spark.createDataFrame(
         probe_rows, schema="qid long, q_vec array<float>, cell int"
-    )
+    ).withColumn("__qn", l2_norm(F.col("q_vec")))
+    # norms factored out of the pair expression (bit-identical — see
+    # l2_norm): corpus norm once per row pre-join, query norm once per
+    # probe row on the broadcast side; the in-cell re-rank pays one array
+    # fold (the dot) per candidate instead of three
     scored = (
-        c.join(F.broadcast(q), on="cell")
+        c.withColumn("__cn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(q), on="cell")
         .filter(F.col(id_col) != F.col("qid"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col(vec_col)))
+        .withColumn(
+            "sim",
+            cosine_from_norms(
+                F.col("q_vec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+            ),
+        )
         .select("qid", id_col, "sim")
     )
     return _rank_topk(scored, k, id_col)
@@ -459,10 +474,18 @@ def lsh_topk(
         q = q.select("qid", "q_vec", F.explode(probes).alias("bucket"))
     else:
         q = q.select("qid", "q_vec", F.col("__sig").alias("bucket"))
+    # norms factored out of the pair expression (bit-identical — see
+    # l2_norm): one array fold per in-bucket candidate instead of three
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.withColumn("__cn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(q.withColumn("__qn", l2_norm(F.col("q_vec")))), on="bucket")
         .filter(F.col(id_col) != F.col("qid"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col(vec_col)))
+        .withColumn(
+            "sim",
+            cosine_from_norms(
+                F.col("q_vec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+            ),
+        )
         .select("qid", id_col, "sim")
     )
     return _rank_topk(scored, k, id_col)
@@ -520,16 +543,32 @@ def semantic_dedup(
         # cost) executes twice (same double-evaluation dedup_corpus
         # persists its grams against)
         cells = with_ivf_cell(df, cents, id_col, vec_col).persist()
+    # norms precomputed per ROW (O(n) folds), pair filter does only the
+    # dot (one fold per pair instead of three) — bit-identical to the
+    # per-pair cosine() since the norm is pairing-independent (see
+    # operators/dedup.py::l2_norm; measured ~3x on the all-pairs leg, r10)
+    nrm = l2_norm(F.col(vec_col))
     a = cells.select(
-        F.col("cell"), F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1")
+        F.col("cell"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("__v1"),
+        nrm.alias("__n1"),
     )
     b = cells.select(
-        F.col("cell"), F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2")
+        F.col("cell"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("__v2"),
+        nrm.alias("__n2"),
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id1") < F.col("id2"))
-        .filter(cosine(F.col("__v1"), F.col("__v2")) >= tau)
+        .filter(
+            cosine_from_norms(
+                F.col("__v1"), F.col("__v2"), F.col("__n1"), F.col("__n2")
+            )
+            >= tau
+        )
         .select("id1", "id2")
     )
     # connected_components executes eagerly (per-round convergence probes)

@@ -306,14 +306,19 @@ def q_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's exact integer range predicate keeps it (review r7;
     # snowflake-scale ids are in the regeneration vocabulary). div is
     # exact 64-bit integral division; ids are non-negative so div == floor
+    # norms factored out of the pair expression (bit-identical — see
+    # operators/dedup.py::l2_norm): each side carries its precomputed norm
+    # through the bucket join; the ~win pairs per row pay one fold (dot)
     a = emb.select(
         F.col("vec_id").alias("id1"),
         F.col("embedding").alias("e1"),
+        DD.l2_norm(F.col("embedding")).alias("n1"),
         F.expr(f"vec_id div {win}").alias("jb"),
     )
     b = emb.select(
         F.col("vec_id").alias("id2"),
         F.col("embedding").alias("e2"),
+        DD.l2_norm(F.col("embedding")).alias("n2"),
         F.explode(
             F.array(
                 F.expr(f"vec_id div {win}"), F.expr(f"vec_id div {win}") - 1
@@ -325,7 +330,14 @@ def q_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.select(
-            "id1", "id2", pround(DD.cosine(F.col("e1"), F.col("e2")), 6).alias("sim")
+            "id1",
+            "id2",
+            pround(
+                DD.cosine_from_norms(
+                    F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+                ),
+                6,
+            ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "id1", "id2")
         .limit(20)
@@ -1892,13 +1904,27 @@ def q_lx5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrent fold, and that ctx mutates the session-global shuffle
     # partition conf — concurrent sibling parts would plan under it
     # (measured: no speedup from the smaller partition count anyway).
+    # eager=False (r10): each wave's serial driver-synchronous work shrinks
+    # to [grams ckpt, bands ckpt, probe-bucket collect, segment append] —
+    # the two waves' VERIFICATION jobs (the expensive legs) are returned
+    # lazy and run together in one overlapped job at first action. Sound
+    # because every input the lazy frames need is pinned per wave
+    # (checkpointed grams/bands, file-list-snapshotted index segments) —
+    # see process_batch's docstring. The lazy localCheckpoint on the union
+    # keeps repeated driver actions (count + collect + hash) from
+    # re-running the verification.
     for i, m in enumerate((1, 0)):
         parts.append(
             idx.process_batch(
-                docs.filter(F.col("doc_id") % 2 == m), corpus=docs, epoch_id=i
+                docs.filter(F.col("doc_id") % 2 == m),
+                corpus=docs,
+                epoch_id=i,
+                eager=False,
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select("id1", "id2", pround("jaccard", 6).alias("jaccard"))
+    return out.select(
+        "id1", "id2", pround("jaccard", 6).alias("jaccard")
+    ).localCheckpoint(eager=False)

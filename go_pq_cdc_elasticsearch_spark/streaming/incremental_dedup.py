@@ -162,11 +162,39 @@ class _BandSegmentIndex:
             self._last_epoch = epoch_id
             self._write_meta()
 
-    def read_buckets(self, buckets: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.option("basePath", self.path).parquet(self.path)
-        if buckets is not None:
-            df = df.filter(F.col(_BUCKET_COL).isin(buckets))
-        return df.drop(_BUCKET_COL)
+    def read_buckets(
+        self, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Read the (optionally pruned) index state as of NOW: the segment
+        files are enumerated here, file by file, and the returned frame
+        reads exactly that list — segments appended AFTER this call can
+        never leak into it. That snapshot property is load-bearing for
+        process_batch (r10): it appends the batch's band rows BEFORE the
+        verification job runs, which is only sound because the probe's
+        state read is pinned to the pre-append file list. (Spark's
+        InMemoryFileIndex happens to list eagerly at load() too, but the
+        explicit file list makes the guarantee structural rather than an
+        internals assumption.)"""
+        dirs = self._bucket_dirs() if buckets is None else buckets
+        files = []
+        for b in dirs:
+            d = os.path.join(self.path, f"{_BUCKET_COL}={b}")
+            if not os.path.isdir(d):
+                continue
+            files.extend(
+                os.path.join(d, name)
+                for name in os.listdir(d)
+                if name.endswith(".parquet")
+            )
+        if not files:
+            # a probe can hash to buckets no segment was ever written to;
+            # None = "no state to read" (the callers' existing no-state path)
+            return None
+        return (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*files)
+            .drop(_BUCKET_COL)
+        )
 
     def compact(self) -> None:
         """Deferred merge: one file per bucket, duplicates (from
@@ -178,7 +206,10 @@ class _BandSegmentIndex:
         later probe would quietly report no cross-batch dups)."""
         if not self.exists() or not self._bucket_dirs():
             return
-        state = self.read_buckets().distinct()
+        state = self.read_buckets()
+        if state is None:
+            return
+        state = state.distinct()
         import shutil
         import tempfile
 
@@ -319,6 +350,7 @@ class LshDedupIndex:
         batch: DataFrame,
         corpus: DataFrame,
         epoch_id: int | None = None,
+        eager: bool = True,
     ) -> DataFrame:
         """Detect-then-index one micro-batch.
 
@@ -326,105 +358,121 @@ class LshDedupIndex:
         ingested docs (the corpus table a real pipeline has anyway — the
         index stores band rows, not text). Returns verified pairs
         ``(id1, id2, jaccard)`` with ``id1 < id2``, covering new-vs-indexed
-        and new-vs-new. The returned frame is computed EAGERLY (it must be
-        — indexing the batch afterwards changes the state the pairs were
-        probed against)."""
+        and new-vs-new.
+
+        Job shape (reworked r10, VERDICT r9 item 2 — this was the q_sx3
+        fold's co-bottleneck): the batch's gram sets and band rows are
+        pinned with eager ``localCheckpoint`` (replacing the persist/
+        unpersist pair and its crash-loop leak machinery — checkpoint
+        blocks are freed by the ContextCleaner when the frames go out of
+        scope), the state probe snapshots its segment FILE LIST
+        (``read_buckets``), and the index append runs BEFORE the
+        verification job — sound because the pinned listing means the
+        append cannot leak into the probe's state read. With
+        ``eager=False`` the returned frame is LAZY: every input it needs
+        is either checkpointed (batch grams/bands), file-list-pinned
+        (index segments) or caller-owned (``corpus``), so computing it
+        later — even after more batches were indexed — yields exactly the
+        pairs this batch's probe saw. A replay driver (q_lx5) uses that
+        to fold N waves' verification into ONE overlapped Spark job
+        instead of N serial driver-synchronous ones. ``eager=True``
+        (default) materializes before returning, which stateful callers
+        (``IncrementalDeduper``) need because they join against the pair
+        set repeatedly while mutating their own views."""
         id_c = self.id_col
         # ONE tokenize pass per batch (the dedup_corpus r2 rule): the
         # staged gram sets feed both the minhash signatures and the
         # verification side below — without grams_df, minhash_band_rows
-        # re-derived the identical n-gram sets internally (review r6)
-        new_grams = doc_ngram_sets(batch, self.text_col, id_c).persist()
+        # re-derived the identical n-gram sets internally (review r6).
+        # Eagerly checkpointed, not persisted: the frames outlive this
+        # call in the eager=False mode, and a lazy return over an
+        # unpersisted cache would re-run tokenize+minhash per reference.
+        new_grams = doc_ngram_sets(batch, self.text_col, id_c).localCheckpoint(
+            eager=True
+        )
         bands = minhash_band_rows(
             batch, self.text_col, id_c, self.k, self.bands,
             grams_df=new_grams,
-        ).persist()
-        # everything below runs under try/finally: a crash-looping
-        # micro-batch (disk-full mid-append, analysis error in the verify
-        # join) that escaped between persist and unpersist leaked BOTH
-        # caches per redelivery attempt — the materialized.py merge_batch
-        # leak class (review r6 there, r7 here)
-        try:
+        ).localCheckpoint(eager=True)
 
-            # in-batch candidates: self-join within shared band buckets
-            a, b = bands.alias("a"), bands.alias("b")
-            intra = (
+        # in-batch candidates: self-join within shared band buckets
+        a, b = bands.alias("a"), bands.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_c}") < F.col(f"b.{id_c}")),
+            )
+            .select(
+                F.col(f"a.{id_c}").alias("id1"),
+                F.col(f"b.{id_c}").alias("id2"),
+            )
+        )
+
+        # cross-batch candidates: probe pruned state buckets. The read is
+        # pinned to the segment files existing NOW (read_buckets), so the
+        # append below cannot feed the batch's own rows back as "state".
+        indexed = self._indexed_bands(bands)
+        if indexed is not None:
+            o = indexed.alias("o")
+            cross = (
                 a.join(
-                    b,
-                    (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
-                    & (F.col(f"a.{id_c}") < F.col(f"b.{id_c}")),
+                    o,
+                    (F.col("a.band_idx") == F.col("o.band_idx"))
+                    & (F.col("a.band_hash") == F.col("o.band_hash"))
+                    & (F.col(f"a.{id_c}") != F.col(f"o.{id_c}")),
                 )
                 .select(
-                    F.col(f"a.{id_c}").alias("id1"),
-                    F.col(f"b.{id_c}").alias("id2"),
+                    F.least(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id1"),
+                    F.greatest(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id2"),
                 )
             )
+            cands = intra.unionByName(cross).distinct()
+        else:
+            cands = intra.distinct()
 
-            # cross-batch candidates: probe pruned state buckets
-            indexed = self._indexed_bands(bands)
-            if indexed is not None:
-                o = indexed.alias("o")
-                cross = (
-                    a.join(
-                        o,
-                        (F.col("a.band_idx") == F.col("o.band_idx"))
-                        & (F.col("a.band_hash") == F.col("o.band_hash"))
-                        & (F.col(f"a.{id_c}") != F.col(f"o.{id_c}")),
-                    )
-                    .select(
-                        F.least(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id1"),
-                        F.greatest(F.col(f"a.{id_c}"), F.col(f"o.{id_c}")).alias("id2"),
-                    )
-                )
-                cands = intra.unionByName(cross).distinct()
-            else:
-                cands = intra.distinct()
+        # candidate-only verification: the staged batch gram sets plus
+        # ONLY the corpus docs named by a candidate (semi-join before any
+        # tokenization — the old side never tokenizes the whole corpus)
+        cand_ids = (
+            cands.select(F.col("id1").alias(id_c))
+            .unionByName(cands.select(F.col("id2").alias(id_c)))
+            .distinct()
+        )
+        old_grams = doc_ngram_sets(
+            corpus.join(cand_ids, on=id_c, how="left_semi"),
+            self.text_col,
+            id_c,
+        )
+        # a doc can appear on both sides (batch doc already in the corpus
+        # store). When the texts agree the rows are identical; when they
+        # DIVERGE (a CDC update re-delivering an id with new text while
+        # the store still holds the old row, or vice versa) the batch side
+        # must win deterministically — max_by on an explicit side priority,
+        # never first() over a nondeterministic union order.
+        grams = (
+            new_grams.withColumn("__prio", F.lit(1))
+            .unionByName(old_grams.withColumn("__prio", F.lit(0)))
+            .groupBy(id_c)
+            .agg(F.max_by("grams", "__prio").alias("grams"))
+        )
+        g1 = grams.select(F.col(id_c).alias("id1"), F.col("grams").alias("__g1"))
+        g2 = grams.select(F.col(id_c).alias("id2"), F.col("grams").alias("__g2"))
+        verified = (
+            cands.join(g1, "id1")
+            .join(g2, "id2")
+            .withColumn("jaccard", jaccard_from_sets(F.col("__g1"), F.col("__g2")))
+            .filter(F.col("jaccard") >= F.lit(self.jaccard_threshold))
+            .select("id1", "id2", "jaccard")
+        )
 
-            # candidate-only verification: the staged batch gram sets plus
-            # ONLY the corpus docs named by a candidate (semi-join before any
-            # tokenization — the old side never tokenizes the whole corpus)
-            cand_ids = (
-                cands.select(F.col("id1").alias(id_c))
-                .unionByName(cands.select(F.col("id2").alias(id_c)))
-                .distinct()
-            )
-            old_grams = doc_ngram_sets(
-                corpus.join(cand_ids, on=id_c, how="left_semi"),
-                self.text_col,
-                id_c,
-            )
-            # a doc can appear on both sides (batch doc already in the corpus
-            # store). When the texts agree the rows are identical; when they
-            # DIVERGE (a CDC update re-delivering an id with new text while
-            # the store still holds the old row, or vice versa) the batch side
-            # must win deterministically — max_by on an explicit side priority,
-            # never first() over a nondeterministic union order.
-            grams = (
-                new_grams.withColumn("__prio", F.lit(1))
-                .unionByName(old_grams.withColumn("__prio", F.lit(0)))
-                .groupBy(id_c)
-                .agg(F.max_by("grams", "__prio").alias("grams"))
-            )
-            g1 = grams.select(F.col(id_c).alias("id1"), F.col("grams").alias("__g1"))
-            g2 = grams.select(F.col(id_c).alias("id2"), F.col("grams").alias("__g2"))
-            verified = (
-                cands.join(g1, "id1")
-                .join(g2, "id2")
-                .withColumn("jaccard", jaccard_from_sets(F.col("__g1"), F.col("__g2")))
-                .filter(F.col("jaccard") >= F.lit(self.jaccard_threshold))
-                .select("id1", "id2", "jaccard")
-            )
-            # materialize BEFORE mutating the index (see docstring) —
-            # localCheckpoint keeps the pair set distributed (no driver
-            # transfer) while detaching it from the state the probe read
-            out = verified.localCheckpoint(eager=True)
-
-            self.view.append_batch(bands, epoch_id=epoch_id)
-            return out
-        finally:
-            bands.unpersist()
-            new_grams.unpersist()
+        # index the batch: checkpointed bands, cheap append; safe before
+        # the verification computes because the state read above is pinned
+        self.view.append_batch(bands, epoch_id=epoch_id)
+        if eager:
+            return verified.localCheckpoint(eager=True)
+        return verified
 
 
 class IncrementalDeduper(LshDedupIndex):

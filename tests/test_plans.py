@@ -193,20 +193,34 @@ def test_lsh_index_probe_partition_prunes(spark):
 
     docs = load_table(spark, SF, "documents")
     work = tempfile.mkdtemp(prefix="lshplan_")
-    idx = LshDedupIndex(spark, os.path.join(work, "idx"), n_buckets=8)
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), n_buckets=64)
     idx.process_batch(
         docs.filter(F.col("doc_id") % 2 == 0), corpus=docs, epoch_id=0
     )
-    assert len(idx.view._bucket_dirs()) == 8
+    n_dirs = len(idx.view._bucket_dirs())
+    assert n_dirs > 8  # a 2.5k-doc batch populates most of the 64 buckets
     # probe with the INDEX's band layout (k=16, bands=8) — a mismatched
-    # family would still produce an IN-list but could never hit state rows
+    # family would prune to the wrong buckets and never hit state rows.
+    # ONE doc probes at most 8 buckets of the 64.
     probe = minhash_band_rows(
         docs.filter(F.col("doc_id") == 1), "text", "doc_id", k=16, bands=8
     )
-    plan = _plan(idx._indexed_bands(probe))
-    # the scan carries a PartitionFilters IN-list over __bucket, i.e. the
-    # untouched bucket dirs are never opened
-    assert "PartitionFilters: [__bucket" in plan and " IN " in plan
+    touched = {
+        r["b"]
+        for r in probe.select(idx.view._bucket_expr().alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(touched) <= 8 < n_dirs
+    # pruning is STRUCTURAL since r10: read_buckets snapshots the file
+    # list of ONLY the touched bucket dirs, so the scan's inputs must all
+    # lie under them — untouched dirs never even enter the plan
+    files = idx._indexed_bands(probe).inputFiles()
+    assert files, "probe read no state files"
+    touched_dirs = {f"__bucket={b}" for b in touched}
+    for f in files:
+        part = [seg for seg in f.split("/") if seg.startswith("__bucket=")]
+        assert part and part[0] in touched_dirs, f
 
 
 def test_semantic_dedup_pairs_are_cell_equi_join(spark):
@@ -289,3 +303,18 @@ def test_semantic_dedup_exact_config_stays_jvm_side(spark):
     planted = emb.select("vec_id", "embedding").unionByName(dup)
     kept = semantic_dedup(planted, tau=0.999, n_centroids=1)
     assert kept.count() == 50  # the scaled-up twin removed, nothing else
+
+
+def test_paragraph_dedup_keep_first_is_partial_min_not_window(spark):
+    """r10 de-skew (VERDICT r9 item 3): the keep-first decision must be a
+    min(struct(id, pos, line)) AGGREGATE with map-side partial aggregation
+    — a row_number window over the line key would funnel every copy of a
+    hot boilerplate line into one task. Pin: partial_min on the hot path,
+    no Window operator, no EvalPython anywhere."""
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = _plan(paragraph_dedup(docs))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
