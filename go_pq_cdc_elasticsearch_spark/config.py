@@ -250,6 +250,14 @@ def from_reference_config(
                 else int(cdc["protoVersion"])
             ),
         )
+    # cdc.metric.port (README.md:245-274): when present, the Connector
+    # serves the reference's /metrics + /status API on that port. The Go
+    # listener binds all interfaces; a ported config keeps that behavior
+    # (metric_host stays overridable on the returned ConnectorConfig).
+    metric = cdc.get("metric") or {}
+    metric_port = (
+        int(metric["port"]) if metric.get("port") is not None else None
+    )
     conn = ConnectorConfig(
         staged_dir=staged_dir,
         view_path=view_path,
@@ -264,6 +272,8 @@ def from_reference_config(
         delete_op=delete_op,
         processing_time=es.processing_time,
         replication=repl,
+        metric_port=metric_port,
+        metric_host="0.0.0.0" if metric_port is not None else "127.0.0.1",
     )
     return conn, es
 

@@ -98,6 +98,13 @@ class ConnectorConfig:
     max_files_per_trigger: int = 1
     processing_time: str = "1 second"
     replication: ReplicationSettings | None = None  # live pgoutput upstream
+    # reference cdc.metric.port (README.md:245-274): when set, the
+    # Connector serves GET /metrics (Prometheus exposition, the reference's
+    # metric families/labels) and GET /status (200 while the pipeline is
+    # healthy, 503 otherwise) on this port for the query's lifetime.
+    # 0 = bind an ephemeral port (read it back from Connector.metric_port).
+    metric_port: int | None = None
+    metric_host: str = "127.0.0.1"
 
 
 def wal_to_view_transform(cfg: ConnectorConfig):
@@ -162,6 +169,12 @@ class Connector:
         self._repl_client = None
         self._repl_thread = None
         self._repl_stop = None
+        # metrics endpoint state (cfg.metric_port): the registry serving
+        # /metrics + /status, the bound port, and the Spark listener that
+        # feeds per-micro-batch observed counters into the registry
+        self.metrics = None
+        self.metric_port: int | None = None
+        self._metrics_listener = None
         # consumer supervision state (see _start_replication_consumer):
         # restarts counts healthy reconnects; error records the
         # non-reconnectable exception that ended supervision, if any
@@ -408,6 +421,16 @@ class Connector:
                 except Exception:
                     pass
                 self._repl_client = None
+            # a metrics endpoint started before the failure must not
+            # outlive the failed start (orphaned socket + listener)
+            if self._metrics_listener is not None:
+                try:
+                    self.spark.streams.removeListener(self._metrics_listener)
+                except Exception:
+                    pass
+                self._metrics_listener = None
+            if self.metrics is not None:
+                self.metrics.close()
             raise
 
     def _start_after_connect(self, mode: str, available_now: bool) -> "Connector":
@@ -446,8 +469,12 @@ class Connector:
             )
             if self.transform is not None:
                 stream = self.transform(stream)
+        batch_fn = self.view.foreach_batch_writer()
+        if self.cfg.metric_port is not None:
+            self._start_metrics_endpoint()
+            batch_fn = self._metered_writer(batch_fn)
         writer = (
-            stream.writeStream.foreachBatch(self.view.foreach_batch_writer())
+            stream.writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", self.cfg.checkpoint_dir)
         )
         if available_now:
@@ -457,6 +484,124 @@ class Connector:
                 processingTime=self.cfg.processing_time
             ).start()
         return self
+
+    def _start_metrics_endpoint(self) -> None:
+        """cfg.metric_port wiring (reference cdc.metric.port + the metrics
+        listener README.md:245-274): serve GET /metrics + GET /status and
+        register a StreamingQueryListener feeding the latency gauges from
+        each progress event. The COUNTERS are fed by ``_metered_writer``
+        (an Observation riding the merge's own actions inside
+        foreachBatch) — NOT from progress observedMetrics: under
+        foreachBatch the batch plan is cached/evaluated by the user
+        callback's actions, and the epoch's observedMetrics were seen to
+        repeat the previous batch's values (stale accumulators), which
+        would both miscount and double-book.
+
+        Labels: slot_name = the replication slot (live mode) or the
+        checkpoint dir's basename (replay mode — the checkpoint IS the
+        slot analog, R12); index_name = the single routed index when the
+        mapping has exactly one target, else the view path's basename
+        (the keyed view is "the index" — R9). The per-index BREAKDOWN for
+        multi-index pipelines stays on the observed_actions/q_c5 path
+        where the routed frame still carries the index column; the
+        connector's default transform collapses it before the sink."""
+        import os
+
+        from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+        slot = (
+            self.cfg.replication.slot
+            if self.cfg.replication is not None
+            else os.path.basename(self.cfg.checkpoint_dir.rstrip("/"))
+        )
+        self.metrics = PrometheusRegistry(slot_name=slot)
+        registry = self.metrics
+        my_qid = lambda: self._query.id if self._query is not None else None  # noqa: E731
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Feed(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                if str(p.id) != str(my_qid()):
+                    return  # another query's progress
+                ms = p.durationMs or {}
+                # ns gauges, like the reference's SetProcessLatency
+                if ms.get("triggerExecution") is not None:
+                    registry.set_process_latency(
+                        float(ms["triggerExecution"]) * 1e6
+                    )
+                # addBatch = the sink write portion of the trigger — the
+                # closest analog of the reference's bulk-request latency
+                if ms.get("addBatch") is not None:
+                    registry.set_bulk_request_latency(
+                        float(ms["addBatch"]) * 1e6
+                    )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._metrics_listener = _Feed()
+        self.spark.streams.addListener(self._metrics_listener)
+
+        def healthy() -> bool:
+            # the reference's /status pings Postgres; the engine's unit of
+            # health is the pipeline: query alive and (live mode) the
+            # consumer supervision not ended in error
+            if self.consumer_error is not None:
+                return False
+            q = self._query
+            return q is not None and q.isActive and q.exception() is None
+
+        self.metric_port = self.metrics.serve(
+            port=self.cfg.metric_port,
+            host=self.cfg.metric_host,
+            status_fn=healthy,
+        )
+
+    def _metered_writer(self, inner):
+        """Wrap the view's foreachBatch writer so each merged epoch books
+        its op counters with ONE explicit aggregate over the micro-batch.
+
+        Not an Observation riding the merge's own actions: Observation.get
+        captures the FIRST completed action's flow, and merge_batch's
+        first action is a limit-style emptiness/bucket probe — the
+        observed counts came back as 1 per epoch (proven by execution,
+        r10). Counters are booked only when the epoch actually advanced
+        the view frontier, so a redelivered (skipped) epoch books nothing
+        — counters stay exactly-once like the merge itself."""
+        import os
+
+        from go_pq_cdc_elasticsearch_spark.metrics import (
+            _action_counter_cols,
+        )
+
+        targets = set(self.cfg.table_index_mapping.values())
+        index_label = (
+            next(iter(targets))
+            if len(targets) == 1
+            else os.path.basename(self.cfg.view_path.rstrip("/"))
+        )
+        registry = self.metrics
+        view = self.view
+
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            inner(batch_df, epoch_id)
+            if view._last_epoch == epoch_id:
+                row = batch_df.agg(
+                    *_action_counter_cols(
+                        self.cfg.op_col, self.cfg.delete_op, None, ()
+                    )
+                ).first()
+                registry.observe_result(row.asDict(), index=index_label)
+
+        return write
 
     def wait_until_ready(self, timeout_sec: float = 60.0) -> bool:
         """Reference WaitUntilReady: returns once the pipeline is live
@@ -527,6 +672,16 @@ class Connector:
                 pass
         if self._repl_thread is not None:
             self._repl_thread.join(timeout=5)
+        if self._metrics_listener is not None:
+            # unregister BEFORE closing the registry: a straggling progress
+            # event must not feed a dead endpoint's counters
+            try:
+                self.spark.streams.removeListener(self._metrics_listener)
+            except Exception:
+                pass
+            self._metrics_listener = None
+        if self.metrics is not None:
+            self.metrics.close()
 
     def read(self) -> DataFrame:
         return self.view.read()

@@ -42,6 +42,18 @@ def observed_actions(
     which is what lets the breakdown ride the same single Observation
     (zero extra passes)."""
     obs = Observation(name)
+    out = df.observe(
+        obs, *_action_counter_cols(op_col, delete_op, index_col, indexes)
+    )
+    return out, obs
+
+
+def _action_counter_cols(
+    op_col: str,
+    delete_op: str,
+    index_col: str | None,
+    indexes: tuple[str, ...],
+) -> list:
     # every action increments exactly ONE per-op counter (metric.go: each
     # action is either index or delete), so the counters must sum to
     # actions_total: a NULL op (malformed envelope) is counted on the
@@ -59,8 +71,27 @@ def observed_actions(
             hit = F.col(index_col) == F.lit(idx)
             cols.append(F.count_if(hit & not_delete).alias(f"index_total@{idx}"))
             cols.append(F.count_if(hit & is_delete).alias(f"delete_total@{idx}"))
-    out = df.observe(obs, *cols)
-    return out, obs
+    return cols
+
+
+def observe_stream(
+    df: DataFrame,
+    name: str = "cdc_metrics",
+    op_col: str = "event_type",
+    delete_op: str = "delete",
+    index_col: str | None = None,
+    indexes: tuple[str, ...] = (),
+) -> DataFrame:
+    """STREAMING twin of ``observed_actions``: the ``Observation`` object is
+    batch-only (its ``get`` blocks on one action), so streams use the named
+    ``df.observe(name, *cols)`` form and the per-micro-batch results arrive
+    in every progress event's ``observedMetrics[name]`` — which is exactly
+    where ``StreamMetricsListener``/``PrometheusRegistry.observe_result``
+    read them. Same counter columns, same defaults, same override rules as
+    ``observed_actions``."""
+    return df.observe(
+        name, *_action_counter_cols(op_col, delete_op, index_col, indexes)
+    )
 
 
 class StreamMetricsListener:
@@ -224,12 +255,20 @@ class PrometheusRegistry:
                     )
         return "\n".join(lines) + "\n"
 
-    def serve(self, port: int = 0, host: str = "127.0.0.1") -> int:
+    def serve(
+        self, port: int = 0, host: str = "127.0.0.1", status_fn=None
+    ) -> int:
         """Expose GET /metrics (reference cdc.metric.port). Returns the
         bound port; daemon thread, close() shuts it down. ``host`` picks
         the bind address: the loopback default is safe for local scrapes;
         an off-host Prometheus needs host='0.0.0.0' (the reference's Go
-        listener binds all interfaces)."""
+        listener binds all interfaces).
+
+        ``status_fn``: optional zero-arg health callback backing
+        GET /status (reference README.md:247 — 200 when the client can
+        reach its upstream, 503 otherwise). A raising callback reads as
+        unhealthy: /status exists precisely for the moments the pipeline
+        is broken."""
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -242,19 +281,34 @@ class PrometheusRegistry:
         registry = self
 
         class _H(BaseHTTPRequestHandler):
-            def do_GET(self):  # noqa: N802
-                if self.path != "/metrics":
-                    self.send_response(404)
-                    self.end_headers()
-                    return
-                out = registry.render().encode()
-                self.send_response(200)
-                self.send_header(
-                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
-                )
+            def _respond(self, code: int, out: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(out)))
                 self.end_headers()
                 self.wfile.write(out)
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/metrics":
+                    self._respond(
+                        200,
+                        registry.render().encode(),
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
+                    return
+                if self.path == "/status" and status_fn is not None:
+                    try:
+                        healthy = bool(status_fn())
+                    except Exception:
+                        healthy = False
+                    self._respond(
+                        200 if healthy else 503,
+                        b"OK\n" if healthy else b"UNHEALTHY\n",
+                        "text/plain; charset=utf-8",
+                    )
+                    return
+                self.send_response(404)
+                self.end_headers()
 
             def log_message(self, *a):  # silence
                 pass

@@ -92,6 +92,10 @@ def test_readme_config_maps_fully(tmp_path):
     assert es.batch_size_limit == 10000
     assert es.type_name == "_doc"
     assert es.urls == ("http://127.0.0.1:9200",)
+    # cdc.metric.port maps to the /metrics + /status endpoint (r10); the
+    # Go listener binds all interfaces, so a ported config does too
+    assert conn.metric_port == 8081
+    assert conn.metric_host == "0.0.0.0"
 
 
 def test_yaml_round_trip(tmp_path):
