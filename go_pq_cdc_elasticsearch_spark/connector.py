@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from go_pq_cdc_elasticsearch_spark.sink.materialized import MaterializedView
 from go_pq_cdc_elasticsearch_spark.sources.replay import read_event_stream
 
+# reserved op value carrying a decoded TRUNCATE through the transform to
+# the truncating foreachBatch wrapper (never merged as a row op)
+TRUNCATE_MARKER = "__truncate__"
+
 
 @dataclass
 class ReplicationSettings:
@@ -82,6 +86,18 @@ class ReplicationSettings:
     # proto_version=2); applied on every session the supervisor opens,
     # including reconnects, so the behavior survives failover.
     session_settings: dict = field(default_factory=dict)
+    # TRUNCATE policy (r10). 'ignore' (default) = reference parity: count
+    # + warn, view rows for the truncated table go stale until a snapshot
+    # rebuild. 'tombstone_table' = the decoder emits a positioned
+    # tombstone per truncated relation (transactional under v2) and the
+    # Connector applies it: every view row at-or-below the truncate's
+    # sequence is dropped, in-batch rows before it are discarded, acks
+    # advance normally. Scope note: the default transform collapses table
+    # identity into one keyed view, so the wipe covers every row that
+    # ROUTED into this view — exact for the 1-table-per-view mapping the
+    # reference's tableIndexMapping describes; a multi-table view should
+    # keep 'ignore'.
+    on_truncate: str = "ignore"
 
 
 @dataclass
@@ -132,7 +148,12 @@ def wal_to_view_transform(cfg: ConnectorConfig):
         img = F.coalesce(df["after"], df["before"])
         cols = [
             F.col("lsn").alias(cfg.seq_col),
+            # TRUNCATE tombstones (on_truncate='tombstone_table') keep a
+            # reserved marker the Connector's truncating writer intercepts
+            # before the keyed merge; with the default 'ignore' policy the
+            # decoder never emits them and the branch is dead
             F.when(F.col("op") == "DELETE", F.lit(cfg.delete_op))
+            .when(F.col("op") == "TRUNCATE", F.lit(TRUNCATE_MARKER))
             .otherwise(F.lower("op"))
             .alias(cfg.op_col),
         ]
@@ -233,6 +254,7 @@ class Connector:
             publication=rs.publication,
             proto_version=rs.proto_version,
             stream_spill_dir=rs.stream_spill_dir,
+            on_truncate=rs.on_truncate,
         )
         try:
             # a backend rejects any command before the startup handshake
@@ -473,6 +495,13 @@ class Connector:
         if self.cfg.metric_port is not None:
             self._start_metrics_endpoint()
             batch_fn = self._metered_writer(batch_fn)
+        if (
+            self.cfg.replication is not None
+            and self.cfg.replication.on_truncate == "tombstone_table"
+        ):
+            # OUTERMOST wrapper: tombstone rows are intercepted before the
+            # metered counters and the keyed merge ever see them
+            batch_fn = self._truncating_writer(batch_fn)
         writer = (
             stream.writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", self.cfg.checkpoint_dir)
@@ -600,6 +629,39 @@ class Connector:
                     )
                 ).first()
                 registry.observe_result(row.asDict(), index=index_label)
+
+        return write
+
+    def _truncating_writer(self, inner):
+        """foreachBatch wrapper applying TRUNCATE tombstones
+        (on_truncate='tombstone_table'): view rows at or below the
+        batch's latest truncate position are dropped, in-batch rows
+        before it are discarded (they were truncated at the source before
+        this batch committed), rows after it merge normally. Idempotent
+        under redelivery: the wipe only touches sub-truncate state, which
+        a replayed epoch re-wipes to the same result, and the inner
+        merge's epoch frontier guard stays authoritative for the row
+        ops. Multiple truncates in one batch collapse to the latest —
+        the earlier ones' effects are a subset."""
+        from pyspark.sql import functions as F
+
+        seq_col, op_col = self.cfg.seq_col, self.cfg.op_col
+        view = self.view
+
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            is_t = F.col(op_col) == F.lit(TRUNCATE_MARKER)
+            t_max = (
+                batch_df.filter(is_t).agg(F.max(F.col(seq_col))).first()[0]
+            )
+            if t_max is not None:
+                view.truncate_upto(int(t_max))
+                # null-safe not-truncate: a NULL op row is a (malformed)
+                # row op for the merge to judge, not a tombstone
+                batch_df = batch_df.filter(
+                    (F.col(op_col).isNull() | (F.col(op_col) != F.lit(TRUNCATE_MARKER)))
+                    & (F.col(seq_col) > F.lit(int(t_max)))
+                )
+            inner(batch_df, epoch_id)
 
         return write
 

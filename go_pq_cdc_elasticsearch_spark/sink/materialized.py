@@ -620,6 +620,26 @@ class MaterializedView:
             self._drifted = False
             self._write_meta()
 
+    def truncate_upto(self, seq: int) -> None:
+        """Apply a source-table TRUNCATE positioned at ``seq`` (r10,
+        Connector on_truncate='tombstone_table'): drop EVERY state row —
+        live and tombstone — whose seq is at or below it. Rows above the
+        truncate point (already-merged later epochs on a redelivery
+        replay) survive, which is what makes the op idempotent.
+        Tombstones below go too: state they guarded is gone, and replay
+        of sub-truncate epochs is already excluded by the epoch frontier
+        guard. Full bucket rewrite via the same crash-recoverable swap as
+        vacuum — TRUNCATE is a rare administrative op, never per batch."""
+        if not self.exists() or not self._bucket_dirs():
+            return
+        keep = self._read_buckets().filter(
+            F.col(self.seq_col) > F.lit(seq)
+        )
+        self._swap_buckets(keep, buckets=self._bucket_dirs())
+        if self._drifted:
+            self._drifted = False
+            self._write_meta()
+
     def rebucket(self, n_buckets: int) -> None:
         """Re-hash the state into a new bucket count — the maintenance op
         for a view that outgrew (or never grew into) its creation-time

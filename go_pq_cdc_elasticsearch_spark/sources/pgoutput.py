@@ -686,6 +686,17 @@ class PgOutputDecoder:
     stream_txns_aborted: int = 0
     stream_subtxns_aborted: int = 0
     stream_changes_spilled: int = 0  # cumulative rows written to spool files
+    # TRUNCATE policy (r10, VERDICT r9 item 4). 'ignore' (default) is
+    # reference parity: the frame is counted + warned and dropped
+    # (connector.go:129-142's type switch has no truncate case either).
+    # 'tombstone_table' additionally emits one synthetic change per
+    # truncated relation — op 'TRUNCATE', no row images — positioned in
+    # the change stream like any other op (transactional under v2
+    # streaming: buffered, delivered at Stream Commit, dropped on abort),
+    # so a downstream keyed view can empty the table at exactly the right
+    # point in the sequence. The observability counter fires in BOTH
+    # modes.
+    on_truncate: str = "ignore"
 
     def discard_streams(self) -> None:
         """Drop every buffered in-progress streamed transaction (client
@@ -697,7 +708,9 @@ class PgOutputDecoder:
         self.streamed.clear()
         self.stream_xid = None
 
-    def decode(self, payload: bytes, lsn: int) -> "dict | StreamCommit | None":
+    def decode(
+        self, payload: bytes, lsn: int
+    ) -> "dict | list | StreamCommit | None":
         kind = payload[:1]
         if kind == b"S":  # Stream Start: Int32 xid, Int8 first_segment
             (xid,) = struct.unpack_from("!I", payload, 1)
@@ -856,13 +869,56 @@ class PgOutputDecoder:
             room = self._TRUNCATED_TABLES_CAP - len(self.truncated_tables)
             if room > 0:
                 self.truncated_tables.extend(names[:room])
-            logging.getLogger(__name__).warning(
-                "pgoutput TRUNCATE skipped (not replicated as deletes; "
-                "view rows for these tables are now stale until a "
-                "snapshot rebuild): %s",
-                ", ".join(names),
-            )
-            return None
+            if self.on_truncate != "tombstone_table":
+                logging.getLogger(__name__).warning(
+                    "pgoutput TRUNCATE skipped (not replicated as deletes; "
+                    "view rows for these tables are now stale until a "
+                    "snapshot rebuild): %s",
+                    ", ".join(names),
+                )
+                return None
+            # tombstone_table: one synthetic change per KNOWN relation
+            # (pgoutput sends a Relation message before first reference,
+            # so an unknown relid is a protocol anomaly — warn, skip it)
+            changes = []
+            pos = 6
+            for _ in range(nrels):
+                (relid,) = struct.unpack_from("!I", payload, pos)
+                pos += 4
+                rel = self.relations.get(relid)
+                if rel is None:
+                    logging.getLogger(__name__).warning(
+                        "pgoutput TRUNCATE for unknown relid=%s: no "
+                        "tombstone emitted",
+                        relid,
+                    )
+                    continue
+                changes.append(
+                    {
+                        "lsn": lsn,
+                        "op": "TRUNCATE",
+                        "table_schema": rel["ns"],
+                        "table_name": rel["name"],
+                        "before": None,
+                        "after": None,
+                        "ts": None if msg_xid is not None else self.commit_ts,
+                    }
+                )
+            if msg_xid is not None:
+                # in-stream (v2): transactional like every other buffered
+                # change — delivered at Stream Commit, dropped on abort
+                buf = self.streamed.setdefault(
+                    self.stream_xid, _StreamBuffer(self.stream_spill_dir)
+                )
+                for ch in changes:
+                    buf.add(
+                        msg_xid,
+                        ch,
+                        self.stream_spill_threshold,
+                        self.stream_spill_threshold_bytes,
+                    )
+                return None
+            return changes or None
         return None  # Origin/Type — not needed for parity
 
 
@@ -898,6 +954,7 @@ class ReplicationClient:
         publication: str = "pub",
         proto_version: int = 1,
         stream_spill_dir: str | None = None,
+        on_truncate: str = "ignore",
     ):
         import collections
         import re
@@ -942,7 +999,14 @@ class ReplicationClient:
         # one-connector-per-slot model), so anything matching the spool
         # pattern at construction predates this session and is stale.
         sweep_stale_spools(stream_spill_dir)
-        self.decoder = PgOutputDecoder(stream_spill_dir=stream_spill_dir)
+        if on_truncate not in ("ignore", "tombstone_table"):
+            raise ValueError(
+                f"unknown on_truncate {on_truncate!r}: expected "
+                f"'ignore' or 'tombstone_table'"
+            )
+        self.decoder = PgOutputDecoder(
+            stream_spill_dir=stream_spill_dir, on_truncate=on_truncate
+        )
         self.flushed_lsn = 0
         self.last_wal_end = 0
         # Keepalive-carried decode progress that is SAFE to confirm once
@@ -1219,7 +1283,11 @@ class ReplicationClient:
                 it, end_lsn = self._pending_stream
                 ch = next(it, _END)
                 if ch is _END:
-                    self._append_txn_bound(end_lsn)
+                    # end_lsn None = a multi-change FRAME burst (TRUNCATE
+                    # tombstones), not a streamed txn: its commit bound is
+                    # appended by the enclosing txn's Commit frame as usual
+                    if end_lsn is not None:
+                        self._append_txn_bound(end_lsn)
                     self._pending_stream = None
                     continue
                 stamp = max(ch["lsn"], self.last_stamp + 1)
@@ -1308,6 +1376,11 @@ class ReplicationClient:
                     # else is bumped — the same clamp as the v1 row path;
                     # the bound is appended only after the full drain.
                     self._pending_stream = [iter(change.changes), change.end_lsn]
+                elif isinstance(change, list):
+                    # multi-change frame (TRUNCATE tombstones, one per
+                    # relation): drained break-safely like a stream burst;
+                    # no bound of its own (see the drain above)
+                    self._pending_stream = [iter(change), None]
                 elif change is not None:
                     # monotone stamp (see __init__): true wal_start when
                     # already increasing, else bumped past the last stamp —

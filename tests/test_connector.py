@@ -333,3 +333,67 @@ def test_wal_transform_routes_and_drops_unmapped_tables(spark):
     out = wal_to_view_transform(cfg)(df).collect()
     assert len(out) == 1  # users dropped, not merged over orders
     assert out[0]["id"] == "1" and out[0]["lsn"] == 1
+
+
+def test_connector_truncate_tombstone_empties_view(spark):
+    """on_truncate='tombstone_table' through the full facade against the
+    scripted wire server: pre-truncate rows merge, the TRUNCATE tombstone
+    wipes them, post-truncate rows survive — and rows arriving in the
+    SAME batch but before the truncate position never land."""
+    import time
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+    from go_pq_cdc_elasticsearch_spark.sources import pgoutput as PG
+    from go_pq_cdc_elasticsearch_spark.testing_utils import FakeReplicationServer
+
+    cols = ["id", "v"]
+    rel = PG.encode_relation(7, "public", "users", cols)
+    txns = [
+        [
+            (10, rel),
+            (10, PG.encode_begin(13, 0, 1)),
+            (11, PG.encode_insert(7, ["1", "a"])),
+            (12, PG.encode_insert(7, ["2", "b"])),
+            (13, PG.encode_commit(13, 14, 0)),
+        ],
+        [
+            (20, PG.encode_begin(24, 0, 2)),
+            (21, PG.encode_insert(7, ["3", "pre"])),
+            (22, PG.encode_truncate([7])),
+            (23, PG.encode_insert(7, ["9", "post"])),
+            (24, PG.encode_commit(24, 25, 0)),
+        ],
+    ]
+    server = FakeReplicationServer(txns, keepalive_each_txn=False)
+
+    work = tempfile.mkdtemp(prefix="conn_trunc_")
+    cfg = _cfg(
+        work,
+        keys=("id",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+        replication=ReplicationSettings(
+            host="127.0.0.1", port=server.port, slot="live_slot",
+            batch_size=2, ack_interval_sec=0.2,
+            on_truncate="tombstone_table",
+        ),
+    )
+    c = Connector(spark, cfg)
+    c.start()
+    assert c.wait_until_ready()
+    deadline = time.time() + 120
+    state = {}
+    while time.time() < deadline:
+        try:
+            state = {r["id"]: r["payload"]["v"] for r in c.read().collect()}
+        except FileNotFoundError:
+            state = {}
+        if state == {"9": "post"}:
+            break
+        time.sleep(0.5)
+    assert state == {"9": "post"}, state
+    c.close()
+    server.done.wait(5)
+    # acks advanced past the truncate txn
+    assert server.acks and server.acks[-1]["flushed"] >= 24

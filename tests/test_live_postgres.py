@@ -2096,3 +2096,119 @@ def test_live_tls_plus_scram_combined(pg):
         assert got and got[0]["after"]["name"] == "tslscram"
     finally:
         client.close()
+
+
+@pytest.mark.parametrize("proto_version", [1, 2])
+def test_live_truncate_tombstone_empties_view_and_acks_advance(
+    pg, spark, proto_version
+):
+    """VERDICT r9 item 4: on_truncate='tombstone_table' applied live. A
+    real TRUNCATE on the published table must leave the view holding ONLY
+    rows written after it, with the pipeline still acking (flushed_lsn
+    advances past the truncate). The v2 leg runs the whole sequence —
+    pre-rows, TRUNCATE, post-rows — inside ONE streamed transaction
+    (64kB work-mem floor), exercising the in-stream transactional
+    tombstone path end-to-end. Default 'ignore' parity is covered by
+    test_live_truncate_skipped_but_counted."""
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        Connector,
+        ConnectorConfig,
+        ReplicationSettings,
+    )
+
+    table = f"trunc_v{proto_version}"
+    slot = f"live_slot_trunc_v{proto_version}"
+    pg["sql"](
+        f"CREATE TABLE IF NOT EXISTS {table} (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"](f"ALTER PUBLICATION cdc_pub ADD TABLE {table}", db="cdc_db")
+    work = tempfile.mkdtemp(prefix="conn_trunc_")
+    cfg = ConnectorConfig(
+        staged_dir=os.path.join(work, "staged"),
+        view_path=os.path.join(work, "view"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        keys=("id",),
+        seq_col="lsn",
+        op_col="op",
+        delete_op="DELETE",
+        processing_time="0 seconds",
+        replication=ReplicationSettings(
+            host="127.0.0.1", port=PORT, slot=slot,
+            publication="cdc_pub", database="cdc_db",
+            batch_size=20, ack_interval_sec=0.2,
+            proto_version=proto_version,
+            on_truncate="tombstone_table",
+            session_settings=(
+                {"logical_decoding_work_mem": "64kB"}
+                if proto_version == 2 else {}
+            ),
+        ),
+    )
+    c = Connector(spark, cfg)
+    c.start()
+    try:
+        assert c.wait_until_ready(timeout_sec=120)
+        if proto_version == 1:
+            for i in range(1, 6):
+                pg["sql"](
+                    f"INSERT INTO {table} VALUES ({i}, 'pre{i}')", db="cdc_db"
+                )
+            # the pre-rows must be IN the view before the truncate frame
+            # arrives, or the test can't distinguish wipe from never-merge
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                st = _view_state(c) or {}
+                if len(st) == 5:
+                    break
+                time.sleep(0.5)
+            assert len(_view_state(c) or {}) == 5
+            pg["sql"](f"TRUNCATE {table}", db="cdc_db")
+            pg["sql"](
+                f"INSERT INTO {table} VALUES (100, 'post100')", db="cdc_db"
+            )
+            pg["sql"](
+                f"INSERT INTO {table} VALUES (101, 'post101')", db="cdc_db"
+            )
+        else:
+            # one streamed txn: 2k pre-rows (past the 64kB work-mem ->
+            # streamed), TRUNCATE in-stream, post-rows, COMMIT
+            pg["sql"](
+                "BEGIN;\n"
+                f"INSERT INTO {table} SELECT g, 'pre'||g "
+                "FROM generate_series(1, 2000) g;\n"
+                f"TRUNCATE {table};\n"
+                f"INSERT INTO {table} VALUES (100, 'post100'), (101, 'post101');\n"
+                "COMMIT;",
+                db="cdc_db",
+            )
+        expected = {"100": "post100", "101": "post101"}
+        deadline = time.time() + 180
+        state: dict = {}
+        while time.time() < deadline:
+            state = _view_state(c) or {}
+            if state == expected:
+                break
+            time.sleep(0.5)
+        assert state == expected, (
+            f"view after truncate: {len(state)} rows "
+            f"(pre leak: {sorted(k for k in state if int(k) < 100)[:5]})"
+        )
+        assert c.consumer_error is None
+        assert c._repl_client.decoder.truncate_skipped >= 1
+        # acks keep advancing past the truncate: one more row lands and
+        # the flushed frontier moves
+        flushed_before = c._repl_client.flushed_lsn
+        pg["sql"](f"INSERT INTO {table} VALUES (102, 'post102')", db="cdc_db")
+        expected["102"] = "post102"
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if (_view_state(c) or {}) == expected and (
+                c._repl_client.flushed_lsn > flushed_before
+            ):
+                break
+            time.sleep(0.5)
+        assert (_view_state(c) or {}) == expected
+        assert c._repl_client.flushed_lsn > flushed_before
+    finally:
+        c.close()

@@ -555,6 +555,89 @@ def test_truncate_frames_counted_not_dropped_silently():
     assert len(dec.truncated_tables) == dec._TRUNCATED_TABLES_CAP
 
 
+def test_truncate_tombstone_mode_emits_positioned_changes():
+    """on_truncate='tombstone_table' (r10, VERDICT r9 item 4): a Truncate
+    frame yields one synthetic change per KNOWN relation — op TRUNCATE,
+    no row images, positioned at the frame's lsn — while the
+    observability counter still fires. Unknown relids emit nothing."""
+    dec = PG.PgOutputDecoder(on_truncate="tombstone_table")
+    dec.decode(PG.encode_relation(7, "public", "users", ["id"]), 10)
+    dec.decode(PG.encode_relation(9, "public", "books", ["id"]), 11)
+    dec.decode(PG.encode_begin(500, 777_000_000, 42), 12)
+    out = dec.decode(PG.encode_truncate([7, 9], flags=2), 20)
+    assert isinstance(out, list) and len(out) == 2
+    assert [c["table_name"] for c in out] == ["users", "books"]
+    for c in out:
+        assert c["op"] == "TRUNCATE"
+        assert c["before"] is None and c["after"] is None
+        assert c["lsn"] == 20 and c["ts"] is not None
+    assert dec.truncate_skipped == 2
+    # unknown relid: counted, no tombstone
+    assert dec.decode(PG.encode_truncate([42]), 21) is None
+    assert dec.truncate_skipped == 3
+
+
+def test_truncate_tombstone_v2_is_transactional():
+    """In-stream (v2) TRUNCATE tombstones are buffered with the streamed
+    txn: delivered in position at Stream Commit, DROPPED on Stream Abort
+    — a view must never empty for a rolled-back TRUNCATE."""
+    dec = PG.PgOutputDecoder(on_truncate="tombstone_table")
+    relid = 7
+    dec.decode(PG.encode_relation(relid, "public", "users", ["id"]), 5)
+    # committed stream: insert, truncate, insert
+    dec.decode(PG.encode_stream_start(900), 10)
+    dec.decode(
+        PG.in_stream(900, PG.encode_relation(relid, "public", "users", ["id"])),
+        10,
+    )
+    dec.decode(PG.in_stream(900, PG.encode_insert(relid, ["1"])), 11)
+    assert dec.decode(PG.in_stream(900, PG.encode_truncate([relid])), 12) is None
+    dec.decode(PG.in_stream(900, PG.encode_insert(relid, ["2"])), 13)
+    sc = dec.decode(PG.encode_stream_commit(900, 90, 91, 777_000_000), 20)
+    ops = [(c["op"], c["lsn"]) for c in sc.changes]
+    assert ops == [("INSERT", 11), ("TRUNCATE", 12), ("INSERT", 13)]
+    assert dec.truncate_skipped == 1
+
+    # aborted stream: the tombstone must vanish with the txn
+    dec.decode(PG.encode_stream_start(901), 30)
+    assert dec.decode(PG.in_stream(901, PG.encode_truncate([relid])), 31) is None
+    dec.decode(PG.encode_stream_abort(901, 901), 32)
+    assert 901 not in dec.streamed
+    # counter still fired (over-alerting on aborts is the documented
+    # safe direction)
+    assert dec.truncate_skipped == 2
+
+
+def test_truncate_tombstones_flow_through_poll(tmp_path):
+    """v1 path end-to-end over a socket: tombstones arrive through
+    poll() with monotone stamps interleaved with ordinary rows, and the
+    txn's commit bound still acks (ack_frontier covers the tombstone)."""
+    import socket
+
+    relid, cols = 7, ["id"]
+    txn = [
+        (100, PG.encode_relation(relid, "public", "users", cols)),
+        (100, PG.encode_begin(105, 777_000_000, 42)),
+        (101, PG.encode_insert(relid, ["1"])),
+        (102, PG.encode_truncate([relid])),
+        (103, PG.encode_insert(relid, ["2"])),
+        (104, PG.encode_commit(104, 105, 777_000_000)),
+    ]
+    srv = FakeReplicationServer([txn])
+    sock = socket.create_connection(("127.0.0.1", srv.port))
+    c = PG.ReplicationClient(sock, slot="s_t", on_truncate="tombstone_table")
+    c.create_slot()
+    c.start()
+    got = [ch for ch in c.poll() if ch is not None]
+    assert [ch["op"] for ch in got] == ["INSERT", "TRUNCATE", "INSERT"]
+    lsns = [ch["lsn"] for ch in got]
+    assert lsns == sorted(lsns)
+    # the ack frontier covering all stamps resolves to the commit end lsn
+    c.ack_frontier(lsns[-1])
+    assert c.flushed_lsn > 0
+    c.close()
+
+
 def test_ack_frontier_failed_send_keeps_bounds_for_retry():
     """ADVICE r6: ack_frontier must not pop txn_bounds before the
     StandbyStatusUpdate actually goes out — a send failure (socket error
