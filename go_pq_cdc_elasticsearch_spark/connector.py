@@ -455,6 +455,71 @@ class Connector:
                 self.metrics.close()
             raise
 
+    def start_as_standby(
+        self,
+        poll_interval_sec: float = 2.0,
+        timeout_sec: float | None = None,
+        available_now: bool = False,
+    ) -> "Connector":
+        """Active/passive standby takeover (the reference's max-2-instance
+        deployment, docs/production_tutorial.md:115-129; U3): retry
+        ``start()`` while the replication slot is held by the active
+        instance and take over the moment it frees.
+
+        Safety shape: the slot is the mutual-exclusion token. While the
+        active holds it, the standby's START_REPLICATION fails with
+        sqlstate 55006 (object_in_use) BEFORE its Spark query — and hence
+        the shared checkpoint dir and view — is ever touched, and
+        ``start()``'s cleanup releases the standby's walsender session;
+        nothing is corrupted by the refused attempt (test-proven). When
+        the active dies (SIGKILL, OOM, node loss), the server frees the
+        slot on connection teardown, the standby's next retry wins it,
+        and the shared checkpoint + slot ``confirmed_flush_lsn`` resume
+        delivery with at-least-once redelivery that the seq-resolved
+        keyed view absorbs — no loss, no duplicates.
+
+        Fencing caveat (same as the reference's slot-based takeover): the
+        slot only proves the active's REPLICATION CONNECTION is gone. An
+        active that lost its connection but is still running its Spark
+        query must be actually dead/stopped before a standby shares its
+        checkpoint dir — process-level fencing is the operator's half of
+        the contract.
+
+        Raises the last slot-in-use error if ``timeout_sec`` elapses;
+        non-55006 failures raise immediately."""
+        import time as _time
+
+        from go_pq_cdc_elasticsearch_spark.sources.pgoutput import (
+            ReplicationStreamError,
+        )
+
+        if self.cfg.snapshot_mode != "never":
+            # the ACTIVE instance owns the backfill; a retried standby
+            # start would re-merge the snapshot on every 55006 attempt
+            raise ValueError(
+                "start_as_standby requires snapshot_mode='never' (the "
+                "active instance performs the snapshot backfill)"
+            )
+        if self.cfg.replication is None:
+            raise ValueError(
+                "start_as_standby requires replication settings: the slot "
+                "is the active/passive mutual-exclusion token"
+            )
+        deadline = (
+            None if timeout_sec is None else _time.monotonic() + timeout_sec
+        )
+        while True:
+            try:
+                return self.start(available_now=available_now)
+            except ReplicationStreamError as e:
+                if e.sqlstate != "55006":
+                    raise
+                if deadline is not None and _time.monotonic() >= deadline:
+                    raise
+            if self._repl_stop is not None and self._repl_stop.is_set():
+                raise RuntimeError("standby start aborted by close()")
+            _time.sleep(poll_interval_sec)
+
     def _start_after_connect(self, mode: str, available_now: bool) -> "Connector":
         if mode in ("initial", "snapshot_only"):
             # U1: chunked consistent snapshot == batch merge (sync, like the

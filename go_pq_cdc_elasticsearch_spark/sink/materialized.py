@@ -168,36 +168,50 @@ class MaterializedView:
         self._last_epoch: int | None = None
         self._lineage: str | None = None
         _recover_interrupted_rebucket(path)
+        self._meta_adopted = self._adopt_meta()
+
+    def _adopt_meta(self) -> bool:
+        """Load the on-disk meta into this object (layout, schema, epoch
+        frontier) with the reopen-contract validation. Runs at __init__,
+        and AGAIN lazily from merge_batch when the view appeared on disk
+        only after this object was constructed — the standby-takeover
+        pattern, where the passive instance builds its Connector (and
+        view object) while the active is still creating/advancing the
+        store. Without the late adoption the standby merged with
+        n_buckets=None against an existing layout (loud crash at best,
+        a mis-hashed second layout at worst)."""
         meta = self._read_meta()
-        if meta is not None:
-            # layout sticks to what the directory was created with
-            self.n_buckets = int(meta["n_buckets"])
-            self._columns = meta.get("columns")
-            self._schema_json = meta.get("schema")
-            self._drifted = bool(meta.get("drifted", False))
-            self._last_epoch = meta.get("last_epoch")
-            self._lineage = meta.get("lineage")
-            # the merge contract (bucket hashing, LWW resolution) is baked
-            # into the stored layout: reopening with different keys/seq
-            # would hash the same logical key to a DIFFERENT bucket and
-            # silently leave it live in two buckets at once — loud error,
-            # not silent corruption
-            for field, mine in (
-                ("keys", list(self.keys)),
-                ("seq_col", self.seq_col),
-                ("op_col", self.op_col),
-                ("delete_op", self.delete_op),
-            ):
-                stored = meta.get(field)
-                if field == "keys" and stored is not None:
-                    stored = list(stored)
-                if stored is not None and stored != mine:
-                    raise ValueError(
-                        f"materialized view at {path} was created with "
-                        f"{field}={stored!r}; reopening with {mine!r} would "
-                        f"corrupt the bucketed merge"
-                    )
-            self._recover_interrupted_swap()
+        if meta is None:
+            return False
+        # layout sticks to what the directory was created with
+        self.n_buckets = int(meta["n_buckets"])
+        self._columns = meta.get("columns")
+        self._schema_json = meta.get("schema")
+        self._drifted = bool(meta.get("drifted", False))
+        self._last_epoch = meta.get("last_epoch")
+        self._lineage = meta.get("lineage")
+        # the merge contract (bucket hashing, LWW resolution) is baked
+        # into the stored layout: reopening with different keys/seq
+        # would hash the same logical key to a DIFFERENT bucket and
+        # silently leave it live in two buckets at once — loud error,
+        # not silent corruption
+        for field, mine in (
+            ("keys", list(self.keys)),
+            ("seq_col", self.seq_col),
+            ("op_col", self.op_col),
+            ("delete_op", self.delete_op),
+        ):
+            stored = meta.get(field)
+            if field == "keys" and stored is not None:
+                stored = list(stored)
+            if stored is not None and stored != mine:
+                raise ValueError(
+                    f"materialized view at {self.path} was created with "
+                    f"{field}={stored!r}; reopening with {mine!r} would "
+                    f"corrupt the bucketed merge"
+                )
+        self._recover_interrupted_swap()
+        return True
 
     def _recover_interrupted_swap(self) -> None:
         """Per-bucket repair of an interrupted swap (module-level
@@ -388,6 +402,14 @@ class MaterializedView:
             raise ValueError(
                 f"merge_batch reserves the column name '{_BUCKET_COL}'"
             )
+        if not self._meta_adopted and self.exists():
+            # the view appeared on disk after this object's __init__
+            # (standby takeover: the active created it while this passive
+            # instance waited on the slot) — adopt its layout and frontier
+            # before merging, and re-validate any subclass contract config
+            # too (the attributes exist by now)
+            self._meta_adopted = self._adopt_meta()
+            self._check_meta_extra()
         if lineage is not None:
             if self._lineage is not None and lineage != self._lineage:
                 # genuinely different feeding query: its epoch counter is

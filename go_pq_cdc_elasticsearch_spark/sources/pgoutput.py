@@ -1241,8 +1241,14 @@ class ReplicationClient:
             if t in (b"S", b"N"):
                 continue
             if t == b"E":
-                raise RuntimeError(
-                    f"START_REPLICATION failed: {parse_error_response(body)}"
+                # typed, with the sqlstate attached: 55006 object_in_use
+                # ("replication slot ... is active for PID n") is the
+                # active/passive takeover signal a standby polls on
+                # (Connector.start_as_standby)
+                err = parse_error_response(body)
+                raise ReplicationStreamError(
+                    f"START_REPLICATION failed: {err}",
+                    sqlstate=err.get("C", ""),
                 )
             if t != b"W":
                 raise RuntimeError(f"expected CopyBothResponse, got {t!r}")

@@ -2212,3 +2212,117 @@ def test_live_truncate_tombstone_empties_view_and_acks_advance(
         assert c._repl_client.flushed_lsn > flushed_before
     finally:
         c.close()
+
+
+def test_live_standby_takeover_slot_fenced_no_loss_no_dup(pg, spark):
+    """U3 closure (VERDICT r9 item 5): the reference's active/passive
+    max-2-instance deployment (docs/production_tutorial.md:115-129) on
+    the engine's single-writer design. (1) A standby Connector starting
+    against the SAME slot + checkpoint while the active is alive must
+    fail loudly with sqlstate 55006 BEFORE its Spark query (and hence the
+    shared checkpoint) is touched — the active keeps streaming,
+    undisturbed. (2) After the active dies abruptly (SIGKILL emulation:
+    supervisor stopped, socket dropped with no protocol goodbye, query
+    killed), start_as_standby wins the slot and resumes from the shared
+    checkpoint + slot with no loss and no duplicates."""
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        Connector,
+        ConnectorConfig,
+        ReplicationSettings,
+    )
+    from go_pq_cdc_elasticsearch_spark.sources.pgoutput import (
+        ReplicationStreamError,
+    )
+
+    table = "takeover"
+    slot = "live_slot_takeover"
+    pg["sql"](
+        f"CREATE TABLE IF NOT EXISTS {table} (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"](f"ALTER PUBLICATION cdc_pub ADD TABLE {table}", db="cdc_db")
+    work = tempfile.mkdtemp(prefix="conn_takeover_")
+
+    def cfg():
+        return ConnectorConfig(
+            staged_dir=os.path.join(work, "staged"),
+            view_path=os.path.join(work, "view"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            keys=("id",),
+            seq_col="lsn",
+            op_col="op",
+            delete_op="DELETE",
+            processing_time="0 seconds",
+            replication=ReplicationSettings(
+                host="127.0.0.1", port=PORT, slot=slot,
+                publication="cdc_pub", database="cdc_db",
+                batch_size=5, ack_interval_sec=0.2,
+            ),
+        )
+
+    active = Connector(spark, cfg())
+    active.start()
+    standby = Connector(spark, cfg())
+    try:
+        assert active.wait_until_ready(timeout_sec=120)
+        pg["sql"](f"INSERT INTO {table} VALUES (1, 'a1')", db="cdc_db")
+        deadline = time.time() + 120
+        while time.time() < deadline and (_view_state(active) or {}) != {"1": "a1"}:
+            time.sleep(0.5)
+        assert (_view_state(active) or {}) == {"1": "a1"}
+
+        # (1) second instance against the live slot: LOUD, pre-query
+        with pytest.raises(ReplicationStreamError) as ei:
+            standby.start()
+        assert ei.value.sqlstate == "55006"
+        assert standby._query is None  # Spark query never started
+        assert standby._repl_client is None  # walsender session released
+
+        # the refused attempt corrupted nothing: the active still streams
+        pg["sql"](f"INSERT INTO {table} VALUES (2, 'a2')", db="cdc_db")
+        deadline = time.time() + 120
+        while time.time() < deadline and len(_view_state(active) or {}) != 2:
+            time.sleep(0.5)
+        assert (_view_state(active) or {}) == {"1": "a1", "2": "a2"}
+        assert active.consumer_error is None
+
+        # (2) SIGKILL emulation of the active: no graceful close() — stop
+        # the supervisor (a dead process reconnects nothing), kill the
+        # query (dies with the process), drop the socket (the OS sends
+        # FIN on process death; no final ack sweep, no CopyDone)
+        active._repl_stop.set()
+        active._query.stop()
+        active._repl_client.sock.close()
+        active._repl_thread.join(timeout=30)
+
+        # a row written while NOBODY consumes: the takeover must deliver
+        # it (the slot retains WAL from confirmed_flush)
+        pg["sql"](f"INSERT INTO {table} VALUES (3, 'gap')", db="cdc_db")
+
+        standby.start_as_standby(poll_interval_sec=1.0, timeout_sec=180)
+        assert standby.wait_until_ready(timeout_sec=120)
+        pg["sql"](f"INSERT INTO {table} VALUES (4, 'b4')", db="cdc_db")
+        expected = {"1": "a1", "2": "a2", "3": "gap", "4": "b4"}
+        deadline = time.time() + 180
+        state: dict = {}
+        while time.time() < deadline:
+            state = _view_state(standby) or {}
+            if state == expected:
+                break
+            time.sleep(0.5)
+        # no loss (3 delivered across the gap, 4 post-takeover) and no
+        # dup (keyed view; the count equals the distinct id count)
+        assert state == expected, (
+            f"state={state} consumer_error={standby.consumer_error!r} "
+            f"restarts={standby.consumer_restarts} "
+            f"q_active={standby._query is not None and standby._query.isActive} "
+            f"q_exc={standby._query.exception() if standby._query else None} "
+            f"segments={sorted(os.listdir(os.path.join(work, 'staged')))[-5:]}"
+        )
+        assert standby.consumer_error is None
+    finally:
+        standby.close()
+        try:
+            active.close()
+        except Exception:
+            pass
