@@ -239,29 +239,34 @@ def run(out) -> int:
             return -1.0
         return round(time.time() - t0, 2)
 
+    # >=3 full back-to-back suite passes (VERDICT r9 item 1): the r9 box
+    # degraded mid-session and a single-pass total was not auditable as a
+    # trend line. Every pass runs every query; the artifact records each
+    # pass's total (the per-run spread IS the host-variance evidence) and
+    # the per-query minimum across passes — the engine's capability, not
+    # the host's weather (this host shows 1 s <-> 6 s single-query swings
+    # under hypervisor steal; the same suite once measured 102 s and
+    # 162 s back to back with zero code change).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        timings[name] = run_one(name)
-
-    # Interference rejection: this host shows multi-second hypervisor-steal /
-    # contention bursts (the same suite measured 102 s and 162 s back to
-    # back with zero code change; single queries swing 1 s <-> 6 s). Repeat
-    # the queries whose first measurement exceeded 2 s and record the
-    # per-query MINIMUM — the engine's capability, not the host's weather.
-    # Same practice as the best-of-two throughput extras below; both
-    # passes do the full scan/shuffle/state work.
-    # The alphabetically-first timed query is ALWAYS re-measured: residual
-    # post-warmup cold cost (codegen of the envelope path, ~1.6 s observed
-    # in r4 on q_c10, a trivial projection) sticks to whichever query runs
-    # first, and below the 2 s threshold it would silently inflate the
-    # suite number every round.
-    first = min(timings, key=lambda n: (timings[n] < 0, n))
-    retry = [n for n, v in timings.items() if v > 2.0 or n == first]
-    for name in sorted(retry):
-        second = run_one(name)
-        if second >= 0:
-            timings[name] = min(timings[name], second)
-    print(f"bench: re-measured {len(retry)} queries for min-of-2", file=sys.stderr)
+    run_totals: list[float] = []
+    for r in range(n_runs):
+        pass_t: dict[str, float] = {}
+        for name in sorted(REGISTRY):
+            pass_t[name] = run_one(name)
+        run_totals.append(
+            round(sum(v for v in pass_t.values() if v >= 0), 2)
+        )
+        print(
+            f"bench: pass {r + 1}/{n_runs} wall {run_totals[-1]}s",
+            file=sys.stderr,
+        )
+        for name, v in pass_t.items():
+            prev = timings.get(name)
+            if v >= 0:
+                timings[name] = v if prev is None or prev < 0 else min(prev, v)
+            elif prev is None:
+                timings[name] = -1.0
 
     # Per-query regression gate: compare against the recorded per-query
     # minimum ON THIS BOX (host-fingerprinted history — the driver's box
@@ -273,9 +278,14 @@ def run(out) -> int:
     # streaming-partition class), not weather. Advisory: reported in the
     # JSON + stderr; exits nonzero only under SPARK_GRAFT_BENCH_STRICT=1
     # so a noisy box can never make the driver discard the bench artifact.
-    regressions = _regression_gate(timings, sf, run_one)
+    regressions, delta_vs_best = _regression_gate(timings, sf, run_one)
 
     total = round(sum(v for v in timings.values() if v >= 0), 2)
+    spread_pct = (
+        round((max(run_totals) - min(run_totals)) / min(run_totals) * 100, 1)
+        if run_totals and min(run_totals) > 0
+        else None
+    )
 
     # BASELINE.md throughput targets, measured warm (post-suite — fully
     # JIT-compiled; measured: the same runs pre-suite lose ~40% to cold
@@ -321,6 +331,21 @@ def run(out) -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # per-run spread (VERDICT r9 item 1): each back-to-back
+                # pass's full-suite wall; `value` is the sum of per-query
+                # minimums across the passes
+                "runs_wall_sec": run_totals,
+                **(
+                    {"run_spread_pct": spread_pct}
+                    if spread_pct is not None
+                    else {}
+                ),
+                # per-query ratio vs the best prior same-box reading
+                # (host-fingerprinted history); >1.5 entries are the ones
+                # needing a plan diff or a variance proof per PERF.md
+                **(
+                    {"delta_vs_best": delta_vs_best} if delta_vs_best else {}
+                ),
                 **({"regressions": regressions} if regressions else {}),
                 **extra,
             },
@@ -334,7 +359,7 @@ def run(out) -> int:
     return 0 if all(v >= 0 for v in timings.values()) else 1
 
 
-def _regression_gate(timings, sf, run_one) -> dict:
+def _regression_gate(timings, sf, run_one) -> tuple[dict, dict]:
     import platform
 
     from go_pq_cdc_elasticsearch_spark.session import cpu_count
@@ -357,14 +382,20 @@ def _regression_gate(timings, sf, run_one) -> dict:
         print(f"bench: minimum history unreadable: {e}", file=sys.stderr)
 
     regressions: dict[str, dict] = {}
+    # per-query delta table vs the best prior same-box reading (VERDICT
+    # r9 item 1): ratio current/best-prior, recorded for every query with
+    # a usable prior so cross-round drift is auditable in the artifact
+    delta_vs_best: dict[str, float] = {}
     for name in sorted(timings):
         prior = recorded.get(name)
         if timings[name] < 0 or prior is None or prior < 0.2:
             continue
+        delta_vs_best[name] = round(timings[name] / prior, 2)
         if timings[name] > 3.0 * prior:
             third = run_one(name)  # one more chance: steal-burst rejection
             if third >= 0:
                 timings[name] = min(timings[name], third)
+                delta_vs_best[name] = round(timings[name] / prior, 2)
             if timings[name] > 3.0 * prior:
                 regressions[name] = {"sec": timings[name], "min": prior}
                 print(
@@ -385,7 +416,7 @@ def _regression_gate(timings, sf, run_one) -> dict:
             json.dump({"fingerprint": fingerprint, "mins": mins}, f)
     except Exception as e:  # noqa: BLE001
         print(f"bench: minimum history not writable: {e}", file=sys.stderr)
-    return regressions
+    return regressions, delta_vs_best
 
 
 def main() -> int:

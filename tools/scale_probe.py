@@ -159,6 +159,99 @@ def build(sf_dir: str) -> None:
             f.write(marker)
 
 
+XL_SCALE = 256
+# exactly 8 words: the paragraph probe chunks text into 8-word lines, so
+# prepending these makes the FIRST line of every planted doc the same
+# normalized line — one key carrying half the corpus (the cookie-banner /
+# license-header shape the de-skewed keep-first decision must absorb)
+BOILERPLATE_8W = "all rights reserved this site uses tracking cookies"
+
+
+def build_xl(sf_dir: str) -> None:
+    """x256 replicas of the DEDUP/ANN tables only — documents (word-
+    shuffled per replica, same scheme as build()) and embeddings (VERDICT
+    r9 item 7). lineitem/events stay capped at x64: their x256 concat
+    would hold ~15 GB in driver RAM and the relational/CDC slopes are
+    already pinned at x64. Replica-by-replica ParquetWriter append keeps
+    the build's memory at one replica."""
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+
+    out_dir = os.path.join(ROOT, f"x{XL_SCALE}")
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, ".complete")
+    marker = os.path.abspath(sf_dir)
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == marker:
+                return
+        os.remove(done)
+
+    def shift(t, col, off):
+        i = t.schema.get_field_index(col)
+        return t.set_column(
+            i, col, pc.add(t.column(col), pa.scalar(off, t.column(col).type))
+        )
+
+    docs = pq.read_table(table_path(sf_dir, "documents"))
+    emb = pq.read_table(table_path(sf_dir, "embeddings"))
+    max_doc = pc.max(docs.column("doc_id")).as_py() + 1
+    max_vec = pc.max(emb.column("vec_id")).as_py() + 1
+    w = pq.ParquetWriter(table_path(out_dir, "documents"), docs.schema)
+    try:
+        for r in range(XL_SCALE):
+            t = shift(docs, "doc_id", r * max_doc)
+            if r:
+                texts = [
+                    _shuffle_words(x, r) for x in t.column("text").to_pylist()
+                ]
+                i = t.schema.get_field_index("text")
+                t = t.set_column(i, "text", pa.array(texts, pa.string()))
+            w.write_table(t)
+    finally:
+        w.close()
+    w = pq.ParquetWriter(table_path(out_dir, "embeddings"), emb.schema)
+    try:
+        for r in range(XL_SCALE):
+            w.write_table(shift(emb, "vec_id", r * max_vec))
+    finally:
+        w.close()
+    with open(done, "w") as f:
+        f.write(marker)
+
+
+def build_docskew() -> None:
+    """x16 documents with the 8-word boilerplate line planted at the head
+    of ~50% of docs (VERDICT r9 item 3's skew probe input): after the
+    paragraph probe's 8-word chunking, every planted doc's first line is
+    the SAME normalized line — the single-hot-key regime the r10
+    min-aggregate keep-first decision must keep flat vs clean."""
+    from go_pq_cdc_elasticsearch_spark.catalog import table_path
+
+    src = table_path(os.path.join(ROOT, "x16"), "documents")
+    out_dir = os.path.join(ROOT, "x16_docskew")
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, ".complete")
+    marker = os.path.abspath(src)
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == marker:
+                return
+        os.remove(done)
+    t = pq.read_table(src)
+    ids = t.column("doc_id").to_pylist()
+    texts = [
+        (BOILERPLATE_8W + " " + x) if (i % 2 == 0 and x) else x
+        for i, x in zip(ids, t.column("text").to_pylist())
+    ]
+    i = t.schema.get_field_index("text")
+    pq.write_table(
+        t.set_column(i, "text", pa.array(texts, pa.string())),
+        table_path(out_dir, "documents"),
+    )
+    with open(done, "w") as f:
+        f.write(marker)
+
+
 class _RssSampler:
     """Peak memory during a probe window (VERDICT r6 item 8): samples
     current RSS of the Python driver process and of the Spark JVM
@@ -310,12 +403,100 @@ def probes(spark):
         qs = dfs["embeddings_q"]
         return brute_force_topk(dfs["embeddings"], qs, k=5)
 
+    def paragraph(dfs):
+        return _paragraph_dedup_counts(dfs["documents"])
+
     return {
         "tpch_q1_scan_agg": tpch_q1,
         "cdc_apply": cdc,
         "exact_dedup": exact,
         "neardup_corpus": neardup,
         "cosine_topk_corpus_side": topk,
+        "paragraph_dedup": paragraph,
+    }
+
+
+def _paragraph_dedup_counts(docs_df):
+    """q_l20's corpus shape: chunk words into 8-word lines (the synthetic
+    docs ship as single lines), run the full reassembling line dedup,
+    reduce to corpus totals (the probe measures the op, not the output
+    transfer)."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.functions import text as TX
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import paragraph_dedup
+
+    w = TX.words(F.col("text"))
+    paras = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size(w) / F.lit(8.0))).cast("int") - 1
+        ),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    structured = docs_df.select(
+        "doc_id", F.concat_ws("\n", paras).alias("text")
+    )
+    return paragraph_dedup(structured).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").alias("kept_lines"),
+    )
+
+
+def xl_probes(spark):
+    """The dedup/ANN paths pushed to x256 (VERDICT r9 item 7): each is the
+    operator's 100 TB shape — bucketed candidate generation, bounded
+    driver state — measured at x64 and x256 for the tail slope. One rep
+    per scale: these run minutes, where host-steal noise is
+    proportionally small."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import dedup_corpus
+    from go_pq_cdc_elasticsearch_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        LshDedupIndex,
+    )
+
+    def neardup(dfs):
+        return dedup_corpus(dfs["documents"]).agg(F.count(F.lit(1)))
+
+    def incremental(dfs):
+        # two out-of-order waves against a FRESH index (q_lx5's shape);
+        # the index build, pruned probes and candidate-only verification
+        # are all inside the timed window
+        work = tempfile.mkdtemp(prefix="probe_inc_", dir=ROOT)
+        docs = dfs["documents"]
+        idx = LshDedupIndex(
+            spark, os.path.join(work, "idx"), jaccard_threshold=0.7
+        )
+        parts = [
+            idx.process_batch(
+                docs.filter(F.col("doc_id") % 2 == m),
+                corpus=docs,
+                epoch_id=i,
+                eager=False,
+            )
+            for i, m in enumerate((1, 0))
+        ]
+        return parts[0].unionByName(parts[1]).agg(F.count(F.lit(1)))
+
+    def semantic(dfs):
+        # approx config with cells grown ~ N/500 — the documented scale
+        # story (cells of bounded size keep the quadratic step bounded)
+        emb = dfs["embeddings"].select("vec_id", "embedding")
+        n = emb.count()
+        k = max(4, n // 500)
+        return semantic_dedup(emb, tau=0.99, n_centroids=k).agg(
+            F.count(F.lit(1))
+        )
+
+    return {
+        "neardup_corpus_xl": neardup,
+        "incremental_dedup_xl": incremental,
+        "semantic_dedup_approx_xl": semantic,
     }
 
 
@@ -392,6 +573,55 @@ def main() -> int:
         )
     print(f"x16_skew cdc_apply: {best:.2f}s", file=sys.stderr)
 
+    # paragraph_dedup skew probe (VERDICT r9 item 3): one boilerplate line
+    # planted in ~50% of the x16 docs — the keep-first decision must stay
+    # flat vs the clean x16 run (partial aggregation absorbs the hot key;
+    # the pre-r10 row_number window funneled it into one task)
+    build_docskew()
+    skew_docs = {
+        "documents": load_table(
+            spark, os.path.join(ROOT, "x16_docskew"), "documents"
+        )
+    }
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        probes(spark)["paragraph_dedup"](skew_docs).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    results["paragraph_dedup_skew_hotline"] = {"x16_skew": round(best, 2)}
+    clean = results.get("paragraph_dedup", {}).get("x16")
+    if clean is not None and clean > 1e-9:
+        results["paragraph_dedup_skew_hotline"]["ratio_vs_clean_x16"] = round(
+            best / clean, 2
+        )
+    print(f"x16_docskew paragraph_dedup: {best:.2f}s", file=sys.stderr)
+
+    # x256 tail slopes for the dedup/ANN paths (VERDICT r9 item 7)
+    build_xl(sf_dir)
+    for scale in (64, XL_SCALE):
+        d = os.path.join(ROOT, f"x{scale}")
+        dfs = {
+            name: load_table(spark, d, name)
+            for name in ("documents", "embeddings")
+        }
+        for name, fn in xl_probes(spark).items():
+            with _RssSampler() as rss:
+                t0 = time.time()
+                fn(dfs).collect()
+                dt = time.time() - t0
+            results.setdefault(name, {})[f"x{scale}"] = round(dt, 2)
+            results[name][f"x{scale}_py_driver_rss_mb"] = round(rss.peak_py_mb)
+            if rss.jvm_found:
+                results[name][f"x{scale}_jvm_rss_mb"] = round(rss.peak_jvm_mb)
+            else:
+                results[name][f"x{scale}_jvm_rss_mb_missing"] = True
+            print(
+                f"x{scale} {name}: {dt:.2f}s py {rss.peak_py_mb:.0f}MB "
+                f"jvm {rss.peak_jvm_mb:.0f}MB",
+                file=sys.stderr,
+            )
+
     import math
 
     def _slope(lo, hi):
@@ -409,6 +639,9 @@ def main() -> int:
         s = _slope(r.get("x16"), r.get("x64"))
         if s is not None:
             r["slope_x16_x64"] = s
+        s = _slope(r.get("x64"), r.get(f"x{XL_SCALE}"))
+        if s is not None:
+            r["slope_x64_x256"] = s
         # driver-memory flatness: PYTHON driver peak at x64 over x16 —
         # bounded driver-side state must stay ~1.0; a data-scaled driver
         # structure would show ~4.0. The JVM ratio is reported for
@@ -420,6 +653,12 @@ def main() -> int:
         lo, hi = r.get("x16_jvm_rss_mb"), r.get("x64_jvm_rss_mb")
         if lo and hi:
             r["jvm_rss_ratio_x16_x64"] = round(hi / lo, 2)
+        lo, hi = (
+            r.get("x64_py_driver_rss_mb"),
+            r.get(f"x{XL_SCALE}_py_driver_rss_mb"),
+        )
+        if lo and hi:
+            r["py_rss_ratio_x64_x256"] = round(hi / lo, 2)
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(json.dumps(results, sort_keys=True))
