@@ -484,11 +484,15 @@ def xl_probes(spark):
         return parts[0].unionByName(parts[1]).agg(F.count(F.lit(1)))
 
     def semantic(dfs):
-        # approx config with cells grown ~ N/500 — the documented scale
-        # story (cells of bounded size keep the quadratic step bounded)
+        # approx config with cells grown ~ N/100 — the documented scale
+        # story (cells of bounded size keep the quadratic step bounded).
+        # 100, not 500: within-cell all-pairs materializes ~cell_size/2
+        # array-pair rows per vector, and 500-vector cells measured 537 s
+        # at x64 (64M pair rows) — the slope is the claim under test, so
+        # keep the constant in the regime a real deployment would run
         emb = dfs["embeddings"].select("vec_id", "embedding")
         n = emb.count()
-        k = max(4, n // 500)
+        k = max(4, n // 100)
         return semantic_dedup(emb, tau=0.99, n_centroids=k).agg(
             F.count(F.lit(1))
         )
@@ -503,6 +507,12 @@ def xl_probes(spark):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe.json"
+    # the x256 corpus probes hold multi-GB persisted gram sets next to
+    # sort/broadcast buffers in ONE local-mode JVM — the engine's default
+    # 16g heap OOMed building a verify-join broadcast at x256 (r10). A
+    # probe box has the RAM (the target fleet certainly does); only a
+    # caller's explicit setting overrides this.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     build(sf_dir)
 
     from pyspark.sql import functions as F
