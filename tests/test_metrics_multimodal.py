@@ -382,3 +382,67 @@ def test_connector_metrics_endpoint_e2e(spark, sf_dir):
         raise AssertionError("metrics endpoint survived close()")
     except (urllib.error.URLError, ConnectionError):
         pass
+
+
+def test_observe_stream_counters_per_microbatch(spark):
+    """observe_stream (the streaming twin of observed_actions) on a
+    regular sink: each progress event's observedMetrics carries THAT
+    micro-batch's counters, and they sum to the staged op counts. (Under
+    foreachBatch the engine books counters in-batch instead — see
+    Connector._metered_writer — because user-callback actions leave
+    observedMetrics stale; this test pins the path where the named
+    observe IS reliable.)"""
+    import os
+    import tempfile
+    import time
+
+    from go_pq_cdc_elasticsearch_spark.metrics import observe_stream
+
+    src = tempfile.mkdtemp(prefix="obs_stream_")
+    rows = [
+        ("a", "insert"), ("b", "delete"), ("c", "update"), ("d", "delete"),
+    ]
+    for i, (k, op) in enumerate(rows):
+        with open(os.path.join(src, f"f{i}.json"), "w") as f:
+            f.write('{"k": "%s", "event_type": "%s"}\n' % (k, op))
+    stream = spark.readStream.schema("k string, event_type string").option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    seen: list = []
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            row = (e.progress.observedMetrics or {}).get("obs_t")
+            if row is not None:
+                seen.append(row.asDict())
+
+    spark.streams.addListener(listener := L())
+    try:
+        q = (
+            observe_stream(stream, name="obs_t")
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline and sum(
+            s["actions_total"] for s in seen
+        ) < len(rows):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(s["actions_total"] for s in seen) == 4
+    assert sum(s["index_total"] for s in seen) == 2
+    assert sum(s["delete_total"] for s in seen) == 2
+    assert len(seen) >= 2  # per-micro-batch, not a final total
