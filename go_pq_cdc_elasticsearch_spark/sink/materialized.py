@@ -30,7 +30,8 @@ redelivery (the epoch frontier is only advanced after the swap, and the
 seq-resolved merge is idempotent). A cluster deployment gets real
 atomicity from the table format's commit log (Delta/Iceberg);
 single-writer semantics here mirror the reference's one-connector-per-slot
-model (U3 non-goal, COVERAGE.md).
+model (U3: failover = standby takeover on the freed slot,
+Connector.start_as_standby, README runbook).
 """
 
 from __future__ import annotations
