@@ -145,13 +145,25 @@ def wal_to_view_transform(cfg: ConnectorConfig):
             df = IndexRouter(cfg.table_index_mapping).route(
                 df, drop_unmapped=True
             )
+        tombstones = (
+            cfg.replication is not None
+            and cfg.replication.on_truncate == "tombstone_table"
+        )
+        if not tombstones:
+            # a TRUNCATE row can still appear without the policy: segments
+            # staged by a tombstone_table run, replayed after a restart
+            # that reverted to 'ignore'. Unintercepted, its NULL images
+            # merged as a NULL-keyed live garbage row (review r10) — drop
+            # it here, matching the decoder-never-emits baseline.
+            df = df.filter(
+                F.col("op").isNull() | (F.col("op") != "TRUNCATE")
+            )
         img = F.coalesce(df["after"], df["before"])
         cols = [
             F.col("lsn").alias(cfg.seq_col),
-            # TRUNCATE tombstones (on_truncate='tombstone_table') keep a
-            # reserved marker the Connector's truncating writer intercepts
-            # before the keyed merge; with the default 'ignore' policy the
-            # decoder never emits them and the branch is dead
+            # TRUNCATE tombstones (tombstone_table mode) keep a reserved
+            # marker the Connector's truncating writer intercepts before
+            # the keyed merge
             F.when(F.col("op") == "DELETE", F.lit(cfg.delete_op))
             .when(F.col("op") == "TRUNCATE", F.lit(TRUNCATE_MARKER))
             .otherwise(F.lower("op"))
@@ -201,6 +213,13 @@ class Connector:
         # non-reconnectable exception that ended supervision, if any
         self.consumer_restarts = 0
         self.consumer_error: BaseException | None = None
+        # close()-abort signal for start_as_standby's polling loop: the
+        # consumer's _repl_stop only exists once START_REPLICATION has
+        # SUCCEEDED — exactly what keeps failing while the standby waits —
+        # so the standby needs its own always-present event (review r10)
+        import threading as _threading
+
+        self._standby_abort = _threading.Event()
 
     # -- lifecycle (reference connector.go:82-127) --------------------------
 
@@ -508,6 +527,7 @@ class Connector:
         deadline = (
             None if timeout_sec is None else _time.monotonic() + timeout_sec
         )
+        self._standby_abort.clear()
         while True:
             try:
                 return self.start(available_now=available_now)
@@ -516,9 +536,10 @@ class Connector:
                     raise
                 if deadline is not None and _time.monotonic() >= deadline:
                     raise
-            if self._repl_stop is not None and self._repl_stop.is_set():
+            # wait() doubles as the poll sleep, so close() aborts the
+            # standby immediately instead of after the current interval
+            if self._standby_abort.wait(poll_interval_sec):
                 raise RuntimeError("standby start aborted by close()")
-            _time.sleep(poll_interval_sec)
 
     def _start_after_connect(self, mode: str, available_now: bool) -> "Connector":
         if mode in ("initial", "snapshot_only"):
@@ -686,8 +707,14 @@ class Connector:
         view = self.view
 
         def write(batch_df: DataFrame, epoch_id: int) -> None:
+            # book only when THIS call advanced the frontier: after a crash
+            # between merge commit and checkpoint commit, the redelivered
+            # epoch arrives with the frontier ALREADY at epoch_id (adopted
+            # from meta) and merge_batch skips — a bare equality check
+            # would double-book the whole batch (review r10)
+            before = view._last_epoch
             inner(batch_df, epoch_id)
-            if view._last_epoch == epoch_id:
+            if view._last_epoch == epoch_id and before != epoch_id:
                 row = batch_df.agg(
                     *_action_counter_cols(
                         self.cfg.op_col, self.cfg.delete_op, None, ()
@@ -707,7 +734,11 @@ class Connector:
         a replayed epoch re-wipes to the same result, and the inner
         merge's epoch frontier guard stays authoritative for the row
         ops. Multiple truncates in one batch collapse to the latest —
-        the earlier ones' effects are a subset."""
+        the earlier ones' effects are a subset. Cost note: the tombstone
+        probe is one extra small aggregate job per epoch even when no
+        truncate is present — the accepted price of the opt-in policy (it
+        cannot ride the merge's own actions: the wipe must happen BEFORE
+        them)."""
         from pyspark.sql import functions as F
 
         seq_col, op_col = self.cfg.seq_col, self.cfg.op_col
@@ -770,6 +801,7 @@ class Connector:
         tail. foreachBatch completes the in-flight batch before stop returns;
         the checkpoint holds the ack frontier. Live mode: also stop the
         replication consumer, send a final ack sweep, drop the socket."""
+        self._standby_abort.set()  # end a start_as_standby polling loop
         if self._query is not None and self._query.isActive:
             self._query.stop()
         if self._repl_stop is not None:

@@ -289,6 +289,19 @@ class MaterializedView:
                 f"(prior rows lack/strand the changed aggregate columns)"
             )
 
+    def _ensure_meta_adopted(self) -> None:
+        """Late meta adoption for every state-MUTATING entry point: the
+        view may have appeared on disk only after this object's __init__
+        (standby takeover — the active created it while this passive
+        instance waited on the slot). Adopt its layout/frontier and run
+        the interrupted-swap repair before touching any bucket, and
+        re-validate any subclass contract config (the attributes exist by
+        now). A mutation without this ran with n_buckets=None against an
+        existing layout, and skipped the crash repair (review r10)."""
+        if not self._meta_adopted and self.exists():
+            self._meta_adopted = self._adopt_meta()
+            self._check_meta_extra()
+
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
 
@@ -403,14 +416,7 @@ class MaterializedView:
             raise ValueError(
                 f"merge_batch reserves the column name '{_BUCKET_COL}'"
             )
-        if not self._meta_adopted and self.exists():
-            # the view appeared on disk after this object's __init__
-            # (standby takeover: the active created it while this passive
-            # instance waited on the slot) — adopt its layout and frontier
-            # before merging, and re-validate any subclass contract config
-            # too (the attributes exist by now)
-            self._meta_adopted = self._adopt_meta()
-            self._check_meta_extra()
+        self._ensure_meta_adopted()
         if lineage is not None:
             if self._lineage is not None and lineage != self._lineage:
                 # genuinely different feeding query: its epoch counter is
@@ -622,6 +628,7 @@ class MaterializedView:
         Delta equivalent is VACUUM after retention. Rewrites every bucket
         (retention is a full-view maintenance op, run rarely — unlike
         merge, which stays incremental)."""
+        self._ensure_meta_adopted()
         if not self.exists() or not self._bucket_dirs():
             return
         keep = self._read_buckets().filter(
@@ -653,6 +660,7 @@ class MaterializedView:
         of sub-truncate epochs is already excluded by the epoch frontier
         guard. Full bucket rewrite via the same crash-recoverable swap as
         vacuum — TRUNCATE is a rare administrative op, never per batch."""
+        self._ensure_meta_adopted()
         if not self.exists() or not self._bucket_dirs():
             return
         keep = self._read_buckets().filter(

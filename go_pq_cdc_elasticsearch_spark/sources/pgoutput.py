@@ -906,10 +906,12 @@ class PgOutputDecoder:
                 )
             if msg_xid is not None:
                 # in-stream (v2): transactional like every other buffered
-                # change — delivered at Stream Commit, dropped on abort
+                # change — delivered at Stream Commit, dropped on abort.
+                # Spill accounting mirrors the I/U/D path (review r10).
                 buf = self.streamed.setdefault(
                     self.stream_xid, _StreamBuffer(self.stream_spill_dir)
                 )
+                before = buf.spilled
                 for ch in changes:
                     buf.add(
                         msg_xid,
@@ -917,6 +919,7 @@ class PgOutputDecoder:
                         self.stream_spill_threshold,
                         self.stream_spill_threshold_bytes,
                     )
+                self.stream_changes_spilled += buf.spilled - before
                 return None
             return changes or None
         return None  # Origin/Type — not needed for parity

@@ -373,7 +373,10 @@ class LshDedupIndex:
         is either checkpointed (batch grams/bands), file-list-pinned
         (index segments) or caller-owned (``corpus``), so computing it
         later — even after more batches were indexed — yields exactly the
-        pairs this batch's probe saw. A replay driver (q_lx5) uses that
+        pairs this batch's probe saw. The guarantee holds until
+        ``compact()``: the deferred merge REPLACES the segment files the
+        pinned list points at, so materialize every outstanding lazy
+        result before compacting (review r10). A replay driver (q_lx5) uses that
         to fold N waves' verification into ONE overlapped Spark job
         instead of N serial driver-synchronous ones. ``eager=True``
         (default) materializes before returning, which stateful callers

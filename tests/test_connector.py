@@ -397,3 +397,111 @@ def test_connector_truncate_tombstone_empties_view(spark):
     server.done.wait(5)
     # acks advanced past the truncate txn
     assert server.acks and server.acks[-1]["flushed"] >= 24
+
+
+def test_wal_transform_drops_truncate_rows_without_tombstone_policy(spark):
+    """Review r10: a staged TRUNCATE row replayed under the default
+    'ignore' policy (e.g. segments written by a tombstone_table run, then
+    a restart reverted the setting) must be DROPPED by the transform —
+    unintercepted, its NULL images merged as a NULL-keyed live garbage
+    row. With the policy on, the row keeps the reserved marker."""
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        TRUNCATE_MARKER,
+        ReplicationSettings,
+        wal_to_view_transform,
+    )
+
+    rows = [
+        (10, "INSERT", "public", "t", None, {"id": "1", "v": "a"}, "ts"),
+        (11, "TRUNCATE", "public", "t", None, None, "ts"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, table_schema string, table_name string, "
+        "before map<string,string>, after map<string,string>, ts string",
+    )
+    work = tempfile.mkdtemp(prefix="conn_tr_")
+    base = dict(keys=("id",), seq_col="lsn", op_col="op", delete_op="DELETE")
+
+    # default policy (no replication / ignore): truncate row dropped
+    got = wal_to_view_transform(_cfg(work, **base))(df).collect()
+    assert [r["lsn"] for r in got] == [10]
+
+    ignore = _cfg(
+        work,
+        **base,
+        replication=ReplicationSettings(host="h", port=1, slot="s"),
+    )
+    got = wal_to_view_transform(ignore)(df).collect()
+    assert [r["lsn"] for r in got] == [10]
+
+    tomb = _cfg(
+        work,
+        **base,
+        replication=ReplicationSettings(
+            host="h", port=1, slot="s", on_truncate="tombstone_table"
+        ),
+    )
+    got = {r["lsn"]: r["op"] for r in wal_to_view_transform(tomb)(df).collect()}
+    assert got == {10: "insert", 11: TRUNCATE_MARKER}
+
+
+def test_metered_writer_books_once_under_frontier_redelivery(spark):
+    """Review r10: a redelivered epoch that the view's frontier guard
+    SKIPS (crash between merge commit and checkpoint commit — on restart
+    _last_epoch already equals the redelivered epoch id) must book
+    nothing; only the call that actually advanced the frontier books."""
+    from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+    work = tempfile.mkdtemp(prefix="conn_meter_")
+    cfg = _cfg(work, keys=("user_id",))
+    c = Connector(spark, cfg)
+    c.metrics = PrometheusRegistry(slot_name="s")
+    writer = c._metered_writer(c.view.foreach_batch_writer())
+    batch = spark.createDataFrame(
+        [(1, "insert", 7), (2, "delete", 7), (3, "update", 8)],
+        "event_id long, event_type string, user_id long",
+    )
+    writer(batch, 0)
+    assert c.metrics.index_total == {"view": 2.0}
+    assert c.metrics.delete_total == {"view": 1.0}
+    # redelivery of the committed epoch: frontier already at 0, merge
+    # skips, counters must not move
+    writer(batch, 0)
+    assert c.metrics.index_total == {"view": 2.0}
+    assert c.metrics.delete_total == {"view": 1.0}
+    # next epoch books normally
+    writer(batch.withColumn("event_id", F.col("event_id") + 10), 1)
+    assert c.metrics.index_total == {"view": 4.0}
+
+
+def test_start_as_standby_aborted_by_close(spark):
+    """Review r10: close() must end a start_as_standby polling loop —
+    the consumer's _repl_stop doesn't exist while START_REPLICATION keeps
+    failing with 55006, so the standby carries its own abort signal."""
+    import threading
+    import time
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+    from go_pq_cdc_elasticsearch_spark.sources.pgoutput import (
+        ReplicationStreamError,
+    )
+
+    work = tempfile.mkdtemp(prefix="conn_sb_")
+    cfg = _cfg(
+        work,
+        keys=("id",),
+        replication=ReplicationSettings(host="h", port=1, slot="s"),
+    )
+    c = Connector(spark, cfg)
+    c.start = lambda available_now=False: (_ for _ in ()).throw(
+        ReplicationStreamError("slot in use", sqlstate="55006")
+    )
+    threading.Timer(1.0, c.close).start()
+    t0 = time.time()
+    import pytest
+
+    with pytest.raises(RuntimeError, match="aborted by close"):
+        c.start_as_standby(poll_interval_sec=30.0)
+    # aborted promptly, not after the 30 s poll interval
+    assert time.time() - t0 < 10
