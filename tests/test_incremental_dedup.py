@@ -816,3 +816,52 @@ def test_refeed_kept_id_preserves_prior_status_and_none_epoch_refused(spark):
     # (b) None epoch against existing state is refused
     with pytest.raises(ValueError, match="epoch_id is required"):
         dd.dedup_batch(b5, corpus, epoch_id=None)
+
+
+def test_read_buckets_snapshot_excludes_later_appends(spark, sf_dir):
+    """The load-bearing r10 property: read_buckets pins the segment FILE
+    LIST at call time, so appends AFTER the call can never leak into the
+    returned frame — what makes append-before-verify sound. Proven by
+    holding a read across an append and counting both sides."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    work = tempfile.mkdtemp(prefix="lshidx_snap_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=TAU)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx.process_batch(b0, corpus=docs, epoch_id=0)
+    pinned = idx.view.read_buckets()  # NOT materialized yet
+    n_before = idx.view.read_buckets().count()
+    idx.process_batch(b1, corpus=docs, epoch_id=1)
+    # the later append grew the index...
+    assert idx.view.read_buckets().count() > n_before
+    # ...but the pinned pre-append read still sees exactly the old state
+    assert pinned.count() == n_before
+
+
+def test_process_batch_lazy_equals_eager(spark, sf_dir):
+    """eager=False contract (r10): the lazy result, materialized only
+    AFTER a further batch was indexed, must equal the eager result of the
+    same wave — its inputs are checkpointed (grams/bands) or
+    file-list-pinned (segments), so later index mutations can't bleed in."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def run(eager: bool):
+        work = tempfile.mkdtemp(prefix=f"lshidx_lz{int(eager)}_")
+        idx = LshDedupIndex(
+            spark, os.path.join(work, "idx"), jaccard_threshold=TAU
+        )
+        outs = [
+            idx.process_batch(b0, corpus=docs, epoch_id=0, eager=eager),
+            idx.process_batch(b1, corpus=docs, epoch_id=1, eager=eager),
+        ]
+        # materialize only now — in the lazy run both waves' verification
+        # jobs execute AFTER both appends happened
+        return {
+            (r["id1"], r["id2"], round(r["jaccard"], 9))
+            for out in outs
+            for r in out.collect()
+        }
+
+    assert run(eager=False) == run(eager=True)
