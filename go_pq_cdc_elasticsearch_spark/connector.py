@@ -96,7 +96,13 @@ class ReplicationSettings:
     # identity into one keyed view, so the wipe covers every row that
     # ROUTED into this view — exact for the 1-table-per-view mapping the
     # reference's tableIndexMapping describes; a multi-table view should
-    # keep 'ignore'.
+    # keep 'ignore'. Replay parity: segments staged under
+    # 'tombstone_table' contain TRUNCATE tombstone rows — replaying them
+    # through a connector that reverted to 'ignore' drops the tombstones
+    # (the view keeps rows the source truncated); start() detects the
+    # staged-truncate marker and logs a warning with the count, but the
+    # policy must STAY 'tombstone_table' for the staged dir's lifetime
+    # to preserve parity (review r11).
     on_truncate: str = "ignore"
 
 
@@ -562,8 +568,35 @@ class Connector:
                 return self
         if self.cfg.replication is not None:
             self._start_replication_consumer()
-            from go_pq_cdc_elasticsearch_spark.sources.wal import register
+            from go_pq_cdc_elasticsearch_spark.sources.wal import (
+                register,
+                staged_truncate_count,
+            )
 
+            if self.cfg.replication.on_truncate != "tombstone_table":
+                # segments staged by a tombstone_table run, replayed after
+                # the policy reverted to 'ignore', have their TRUNCATE
+                # tombstones silently dropped by the default transform —
+                # the replayed view keeps rows the live view truncated.
+                # The staging producer counts tombstones into a sidecar
+                # marker; warn loudly here instead of diverging in
+                # silence (review r11). Parity requires the policy to
+                # STAY 'tombstone_table' for the life of the staged dir.
+                staged = staged_truncate_count(self.cfg.staged_dir)
+                if staged:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "staged dir %s carries %d TRUNCATE tombstone "
+                        "row(s) from a prior on_truncate='tombstone_table' "
+                        "run, but this connector's policy is %r — replayed "
+                        "tombstones will be DROPPED and the view may keep "
+                        "rows the source truncated. Keep "
+                        "on_truncate='tombstone_table' for replay parity.",
+                        self.cfg.staged_dir,
+                        staged,
+                        self.cfg.replication.on_truncate,
+                    )
             register(self.spark)
             stream = (
                 self.spark.readStream.format("pgwal")
@@ -711,7 +744,14 @@ class Connector:
             # between merge commit and checkpoint commit, the redelivered
             # epoch arrives with the frontier ALREADY at epoch_id (adopted
             # from meta) and merge_batch skips — a bare equality check
-            # would double-book the whole batch (review r10)
+            # would double-book the whole batch (review r10). Adopt the
+            # on-disk frontier BEFORE capturing `before`: on a standby's
+            # first batch the view object is fresh (in-object frontier
+            # None) while meta already carries epoch_id — reading the raw
+            # field saw before=None, merge_batch skipped inside inner(),
+            # and counters were booked for a merge that never ran
+            # (review r11)
+            view._ensure_meta_adopted()
             before = view._last_epoch
             inner(batch_df, epoch_id)
             if view._last_epoch == epoch_id and before != epoch_id:

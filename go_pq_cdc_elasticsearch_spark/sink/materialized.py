@@ -675,7 +675,15 @@ class MaterializedView:
         """Re-hash the state into a new bucket count — the maintenance op
         for a view that outgrew (or never grew into) its creation-time
         layout, like OPTIMIZE/rewrite in a table format. Full rewrite; run
-        rarely, never per batch."""
+        rarely, never per batch.
+
+        Adopts on-disk meta FIRST like every other mutating entry point
+        (merge_batch, retention, truncate_upto): a view object built
+        before the store appeared on disk (the standby pattern) would
+        otherwise read state and then _write_meta() from un-adopted
+        in-object fields, clobbering the stored epoch frontier, schema,
+        and lineage with None (review r11)."""
+        self._ensure_meta_adopted()
         state = self.state()
         self.n_buckets = n_buckets
         self._drifted = False  # full rewrite unifies file schemas

@@ -133,7 +133,40 @@ def write_wal_segment(path: str, messages: list[dict]) -> str:
         for m in messages:
             f.write(json.dumps(m) + "\n")
     os.rename(tmp, fpath)
+    n_trunc = sum(1 for m in messages if m.get("op") == "TRUNCATE")
+    if n_trunc:
+        note_staged_truncates(path, n_trunc)
     return fpath
+
+
+TRUNCATE_STAGE_MARKER = "_truncates_staged"
+
+
+def note_staged_truncates(path: str, n: int) -> None:
+    """Bump the cumulative count of TRUNCATE tombstone rows staged into
+    this segment dir (``TRUNCATE_STAGE_MARKER`` sidecar). Written by the
+    single active staging producer, read by Connector.start(): a replay
+    of these segments through a connector whose on_truncate policy
+    reverted to 'ignore' silently drops the tombstones and keeps rows
+    the live view truncated — the marker lets start() warn loudly, with
+    the count, instead of diverging in silence (review r11). Same
+    tmp+rename protocol as the segments so a racing reader never sees a
+    half-written count."""
+    marker = os.path.join(path, TRUNCATE_STAGE_MARKER)
+    total = staged_truncate_count(path) + n
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(total))
+    os.rename(tmp, marker)
+
+
+def staged_truncate_count(path: str) -> int:
+    """Cumulative TRUNCATE tombstone rows ever staged here (0 if none)."""
+    try:
+        with open(os.path.join(path, TRUNCATE_STAGE_MARKER)) as f:
+            return int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return 0
 
 
 class _SegmentPartition(InputPartition):

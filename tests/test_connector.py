@@ -475,6 +475,105 @@ def test_metered_writer_books_once_under_frontier_redelivery(spark):
     assert c.metrics.index_total == {"view": 4.0}
 
 
+def test_metered_writer_adopts_frontier_before_booking(spark):
+    """ADVICE r11: on a standby's FIRST batch the view object is fresh —
+    merge_batch adopts the on-disk frontier INSIDE the call. A writer
+    that captured `before` from the raw field saw None, the merge
+    skipped (frontier already at epoch_id), and counters were booked for
+    a merge that never ran. The writer must adopt before capturing."""
+    from go_pq_cdc_elasticsearch_spark.metrics import PrometheusRegistry
+
+    work = tempfile.mkdtemp(prefix="conn_meter_sb_")
+    batch = spark.createDataFrame(
+        [(1, "insert", 7), (2, "delete", 7)],
+        "event_id long, event_type string, user_id long",
+    )
+    # the active merges epoch 0 and commits the frontier to meta
+    active = Connector(spark, _cfg(work, keys=("user_id",)))
+    active.view.merge_batch(batch, epoch_id=0)
+    # a fresh connector over the same view path (standby takeover): its
+    # first delivered batch is the REDELIVERY of the committed epoch
+    standby = Connector(spark, _cfg(work, keys=("user_id",)))
+    standby.metrics = PrometheusRegistry(slot_name="s")
+    writer = standby._metered_writer(standby.view.foreach_batch_writer())
+    writer(batch, 0)
+    assert standby.metrics.index_total == {}  # skipped merge books nothing
+    assert standby.metrics.delete_total == {}
+    # the next (genuinely new) epoch books normally
+    writer(batch.withColumn("event_id", F.col("event_id") + 10), 1)
+    assert standby.metrics.index_total == {"view": 1.0}
+    assert standby.metrics.delete_total == {"view": 1.0}
+
+
+def test_staged_truncate_marker_and_start_warning(spark, caplog):
+    """ADVICE r11: segments staged by an on_truncate='tombstone_table'
+    run carry TRUNCATE rows; replaying them through a connector whose
+    policy reverted to 'ignore' drops them silently. The staging writer
+    counts tombstones into a sidecar marker and start() warns loudly."""
+    import logging
+
+    from go_pq_cdc_elasticsearch_spark.connector import ReplicationSettings
+    from go_pq_cdc_elasticsearch_spark.sources.wal import (
+        staged_truncate_count,
+        write_wal_segment,
+    )
+
+    work = tempfile.mkdtemp(prefix="conn_trmark_")
+    staged = os.path.join(work, "staged")
+    write_wal_segment(
+        staged,
+        [
+            {"lsn": 10, "op": "INSERT", "after": {"id": "1"}},
+            {"lsn": 11, "op": "TRUNCATE", "before": None, "after": None},
+        ],
+    )
+    write_wal_segment(
+        staged, [{"lsn": 12, "op": "TRUNCATE", "before": None, "after": None}]
+    )
+    assert staged_truncate_count(staged) == 2  # cumulative across segments
+
+    cfg = _cfg(
+        work,
+        keys=("id",),
+        replication=ReplicationSettings(host="h", port=1, slot="s"),
+    )
+    c = Connector(spark, cfg)
+    # exercise only the policy check in _start_after_connect: stub the
+    # pieces that need a live server / a running stream
+    c._start_replication_consumer = lambda: None
+    import go_pq_cdc_elasticsearch_spark.connector as conn_mod
+
+    with caplog.at_level(logging.WARNING, logger=conn_mod.__name__):
+        try:
+            c._start_after_connect(mode="never", available_now=True)
+        finally:
+            c.close()
+    warned = [
+        r for r in caplog.records if "TRUNCATE tombstone" in r.getMessage()
+    ]
+    assert warned and "2" in warned[0].getMessage()
+
+    # tombstone_table mode replays them on purpose: no warning
+    caplog.clear()
+    cfg2 = _cfg(
+        work,
+        keys=("id",),
+        replication=ReplicationSettings(
+            host="h", port=1, slot="s", on_truncate="tombstone_table"
+        ),
+    )
+    c2 = Connector(spark, cfg2)
+    c2._start_replication_consumer = lambda: None
+    with caplog.at_level(logging.WARNING, logger=conn_mod.__name__):
+        try:
+            c2._start_after_connect(mode="never", available_now=True)
+        finally:
+            c2.close()
+    assert not [
+        r for r in caplog.records if "TRUNCATE tombstone" in r.getMessage()
+    ]
+
+
 def test_start_as_standby_aborted_by_close(spark):
     """Review r10: close() must end a start_as_standby polling loop —
     the consumer's _repl_stop doesn't exist while START_REPLICATION keeps

@@ -138,6 +138,32 @@ def test_rebucket_preserves_state(spark):
     assert mv2.read().count() == len(before) + 1
 
 
+def test_rebucket_adopts_late_meta(spark):
+    """rebucket() on a view object constructed BEFORE the store appeared
+    on disk (the standby pattern) must adopt the on-disk meta first, like
+    merge_batch/vacuum/truncate_upto do — without it, _write_meta()
+    clobbered the stored epoch frontier, schema, and lineage with the
+    fresh object's None fields (ADVICE r11)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_rbla_"), "view")
+    standby = MaterializedView(spark, path, n_buckets=2)  # store absent
+    active = MaterializedView(spark, path, n_buckets=4)
+    active.merge_batch(
+        _batch(spark, [(1, "insert", 1, 1.0), (2, "insert", 2, 2.0)]),
+        epoch_id=7,
+        lineage="q1",
+    )
+    standby.rebucket(8)
+    reopened = MaterializedView(spark, path)
+    assert reopened.n_buckets == 8
+    assert reopened._last_epoch == 7  # frontier survived the rebucket
+    assert reopened._lineage == "q1"
+    # the preserved frontier still rejects a redelivered epoch
+    reopened.merge_batch(
+        _batch(spark, [(3, "insert", 3, 3.0)]), epoch_id=7, lineage="q1"
+    )
+    assert {r["user_id"] for r in reopened.read().collect()} == {1, 2}
+
+
 def test_rebucket_clears_stale_rbold(spark):
     """A stale .rbold (a prior rebucket's final rmtree lost) must not make
     the next in-process rebucket's os.rename(path, rbold) fail ENOTEMPTY —
