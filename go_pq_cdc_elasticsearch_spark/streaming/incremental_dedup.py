@@ -196,17 +196,44 @@ class _BandSegmentIndex:
             .drop(_BUCKET_COL)
         )
 
-    def compact(self) -> None:
+    def segment_counts(self) -> dict[int, int]:
+        """Segment files per bucket — the growth metric compact() bounds
+        (one file is appended per touched bucket per indexed batch, so at
+        months of micro-batches the LISTING, not the data, dominates probe
+        cost)."""
+        out: dict[int, int] = {}
+        for b in self._bucket_dirs():
+            d = os.path.join(self.path, f"{_BUCKET_COL}={b}")
+            if os.path.isdir(d):
+                out[b] = sum(
+                    1 for name in os.listdir(d) if name.endswith(".parquet")
+                )
+        return out
+
+    def compact(self, min_files: int = 2) -> None:
         """Deferred merge: one file per bucket, duplicates (from
         crash-redelivered appends) dropped. A maintenance op like the
         LWW view's vacuum — run rarely, never per batch. Buckets swap in
         via the shared crash-recoverable two-rename protocol: an earlier
         delete-then-rename version silently lost the WHOLE index when
         killed between the two loops (meta intact, zero band rows — every
-        later probe would quietly report no cross-batch dups)."""
+        later probe would quietly report no cross-batch dups).
+
+        Only buckets holding ``min_files`` or more segment files are
+        rewritten (r11): rows are hash-routed to exactly one bucket, so
+        per-bucket rewrites are independent and an already-compacted
+        bucket carries no cross-bucket duplicates to merge — skipping it
+        makes repeated maintenance runs touch only the buckets that grew
+        since the last one, instead of rewriting the whole index every
+        time. ``min_files=1`` forces the full rewrite."""
         if not self.exists() or not self._bucket_dirs():
             return
-        state = self.read_buckets()
+        todo = [
+            b for b, n in self.segment_counts().items() if n >= min_files
+        ]
+        if not todo:
+            return
+        state = self.read_buckets(todo)
         if state is None:
             return
         state = state.distinct()
@@ -221,7 +248,7 @@ class _BandSegmentIndex:
                 self.n_buckets, F.col(_BUCKET_COL)
             ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
             # rewritten copy is complete on disk before any live dir moves
-            for b in self._bucket_dirs():
+            for b in todo:
                 swap_bucket_dir(
                     self.path, os.path.join(out, f"{_BUCKET_COL}={b}"), b
                 )
@@ -477,6 +504,17 @@ class LshDedupIndex:
             return verified.localCheckpoint(eager=True)
         return verified
 
+    def compact(self, min_files: int = 2) -> None:
+        """Deferred segment merge for the band index (the LSM maintenance
+        op — see ``_BandSegmentIndex.compact``). Run it between batches,
+        never concurrently with an outstanding ``eager=False`` result:
+        lazy results are pinned to the segment FILES existing at probe
+        time, and compaction replaces those files (process_batch
+        docstring). Bounds the per-probe listing/footer cost, which —
+        not the data volume — is what grows without bound at months of
+        micro-batches."""
+        self.view.compact(min_files=min_files)
+
 
 class IncrementalDeduper(LshDedupIndex):
     """LshDedupIndex plus a DISTRIBUTED keep/drop fold — the end-to-end
@@ -625,6 +663,25 @@ class IncrementalDeduper(LshDedupIndex):
             epoch_id=epoch_id,
             lineage=lineage,
         )
+
+    def compact(
+        self, min_files: int = 2, corpus_path: str | None = None
+    ) -> None:
+        """Band-index segment merge plus (when ``corpus_path`` names the
+        store this deduper's writer feeds) consolidation of the committed
+        per-epoch corpus directories — both growth axes of a long-running
+        ingestion loop, bounded in one maintenance call. Only epochs at
+        or below the kept-view frontier are merged: an in-flight epoch's
+        partial dir must keep its own name so redelivery's overwrite
+        replaces it wholesale. Run between batches (see
+        ``LshDedupIndex.compact`` for the lazy-result caveat)."""
+        super().compact(min_files=min_files)
+        if corpus_path is not None:
+            self.kept._ensure_meta_adopted()
+            if self.kept._last_epoch is not None:
+                consolidate_corpus_epochs(
+                    self.spark, corpus_path, upto_seq=int(self.kept._last_epoch)
+                )
 
     def foreach_batch_writer(self, corpus_path: str):
         """Adapter for ``writeStream.foreachBatch`` — the full streaming
@@ -809,6 +866,10 @@ class IncrementalDeduper(LshDedupIndex):
                     on=self.id_col,
                     how="left_anti",
                 )
+            # finish any corpus consolidation interrupted mid-swap before
+            # listing: a half-merged corpus read is missing text (duplicate
+            # leak); a bare exists() check when no maintenance ran
+            recover_corpus_compaction(corpus_path)
             prior = _prior_epoch_dirs(seq)
             if prior:
                 # explicit partition-dir paths: files sit directly under
@@ -832,6 +893,100 @@ class IncrementalDeduper(LshDedupIndex):
             self._merge_kept(kept, epoch_id=seq, lineage=qid)
 
         return write
+
+
+_CORPUS_COMPACT_MANIFEST = "_CORPUS_COMPACT.json"
+_CORPUS_COMPACT_STAGING = ".corpus_compact_staging"
+
+
+def recover_corpus_compaction(corpus_path: str) -> None:
+    """Roll a consolidate_corpus_epochs interrupted after its commit point
+    forward (manifest present = the staged consolidated dir is complete
+    and authoritative for every epoch it lists). Cheap no-op when no
+    manifest exists — the foreachBatch writer calls this per epoch."""
+    import json
+    import shutil
+
+    manifest_path = os.path.join(corpus_path, _CORPUS_COMPACT_MANIFEST)
+    if not os.path.exists(manifest_path):
+        return
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    staging = os.path.join(corpus_path, _CORPUS_COMPACT_STAGING)
+    target = os.path.join(corpus_path, f"epoch={manifest['target']}")
+    if os.path.isdir(staging):
+        # crash between commit point and final rename: finish removing the
+        # merged inputs (the target name is one of them), then swap in
+        for e in manifest["merged"]:
+            shutil.rmtree(
+                os.path.join(corpus_path, f"epoch={e}"), ignore_errors=True
+            )
+        os.rename(staging, target)
+    # staging gone = the rename landed; only the manifest cleanup was lost
+    os.remove(manifest_path)
+
+
+def consolidate_corpus_epochs(
+    spark: SparkSession, corpus_path: str, upto_seq: int, min_dirs: int = 2
+) -> int:
+    """Merge the per-epoch corpus directories at or below ``upto_seq``
+    into ONE ``epoch=<max merged>`` directory — the corpus-store analog of
+    the band index's segment compaction. ``foreach_batch_writer`` writes
+    one ``epoch=<id>`` dir per micro-batch (the idempotent-redelivery
+    unit), and every later batch LISTS all of them and reads them as an
+    explicit path list: at months of micro-batches the directory count —
+    not the text volume — dominates the per-batch corpus read. Returns
+    the number of directories merged (0 = nothing to do).
+
+    ``upto_seq`` must not exceed the committed kept-view frontier: an
+    in-flight (uncommitted) epoch's partial dir must stay out of the
+    merge so its redelivery overwrite still replaces it wholesale
+    (IncrementalDeduper.compact passes the frontier). Filter semantics
+    are preserved because the merged dir's epoch is the max merged id —
+    still strictly below every future batch's seq.
+
+    Crash protocol (manifest roll-forward, the _atomic_json_dump
+    commit-point discipline): the consolidated copy is fully staged, the
+    manifest write commits, then inputs are removed and the staging dir
+    renamed in. A crash before the manifest leaves the inputs untouched
+    (staging is garbage, cleaned next run); after it,
+    ``recover_corpus_compaction`` finishes the swap — which the writer
+    runs before every epoch, so an interrupted maintenance op can never
+    make a batch read a half-merged corpus (missing text = duplicate
+    leak). Run between batches, like the band-index compact."""
+    import json
+    import shutil
+
+    recover_corpus_compaction(corpus_path)
+    if not os.path.isdir(corpus_path):
+        return 0
+    merged: list[int] = []
+    for name in os.listdir(corpus_path):
+        if name.startswith("epoch="):
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e <= upto_seq:
+                merged.append(e)
+    if len(merged) < min_dirs:
+        return 0
+    merged.sort()
+    staging = os.path.join(corpus_path, _CORPUS_COMPACT_STAGING)
+    shutil.rmtree(staging, ignore_errors=True)  # abandoned pre-commit stage
+    dirs = [os.path.join(corpus_path, f"epoch={e}") for e in merged]
+    # one consolidated copy; duplicate ids across epochs cannot exist
+    # (the writer's exact-id drop keeps each kept id in exactly one
+    # epoch), and even a crash-window stray collapses in the reader's
+    # grams groupBy — no distinct() needed over text rows
+    spark.read.parquet(*dirs).write.mode("overwrite").parquet(staging)
+    _atomic_json_dump(
+        os.path.join(corpus_path, _CORPUS_COMPACT_MANIFEST),
+        {"merged": merged, "target": merged[-1]},
+    )
+    # commit point passed: from here recovery completes the swap
+    recover_corpus_compaction(corpus_path)
+    return len(merged)
 
 
 def greedy_keep_filter(pairs_by_batch, batch_ids_in_order):

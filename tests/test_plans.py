@@ -221,6 +221,20 @@ def test_lsh_index_probe_partition_prunes(spark):
     for f in files:
         part = [seg for seg in f.split("/") if seg.startswith("__bucket=")]
         assert part and part[0] in touched_dirs, f
+    # pruning survives compaction (r11, VERDICT r10 item 1): a second
+    # append grows segments, compact() collapses each bucket to one file,
+    # and the probe must STILL read only the touched dirs — one file each
+    idx.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), corpus=docs, epoch_id=1
+    )
+    assert any(n > 1 for n in idx.view.segment_counts().values())
+    idx.compact()
+    assert all(n == 1 for n in idx.view.segment_counts().values())
+    files = idx._indexed_bands(probe).inputFiles()
+    assert files and len(files) == len({f.rsplit("/", 2)[1] for f in files})
+    for f in files:
+        part = [seg for seg in f.split("/") if seg.startswith("__bucket=")]
+        assert part and part[0] in touched_dirs, f
 
 
 def test_semantic_dedup_pairs_are_cell_equi_join(spark):
