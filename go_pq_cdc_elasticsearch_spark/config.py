@@ -140,22 +140,27 @@ class EsSinkSettings:
         }
 
     def transports(self):
-        """(bulk_transport, info_transport) against urls[0], honoring
-        auth + compressionEnabled — drop-in for write_bulk*/detect."""
+        """(bulk_transport, info_transport) across ALL configured urls,
+        honoring auth + compressionEnabled — drop-in for
+        write_bulk*/detect. Bulk calls round-robin the node list and each
+        retry attempt rotates to the next node; the info call tries each
+        node in order — the reference's []string Urls load-balancing
+        (config/config.go:13, README.md:233-242). Node DISCOVERY knobs
+        stay ignored (es_settings_from_dict) — the static list is the
+        failover domain."""
         from go_pq_cdc_elasticsearch_spark.sink.es_bulk import (
             http_info_transport,
             http_transport,
         )
 
-        base = self.urls[0]
         return (
             http_transport(
-                base,
+                self.urls,
                 self.username,
                 self.password,
                 compress=self.compression_enabled,
             ),
-            http_info_transport(base, self.username, self.password),
+            http_info_transport(self.urls, self.username, self.password),
         )
 
 

