@@ -332,6 +332,22 @@ class Connector:
         import threading
 
         self._repl_client.start()
+        # Fence the view the moment the slot is won (START_REPLICATION
+        # succeeded above; a refused 55006 standby attempt raised there
+        # and never reaches this line, so a polling standby can never
+        # fence the healthy active) and BEFORE the consumer thread stages
+        # a single segment: a zombie previous active — replication
+        # connection gone but Spark query still running on the shared
+        # staged dir — must see the bumped generation before any segment
+        # this instance produces can wake its query, or the two could
+        # swap buckets concurrently. Bumped ONLY at start, never on the
+        # supervisor's reconnects: the same instance re-winning its slot
+        # keeps its token (re-acquiring would race its own running
+        # merges), and an active that reconnects after a full
+        # takeover-and-death cycle of a standby finds itself fenced —
+        # the safe direction (operator decides who owns the view).
+        # Closes the README runbook's fencing caveat (review r11).
+        self.view.acquire_fence()
         # streaming reads are select()-paced, not timed: drop the
         # handshake timeout once CopyBoth is established
         self._repl_client.sock.settimeout(None)
@@ -503,12 +519,14 @@ class Connector:
         delivery with at-least-once redelivery that the seq-resolved
         keyed view absorbs — no loss, no duplicates.
 
-        Fencing caveat (same as the reference's slot-based takeover): the
-        slot only proves the active's REPLICATION CONNECTION is gone. An
-        active that lost its connection but is still running its Spark
-        query must be actually dead/stopped before a standby shares its
-        checkpoint dir — process-level fencing is the operator's half of
-        the contract.
+        Zombie fencing (r11): the slot only proves the active's
+        REPLICATION CONNECTION is gone — an active that lost its
+        connection (partition, server-side terminate, SIGSTOP) may still
+        be running its Spark query. Winning the slot bumps the view's
+        fence generation (MaterializedView.acquire_fence), so every
+        mutation the zombie attempts afterwards raises FencedWriterError
+        before touching a bucket. Live-tested in
+        test_live_zombie_active_fenced_after_takeover.
 
         Raises the last slot-in-use error if ``timeout_sec`` elapses;
         non-55006 failures raise immediately."""
@@ -548,6 +566,14 @@ class Connector:
                 raise RuntimeError("standby start aborted by close()")
 
     def _start_after_connect(self, mode: str, available_now: bool) -> "Connector":
+        if self.cfg.replication is None:
+            # no slot to elect on — starting IS the takeover signal for a
+            # staged-dir connector. Bump the view's fence generation so a
+            # zombie prior instance still holding a running query on this
+            # view dies loudly (FencedWriterError) instead of writing
+            # behind this one. Replication connectors fence later, only
+            # after the slot is actually won (see below).
+            self.view.acquire_fence()
         if mode in ("initial", "snapshot_only"):
             # U1: chunked consistent snapshot == batch merge (sync, like the
             # reference's snapshot-only synchronous Start path). With the

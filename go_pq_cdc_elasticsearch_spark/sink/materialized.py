@@ -48,7 +48,25 @@ from pyspark.sql import functions as F
 from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_dedup
 
 _META = "_VIEW_META.json"
+_FENCE = "_VIEW_FENCE.json"
 _BUCKET_COL = "__bucket"
+
+
+class FencedWriterError(RuntimeError):
+    """A mutation found the on-disk fence token newer than the one this
+    writer acquired: another instance took over the view (U3 standby
+    takeover) and this process is a zombie writer. The only safe response
+    is to stop — re-acquiring would fence out the legitimate active."""
+
+
+def read_fence(path: str) -> int | None:
+    """Current fence generation recorded under ``path`` (None = the view
+    has never been fenced — pre-fencing layouts keep working unchecked)."""
+    p = os.path.join(path, _FENCE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["fence"])
 
 
 def list_bucket_dirs(path: str) -> list[int]:
@@ -168,6 +186,7 @@ class MaterializedView:
         self._drifted = False
         self._last_epoch: int | None = None
         self._lineage: str | None = None
+        self._fence_token: int | None = None
         _recover_interrupted_rebucket(path)
         self._meta_adopted = self._adopt_meta()
 
@@ -302,6 +321,59 @@ class MaterializedView:
             self._meta_adopted = self._adopt_meta()
             self._check_meta_extra()
 
+    # -- write fencing (U3 standby takeover) ---------------------------------
+
+    def acquire_fence(self) -> int:
+        """Become the view's fenced writer: bump the on-disk fence
+        generation and remember the new token in this object. Called by
+        the Connector AFTER it wins the replication slot (the election) —
+        never by a refused standby attempt, so a healthy active is never
+        fenced by a standby polling on 55006.
+
+        Closes the README runbook's fencing caveat at the storage layer:
+        the slot only proves the old active's replication CONNECTION is
+        gone, but a zombie whose Spark query is still running (SIGSTOP,
+        network partition, GC pause) could keep writing to the shared
+        view. After a takeover bumps the fence, every one of the zombie's
+        mutations fails ``_check_fence`` with FencedWriterError BEFORE
+        touching a bucket — its streaming query dies loudly instead of
+        corrupting state behind the new active. Same token discipline as
+        HDFS lease recovery / ZooKeeper fencing tokens; a table format's
+        commit log (Delta/Iceberg) provides the equivalent via
+        conditional commits on a cluster."""
+        cur = read_fence(self.path) or 0
+        token = cur + 1
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, _FENCE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"fence": token}, f)
+        os.replace(tmp, os.path.join(self.path, _FENCE))
+        self._fence_token = token
+        return token
+
+    def _check_fence(self) -> None:
+        """Abort if another writer bumped the fence since this object
+        acquired its token. Unfenced writers (token None — direct batch
+        callers, tests, pre-fencing deployments) are never checked: the
+        fence is opt-in via acquire_fence, exactly once per Connector
+        start. Checked at every mutating entry point AND again inside
+        ``_swap_buckets`` right before the destructive renames — the
+        remaining check-to-rename window is microseconds of an OS rename
+        (honest limit of filesystem fencing; a table format's atomic
+        conditional commit closes it completely)."""
+        if self._fence_token is None:
+            return
+        disk = read_fence(self.path)
+        if disk != self._fence_token:
+            raise FencedWriterError(
+                f"writer fenced out of materialized view {self.path}: "
+                f"this instance holds fence token {self._fence_token} but "
+                f"the view is at generation {disk!r} — another connector "
+                f"took over (standby failover). Stop this instance; do "
+                f"NOT restart it against this view without operator "
+                f"action."
+            )
+
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
 
@@ -417,6 +489,7 @@ class MaterializedView:
                 f"merge_batch reserves the column name '{_BUCKET_COL}'"
             )
         self._ensure_meta_adopted()
+        self._check_fence()
         if lineage is not None:
             if self._lineage is not None and lineage != self._lineage:
                 # genuinely different feeding query: its epoch counter is
@@ -580,6 +653,7 @@ class MaterializedView:
         """Write df (with the bucket column) partitioned by bucket to a tmp
         dir, then swap the given bucket dirs into place (all buckets when
         None). Untouched bucket dirs are never opened."""
+        self._check_fence()
         parent = os.path.dirname(self.path) or "."
         tmp = tempfile.mkdtemp(prefix="mv_", dir=parent)
         # try/finally: a failed Spark write (executor loss, disk full —
@@ -629,6 +703,7 @@ class MaterializedView:
         (retention is a full-view maintenance op, run rarely — unlike
         merge, which stays incremental)."""
         self._ensure_meta_adopted()
+        self._check_fence()
         if not self.exists() or not self._bucket_dirs():
             return
         keep = self._read_buckets().filter(
@@ -661,6 +736,7 @@ class MaterializedView:
         guard. Full bucket rewrite via the same crash-recoverable swap as
         vacuum — TRUNCATE is a rare administrative op, never per batch."""
         self._ensure_meta_adopted()
+        self._check_fence()
         if not self.exists() or not self._bucket_dirs():
             return
         keep = self._read_buckets().filter(
@@ -684,6 +760,7 @@ class MaterializedView:
         in-object fields, clobbering the stored epoch frontier, schema,
         and lineage with None (review r11)."""
         self._ensure_meta_adopted()
+        self._check_fence()
         state = self.state()
         self.n_buckets = n_buckets
         self._drifted = False  # full rewrite unifies file schemas
@@ -715,6 +792,17 @@ class MaterializedView:
             self._write_meta()
         finally:
             self.path = real_path
+        # the fence generation must survive the whole-dir swap (it lives
+        # inside the view dir, which is about to be renamed away) — copy
+        # the current marker into the staging dir before the cutover
+        fence_src = os.path.join(self.path, _FENCE)
+        if os.path.exists(fence_src):
+            shutil.copyfile(fence_src, os.path.join(rbnew, _FENCE))
+        # re-check at the last possible moment before the destructive
+        # rename: a takeover that happened during the (long) rewrite
+        # above must fence this rebucket out, not lose the new active's
+        # merges to a stale whole-dir swap
+        self._check_fence()
         os.rename(self.path, rbold)
         os.rename(rbnew, self.path)
         shutil.rmtree(rbold, ignore_errors=True)

@@ -604,3 +604,83 @@ def test_start_as_standby_aborted_by_close(spark):
         c.start_as_standby(poll_interval_sec=30.0)
     # aborted promptly, not after the 30 s poll interval
     assert time.time() - t0 < 10
+
+
+def test_connector_start_fences_prior_writer(spark, sf_dir):
+    """U3 fencing end-to-end (review r11): once a second connector starts
+    on the same view, the first one's STREAMING query dies loudly with
+    FencedWriterError on its next merge instead of writing behind the
+    takeover. Staged-dir connectors fence at start; replication
+    connectors fence only after winning the slot (live suite)."""
+    import time
+
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        FencedWriterError,
+        read_fence,
+    )
+
+    work = tempfile.mkdtemp(prefix="conn_f_")
+    staged_a = os.path.join(work, "staged_a")
+    stage_event_files(spark, sf_dir, staged_a, n_files=2)
+    view_path = os.path.join(work, "view")
+
+    a = Connector(
+        spark,
+        ConnectorConfig(
+            staged_dir=staged_a,
+            view_path=view_path,
+            checkpoint_dir=os.path.join(work, "ckpt_a"),
+            max_files_per_trigger=1,
+            processing_time="1 second",
+        ),
+    )
+    a.start()
+    assert a.wait_until_ready()
+    assert read_fence(view_path) == 1
+    deadline = time.monotonic() + 120
+    want = cdc_apply(load_table(spark, sf_dir, "events")).count()
+    while time.monotonic() < deadline:
+        try:
+            if a.read().count() == want:
+                break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.5)
+    else:
+        raise AssertionError("connector A never drained its staged files")
+
+    # takeover: B starts against the SAME view (its own staged dir and
+    # checkpoint — the shared resource under contention is the view)
+    staged_b = os.path.join(work, "staged_b")
+    stage_event_files(spark, sf_dir, staged_b, n_files=1)
+    b = Connector(
+        spark,
+        ConnectorConfig(
+            staged_dir=staged_b,
+            view_path=view_path,
+            checkpoint_dir=os.path.join(work, "ckpt_b"),
+        ),
+    )
+    b.start(available_now=True)
+    b.await_drained()
+    b.close()
+    assert read_fence(view_path) == 2
+
+    # feed the zombie: its next merge must kill its query, not the view
+    stage_event_files(spark, sf_dir, staged_a, n_files=3)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and a._query.isActive:
+        time.sleep(0.5)
+    exc = a._query.exception()
+    assert exc is not None, "zombie query kept running after the fence bump"
+    assert "FencedWriterError" in str(exc) or "fenced" in str(exc)
+    a.close()
+
+    # the view survives, still written by B's generation only
+    assert b.read().count() == want
+
+    # a direct zombie-object mutation is equally dead
+    with pytest.raises(FencedWriterError):
+        a.view.vacuum(watermark_seq=10**9)

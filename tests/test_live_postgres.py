@@ -2385,3 +2385,140 @@ def test_live_standby_takeover_slot_fenced_no_loss_no_dup(pg, spark):
             active.close()
         except Exception:
             pass
+
+
+def test_live_zombie_active_fenced_after_takeover(pg, spark):
+    """U3 fencing closure (review r11): the README runbook's caveat was
+    that the slot only proves the active's replication CONNECTION is
+    gone — an active whose connection died (network partition, server-
+    side pg_terminate_backend, a SIGSTOP'd host) but whose Spark query
+    is STILL RUNNING could keep writing to the shared view after a
+    standby takes over. The view-level fence now kills it.
+
+    Scenario (the SIGSTOP shape, in-process): (1) active streams; (2) its
+    walsender is terminated server-side while its Spark query stays alive
+    — the zombie state; (3) the standby wins the freed slot, bumping the
+    view's fence generation; (4) the zombie's next merge — fed by the
+    very segments the standby's consumer stages into the SHARED staged
+    dir — dies loudly with FencedWriterError before touching a bucket;
+    (5) the view holds exactly the expected rows, written only by the
+    new active. Single-JVM emulation note: Spark refuses two live
+    queries on one checkpoint dir inside one JVM (an accidental local
+    guard a two-host deployment does not have), so the standby resumes
+    from a file-level copy of the shared checkpoint taken at takeover —
+    the shared VIEW is the resource the fence protects."""
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        Connector,
+        ConnectorConfig,
+        ReplicationSettings,
+    )
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import read_fence
+
+    table = "zombiefence"
+    slot = "live_slot_zombie"
+    pg["sql"](
+        f"CREATE TABLE IF NOT EXISTS {table} (id int PRIMARY KEY, v text NOT NULL)",
+        db="cdc_db",
+    )
+    pg["sql"](f"ALTER PUBLICATION cdc_pub ADD TABLE {table}", db="cdc_db")
+    work = tempfile.mkdtemp(prefix="conn_zombie_")
+
+    def cfg(ckpt: str):
+        return ConnectorConfig(
+            staged_dir=os.path.join(work, "staged"),
+            view_path=os.path.join(work, "view"),
+            checkpoint_dir=os.path.join(work, ckpt),
+            keys=("id",),
+            seq_col="lsn",
+            op_col="op",
+            delete_op="DELETE",
+            processing_time="0 seconds",
+            replication=ReplicationSettings(
+                host="127.0.0.1", port=PORT, slot=slot,
+                publication="cdc_pub", database="cdc_db",
+                batch_size=5, ack_interval_sec=0.2,
+            ),
+        )
+
+    active = Connector(spark, cfg("ckpt"))
+    active.start()
+    standby = None
+    try:
+        assert active.wait_until_ready(timeout_sec=120)
+        pg["sql"](f"INSERT INTO {table} VALUES (1, 'a1')", db="cdc_db")
+        deadline = time.time() + 120
+        while time.time() < deadline and (_view_state(active) or {}) != {"1": "a1"}:
+            time.sleep(0.5)
+        assert (_view_state(active) or {}) == {"1": "a1"}
+        assert read_fence(os.path.join(work, "view")) == 1
+
+        # (2) partition the active: supervisor told not to reconnect
+        # FIRST (a zombie that re-won the slot would just be the active
+        # again), then the walsender is killed server-side. The Spark
+        # query is deliberately left RUNNING.
+        active._repl_stop.set()
+        pg["sql"](
+            "SELECT pg_terminate_backend(active_pid) FROM pg_replication_slots"
+            f" WHERE slot_name='{slot}' AND active_pid IS NOT NULL"
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and pg["sql"](
+            f"SELECT active FROM pg_replication_slots WHERE slot_name='{slot}'"
+        ) != "f":
+            time.sleep(0.5)
+        assert active._query.isActive  # the zombie half: query still up
+
+        # a row written while nobody consumes — the takeover must carry it
+        pg["sql"](f"INSERT INTO {table} VALUES (2, 'gap')", db="cdc_db")
+
+        # (3) takeover from a copy of the shared checkpoint (see note).
+        # The copy keeps the offset/commit frontier but gets a FRESH
+        # query id (the metadata file is dropped): inside one JVM, Spark's
+        # stopActiveRunOnRestart treats a same-id start as a restart and
+        # politely STOPS the zombie's run — a courtesy two separate hosts
+        # do not extend each other, and exactly what this test must not
+        # rely on. The view's lineage guard absorbs the id change (known
+        # lineage change resets the epoch frontier; the LWW merge is
+        # idempotent under the redelivery).
+        shutil.copytree(
+            os.path.join(work, "ckpt"), os.path.join(work, "ckpt_standby")
+        )
+        os.remove(os.path.join(work, "ckpt_standby", "metadata"))
+        # the sidecar checksum must go with it, or Hadoop's local
+        # ChecksumFileSystem refuses to atomically create the fresh
+        # metadata file (FileAlreadyExists on the stale .crc)
+        os.remove(os.path.join(work, "ckpt_standby", ".metadata.crc"))
+        standby = Connector(spark, cfg("ckpt_standby"))
+        standby.start_as_standby(poll_interval_sec=1.0, timeout_sec=180)
+        assert standby.wait_until_ready(timeout_sec=120)
+        assert read_fence(os.path.join(work, "view")) == 2
+
+        # (4) post-takeover traffic: the standby's consumer stages it into
+        # the SHARED dir, so the zombie's query wakes up on it and must
+        # die on the fence instead of merging
+        pg["sql"](f"INSERT INTO {table} VALUES (3, 'b3')", db="cdc_db")
+        expected = {"1": "a1", "2": "gap", "3": "b3"}
+        deadline = time.time() + 180
+        state: dict = {}
+        while time.time() < deadline:
+            state = _view_state(standby) or {}
+            if state == expected and not active._query.isActive:
+                break
+            time.sleep(0.5)
+        assert state == expected, (
+            f"state={state} standby_err={standby.consumer_error!r} "
+            f"zombie_active={active._query.isActive}"
+        )
+        assert not active._query.isActive, "zombie query survived the fence"
+        exc = active._query.exception()
+        assert exc is not None
+        assert "FencedWriterError" in str(exc) or "fenced" in str(exc)
+        assert standby.consumer_error is None
+        assert standby._query.isActive
+    finally:
+        if standby is not None:
+            standby.close()
+        try:
+            active.close()
+        except Exception:
+            pass

@@ -453,3 +453,67 @@ def test_meta_write_is_atomic(spark, tmp_path):
     assert _os.path.exists(meta)
     _json.load(open(meta))  # complete, parseable
     assert not _os.path.exists(meta + ".tmp")
+
+
+def test_fence_zombie_writer_aborts_loudly(spark, tmp_path):
+    """U3 fencing (review r11): after a takeover bumps the view's fence
+    generation, the old writer's every mutation raises FencedWriterError
+    BEFORE touching state — a zombie active (SIGSTOP / network partition)
+    cannot write behind the new one."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        FencedWriterError,
+        MaterializedView,
+        read_fence,
+    )
+
+    path = str(tmp_path / "v")
+    a = MaterializedView(spark, path)
+    assert read_fence(path) is None  # unfenced until someone acquires
+    assert a.acquire_fence() == 1
+    a.merge_batch(_batch(spark, [(1, "insert", 1, 10.0)]), epoch_id=0)
+
+    # takeover: a second instance (fresh object, standby pattern) wins
+    b = MaterializedView(spark, path)
+    assert b.acquire_fence() == 2
+    assert read_fence(path) == 2
+
+    # the zombie's merge must fail loudly and leave state untouched
+    with pytest.raises(FencedWriterError, match="fence token 1"):
+        a.merge_batch(_batch(spark, [(2, "update", 1, 666.0)]), epoch_id=1)
+    assert {r["value"] for r in b.read().collect()} == {10.0}
+
+    # every maintenance op is fenced too
+    with pytest.raises(FencedWriterError):
+        a.vacuum(watermark_seq=100)
+    with pytest.raises(FencedWriterError):
+        a.truncate_upto(100)
+    with pytest.raises(FencedWriterError):
+        a.rebucket(4)
+
+    # the new active writes fine, and an UNfenced caller (token None —
+    # direct batch use, pre-fencing deployments) stays unchecked
+    b.merge_batch(_batch(spark, [(3, "update", 1, 11.0)]), epoch_id=0)
+    c = MaterializedView(spark, path)
+    c.merge_batch(_batch(spark, [(4, "update", 1, 12.0)]))
+    assert {r["value"] for r in b.read().collect()} == {12.0}
+
+
+def test_fence_survives_rebucket(spark, tmp_path):
+    """rebucket's whole-dir swap must carry the fence marker into the new
+    dir — losing it would silently un-fence every zombie."""
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        MaterializedView,
+        read_fence,
+    )
+
+    path = str(tmp_path / "v")
+    a = MaterializedView(spark, path)
+    a.acquire_fence()
+    a.merge_batch(_batch(spark, [(1, "insert", 1, 1.0), (2, "insert", 2, 2.0)]))
+    a.rebucket(4)
+    assert read_fence(path) == 1
+    # and the generation keeps counting from there
+    b = MaterializedView(spark, path)
+    assert b.acquire_fence() == 2
