@@ -104,6 +104,20 @@ class ReplicationSettings:
     # policy must STAY 'tombstone_table' for the staged dir's lifetime
     # to preserve parity (review r11).
     on_truncate: str = "ignore"
+    # Logical-decoding message policy (r11). 'ignore' (default) =
+    # reference parity: pg_logical_emit_message frames are counted
+    # (decoder.messages_skipped) and dropped — the server is not even
+    # asked to send them. 'envelope' asks the walsender for them
+    # (``messages 'true'``, PG 14+) and surfaces each as a staged
+    # envelope row: op 'MESSAGE', NULL table identity, ``after`` =
+    # {"prefix", "content_b64", "transactional", "message_lsn"}.
+    # Transactional messages are positioned inside their transaction
+    # (buffered under v2 streaming, dropped on abort); non-transactional
+    # ones are delivered immediately. The DEFAULT view transform drops
+    # MESSAGE rows (no key image to merge) — consume them with a custom
+    # transform (in-band watermarks, DDL signals) or read the staged
+    # segments directly.
+    on_message: str = "ignore"
 
 
 @dataclass
@@ -164,6 +178,12 @@ def wal_to_view_transform(cfg: ConnectorConfig):
             df = df.filter(
                 F.col("op").isNull() | (F.col("op") != "TRUNCATE")
             )
+        # MESSAGE envelope rows (on_message='envelope') are signals, not
+        # table rows — they carry no key image and would merge as NULL-key
+        # garbage. The default transform ALWAYS drops them; a pipeline
+        # that wants them (in-band watermarks, DDL hints) supplies its
+        # own transform over the raw envelope stream.
+        df = df.filter(F.col("op").isNull() | (F.col("op") != "MESSAGE"))
         img = F.coalesce(df["after"], df["before"])
         cols = [
             F.col("lsn").alias(cfg.seq_col),
@@ -280,6 +300,7 @@ class Connector:
             proto_version=rs.proto_version,
             stream_spill_dir=rs.stream_spill_dir,
             on_truncate=rs.on_truncate,
+            on_message=rs.on_message,
         )
         try:
             # a backend rejects any command before the startup handshake

@@ -398,6 +398,22 @@ def encode_truncate(relids: list[int], flags: int = 0) -> bytes:
     return body
 
 
+def encode_message(
+    prefix: str, content: bytes, lsn: int = 0, transactional: bool = True
+) -> bytes:
+    """Logical Decoding Message frame ('M', protocol.sgml): Int8 flags
+    (1 = transactional), Int64 message LSN, String prefix, Int32 length,
+    ByteN content."""
+    return (
+        b"M"
+        + struct.pack("!BQ", 1 if transactional else 0, lsn)
+        + prefix.encode()
+        + b"\x00"
+        + struct.pack("!I", len(content))
+        + content
+    )
+
+
 # ---- pgoutput protocol v2 (PG14+) streamed-transaction frames --------------
 # Wire shapes per the logical streaming replication protocol docs
 # (protocol.sgml, "Stream Start" .. "Stream Abort").
@@ -697,6 +713,22 @@ class PgOutputDecoder:
     # point in the sequence. The observability counter fires in BOTH
     # modes.
     on_truncate: str = "ignore"
+    # Logical-decoding message policy (r11, pg_logical_emit_message).
+    # 'ignore' (default) is reference parity: the frame is counted and
+    # dropped (the reference's type switch has no Message case, like
+    # Origin/Type). 'envelope' decodes the frame into a synthetic change
+    # — op 'MESSAGE', no table identity, after carries {"prefix",
+    # "content_b64", "transactional", "message_lsn"} — positioned in the
+    # change stream like any other op (a transactional message is
+    # delivered inside its transaction; under v2 streaming it is
+    # buffered and delivered at Stream Commit, dropped on abort). Real
+    # pipelines use these frames for in-band watermarks and DDL signals.
+    # The server only sends them when START_REPLICATION passes
+    # ``messages 'true'`` (PG 14+; ReplicationClient adds the option in
+    # envelope mode). The DEFAULT view transform drops MESSAGE rows (no
+    # key image to merge) — they are for custom transforms.
+    on_message: str = "ignore"
+    messages_skipped: int = 0
 
     def discard_streams(self) -> None:
         """Drop every buffered in-progress streamed transaction (client
@@ -922,6 +954,60 @@ class PgOutputDecoder:
                 self.stream_changes_spilled += buf.spilled - before
                 return None
             return changes or None
+        if kind == b"M":
+            # Logical Decoding Message (pg_logical_emit_message): Int8
+            # flags (1 = transactional), Int64 message LSN, String prefix,
+            # Int32 length, ByteN content. Reference parity is to drop it
+            # (counted); 'envelope' surfaces it — see the field docs.
+            if self.on_message != "envelope":
+                self.messages_skipped += 1
+                return None
+            import base64
+
+            (flags,) = struct.unpack_from("!B", payload, 1)
+            (msg_lsn,) = struct.unpack_from("!Q", payload, 2)
+            prefix, pos = _cstring(payload, 10)
+            (length,) = struct.unpack_from("!I", payload, pos)
+            content = payload[pos + 4 : pos + 4 + length]
+            transactional = bool(flags & 1)
+            change = {
+                "lsn": lsn,
+                "op": "MESSAGE",
+                "table_schema": None,
+                "table_name": None,
+                "before": None,
+                # content is arbitrary bytes and the segment line is
+                # NDJSON — base64 keeps it lossless
+                "after": {
+                    "prefix": prefix,
+                    "content_b64": base64.b64encode(content).decode("ascii"),
+                    "transactional": "true" if transactional else "false",
+                    "message_lsn": str(msg_lsn),
+                },
+                # a NON-transactional message arrives outside any
+                # transaction; commit_ts would be the PREVIOUS txn's time
+                "ts": (
+                    self.commit_ts
+                    if transactional and msg_xid is None
+                    else None
+                ),
+            }
+            if msg_xid is not None:
+                # in-stream (v2): buffered with its transaction, delivered
+                # at Stream Commit, dropped on abort — same as I/U/D
+                buf = self.streamed.setdefault(
+                    self.stream_xid, _StreamBuffer(self.stream_spill_dir)
+                )
+                before = buf.spilled
+                buf.add(
+                    msg_xid,
+                    change,
+                    self.stream_spill_threshold,
+                    self.stream_spill_threshold_bytes,
+                )
+                self.stream_changes_spilled += buf.spilled - before
+                return None
+            return change
         return None  # Origin/Type — not needed for parity
 
 
@@ -958,6 +1044,7 @@ class ReplicationClient:
         proto_version: int = 1,
         stream_spill_dir: str | None = None,
         on_truncate: str = "ignore",
+        on_message: str = "ignore",
     ):
         import collections
         import re
@@ -1007,8 +1094,15 @@ class ReplicationClient:
                 f"unknown on_truncate {on_truncate!r}: expected "
                 f"'ignore' or 'tombstone_table'"
             )
+        if on_message not in ("ignore", "envelope"):
+            raise ValueError(
+                f"unknown on_message {on_message!r}: expected "
+                f"'ignore' or 'envelope'"
+            )
         self.decoder = PgOutputDecoder(
-            stream_spill_dir=stream_spill_dir, on_truncate=on_truncate
+            stream_spill_dir=stream_spill_dir,
+            on_truncate=on_truncate,
+            on_message=on_message,
         )
         self.flushed_lsn = 0
         self.last_wal_end = 0
@@ -1233,6 +1327,11 @@ class ReplicationClient:
         opts = f"proto_version '{self.proto_version}', publication_names '{pub}'"
         if self.proto_version >= 2:
             opts += ", streaming 'on'"
+        if self.decoder.on_message == "envelope":
+            # pgoutput only sends Logical Decoding Message frames when
+            # asked (PG 14+; older servers reject the unknown option
+            # loudly rather than silently dropping the frames)
+            opts += ", messages 'true'"
         self._send(
             query_message(
                 f"START_REPLICATION SLOT {self.slot} LOGICAL {lsn_str(start_lsn)} "

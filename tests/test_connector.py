@@ -684,3 +684,47 @@ def test_connector_start_fences_prior_writer(spark, sf_dir):
     # a direct zombie-object mutation is equally dead
     with pytest.raises(FencedWriterError):
         a.view.vacuum(watermark_seq=10**9)
+
+
+def test_wal_transform_always_drops_message_rows(spark):
+    """r11: MESSAGE envelope rows (on_message='envelope') are signals,
+    not table rows — the DEFAULT transform drops them in every policy
+    combination (they carry no key image and would merge as NULL-keyed
+    garbage). Custom transforms see them untouched upstream."""
+    from go_pq_cdc_elasticsearch_spark.connector import (
+        ReplicationSettings,
+        wal_to_view_transform,
+    )
+
+    rows = [
+        (10, "INSERT", "public", "t", None, {"id": "1", "v": "a"}, "ts"),
+        (
+            11, "MESSAGE", None, None, None,
+            {"prefix": "wm", "content_b64": "YQ==", "transactional": "true"},
+            None,
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, table_schema string, table_name string, "
+        "before map<string,string>, after map<string,string>, ts string",
+    )
+    work = tempfile.mkdtemp(prefix="conn_msg_")
+    base = dict(keys=("id",), seq_col="lsn", op_col="op", delete_op="DELETE")
+    for cfg in (
+        _cfg(work, **base),
+        _cfg(
+            work, **base,
+            replication=ReplicationSettings(
+                host="h", port=1, slot="s", on_message="envelope"
+            ),
+        ),
+        _cfg(
+            work, **base,
+            replication=ReplicationSettings(
+                host="h", port=1, slot="s", on_truncate="tombstone_table"
+            ),
+        ),
+    ):
+        got = wal_to_view_transform(cfg)(df).collect()
+        assert [r["lsn"] for r in got] == [10]

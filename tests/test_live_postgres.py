@@ -2522,3 +2522,70 @@ def test_live_zombie_active_fenced_after_takeover(pg, spark):
             active.close()
         except Exception:
             pass
+
+
+def test_live_logical_messages_envelope_roundtrip(pg):
+    """on_message='envelope' (r11): pg_logical_emit_message frames are
+    decoded live. A transactional message is positioned INSIDE its
+    transaction (here: after the INSERT it was emitted with, stamped with
+    the commit ts); a non-transactional one is delivered at its own WAL
+    position with no txn context. Default mode never asks the server for
+    the frames at all (reference parity — dropped like Origin/Type)."""
+    import base64
+
+    sock = socket.create_connection(("127.0.0.1", PORT), timeout=30)
+    sock.settimeout(30)
+    client = PG.ReplicationClient(
+        sock, slot="live_slot_msg", publication="cdc_pub",
+        on_message="envelope",
+    )
+    client.startup(user="postgres", database="cdc_db")
+    client.create_slot()
+    client.start()
+    try:
+        # one transaction: row + transactional in-band watermark
+        pg["sql"](
+            "INSERT INTO users (name, email) VALUES ('msg1', 'm@x.com'); "
+            "SELECT pg_logical_emit_message(true, 'wm', 'batch-42');",
+            db="cdc_db",
+        )
+        # outside any transaction of interest: immediate signal
+        pg["sql"](
+            "SELECT pg_logical_emit_message(false, 'sig', 'pause');",
+            db="cdc_db",
+        )
+        got = _collect(client, 3)
+        assert [c["op"] for c in got] == ["INSERT", "MESSAGE", "MESSAGE"]
+        ins, txm, sig = got
+        assert ins["after"]["name"] == "msg1"
+        assert txm["after"]["prefix"] == "wm"
+        assert base64.b64decode(txm["after"]["content_b64"]) == b"batch-42"
+        assert txm["after"]["transactional"] == "true"
+        assert int(txm["after"]["message_lsn"]) > 0
+        assert txm["table_schema"] is None and txm["table_name"] is None
+        assert txm["ts"] is not None and txm["ts"].startswith("20")
+        assert sig["after"]["prefix"] == "sig"
+        assert base64.b64decode(sig["after"]["content_b64"]) == b"pause"
+        assert sig["after"]["transactional"] == "false"
+        # stamps stay monotone through the message frames
+        assert got[0]["lsn"] < got[1]["lsn"] < got[2]["lsn"]
+        assert client.decoder.messages_skipped == 0
+    finally:
+        client.close()
+
+    # default mode: the server is not even asked for Message frames —
+    # the emitted signals above never reach a fresh default-mode slot
+    client2 = _connect("live_slot_msg_default")
+    client2.create_slot()
+    client2.start()
+    try:
+        pg["sql"](
+            "SELECT pg_logical_emit_message(false, 'sig', 'x');"
+            "INSERT INTO users (name, email) VALUES ('msg2', 'm2@x.com');",
+            db="cdc_db",
+        )
+        got = _collect(client2, 1)
+        assert [c["op"] for c in got] == ["INSERT"]
+        assert got[0]["after"]["name"] == "msg2"
+    finally:
+        client2.close()

@@ -1914,3 +1914,92 @@ def test_negotiate_ssl_refusal_and_bad_mode():
         cli.close()
         srv.close()
         t.join(timeout=10)
+
+
+def test_message_frames_dropped_by_default_counted():
+    """on_message default ('ignore') is reference parity: the frame is
+    dropped like Origin/Type, but counted so an operator can see that
+    in-band signals are flowing past an unconfigured consumer."""
+    dec = PG.PgOutputDecoder()
+    assert dec.messages_skipped == 0
+    assert dec.decode(PG.encode_message("wm", b"123", lsn=55), 60) is None
+    assert dec.decode(
+        PG.encode_message("wm", b"456", lsn=56, transactional=False), 61
+    ) is None
+    assert dec.messages_skipped == 2
+
+
+def test_message_envelope_mode_decodes_frames():
+    """on_message='envelope' (r11): pg_logical_emit_message frames become
+    synthetic changes — op MESSAGE, no table identity, content base64 in
+    the after map. Transactional frames inside a normal txn carry the
+    commit_ts; non-transactional ones arrive outside any txn (ts None)."""
+    import base64
+
+    dec = PG.PgOutputDecoder(on_message="envelope")
+    # non-transactional: immediate, outside any txn
+    out = dec.decode(
+        PG.encode_message("ddl", b"\x00\xffbin", lsn=77, transactional=False), 80
+    )
+    assert out["op"] == "MESSAGE"
+    assert out["table_schema"] is None and out["table_name"] is None
+    assert out["lsn"] == 80
+    assert out["after"]["prefix"] == "ddl"
+    assert base64.b64decode(out["after"]["content_b64"]) == b"\x00\xffbin"
+    assert out["after"]["transactional"] == "false"
+    assert out["after"]["message_lsn"] == "77"
+    assert out["ts"] is None
+
+    # transactional: positioned inside its Begin..Commit, stamped
+    dec.decode(PG.encode_begin(500, 12_345_000_000, xid=9), 0)
+    out = dec.decode(PG.encode_message("wm", b"2026-08-16", lsn=90), 91)
+    assert out["op"] == "MESSAGE"
+    assert out["after"]["transactional"] == "true"
+    assert out["ts"] is not None
+    assert dec.decode(PG.encode_commit(500, 501, 12_345_000_000), 92) is None
+    assert dec.messages_skipped == 0
+
+
+def test_message_envelope_streamed_txn_buffered_and_aborted():
+    """v2: an in-stream Message frame (leading xid like every content
+    frame) is buffered with its transaction — delivered at Stream Commit,
+    dropped on Stream Abort."""
+    import struct
+
+    def in_stream(frame: bytes, xid: int) -> bytes:
+        return frame[:1] + struct.pack("!I", xid) + frame[1:]
+
+    dec = PG.PgOutputDecoder(on_message="envelope")
+    dec.decode(PG.encode_stream_start(40), 0)
+    assert dec.decode(
+        in_stream(PG.encode_message("wm", b"a", lsn=5), 40), 10
+    ) is None  # buffered, not returned
+    dec.decode(PG.encode_stream_stop(), 11)
+    commit = dec.decode(
+        PG.encode_stream_commit(40, 98, 99, 12_345_000_000), 12
+    )
+    released = list(commit.changes)
+    assert [c["op"] for c in released] == ["MESSAGE"]
+    assert released[0]["after"]["prefix"] == "wm"
+    assert released[0]["ts"] is not None  # stamped at Stream Commit
+
+    # aborted stream: the buffered message vanishes with its txn
+    dec.decode(PG.encode_stream_start(41), 20)
+    dec.decode(in_stream(PG.encode_message("wm", b"b", lsn=6), 41), 21)
+    dec.decode(PG.encode_stream_stop(), 22)
+    dec.decode(PG.encode_stream_abort(41), 23)
+    assert 41 not in dec.streamed
+
+
+def test_replication_client_rejects_unknown_on_message():
+    import socket
+
+    import pytest
+
+    a, b = socket.socketpair()
+    try:
+        with pytest.raises(ValueError, match="on_message"):
+            PG.ReplicationClient(a, slot="s1", on_message="bogus")
+    finally:
+        a.close()
+        b.close()
