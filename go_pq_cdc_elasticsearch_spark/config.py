@@ -254,6 +254,20 @@ def from_reference_config(
                 if cdc.get("protoVersion") is None
                 else int(cdc["protoVersion"])
             ),
+            # engine upgrade knobs with no reference analog, same pattern
+            # as protoVersion: absent/null keeps the parity default; an
+            # explicit bogus value flows through so ReplicationClient's
+            # fail-fast ValueError surfaces the misconfiguration
+            on_truncate=(
+                "ignore"
+                if cdc.get("onTruncate") is None
+                else str(cdc["onTruncate"])
+            ),
+            on_message=(
+                "ignore"
+                if cdc.get("onMessage") is None
+                else str(cdc["onMessage"])
+            ),
         )
     # cdc.metric.port (README.md:245-274): when present, the Connector
     # serves the reference's /metrics + /status API on that port. The Go

@@ -248,3 +248,33 @@ def test_reference_config_proto_version_explicit_invalid_not_coerced():
             staged_dir="/tmp/x", view_path="/tmp/y", checkpoint_dir="/tmp/z",
         )
         assert conn2.replication.proto_version == 1
+
+
+def test_reference_config_truncate_and_message_knobs():
+    """r11: the engine knobs onTruncate/onMessage map like protoVersion —
+    absent keeps the parity default ('ignore'), explicit values flow
+    through verbatim (a bogus one fails fast in ReplicationClient)."""
+    from go_pq_cdc_elasticsearch_spark.config import from_reference_config
+
+    paths = dict(
+        staged_dir="/tmp/x", view_path="/tmp/y", checkpoint_dir="/tmp/z"
+    )
+    conn, _ = from_reference_config(
+        {"cdc": {"host": "pg", "slot": {"name": "s"}}}, **paths
+    )
+    assert conn.replication.on_truncate == "ignore"
+    assert conn.replication.on_message == "ignore"
+
+    conn, _ = from_reference_config(
+        {
+            "cdc": {
+                "host": "pg",
+                "slot": {"name": "s"},
+                "onTruncate": "tombstone_table",
+                "onMessage": "envelope",
+            }
+        },
+        **paths,
+    )
+    assert conn.replication.on_truncate == "tombstone_table"
+    assert conn.replication.on_message == "envelope"
