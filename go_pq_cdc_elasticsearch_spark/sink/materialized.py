@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 from go_pq_cdc_elasticsearch_spark.operators.cdc import cdc_dedup
 
 _META = "_VIEW_META.json"
-_FENCE = "_VIEW_FENCE.json"
+# fence generations are EMPTY MARKER FILES named _VIEW_FENCE.<n>, not a
+# mutable json: os.open(O_CREAT|O_EXCL) on the next generation is an atomic
+# filesystem compare-and-swap, so two instances racing acquire_fence get
+# DISTINCT tokens (the loser of the create retries on the bumped value) —
+# a read-modify-write on one shared file gave both racers the same token
+# and no mutual exclusion at all. The highest suffix IS the generation;
+# markers are never deleted (a racer with a stale listing could re-claim
+# a pruned name) — empty files, one per takeover, bounded by takeovers.
+_FENCE_PREFIX = "_VIEW_FENCE."
 _BUCKET_COL = "__bucket"
 
 
@@ -59,14 +67,23 @@ class FencedWriterError(RuntimeError):
     is to stop — re-acquiring would fence out the legitimate active."""
 
 
+def _fence_files(path: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith(_FENCE_PREFIX):
+            suffix = d[len(_FENCE_PREFIX):]
+            if suffix.isdigit():
+                out.append((int(suffix), os.path.join(path, d)))
+    return out
+
+
 def read_fence(path: str) -> int | None:
     """Current fence generation recorded under ``path`` (None = the view
     has never been fenced — pre-fencing layouts keep working unchecked)."""
-    p = os.path.join(path, _FENCE)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(json.load(f)["fence"])
+    gens = _fence_files(path)
+    return max(g for g, _ in gens) if gens else None
 
 
 def list_bucket_dirs(path: str) -> list[int]:
@@ -340,14 +357,31 @@ class MaterializedView:
         corrupting state behind the new active. Same token discipline as
         HDFS lease recovery / ZooKeeper fencing tokens; a table format's
         commit log (Delta/Iceberg) provides the equivalent via
-        conditional commits on a cluster."""
-        cur = read_fence(self.path) or 0
-        token = cur + 1
+        conditional commits on a cluster.
+
+        Atomicity: the generation is claimed with O_CREAT|O_EXCL on the
+        next marker file — a filesystem CAS. Two instances racing this
+        method get DISTINCT tokens; whoever claims the higher one fences
+        the other at its next mutation check. (POSIX-atomic locally and
+        on NFS; object stores without atomic create need the table-format
+        commit log instead — same caveat as the bucket-swap renames.)"""
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, _FENCE + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"fence": token}, f)
-        os.replace(tmp, os.path.join(self.path, _FENCE))
+        while True:
+            token = (read_fence(self.path) or 0) + 1
+            try:
+                fd = os.open(
+                    os.path.join(self.path, f"{_FENCE_PREFIX}{token}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue  # lost the claim — retry on the bumped generation
+            os.close(fd)
+            break
+        # markers are never pruned: deleting a claimed generation would
+        # let a racer with a stale listing re-CLAIM it (the CAS only
+        # guards each filename's current existence-epoch), handing two
+        # instances the same token. They are empty files, one per
+        # takeover — bounded by the takeover count, not by time or data.
         self._fence_token = token
         return token
 
@@ -792,12 +826,11 @@ class MaterializedView:
             self._write_meta()
         finally:
             self.path = real_path
-        # the fence generation must survive the whole-dir swap (it lives
-        # inside the view dir, which is about to be renamed away) — copy
-        # the current marker into the staging dir before the cutover
-        fence_src = os.path.join(self.path, _FENCE)
-        if os.path.exists(fence_src):
-            shutil.copyfile(fence_src, os.path.join(rbnew, _FENCE))
+        # the fence generation must survive the whole-dir swap (the
+        # markers live inside the view dir, which is about to be renamed
+        # away) — recreate them in the staging dir before the cutover
+        for gen, _p in _fence_files(self.path):
+            open(os.path.join(rbnew, f"{_FENCE_PREFIX}{gen}"), "w").close()
         # re-check at the last possible moment before the destructive
         # rename: a takeover that happened during the (long) rewrite
         # above must fence this rebucket out, not lose the new active's

@@ -517,3 +517,49 @@ def test_fence_survives_rebucket(spark, tmp_path):
     # and the generation keeps counting from there
     b = MaterializedView(spark, path)
     assert b.acquire_fence() == 2
+
+
+def test_fence_acquire_is_atomic_under_races(spark, tmp_path):
+    """acquire_fence is an O_EXCL filesystem CAS: N instances racing it
+    claim N DISTINCT generations (a read-modify-write on a shared file
+    handed racers the same token — no mutual exclusion). Exactly one
+    instance — the highest claim — survives the fence check."""
+    import threading
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        FencedWriterError,
+        MaterializedView,
+        read_fence,
+    )
+
+    path = str(tmp_path / "v")
+    views = [MaterializedView(spark, path) for _ in range(8)]
+    start = threading.Barrier(8)
+    tokens: list[int] = []
+    lock = threading.Lock()
+
+    def claim(v):
+        start.wait()
+        t = v.acquire_fence()
+        with lock:
+            tokens.append(t)
+
+    threads = [threading.Thread(target=claim, args=(v,)) for v in views]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(set(tokens)) == 8, f"duplicate fence tokens: {sorted(tokens)}"
+    assert read_fence(path) == max(tokens)
+    survivors = [v for v in views if v._fence_token == max(tokens)]
+    assert len(survivors) == 1
+    batch = _batch(spark, [(1, "insert", 1, 1.0)])
+    for v in views:
+        if v is survivors[0]:
+            v.merge_batch(batch)  # the winner writes
+        else:
+            import pytest
+
+            with pytest.raises(FencedWriterError):
+                v.merge_batch(batch)
