@@ -544,6 +544,20 @@ class IncrementalDeduper(LshDedupIndex):
             delete_op="delete",
         )
 
+    def acquire_fence(self) -> int:
+        """Fence this deduper's output against a zombie predecessor (same
+        token discipline as MaterializedView.acquire_fence, which the
+        Connector applies automatically on takeover; a streaming deduper
+        deployment calls this at start). Only the KEPT view — the
+        authoritative output — needs the fence for correctness: a zombie
+        still appending band segments or corpus epoch dirs adds redundant
+        candidate state that exact-Jaccard verification filters out
+        (wasted probe work, cleaned by compact()), and its corpus epochs
+        are deterministic re-writes of content the fold already fixed —
+        but a zombie MERGING the kept view could resurrect dropped docs,
+        which the fence makes a loud FencedWriterError instead."""
+        return self.kept.acquire_fence()
+
     def dedup_batch(
         self,
         batch: DataFrame,

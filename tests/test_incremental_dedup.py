@@ -994,3 +994,38 @@ def test_corpus_consolidation_crash_recovery(spark, sf_dir):
         ).select("doc_id", "text").collect()
     }
     assert got == want  # nothing lost, nothing duplicated (w2 were all dups)
+
+
+def test_deduper_fence_blocks_zombie_kept_merges(spark, tmp_path):
+    """r11: a fenced IncrementalDeduper's kept view dies loudly when a
+    successor acquires the fence — a zombie streaming deduper cannot
+    resurrect dropped docs by merging behind the takeover. Segment/corpus
+    appends are deliberately unfenced (redundant candidate state, filtered
+    by exact-Jaccard verification; see acquire_fence docstring)."""
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        FencedWriterError,
+    )
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    empty = docs.limit(0)
+
+    a = IncrementalDeduper(spark, path)
+    a.acquire_fence()
+    kept = a.dedup_batch(docs, empty, epoch_id=0)
+    assert kept.count() == 1
+
+    b = IncrementalDeduper(spark, path)
+    assert b.acquire_fence() == 2
+    with pytest.raises(FencedWriterError):
+        a.dedup_batch(
+            docs.withColumn("doc_id", docs.doc_id + 1), empty, epoch_id=1
+        )

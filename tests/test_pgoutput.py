@@ -2003,3 +2003,38 @@ def test_replication_client_rejects_unknown_on_message():
     finally:
         a.close()
         b.close()
+
+
+def test_message_frame_roundtrip_property():
+    """Fuzz the Message frame codec: any NUL-free prefix and ANY byte
+    content (incl. empty, NULs, astral unicode encodings) must survive
+    encode -> decode -> base64 losslessly, in both policy modes."""
+    import base64
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prefixes = st.text(min_size=1, max_size=40).filter(lambda s: "\x00" not in s)
+    contents = st.binary(min_size=0, max_size=2048)
+    lsns = st.integers(min_value=0, max_value=2**63 - 1)
+
+    @settings(max_examples=80, deadline=None)
+    @given(prefixes, contents, lsns, st.booleans())
+    def check(prefix, content, lsn, transactional):
+        frame = PG.encode_message(
+            prefix, content, lsn=lsn, transactional=transactional
+        )
+        dec = PG.PgOutputDecoder(on_message="envelope")
+        out = dec.decode(frame, 7)
+        assert out["op"] == "MESSAGE"
+        assert out["after"]["prefix"] == prefix
+        assert base64.b64decode(out["after"]["content_b64"]) == content
+        assert out["after"]["message_lsn"] == str(lsn)
+        assert out["after"]["transactional"] == (
+            "true" if transactional else "false"
+        )
+        drop = PG.PgOutputDecoder()
+        assert drop.decode(frame, 7) is None
+        assert drop.messages_skipped == 1
+
+    check()
