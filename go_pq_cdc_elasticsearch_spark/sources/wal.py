@@ -104,15 +104,23 @@ def prune_segments(path: str, committed_lsn: int) -> int:
     can't race a deletion. Returns the number of files removed."""
     removed = 0
     segs = list_segments(path)
+    pruned_names = []
     for i in range(len(segs) - 1):
         if segs[i + 1][0] - 1 <= committed_lsn:
             try:
                 os.remove(segs[i][1])
                 removed += 1
+                pruned_names.append(os.path.basename(segs[i][1]))
             except OSError:
                 break
         else:
             break
+    if pruned_names:
+        # retire the pruned segments' TRUNCATE-tombstone counts: the
+        # replay-parity warning is about tombstones still REPLAYABLE from
+        # live segments, and a cumulative count warned forever after the
+        # carrying segments were consumed and deleted (review r11)
+        _drop_staged_truncates(path, pruned_names)
     return removed
 
 
@@ -135,38 +143,82 @@ def write_wal_segment(path: str, messages: list[dict]) -> str:
     os.rename(tmp, fpath)
     n_trunc = sum(1 for m in messages if m.get("op") == "TRUNCATE")
     if n_trunc:
-        note_staged_truncates(path, n_trunc)
+        note_staged_truncates(path, n_trunc, os.path.basename(fpath))
     return fpath
 
 
 TRUNCATE_STAGE_MARKER = "_truncates_staged"
 
 
-def note_staged_truncates(path: str, n: int) -> None:
-    """Bump the cumulative count of TRUNCATE tombstone rows staged into
-    this segment dir (``TRUNCATE_STAGE_MARKER`` sidecar). Written by the
-    single active staging producer, read by Connector.start(): a replay
-    of these segments through a connector whose on_truncate policy
-    reverted to 'ignore' silently drops the tombstones and keeps rows
-    the live view truncated — the marker lets start() warn loudly, with
-    the count, instead of diverging in silence (review r11). Same
-    tmp+rename protocol as the segments so a racing reader never sees a
-    half-written count."""
+def _read_truncate_marker(path: str) -> dict:
+    """The marker maps segment basename -> its TRUNCATE tombstone count.
+    A legacy plain-int marker (the r11 cumulative form) is folded under
+    a sentinel key so its conservative warning survives until the dir is
+    fully drained."""
+    try:
+        with open(os.path.join(path, TRUNCATE_STAGE_MARKER)) as f:
+            raw = f.read().strip()
+    except OSError:
+        return {}
+    if not raw:
+        return {}
+    try:
+        data = json.loads(raw)
+    except ValueError:
+        return {}
+    if isinstance(data, dict):
+        return data
+    if isinstance(data, int):
+        return {"_legacy": data}
+    return {}
+
+
+def _write_truncate_marker(path: str, data: dict) -> None:
     marker = os.path.join(path, TRUNCATE_STAGE_MARKER)
-    total = staged_truncate_count(path) + n
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        f.write(str(total))
+        json.dump(data, f)
     os.rename(tmp, marker)
 
 
+def note_staged_truncates(path: str, n: int, segment: str) -> None:
+    """Record ``n`` TRUNCATE tombstone rows staged into ``segment``
+    (``TRUNCATE_STAGE_MARKER`` sidecar, per-segment counts). Written by
+    the single active staging producer, read by Connector.start(): a
+    replay of these segments through a connector whose on_truncate
+    policy reverted to 'ignore' silently drops the tombstones and keeps
+    rows the live view truncated — the marker lets start() warn loudly,
+    with the count (review r11). Counts are PER SEGMENT so the ack
+    sweep's prune retires them with the files — a cumulative total kept
+    warning forever after the carrying segments were consumed, a
+    permanent false alarm. Same tmp+rename protocol as the segments so
+    a racing reader never sees a half-written marker."""
+    data = _read_truncate_marker(path)
+    data[segment] = data.get(segment, 0) + n
+    _write_truncate_marker(path, data)
+
+
+def _drop_staged_truncates(path: str, segments: list[str]) -> None:
+    data = _read_truncate_marker(path)
+    if not data:
+        return
+    kept = {k: v for k, v in data.items() if k not in set(segments)}
+    if kept != data:
+        _write_truncate_marker(path, kept)
+
+
 def staged_truncate_count(path: str) -> int:
-    """Cumulative TRUNCATE tombstone rows ever staged here (0 if none)."""
-    try:
-        with open(os.path.join(path, TRUNCATE_STAGE_MARKER)) as f:
-            return int(f.read().strip() or 0)
-    except (OSError, ValueError):
-        return 0
+    """TRUNCATE tombstone rows still replayable from LIVE segments (0 if
+    none). Entries whose segment file no longer exists are ignored — a
+    crash between a prune's file delete and its marker rewrite must not
+    resurrect the false alarm (the legacy cumulative sentinel, which has
+    no file to check, counts until the marker is rewritten)."""
+    data = _read_truncate_marker(path)
+    total = 0
+    for seg, n in data.items():
+        if seg == "_legacy" or os.path.exists(os.path.join(path, seg)):
+            total += int(n)
+    return total
 
 
 class _SegmentPartition(InputPartition):

@@ -488,12 +488,17 @@ def test_metered_writer_adopts_frontier_before_booking(spark):
         [(1, "insert", 7), (2, "delete", 7)],
         "event_id long, event_type string, user_id long",
     )
-    # the active merges epoch 0 and commits the frontier to meta
+    # ORDER MATTERS (review r11): the standby's view OBJECT must be
+    # constructed while the view does NOT yet exist on disk — that is
+    # the late-adoption scenario. Building it after the active's merge
+    # let __init__ adopt the frontier, and the test passed with or
+    # without the writer's _ensure_meta_adopted() call.
+    standby = Connector(spark, _cfg(work, keys=("user_id",)))
+    assert standby.view._last_epoch is None  # nothing adopted yet
+    # the active (created later, merging first) commits epoch 0 to meta
     active = Connector(spark, _cfg(work, keys=("user_id",)))
     active.view.merge_batch(batch, epoch_id=0)
-    # a fresh connector over the same view path (standby takeover): its
-    # first delivered batch is the REDELIVERY of the committed epoch
-    standby = Connector(spark, _cfg(work, keys=("user_id",)))
+    # the standby's first delivered batch is the REDELIVERY of that epoch
     standby.metrics = PrometheusRegistry(slot_name="s")
     writer = standby._metered_writer(standby.view.foreach_batch_writer())
     writer(batch, 0)
@@ -530,7 +535,7 @@ def test_staged_truncate_marker_and_start_warning(spark, caplog):
     write_wal_segment(
         staged, [{"lsn": 12, "op": "TRUNCATE", "before": None, "after": None}]
     )
-    assert staged_truncate_count(staged) == 2  # cumulative across segments
+    assert staged_truncate_count(staged) == 2  # summed across live segments
 
     cfg = _cfg(
         work,
@@ -728,3 +733,54 @@ def test_wal_transform_always_drops_message_rows(spark):
     ):
         got = wal_to_view_transform(cfg)(df).collect()
         assert [r["lsn"] for r in got] == [10]
+
+
+def test_staged_truncate_marker_retired_by_prune():
+    """Review r11: the replay-parity warning covers tombstones still
+    REPLAYABLE from live segments. Once the ack sweep prunes the carrying
+    segments, their counts retire with the files — a cumulative total
+    warned forever (a permanent false alarm). A crash between the file
+    delete and the marker rewrite self-heals: counts for missing segment
+    files are ignored."""
+    from go_pq_cdc_elasticsearch_spark.sources.wal import (
+        TRUNCATE_STAGE_MARKER,
+        prune_segments,
+        staged_truncate_count,
+        write_wal_segment,
+    )
+
+    staged = os.path.join(tempfile.mkdtemp(prefix="conn_trprune_"), "staged")
+    write_wal_segment(
+        staged, [{"lsn": 10, "op": "TRUNCATE", "before": None, "after": None}]
+    )
+    write_wal_segment(
+        staged,
+        [
+            {"lsn": 20, "op": "TRUNCATE", "before": None, "after": None},
+            {"lsn": 21, "op": "TRUNCATE", "before": None, "after": None},
+        ],
+    )
+    write_wal_segment(staged, [{"lsn": 30, "op": "INSERT", "after": {"id": "1"}}])
+    assert staged_truncate_count(staged) == 3
+
+    # frontier consumed the first segment (successor starts at 20)
+    assert prune_segments(staged, committed_lsn=19) == 1
+    assert staged_truncate_count(staged) == 2
+
+    # fully drained (newest segment always survives, but it carries none)
+    assert prune_segments(staged, committed_lsn=29) == 1
+    assert staged_truncate_count(staged) == 0
+
+    # crash-window self-heal: marker entry present, segment file gone
+    seg = os.path.join(staged, "wal_0000000000000040.ndjson")
+    write_wal_segment(
+        staged, [{"lsn": 40, "op": "TRUNCATE", "before": None, "after": None}]
+    )
+    assert staged_truncate_count(staged) == 1
+    os.remove(seg)
+    assert staged_truncate_count(staged) == 0
+
+    # legacy cumulative-int marker stays a conservative warning
+    with open(os.path.join(staged, TRUNCATE_STAGE_MARKER), "w") as f:
+        f.write("5")
+    assert staged_truncate_count(staged) == 5
