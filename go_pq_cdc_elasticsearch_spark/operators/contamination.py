@@ -66,3 +66,120 @@ def decontaminate(
     return tg.join(hg, "gh").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hit_grams")
     )
+
+
+# hash-window offsets into the 32-char md5 hex: each "hash function" is a
+# 15-hex-char (60-bit) window of the gram's md5, reduced mod m. Windows
+# overlap, so they are not fully independent — that only degrades the
+# false-positive rate a little, never correctness (false positives are
+# removed by the exact verification join; false negatives stay impossible
+# because build and probe reduce the SAME digest through the SAME windows).
+_BLOOM_WINDOW_OFFSETS = (0, 3, 6, 9, 12, 15)
+
+
+def _bloom_positions_py(gh_hex: str, m_bits: int, n_hashes: int) -> "list[int]":
+    """Driver-side bit positions for one md5 hex digest — integer-exact
+    mirror of ``_bloom_might_contain``'s JVM ``conv(substring(...))``
+    arithmetic (both sides are plain base-16 parses of the same window,
+    so they cannot drift)."""
+    return [
+        int(gh_hex[off : off + 15], 16) % m_bits
+        for off in _BLOOM_WINDOW_OFFSETS[:n_hashes]
+    ]
+
+
+def build_gram_bloom_from_hashes(
+    gram_hashes: "list[str]", bits_per_gram: int = 12, n_hashes: int = 5
+) -> "tuple[bytes, int]":
+    """Bloom bitmap over a collected list of md5-hex gram hashes:
+    ``(bitmap_bytes, m_bits)``. 12 bits/gram with 5 hashes ≈ ~1% false
+    positives — false positives only cost exact re-verification work,
+    never correctness."""
+    if n_hashes < 1 or n_hashes > len(_BLOOM_WINDOW_OFFSETS):
+        raise ValueError(
+            f"n_hashes must be 1..{len(_BLOOM_WINDOW_OFFSETS)}"
+        )
+    m_bits = max(64, ((bits_per_gram * max(1, len(gram_hashes)) + 7) // 8) * 8)
+    bitmap = bytearray(m_bits // 8)
+    for h in gram_hashes:
+        for p in _bloom_positions_py(h, m_bits, n_hashes):
+            bitmap[p // 8] |= 1 << (p % 8)
+    return bytes(bitmap), m_bits
+
+
+def _bloom_might_contain(gh, bitmap: bytes, m_bits: int, n_hashes: int):
+    """JVM-only membership test against a literal bitmap: per window,
+    parse the 60-bit md5 slice (conv base 16), reduce mod m, extract the
+    addressed byte from the BinaryType literal (substring -> hex -> conv
+    — Spark has no direct byte-to-int on binary) and test the bit. Pure
+    column algebra; no Python touches the corpus scan."""
+    lit = F.lit(bitmap)
+    tests = []
+    for off in _BLOOM_WINDOW_OFFSETS[:n_hashes]:
+        pos = F.pmod(
+            F.conv(F.substring(gh, off + 1, 15), 16, 10).cast("bigint"),
+            F.lit(m_bits),
+        )
+        byte = F.conv(
+            F.hex(F.substring(lit, (pos / 8).cast("int") + F.lit(1), F.lit(1))),
+            16,
+            10,
+        ).cast("int")
+        # 2^(pos%8) instead of shiftleft: PySpark's shiftleft takes only a
+        # literal shift amount; pow is exact for exponents 0..7
+        bit = F.pow(F.lit(2.0), F.pmod(pos, F.lit(8)).cast("double")).cast("int")
+        tests.append(byte.bitwiseAND(bit) != F.lit(0))
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bits_per_gram: int = 12,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """``decontaminate`` with a map-only Bloom prefilter — the 100 TB
+    shape. The exact version explodes the FULL training corpus into gram
+    rows and shuffles them into the holdout join; at petabyte corpora
+    that shuffle dominates even though the holdout side broadcasts. Here
+    the corpus scan stays map-only: every training gram is tested
+    against a bitmap LITERAL (no exchange, no Python), and only the
+    ~fp-rate survivors travel into the exact join that removes Bloom
+    false positives. False negatives are impossible (Bloom property), so
+    the result is IDENTICAL to ``decontaminate`` row-for-row — the
+    oracle for the sketch path is the exact path.
+
+    The holdout is evaluated EXACTLY ONCE: its distinct gram hashes are
+    collected (bounded by the same small-holdout contract as the
+    broadcast query set in cosine top-k — a benchmark suite is
+    KBs-to-MBs next to a 100 TB corpus), the bitmap is built driver-side
+    from the collected digests, and the verification join's build side
+    is a local relation of those same digests. The bitmap rides the PLAN
+    as a literal (12 bits per holdout gram — ~1.5 MB for a million-gram
+    eval suite); a holdout too big for that is outside this operator's
+    contract and should use ``decontaminate`` directly."""
+    hashes = [
+        r["gh"]
+        for r in _gram_hash_rows(holdout, text_col, n).distinct().collect()
+    ]
+    bitmap, m_bits = build_gram_bloom_from_hashes(
+        hashes, bits_per_gram, n_hashes
+    )
+    tg = doc_gram_hashes(train, text_col, id_col, n)
+    candidates = tg.filter(
+        _bloom_might_contain(F.col("gh"), bitmap, m_bits, n_hashes)
+    )
+    hg = F.broadcast(
+        train.sparkSession.createDataFrame(
+            [(h,) for h in hashes], "gh string"
+        )
+    )
+    return candidates.join(hg, "gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_grams")
+    )

@@ -74,6 +74,11 @@ SX2_PARTS = [
     "q_l24_bm25",
     "q_l25_chunking",
     "q_l21_decontaminate",
+    # r11: the Bloom-prefiltered twin of q_l21 — driver-hashed so the
+    # sketch path's row-identity-with-exact contract is checked by the
+    # driver too, not only locally (single ~4 s job, no serial chain:
+    # fits SX2 per the starvation note in SX3_PARTS)
+    "q_l27_bloom_decontaminate",
 ]
 
 # Dedup/similarity family + the continuous aggregate: the former driver

@@ -985,6 +985,47 @@ def q_l21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @ext_query(
+    "q_l27_bloom_decontaminate",
+    # the ORACLE IS THE EXACT PATH (q_l21's SQL verbatim): Bloom false
+    # negatives are impossible and the exact-join verification removes
+    # every false positive, so the sketch path must match the exact join
+    # row-for-row — the strongest possible check for an approximate
+    # prefilter
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), g AS (
+            SELECT doc_id, list_distinct({_grams_n_sql(5)}) AS grams
+            FROM w WHERE len(w) >= 5
+        ), ex AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+        ), hg AS (
+            SELECT DISTINCT md5(gram) AS gh FROM ex WHERE doc_id % 10 = 0
+        ), tg AS (
+            SELECT doc_id, md5(gram) AS gh FROM ex WHERE doc_id % 10 <> 0
+        )
+        SELECT doc_id, count(*) AS n_hit_grams
+        FROM tg JOIN hg USING (gh)
+        GROUP BY doc_id
+    """,
+    doc="Bloom-prefiltered decontamination — the 100 TB shape of q_l21: "
+    "the training corpus scan stays MAP-ONLY (every gram tested against "
+    "a bitmap literal inside codegen, no exchange, no Python) and only "
+    "the ~fp-rate survivors shuffle into the exact verification join. "
+    "Result is row-identical to the exact path by construction.",
+)
+def q_l27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate_bloom(train, holdout, n=5)
+
+
+@ext_query(
     "q_l22_lm_surprisal",
     oracle=f"""
         WITH toks AS (

@@ -173,3 +173,78 @@ def test_paragraph_dedup_literal_separator(spark):
     assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
     assert out[0]["text"] == "aa|bb"
     assert out[1]["n_kept"] == 1 and out[1]["text"] == "cc"
+
+
+# ---- decontaminate_bloom ----------------------------------------------------
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    """The sketch path's contract is row-identity with the exact join —
+    false negatives are impossible (Bloom property) and the verification
+    join removes every false positive. Checked at the default sizing AND
+    at a pathological 1-bit/1-hash bitmap where nearly every gram is a
+    false-positive candidate."""
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+        decontaminate_bloom,
+    )
+
+    train = _docs(
+        spark,
+        [
+            "one two three four five six",
+            "totally different words here now",
+            "zz one two three four five yy tail words",
+        ],
+    )
+    holdout = spark.createDataFrame(
+        [Row(doc_id=100, text="zz one two three four five yy")]
+    )
+    exact = {(r["doc_id"], r["n_hit_grams"]) for r in
+             decontaminate(train, holdout, n=5).collect()}
+    assert exact  # non-degenerate fixture
+    for kwargs in ({}, {"bits_per_gram": 1, "n_hashes": 1}):
+        got = {(r["doc_id"], r["n_hit_grams"]) for r in
+               decontaminate_bloom(train, holdout, n=5, **kwargs).collect()}
+        assert got == exact, kwargs
+
+
+def test_bloom_decontaminate_empty_and_clean_holdout(spark):
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+        decontaminate_bloom,
+    )
+
+    train = _docs(spark, ["a b c d e f g"])
+    clean = spark.createDataFrame([Row(doc_id=9, text="p q r s t u v")])
+    assert decontaminate_bloom(train, clean, n=5).count() == 0
+    # holdout with no gram at all (too short for n=5)
+    short = spark.createDataFrame([Row(doc_id=9, text="p q")])
+    assert decontaminate_bloom(train, short, n=5).count() == 0
+
+
+def test_bloom_prefilter_is_map_only_jvm(spark):
+    """Plan pin for the 100 TB claim: the training-corpus prefilter has
+    NO exchange (map-only — only verified candidates ever shuffle) and
+    no Python evaluation (the bitmap membership test is column algebra
+    over a binary literal inside codegen)."""
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+        _bloom_might_contain,
+        _gram_hash_rows,
+        build_gram_bloom_from_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    train = _docs(spark, ["one two three four five six seven eight nine"])
+    holdout = spark.createDataFrame(
+        [Row(doc_id=100, text="one two three four five six")]
+    )
+    hashes = [
+        r["gh"] for r in _gram_hash_rows(holdout, "text", 5).distinct().collect()
+    ]
+    bitmap, m_bits = build_gram_bloom_from_hashes(hashes)
+    pre = doc_gram_hashes(train, "text", "doc_id", 5).filter(
+        _bloom_might_contain(F.col("gh"), bitmap, m_bits, 5)
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
