@@ -248,3 +248,45 @@ def test_bloom_prefilter_is_map_only_jvm(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_bloom_positions_python_jvm_agree(spark):
+    """The drift-critical invariant of the Bloom path: the driver-side
+    bit positions (build) and the JVM conv(substring(...)) positions
+    (probe) must agree for EVERY digest, or a holdout gram could land in
+    bits the probe never tests — a silent false negative, the one
+    failure class verification cannot repair. Fuzzed over random
+    digests and bitmap sizes."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+        _BLOOM_WINDOW_OFFSETS,
+        _bloom_positions_py,
+    )
+
+    rng = random.Random(11)
+    digests = [
+        hashlib.md5(str(rng.random()).encode()).hexdigest() for _ in range(200)
+    ]
+    for m_bits in (64, 1000, 12_345_678):
+        n_hashes = len(_BLOOM_WINDOW_OFFSETS)
+        df = spark.createDataFrame([(d,) for d in digests], "gh string")
+        cols = [
+            F.pmod(
+                F.conv(F.substring("gh", off + 1, 15), 16, 10).cast("bigint"),
+                F.lit(m_bits),
+            ).alias(f"p{i}")
+            for i, off in enumerate(_BLOOM_WINDOW_OFFSETS)
+        ]
+        jvm = {
+            r["gh"]: [r[f"p{i}"] for i in range(n_hashes)]
+            for r in df.select("gh", *cols).collect()
+        }
+        for d in digests:
+            assert _bloom_positions_py(d, m_bits, n_hashes) == jvm[d], (
+                d,
+                m_bits,
+            )
