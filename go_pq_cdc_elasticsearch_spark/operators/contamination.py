@@ -112,7 +112,22 @@ def _bloom_might_contain(gh, bitmap: bytes, m_bits: int, n_hashes: int):
     parse the 60-bit md5 slice (conv base 16), reduce mod m, extract the
     addressed byte from the BinaryType literal (substring -> hex -> conv
     — Spark has no direct byte-to-int on binary) and test the bit. Pure
-    column algebra; no Python touches the corpus scan."""
+    column algebra; no Python touches the corpus scan.
+
+    Each window's ``pos`` expression is deliberately inlined twice (byte
+    address + bit mask): projecting it once and filtering over the
+    column buys nothing — PushPredicateThroughProject substitutes the
+    alias straight back into the predicate — and the duplicated work is
+    ten 15-hex-char parses per row, noise next to the per-gram md5 the
+    scan already computes (review r11)."""
+    if n_hashes < 1 or n_hashes > len(_BLOOM_WINDOW_OFFSETS):
+        # mirror the build side's check: silently truncating to the
+        # available windows would probe bits a differently-sized build
+        # never set — false negatives, the one failure class the exact
+        # verification join cannot repair
+        raise ValueError(
+            f"n_hashes must be 1..{len(_BLOOM_WINDOW_OFFSETS)}"
+        )
     lit = F.lit(bitmap)
     tests = []
     for off in _BLOOM_WINDOW_OFFSETS[:n_hashes]:

@@ -290,3 +290,24 @@ def test_bloom_positions_python_jvm_agree(spark):
                 d,
                 m_bits,
             )
+
+
+def test_bloom_n_hashes_validated_on_both_sides(spark):
+    """Build AND probe reject an out-of-range n_hashes (review r11): the
+    probe silently truncating to the available windows would test bits a
+    differently-sized build never set — silent false negatives."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_elasticsearch_spark.operators.contamination import (
+        _bloom_might_contain,
+        build_gram_bloom_from_hashes,
+    )
+
+    with pytest.raises(ValueError, match="n_hashes"):
+        build_gram_bloom_from_hashes(["ab" * 16], n_hashes=7)
+    with pytest.raises(ValueError, match="n_hashes"):
+        _bloom_might_contain(F.col("gh"), b"\x00" * 8, 64, 7)
+    with pytest.raises(ValueError, match="n_hashes"):
+        _bloom_might_contain(F.col("gh"), b"\x00" * 8, 64, 0)
