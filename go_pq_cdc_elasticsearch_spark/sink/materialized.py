@@ -274,6 +274,14 @@ class MaterializedView:
             return json.load(f)
 
     def _write_meta(self) -> None:
+        # fence-checked (ADVICE r11): merge_batch checks at entry, but the
+        # Spark aggregation between entry and the first meta write can run
+        # for minutes — a zombie fenced mid-batch could still overwrite
+        # the epoch frontier/lineage sidecar after takeover. Buckets were
+        # already safe (_swap_buckets re-checks); this closes the meta.
+        # rebucket's staging-dir write passes because it copies the fence
+        # markers into the staging dir BEFORE writing meta there.
+        self._check_fence()
         # ATOMIC (temp + rename): the meta file is load-bearing twice over
         # — every open json.loads it with no recovery path for a torn
         # write, and rebucket recovery treats its EXISTENCE in .rbnew as
@@ -818,6 +826,15 @@ class MaterializedView:
         rebucketed.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(_BUCKET_COL).parquet(rbnew)
+        # the fence generation must survive the whole-dir swap (the
+        # markers live inside the view dir, which is about to be renamed
+        # away) — recreate them in the staging dir BEFORE the meta write:
+        # _write_meta is fence-checked against self.path (ADVICE r11), so
+        # the staging dir must already carry this writer's generation when
+        # meta lands there. Ordering is safe for recovery: meta remains
+        # the LAST staging write and stays the completion marker.
+        for gen, _p in _fence_files(self.path):
+            open(os.path.join(rbnew, f"{_FENCE_PREFIX}{gen}"), "w").close()
         # meta is written into the staging dir LAST: it is the completion
         # marker recovery keys the roll-forward decision on
         real_path = self.path
@@ -826,11 +843,6 @@ class MaterializedView:
             self._write_meta()
         finally:
             self.path = real_path
-        # the fence generation must survive the whole-dir swap (the
-        # markers live inside the view dir, which is about to be renamed
-        # away) — recreate them in the staging dir before the cutover
-        for gen, _p in _fence_files(self.path):
-            open(os.path.join(rbnew, f"{_FENCE_PREFIX}{gen}"), "w").close()
         # re-check at the last possible moment before the destructive
         # rename: a takeover that happened during the (long) rewrite
         # above must fence this rebucket out, not lose the new active's

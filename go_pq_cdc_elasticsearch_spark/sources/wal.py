@@ -181,6 +181,25 @@ def _write_truncate_marker(path: str, data: dict) -> None:
     os.rename(tmp, marker)
 
 
+def _gc_marker_entries(path: str, data: dict) -> dict:
+    """Drop marker entries that can never warn again (ADVICE r11): a
+    per-segment entry whose file is gone (crash between a prune's
+    os.remove and the marker rewrite — correctly excluded from the count
+    already, but the file grew monotonically), and the '_legacy'
+    cumulative sentinel once the dir holds no segment files at all (it
+    has no file to check, so it otherwise warned forever even after the
+    dir fully drained — the permanent-false-alarm class the per-segment
+    form was introduced to fix)."""
+    kept = {
+        k: v
+        for k, v in data.items()
+        if k != "_legacy" and os.path.exists(os.path.join(path, k))
+    }
+    if "_legacy" in data and list_segments(path):
+        kept["_legacy"] = data["_legacy"]
+    return kept
+
+
 def note_staged_truncates(path: str, n: int, segment: str) -> None:
     """Record ``n`` TRUNCATE tombstone rows staged into ``segment``
     (``TRUNCATE_STAGE_MARKER`` sidecar, per-segment counts). Written by
@@ -192,8 +211,9 @@ def note_staged_truncates(path: str, n: int, segment: str) -> None:
     sweep's prune retires them with the files — a cumulative total kept
     warning forever after the carrying segments were consumed, a
     permanent false alarm. Same tmp+rename protocol as the segments so
-    a racing reader never sees a half-written marker."""
-    data = _read_truncate_marker(path)
+    a racing reader never sees a half-written marker. Every rewrite also
+    garbage-collects dead entries (``_gc_marker_entries``)."""
+    data = _gc_marker_entries(path, _read_truncate_marker(path))
     data[segment] = data.get(segment, 0) + n
     _write_truncate_marker(path, data)
 
@@ -202,7 +222,9 @@ def _drop_staged_truncates(path: str, segments: list[str]) -> None:
     data = _read_truncate_marker(path)
     if not data:
         return
-    kept = {k: v for k, v in data.items() if k not in set(segments)}
+    kept = _gc_marker_entries(
+        path, {k: v for k, v in data.items() if k not in set(segments)}
+    )
     if kept != data:
         _write_truncate_marker(path, kept)
 
@@ -211,12 +233,19 @@ def staged_truncate_count(path: str) -> int:
     """TRUNCATE tombstone rows still replayable from LIVE segments (0 if
     none). Entries whose segment file no longer exists are ignored — a
     crash between a prune's file delete and its marker rewrite must not
-    resurrect the false alarm (the legacy cumulative sentinel, which has
-    no file to check, counts until the marker is rewritten)."""
+    resurrect the false alarm. The legacy cumulative sentinel (no file
+    to check) counts only while the dir still holds segments: once fully
+    drained nothing it described is replayable (ADVICE r11)."""
     data = _read_truncate_marker(path)
     total = 0
+    legacy_live = None  # lazily probed: list_segments lists the dir
     for seg, n in data.items():
-        if seg == "_legacy" or os.path.exists(os.path.join(path, seg)):
+        if seg == "_legacy":
+            if legacy_live is None:
+                legacy_live = bool(list_segments(path))
+            if legacy_live:
+                total += int(n)
+        elif os.path.exists(os.path.join(path, seg)):
             total += int(n)
     return total
 

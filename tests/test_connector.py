@@ -784,3 +784,51 @@ def test_staged_truncate_marker_retired_by_prune():
     with open(os.path.join(staged, TRUNCATE_STAGE_MARKER), "w") as f:
         f.write("5")
     assert staged_truncate_count(staged) == 5
+
+
+def test_staged_truncate_marker_gc_and_legacy_retirement():
+    """ADVICE r11 closures: (a) the '_legacy' cumulative sentinel retires
+    once the dir holds no segment files (it previously warned forever —
+    the permanent-false-alarm class the per-segment marker fixed only for
+    non-upgraded dirs); (b) marker rewrites drop entries whose segment
+    file no longer exists (crash between os.remove and the rewrite), so
+    the marker file no longer grows monotonically."""
+    import json
+
+    from go_pq_cdc_elasticsearch_spark.sources.wal import (
+        TRUNCATE_STAGE_MARKER,
+        staged_truncate_count,
+        write_wal_segment,
+    )
+
+    staged = os.path.join(tempfile.mkdtemp(prefix="conn_trgc_"), "staged")
+    os.makedirs(staged)
+    marker = os.path.join(staged, TRUNCATE_STAGE_MARKER)
+
+    # (a) legacy sentinel counts only while segments remain replayable
+    with open(marker, "w") as f:
+        f.write("5")
+    assert staged_truncate_count(staged) == 0  # dir fully drained
+    seg = write_wal_segment(
+        staged, [{"lsn": 10, "op": "INSERT", "after": {"id": "1"}}]
+    )
+    assert staged_truncate_count(staged) == 5  # replayable again
+    os.remove(seg)
+    assert staged_truncate_count(staged) == 0
+
+    # (b) rewrites GC dead entries AND the drained legacy sentinel from
+    # the marker FILE itself (not merely from the count)
+    with open(marker, "w") as f:
+        json.dump({"_legacy": 5, "wal_gone.ndjson": 2}, f)
+    seg2 = write_wal_segment(
+        staged,
+        [{"lsn": 20, "op": "TRUNCATE", "before": None, "after": None}],
+    )
+    with open(marker) as f:
+        data = json.load(f)
+    # the dead entry is gone; the just-written segment's count is present;
+    # _legacy survives (the new segment makes the dir non-drained at GC
+    # time inside note_staged_truncates — conservative, correct direction)
+    assert "wal_gone.ndjson" not in data
+    assert data[os.path.basename(seg2)] == 1
+    assert staged_truncate_count(staged) == 1 + data.get("_legacy", 0)

@@ -563,3 +563,44 @@ def test_fence_acquire_is_atomic_under_races(spark, tmp_path):
 
             with pytest.raises(FencedWriterError):
                 v.merge_batch(batch)
+
+
+def test_fence_checked_in_write_meta(spark, tmp_path):
+    """ADVICE r11: merge_batch checks the fence at entry, but the Spark
+    aggregation between entry and the first meta write can run for
+    minutes — a zombie fenced mid-batch could still overwrite the
+    _VIEW_META.json sidecar (epoch frontier / lineage) after takeover.
+    _write_meta itself is now fence-checked, so the meta clobber window
+    is closed like the bucket-swap window already was."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from go_pq_cdc_elasticsearch_spark.sink.materialized import (
+        _META,
+        FencedWriterError,
+        MaterializedView,
+    )
+
+    path = str(tmp_path / "v")
+    a = MaterializedView(spark, path)
+    a.acquire_fence()
+    a.merge_batch(_batch(spark, [(1, "insert", 1, 10.0)]), epoch_id=7)
+
+    b = MaterializedView(spark, path)
+    b.acquire_fence()  # takeover mid-flight
+
+    # the zombie's direct meta write (the tail end of a long merge) dies
+    # loudly and leaves the sidecar untouched
+    a._last_epoch = 99
+    with pytest.raises(FencedWriterError):
+        a._write_meta()
+    with open(_os.path.join(path, _META)) as f:
+        assert _json.load(f)["last_epoch"] == 7
+
+    # the new active's meta writes pass (epoch above the adopted
+    # frontier — at or below it the redelivery guard skips the merge)
+    b.merge_batch(_batch(spark, [(2, "update", 1, 11.0)]), epoch_id=8)
+    with open(_os.path.join(path, _META)) as f:
+        assert _json.load(f)["last_epoch"] == 8
