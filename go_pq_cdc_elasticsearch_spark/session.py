@@ -61,6 +61,16 @@ def get_spark(
         # timestamp type — read as long and convert in the catalog (floor to
         # micros, matching DuckDB's read-time ns->us truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # zstd for everything this engine WRITES (view buckets, staging,
+        # bucketed/z-ordered tables): smaller than snappy at similar read
+        # speed (optimization guide §6) — at 100 TB the view store and its
+        # per-merge bucket rewrites are I/O-bound, so bytes written is the
+        # cost. Read paths are unaffected (codec is per-file metadata).
+        # Overridable for A/B via env.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

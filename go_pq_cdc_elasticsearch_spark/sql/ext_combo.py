@@ -138,8 +138,21 @@ def _combo(parts: list[str]):
             timings[name] = round(time.perf_counter() - t0, 2)
             return out
 
+        import os
+
+        # 16 measured best on local[32] (r12 A/B, interleaved 12/16/22
+        # reps, minima: 12→7.14 s, 16→6.55 s, 22→6.89 s on the calm
+        # session; under induced load 16 beat 12 in 3 of 4 same-window
+        # head-to-heads). With 22 parts and 12 workers the last wave ran
+        # ~2-wide and stretched the fold wall past its slowest part.
+        # Env-tunable for other core counts; sized like any concurrent-job
+        # fan-out (optimization guide §2.6: enough to fill the tail, not
+        # so many that they fight for executors).
+        n_workers = int(os.environ.get("SPARK_GRAFT_FOLD_WORKERS", "16"))
         try:
-            with ThreadPoolExecutor(max_workers=min(12, len(parts))) as pool:
+            with ThreadPoolExecutor(
+                max_workers=min(n_workers, len(parts))
+            ) as pool:
                 results = list(pool.map(one, parts))
         finally:
             # per-part wall (concurrent, so parts overlap — a part's number
