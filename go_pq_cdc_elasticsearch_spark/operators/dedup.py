@@ -324,7 +324,10 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        # lazy for the same one-job-per-step reason as the loop below:
+        # the numeric path's prev_sum agg (or the first round's probe)
+        # is always the first action and materializes it
+        .localCheckpoint(eager=False)
     )
     # min-label propagation only ever DECREASES labels, so for numeric ids
     # sum(component) strictly decreases until the fixpoint: the convergence
@@ -360,6 +363,13 @@ def connected_components(
             jump = merged.select(
                 F.col("id").alias("__m"), F.col("component").alias("__mc")
             )
+            # LAZY checkpoint (r12): the convergence probe right below is
+            # always the frame's first action, so it materializes the
+            # checkpoint AND computes the sum/changed-count in ONE job —
+            # the eager form paid two driver-synced jobs per round (the
+            # checkpoint job, then the probe job). Lineage truncation is
+            # identical once materialized, which the probe guarantees
+            # before the next round's join reuses the frame.
             new_labels = (
                 merged.join(jump, merged.component == F.col("__m"), "left")
                 .select(
@@ -369,7 +379,7 @@ def connected_components(
                         F.coalesce(F.col("__mc"), F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             if numeric:
                 new_sum = new_labels.agg(_label_sum).first()[0]

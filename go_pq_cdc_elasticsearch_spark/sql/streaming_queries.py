@@ -53,7 +53,13 @@ def _drain_to_memory(sdf, output_mode: str) -> DataFrame:
     # driver memory for the session lifetime (review r6 — bench re-runs
     # and multi-sf sessions accumulated dozens). localCheckpoint keeps
     # the data distributed and detaches it from the dropped table.
-    out = spark.table(name).localCheckpoint(eager=True)
+    # LAZY (r12): the caller's epilogue is always consumed exactly once
+    # (noop write / driver collect), whose action materializes the
+    # checkpoint — the eager form paid one extra driver-synced job per
+    # streaming query. Dropping the temp view first is safe: the plan is
+    # already analyzed and holds the sink's in-memory relation directly;
+    # the catalog name is just a handle.
+    out = spark.table(name).localCheckpoint(eager=False)
     spark.catalog.dropTempView(name)
     return out
 

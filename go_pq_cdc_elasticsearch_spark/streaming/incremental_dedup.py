@@ -414,11 +414,17 @@ class LshDedupIndex:
         # staged gram sets feed both the minhash signatures and the
         # verification side below — without grams_df, minhash_band_rows
         # re-derived the identical n-gram sets internally (review r6).
-        # Eagerly checkpointed, not persisted: the frames outlive this
-        # call in the eager=False mode, and a lazy return over an
-        # unpersisted cache would re-run tokenize+minhash per reference.
+        # Checkpointed, not persisted: the frames outlive this call in
+        # the eager=False mode, and a lazy return over an unpersisted
+        # cache would re-run tokenize+minhash per reference. The grams
+        # checkpoint is LAZY and the bands checkpoint EAGER (r12): bands
+        # is built entirely FROM the grams frame, so the one bands job
+        # computes through the grams checkpoint node and RDD checkpointing
+        # pins the ancestor in the same job — one driver-synced job per
+        # batch where two ran before, with both frames equally pinned
+        # after it.
         new_grams = doc_ngram_sets(batch, self.text_col, id_c).localCheckpoint(
-            eager=True
+            eager=False
         )
         bands = minhash_band_rows(
             batch, self.text_col, id_c, self.k, self.bands,
