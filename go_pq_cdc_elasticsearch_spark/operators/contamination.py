@@ -27,11 +27,24 @@ def _gram_hash_rows(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
     normal form both the train and holdout sides derive from (review r8:
     the holdout side re-spelled this inline, so a future change to the
     hashing contract applied to one copy would silently make train and
-    holdout gram keys incomparable — zero contamination hits, no error)."""
+    holdout gram keys incomparable — zero contamination hits, no error).
+
+    md5 is applied INSIDE the array (transform) rather than above the
+    explode (r12, guide §1.2 per-task work): a post-explode ``md5(__gram)``
+    projection gets substituted by the optimizer into every downstream
+    reference — the Bloom prefilter references the digest ten times per
+    row — while the generator's output attribute is a bound reference
+    evaluated once per gram (interleaved A/B at sf0.1: best 2.71 s ->
+    2.40 s on the q_l27 probe scan). Same rows either way: md5 elementwise
+    over the distinct gram set commutes with explode."""
     return df.select(
         *keep,
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__gram"),
-    ).select(*keep, F.md5(F.col("__gram")).alias("gh"))
+        F.explode(
+            F.transform(
+                F.array_distinct(word_ngrams(F.col(text_col), n)), F.md5
+            )
+        ).alias("gh"),
+    )
 
 
 def doc_gram_hashes(
@@ -171,18 +184,23 @@ def decontaminate_bloom(
     oracle for the sketch path is the exact path.
 
     The holdout is evaluated EXACTLY ONCE: its distinct gram hashes are
-    collected (bounded by the same small-holdout contract as the
-    broadcast query set in cosine top-k — a benchmark suite is
-    KBs-to-MBs next to a 100 TB corpus), the bitmap is built driver-side
-    from the collected digests, and the verification join's build side
-    is a local relation of those same digests. The bitmap rides the PLAN
-    as a literal (12 bits per holdout gram — ~1.5 MB for a million-gram
-    eval suite); a holdout too big for that is outside this operator's
-    contract and should use ``decontaminate`` directly."""
-    hashes = [
-        r["gh"]
-        for r in _gram_hash_rows(holdout, text_col, n).distinct().collect()
-    ]
+    pinned with a localCheckpoint and collected from it (bounded by the
+    same small-holdout contract as the broadcast query set in cosine
+    top-k — a benchmark suite is KBs-to-MBs next to a 100 TB corpus),
+    the bitmap is built driver-side from the collected digests, and the
+    verification join broadcasts the SAME checkpointed frame — r12: the
+    digests previously made a second driver->JVM round trip as a
+    createDataFrame local relation (~0.5 s at sf0.1) that the checkpoint
+    already holds distributed. The bitmap rides the PLAN as a literal
+    (12 bits per holdout gram — ~1.5 MB for a million-gram eval suite);
+    a holdout too big for that is outside this operator's contract and
+    should use ``decontaminate`` directly."""
+    hg = (
+        _gram_hash_rows(holdout, text_col, n)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hashes = [r["gh"] for r in hg.collect()]
     bitmap, m_bits = build_gram_bloom_from_hashes(
         hashes, bits_per_gram, n_hashes
     )
@@ -190,11 +208,6 @@ def decontaminate_bloom(
     candidates = tg.filter(
         _bloom_might_contain(F.col("gh"), bitmap, m_bits, n_hashes)
     )
-    hg = F.broadcast(
-        train.sparkSession.createDataFrame(
-            [(h,) for h in hashes], "gh string"
-        )
-    )
-    return candidates.join(hg, "gh").groupBy(id_col).agg(
+    return candidates.join(F.broadcast(hg), "gh").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hit_grams")
     )

@@ -273,8 +273,40 @@ def minhash_lsh_candidates(
     )
 
 
+def _cc_driver_labels(spark, edge_rows, numeric: bool) -> DataFrame:
+    """Union-find (min-root) over a collected edge list — the small-graph
+    fast path of ``connected_components``. Merging always keeps the SMALLER
+    root, so inductively every tree's root is the minimum id it contains:
+    labels equal the distributed loop's fixpoint exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    schema = "id long, component long" if numeric else "id string, component string"
+    return spark.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    driver_gate_edges: int = 100_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in the pair graph, where
     component = min id reachable — distributed min-label propagation.
@@ -290,7 +322,20 @@ def connected_components(
     stops early when an iteration changes nothing and RAISES if the cap is
     hit non-converged (with jumping, 20 rounds cover diameters beyond any
     physical graph — the raise is a corruption tripwire, not a tuning
-    knob). No driver-side graph state — only counts cross to the driver."""
+    knob). In the distributed loop no driver-side graph state exists —
+    only counts cross to the driver.
+
+    Small graphs (r12, optimization guide §1.2/§5): the verified near-dup
+    pair set is usually tiny next to the corpus, and the loop's per-round
+    join+agg+probe cost is pure driver-latency overhead there (measured:
+    ~28 Spark jobs / ~60% of q_l11's wall for a 5k-doc corpus whose edge
+    set fits in one task). Below ``driver_gate_edges`` the edge list is
+    collected — bounded O(gate) rows, the same boundedness class as a
+    broadcast join's build side, probed with an early-exiting ``limit`` so
+    the big path never materializes the full edge set here — and labeled
+    by union-find on the driver in one job. Above the gate (the 100 TB
+    regime) the distributed loop runs unchanged. ``driver_gate_edges=0``
+    forces the distributed path (the convergence/cap tests pin it)."""
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -314,6 +359,15 @@ def connected_components(
         )
     else:
         edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    if driver_gate_edges > 0:
+        probe = edges.limit(driver_gate_edges + 1).collect()
+        if len(probe) <= driver_gate_edges and not any(
+            r[0] is None or r[1] is None for r in probe
+        ):
+            # NULL ids (a data bug the join-built pair sets cannot produce)
+            # fall through to the distributed loop so the two paths stay
+            # row-identical in every reachable case
+            return _cc_driver_labels(pairs.sparkSession, probe, numeric)
     # undirected: propagate both ways; persisted — every iteration joins it
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

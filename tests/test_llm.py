@@ -504,10 +504,12 @@ def test_connected_components_long_chain_converges(spark):
     default 20-iteration cap and returned WRONG labels with no error —
     9 of 30 ids kept non-min components. Pointer jumping makes chain
     convergence logarithmic; the exhausted cap now raises."""
+    # driver_gate_edges=0 pins the DISTRIBUTED loop (the r12 small-graph
+    # gate would otherwise label this chain on the driver)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 30)], "id1 long, id2 long"
     )
-    labels = DD.connected_components(pairs)
+    labels = DD.connected_components(pairs, driver_gate_edges=0)
     assert {r["component"] for r in labels.collect()} == {1}
 
     # string-id path takes the generic convergence probe: same contract
@@ -515,7 +517,7 @@ def test_connected_components_long_chain_converges(spark):
         [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(1, 30)],
         "id1 string, id2 string",
     )
-    slabels = DD.connected_components(spairs)
+    slabels = DD.connected_components(spairs, driver_gate_edges=0)
     assert {r["component"] for r in slabels.collect()} == {"d01"}
 
 
@@ -529,7 +531,61 @@ def test_connected_components_raises_when_cap_exhausted(spark):
         [(i, i + 1) for i in range(1, 40)], "id1 long, id2 long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.connected_components(pairs, max_iterations=1)
+        DD.connected_components(pairs, max_iterations=1, driver_gate_edges=0)
+
+
+def test_connected_components_driver_gate_parity(spark):
+    """r12 small-graph fast path: below the gate the edge list is labeled
+    by driver-side union-find; labels must equal the distributed loop's
+    fixpoint exactly — on cliques, chains, isolated pairs and a mixed
+    graph, for numeric and string ids, and just above/below the gate."""
+    import random
+
+    rng = random.Random(12)
+    edges = [(i, i + 1) for i in range(1, 15)]  # chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]
+    edges += [(500, 501), (600, 601)]  # isolated pairs
+    edges += [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(40)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    fast = {
+        (r["id"], r["component"])
+        for r in DD.connected_components(pairs).collect()
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in DD.connected_components(pairs, driver_gate_edges=0).collect()
+    }
+    assert fast == slow
+
+    # gate boundary: len(edges) above the gate must take the distributed
+    # path (same labels), exactly at the gate the driver path
+    at_gate = {
+        (r["id"], r["component"])
+        for r in DD.connected_components(
+            pairs, driver_gate_edges=len(edges)
+        ).collect()
+    }
+    above_gate = {
+        (r["id"], r["component"])
+        for r in DD.connected_components(
+            pairs, driver_gate_edges=len(edges) - 1
+        ).collect()
+    }
+    assert at_gate == slow and above_gate == slow
+
+    spairs = spark.createDataFrame(
+        [(f"k{a:03d}", f"k{b:03d}") for a, b in edges],
+        "id1 string, id2 string",
+    )
+    sfast = {
+        (r["id"], r["component"])
+        for r in DD.connected_components(spairs).collect()
+    }
+    sslow = {
+        (r["id"], r["component"])
+        for r in DD.connected_components(spairs, driver_gate_edges=0).collect()
+    }
+    assert sfast == sslow
 
 
 def test_minhash_bands_size_guard(spark):
