@@ -21,6 +21,8 @@ Three paths:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -175,6 +177,26 @@ def brute_force_topk(
     return _rank_topk(scored, k, id_col)
 
 
+_SIGN_TABLE_DIMS = 1024
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(p: int, n_dims: int = _SIGN_TABLE_DIMS) -> str:
+    """The first ``n_dims`` hyperplane signs of plane ``p`` as a '+'/'-'
+    string — the SAME md5 contract as the column expression in
+    ``with_lsh_bucket`` (``_hash64`` = int(md5(x).hexdigest()[:8], 16)),
+    precomputed driver-side. The table is O(planes x dims) — independent
+    of corpus size, so at 100 TB it is still 8 KB riding the plan."""
+    import hashlib
+
+    return "".join(
+        "+"
+        if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:8], 16) % 2
+        else "-"
+        for d in range(n_dims)
+    )
+
+
 def with_lsh_bucket(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -190,14 +212,34 @@ def with_lsh_bucket(
     column expressions, groupBy(id) with partial aggregation. The naive
     per-array lambda form runs in Spark's interpreted HOF evaluator
     (measured 29.5s -> ~2s on 5k x 64 vectors at sf0.1).
+
+    The sign of plane p at dim d depends only on (p, d), so the md5s are
+    precomputed driver-side into a ±-string literal per plane and looked
+    up with substring (r12, guide §1.2 per-task work: the expression form
+    re-computed n_planes md5+concat per exploded element — n_rows x dims
+    x planes hashes of which only planes x dims are distinct). Dims past
+    the table fall back to the original md5 expression lazily (CaseWhen
+    only evaluates the taken branch), keeping any vector length correct;
+    sign parity of the two forms across the boundary is pinned in
+    tests/test_llm.py.
     """
     dims = df.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("__d", "__x")
     )
-    sign = lambda p: F.when(  # noqa: E731
+    md5_sign = lambda p: F.when(  # noqa: E731
         _hash64(F.concat(F.lit(f"{p},"), F.col("__d").cast("string"))) % 2 == 1,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
+    sign = lambda p: F.when(  # noqa: E731
+        F.col("__d") < F.lit(_SIGN_TABLE_DIMS),
+        F.when(
+            F.substring(
+                F.lit(_plane_signs(p)), F.col("__d") + F.lit(1), F.lit(1)
+            )
+            == F.lit("+"),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    ).otherwise(md5_sign(p))
     proj = dims.groupBy(id_col).agg(
         *[
             F.sum(F.col("__x").cast("double") * sign(p)).alias(f"__p{p}")

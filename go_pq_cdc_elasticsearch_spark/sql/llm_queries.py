@@ -1738,7 +1738,16 @@ def q_lx3(spark: SparkSession, sf_dir: str) -> DataFrame:
     are additionally asserted in tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    qcorpus = SIM.quantize_embeddings(emb)
+    # lazy localCheckpoint: the quantization is an interpreted-HOF
+    # projection (transform/exists lambdas run in Spark's interpreted
+    # evaluator) referenced by BOTH the candidate scorer and the exact
+    # re-rank below — unpinned, each subtree re-evaluated it over the
+    # full corpus (stage probe: ~3 s + ~2 s at sf0.1, the query's
+    # dominant cost). The checkpoint materializes it ONCE in the first
+    # action (guide §5: cut lineage / reuse instead of recompute);
+    # eager=False so no extra job is paid. Deterministic projection —
+    # rows identical either way (oracle-pinned).
+    qcorpus = SIM.quantize_embeddings(emb).localCheckpoint(eager=False)
     # numpy selects top-4k; the final 5 are re-ranked with the oracle's
     # exact fold (incl. its zero-norm guard) so near-ties cannot swap on
     # BLAS-vs-fold noise — same rationale as q_l3

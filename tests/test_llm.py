@@ -177,6 +177,97 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert common and all(ex[kv] == ap[kv] for kv in common)
 
 
+def test_lsh_sign_table_matches_md5_expression(spark):
+    """r12: with_lsh_bucket precomputes the hyperplane signs driver-side
+    (a ±-string literal per plane) instead of evaluating md5(plane, dim)
+    per exploded element. The table MUST reproduce the md5 expression
+    exactly — including past the table boundary (_SIGN_TABLE_DIMS), where
+    the expression fallback takes over — or buckets silently diverge from
+    the DuckDB oracle's md5-derived hyperplanes."""
+    import random
+
+    from go_pq_cdc_elasticsearch_spark.operators.dedup import _hash64
+    from go_pq_cdc_elasticsearch_spark.operators.similarity import (
+        _SIGN_TABLE_DIMS,
+        _plane_signs,
+    )
+
+    # 1. driver table vs the column expression, element by element, for a
+    # window straddling the table boundary
+    lo, hi = _SIGN_TABLE_DIMS - 8, _SIGN_TABLE_DIMS + 8
+    dims_df = spark.range(hi).select(F.col("id").cast("int").alias("__d"))
+    expr_signs = {
+        r["__d"]: r["s"]
+        for r in dims_df.select(
+            "__d",
+            *[
+                F.when(
+                    _hash64(
+                        F.concat(F.lit(f"{p},"), F.col("__d").cast("string"))
+                    )
+                    % 2
+                    == 1,
+                    F.lit(1.0),
+                )
+                .otherwise(F.lit(-1.0))
+                .alias(f"p{p}")
+                for p in range(2)
+            ],
+        )
+        .select(
+            "__d", F.array(*[F.col(f"p{p}") for p in range(2)]).alias("s")
+        )
+        .collect()
+    }
+    for p in range(2):
+        table = _plane_signs(p)
+        for d in range(0, _SIGN_TABLE_DIMS, 37):
+            want = 1.0 if table[d] == "+" else -1.0
+            assert expr_signs[d][p] == want, (p, d)
+
+    # 2. end-to-end: buckets of long vectors (crossing the fallback
+    # boundary) are identical to brute-force recomputation of the md5
+    # projection — proves the CaseWhen fallback stitches correctly
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(hi if i % 2 else 16)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in SIM.with_lsh_bucket(df, n_planes=4).collect()
+    }
+    import hashlib
+
+    for i, vec in rows:
+        bucket = 0
+        for p in range(4):
+            proj = sum(
+                x
+                * (
+                    1.0
+                    if int(
+                        hashlib.md5(f"{p},{d}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2
+                    else -1.0
+                )
+                for d, x in enumerate(vec)
+            )
+            if proj > 0:
+                bucket += 2**p
+        assert got[i] == bucket, i
+
+    # 3. window probe of the expression across the boundary (lo..hi) — the
+    # fallback region itself, not just sampled table dims
+    for p in range(2):
+        table = _plane_signs(p)
+        for d in range(lo, _SIGN_TABLE_DIMS):
+            want = 1.0 if table[d] == "+" else -1.0
+            assert expr_signs[d][p] == want, (p, d)
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark, sf_dir):
     # n_probe == n_centroids scans every cell -> exact brute force.
     emb = load_table(spark, sf_dir, "embeddings")
