@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from go_pq_cdc_elasticsearch_spark.operators.dedup import word_ngrams
+from go_pq_cdc_elasticsearch_spark.functions.text import words
+from go_pq_cdc_elasticsearch_spark.operators.dedup import word_ngrams_from
 
 
 def _gram_hash_rows(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
@@ -36,12 +37,21 @@ def _gram_hash_rows(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
     row — while the generator's output attribute is a bound reference
     evaluated once per gram (interleaved A/B at sf0.1: best 2.71 s ->
     2.40 s on the q_l27 probe scan). Same rows either way: md5 elementwise
-    over the distinct gram set commutes with explode."""
+    over the distinct gram set commutes with explode.
+
+    The words array is materialized in its own projection (r12, same
+    guide section): the inline ``word_ngrams`` expression references the
+    tokenize chain n+2 times and the interpreted HOF evaluator re-runs
+    it per reference — see ``word_ngrams``'s docstring; measured 1.62 s
+    → 0.75 s on this exact shape at sf0.1."""
     return df.select(
+        *keep, words(F.col(text_col)).alias("__words")
+    ).select(
         *keep,
         F.explode(
             F.transform(
-                F.array_distinct(word_ngrams(F.col(text_col), n)), F.md5
+                F.array_distinct(word_ngrams_from(F.col("__words"), n)),
+                F.md5,
             )
         ).alias("gh"),
     )

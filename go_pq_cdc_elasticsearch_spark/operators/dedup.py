@@ -42,6 +42,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def word_ngrams_from(w, n: int = 3) -> Column:
+    """Array of word n-grams over an already-computed words-array column.
+
+    The expression references ``w`` n+2 times (n slices + two size
+    guards); pass a MATERIALIZED column (a bound reference from a prior
+    projection), never the raw ``words(text)`` chain, when the caller
+    controls a DataFrame — see ``word_ngrams`` for why.
+    """
+    g = F.size(w) - (n - 1)  # gram count when size >= n
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, g).alias(str(j)) for j in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
+    # Guard: slice with non-positive length throws / zip misbehaves on short
+    # texts, so short rows map to an empty array explicitly.
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_ngrams(col, n: int = 3) -> Column:
     """Array of word n-grams of the normalized text (shingles).
 
@@ -54,18 +74,20 @@ def word_ngrams(col, n: int = 3) -> Column:
     winnowing query). The slice/zip form evaluates the word array a constant
     number of times per row and lets the lambda touch only materialized
     struct fields.
+
+    Even so, this inline form still spells out the ``words(col)``
+    tokenize chain n+2 times (n slices + two size guards), and because
+    ``transform`` is CodegenFallback the interpreted evaluator re-runs
+    the chain per reference — no subexpression elimination (r12,
+    measured: a q_l21-shaped gram explosion at sf0.1 dropped 1.62 s →
+    0.75 s with the chain materialized once). DataFrame-level callers
+    should therefore project ``words(col)`` into its own column first
+    and build grams with ``word_ngrams_from`` — CollapseProject keeps
+    the staging projection intact (non-cheap expression referenced more
+    than once), so the chain runs once per row. This Column form remains
+    for expression-only contexts (pair scorers, tests).
     """
-    w = words(col)
-    g = F.size(w) - (n - 1)  # gram count when size >= n
-    zipped = F.arrays_zip(*[F.slice(w, 1 + j, g).alias(str(j)) for j in range(n)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
-    )
-    # Guard: slice with non-positive length throws / zip misbehaves on short
-    # texts, so short rows map to an empty array explicitly.
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    return word_ngrams_from(words(col), n)
 
 
 def _hash64(col) -> Column:
@@ -212,12 +234,15 @@ def minhash_band_rows(
             F.col(id_col), F.explode("grams").alias("__gram")
         )
     else:
-        # word_ngrams is the slice/zip formulation — the element_at form
-        # re-evaluates the tokenize chain per gram element once Catalyst
-        # collapses the projection (measured 4-5x on the corpus pipeline)
+        # slice/zip gram form over a words array materialized in its own
+        # projection (r12): the inline expression re-ran the tokenize
+        # chain n+2 times per row under the interpreted HOF evaluator —
+        # see word_ngrams's docstring
         exploded_grams = df.select(
+            F.col(id_col), words(F.col(text_col)).alias("__words")
+        ).select(
             F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), 3)).alias("__gram"),
+            F.explode(word_ngrams_from(F.col("__words"), 3)).alias("__gram"),
         )
     gram_hashed = exploded_grams.select(
         F.col(id_col), _hash64(F.col("__gram")).alias("__gh")
@@ -587,10 +612,17 @@ def doc_ngram_sets(
     Uses the slice/zip ``word_ngrams`` form: the earlier
     ``transform(sequence, i -> element_at(w, i+j))`` version re-ran the
     full tokenize chain per gram element after projection collapse —
-    measured 5.6s -> 0.7s on the sf0.1 corpus for this one stage."""
+    measured 5.6s -> 0.7s on the sf0.1 corpus for this one stage. The
+    words array is additionally materialized in its own projection (r12)
+    so the tokenize chain runs once per row, not n+2 times — see
+    ``word_ngrams``'s docstring."""
     return df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__words")
+    ).select(
         F.col(id_col),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+        F.array_distinct(word_ngrams_from(F.col("__words"), n)).alias(
+            "grams"
+        ),
     )
 
 
@@ -676,16 +708,18 @@ def winnow_fingerprints(
 
     Returns distinct ``(id_col, fp)`` rows — the document's fingerprint set.
     """
-    grams = word_ngrams(F.col(text_col), n)
+    # words materialized in their own projection (r12): grams AND the
+    # arithmetic gram count both derive from the one bound reference, so
+    # the tokenize chain runs once per row — see word_ngrams's docstring.
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("__words"))
+    grams = word_ngrams_from(F.col("__words"), n)
     # Gram count derived arithmetically from the word count rather than as
     # size(grams): the latter lands in a Project ABOVE the Generate and
     # rebuilds the whole gram array once per exploded row (observed in the
     # physical plan; ~n_grams x cost). The formula is evaluated once per
     # document on the Generate's input side.
-    n_g = F.greatest(
-        F.size(words(F.col(text_col))) - (n - 1), F.lit(0)
-    )
-    e = df.select(
+    n_g = F.greatest(F.size(F.col("__words")) - (n - 1), F.lit(0))
+    e = staged.select(
         F.col(id_col),
         n_g.alias("__n_g"),
         F.posexplode(grams).alias("__pos", "__gram"),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from go_pq_cdc_elasticsearch_spark.functions.text import normalize_text, words
-from go_pq_cdc_elasticsearch_spark.operators.dedup import word_ngrams
+from go_pq_cdc_elasticsearch_spark.operators.dedup import word_ngrams_from
 
 TOP_NS = (2, 3, 4)
 DUP_NS = (5, 10)
@@ -51,12 +51,19 @@ def _gram_counts(
     df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...]
 ) -> DataFrame:
     """(id, n, gram, c) — occurrence counts of word n-grams, all n values in
-    one unioned frame (one scan per n of the staged words, one shuffle)."""
+    one unioned frame (one scan per n of the staged words, one shuffle).
+
+    Each branch materializes the words array in its own projection (r12):
+    the inline gram expression re-ran the tokenize chain n+2 times per
+    row under the interpreted HOF evaluator — across the five n values
+    that was ~34 chain evaluations per document per full pass, now 5
+    (one per branch) — see word_ngrams's docstring."""
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("__words"))
     frames = []
     for n in ns:
-        grams = word_ngrams(F.col(text_col), n)
+        grams = word_ngrams_from(F.col("__words"), n)
         frames.append(
-            df.select(
+            staged.select(
                 F.col(id_col),
                 F.lit(n).alias("n"),
                 F.explode(grams).alias("gram"),

@@ -715,10 +715,19 @@ class MaterializedView:
             # align output tasks to buckets: ONE file per bucket dir per merge
             # (without this, every shuffle partition writes its own sliver into
             # every bucket — file count grows by tasks×buckets each batch and
-            # subsequent merges drown in footer reads)
-            df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
-                "overwrite"
-            ).partitionBy(_BUCKET_COL).parquet(out)
+            # subsequent merges drown in footer reads). A 1-bucket view
+            # coalesces instead of repartitioning (r12, guide §2.4): the
+            # hash exchange is a full extra shuffle whose only effect at
+            # n_buckets=1 is collapsing to one task — coalesce does that
+            # without moving rows through a shuffle, same one-file layout.
+            aligned = (
+                df.coalesce(1)
+                if self.n_buckets == 1
+                else df.repartition(self.n_buckets, F.col(_BUCKET_COL))
+            )
+            aligned.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+                out
+            )
             todo = (
                 buckets
                 if buckets is not None
