@@ -70,6 +70,25 @@ def words(col) -> Column:
     return F.split(normalize_text(col), " ")
 
 
+# ---- *_from variants over an already-computed words array ------------------
+# The inline signal forms below each re-derive ``words(col)`` — a
+# translate/regexp/trim/split chain — and several of them sit inside
+# higher-order functions (filter/transform/aggregate), which are
+# CodegenFallback: the interpreted evaluator re-runs the chain PER
+# REFERENCE, with no subexpression elimination (r12, same finding as
+# dedup.word_ngrams). A caller computing several signals over one text
+# column should project ``words(col)`` into its own column once and use
+# these ``*_from`` forms over the bound reference — CollapseProject keeps
+# such a staging projection intact (non-cheap expression referenced more
+# than once). The ``(col)`` forms remain for single-signal/expression-only
+# contexts and delegate so the two can never drift.
+
+
+def token_count_ws_from(w) -> Column:
+    """``token_count_ws`` over a precomputed words array column."""
+    return F.size(w).cast("long")
+
+
 def token_count_ws(col) -> Column:
     """Whitespace token count. Convention: EMPTY/whitespace-only text
     counts as 1 — split('', ' ') is [''] in both Spark and DuckDB, and
@@ -78,7 +97,7 @@ def token_count_ws(col) -> Column:
     thresholding on a minimum word count are unaffected (1 fails any
     sane floor); a caller needing a true 0 for blank docs must gate on
     length(trim(text)) explicitly."""
-    return F.size(words(col)).cast("long")
+    return token_count_ws_from(words(col))
 
 
 def token_count_bpe(col) -> Column:
@@ -86,12 +105,16 @@ def token_count_bpe(col) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("long")
 
 
-def stopword_ratio(col) -> Column:
-    """Fraction of whitespace tokens that are stopwords."""
-    w = words(col)
+def stopword_ratio_from(w) -> Column:
+    """``stopword_ratio`` over a precomputed words array column."""
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
     return (n_stop.cast("double") / F.size(w)).alias("stopword_ratio")
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    return stopword_ratio_from(words(col))
 
 
 def punct_ratio(col) -> Column:
@@ -113,14 +136,18 @@ def punct_ratio(col) -> Column:
     )
 
 
-def mean_word_len(col) -> Column:
-    w = words(col)
+def mean_word_len_from(w) -> Column:
+    """``mean_word_len`` over a precomputed words array column."""
     total = F.aggregate(
         F.transform(w, lambda x: F.length(x).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return total.cast("double") / F.size(w)
+
+
+def mean_word_len(col) -> Column:
+    return mean_word_len_from(words(col))
 
 
 def quality_score(col) -> Column:
@@ -133,9 +160,15 @@ def quality_score(col) -> Column:
     0.4 * length_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_presence.
     length_score saturates at 200 words; stop_presence rewards a sane
     stopword rate (natural text has some function words)."""
-    n_words = token_count_ws(col).cast("double")
+    return quality_score_from(col, words(col))
+
+
+def quality_score_from(col, w) -> Column:
+    """``quality_score`` with the words array precomputed (``col`` is
+    still needed raw for the punctuation ratio)."""
+    n_words = token_count_ws_from(w).cast("double")
     length_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
-    stop_presence = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    stop_presence = F.least(stopword_ratio_from(w) * 5.0, F.lit(1.0))
     return (
         0.4 * length_score + 0.3 * (1.0 - punct_ratio(col)) + 0.3 * stop_presence
     )

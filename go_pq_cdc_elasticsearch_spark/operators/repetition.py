@@ -198,12 +198,25 @@ def quality_gate(
     Adds ``q_keep`` plus the individual rule booleans so downstream audits
     can attribute drops to rules (the reference pipeline's DLQ-with-reason
     pattern applied to corpus filtering).
+
+    The words array is materialized in its own projection (r12): the
+    rule signals previously re-derived the tokenize chain ~5 times per
+    row (token count + mean length's two HOF references + stopword
+    ratio's two), and HOFs are CodegenFallback so the interpreted
+    evaluator re-runs the chain per reference — see
+    functions/text.py's ``*_from`` note.
     """
     from go_pq_cdc_elasticsearch_spark.functions import text as TX
 
+    if "__qg_words" in df.columns:
+        # reserved-name discipline (the merge_batch _BUCKET_COL rule):
+        # silently overwriting a caller column would corrupt its data
+        raise ValueError("quality_gate reserves the column name '__qg_words'")
     t = F.col(text_col)
-    n_words = TX.token_count_ws(t)
-    mean_len = TX.mean_word_len(t)
+    out = df.withColumn("__qg_words", TX.words(t))
+    w = F.col("__qg_words")
+    n_words = TX.token_count_ws_from(w)
+    mean_len = TX.mean_word_len_from(w)
     rules = {
         "r_min_words": n_words >= min_words,
         "r_max_words": n_words <= max_words,
@@ -212,11 +225,10 @@ def quality_gate(
         "r_symbols": TX.punct_ratio(t) <= max_symbol_ratio,
     }
     if require_stopword:
-        rules["r_stopword"] = TX.stopword_ratio(t) > 0.0
-    out = df
+        rules["r_stopword"] = TX.stopword_ratio_from(w) > 0.0
     keep = F.lit(True)
     for name, cond in sorted(rules.items()):
         cond = F.coalesce(cond, F.lit(False))
         out = out.withColumn(name, cond)
         keep = keep & cond
-    return out.withColumn("q_keep", keep)
+    return out.withColumn("q_keep", keep).drop("__qg_words")

@@ -875,10 +875,17 @@ def _budget_select_oracle() -> str:
 def q_l19(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_pq_cdc_elasticsearch_spark.operators.sampling import select_to_budget
 
+    # words staged once (r12): n_tok + quality_score referenced the
+    # tokenize chain 4x per row — see functions/text.py's *_from note
     docs = (
         load_table(spark, sf_dir, "documents")
-        .withColumn("n_tok", F.size(TX.words(F.col("text"))).cast("long"))
-        .withColumn("quality", pround(TX.quality_score(F.col("text")), 6))
+        .withColumn("__w", TX.words(F.col("text")))
+        .withColumn("n_tok", F.size(F.col("__w")).cast("long"))
+        .withColumn(
+            "quality",
+            pround(TX.quality_score_from(F.col("text"), F.col("__w")), 6),
+        )
+        .drop("__w")
     )
     kept = select_to_budget(
         docs, 5000, token_col="n_tok", rank_col="quality", partition_col="lang"
