@@ -110,15 +110,23 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
         _os.path, "dirname", lambda p: str(tmp_path), raising=True
     )
 
+    def gate(timings, sf, run_one):
+        # compose the r12 split (read -> gate -> write) exactly as
+        # bench.main does, so the scenario coverage stays end-to-end
+        recorded = bench._read_minimums(sf)
+        out = bench._regression_gate(timings, recorded, run_one)
+        bench._write_minimums(sf, recorded, timings)
+        return out
+
     # pass 1: no history -> no flags, no deltas, minimums recorded
     t1 = {"q_a": 1.0, "q_b": 0.5}
-    assert bench._regression_gate(t1, 0.01, lambda n: -1.0) == ({}, {})
+    assert gate(t1, 0.01, lambda n: -1.0) == ({}, {})
     hist = _json.loads((tmp_path / ".bench_minimums.json").read_text())
     assert hist["mins"] == {"q_a": 1.0, "q_b": 0.5}
 
     # noise burst: 4x slower but the confirming re-measure comes back fast
     t2 = {"q_a": 4.0, "q_b": 0.5}
-    flagged, deltas = bench._regression_gate(t2, 0.01, lambda n: 1.1)
+    flagged, deltas = gate(t2, 0.01, lambda n: 1.1)
     assert flagged == {}
     assert t2["q_a"] == 1.1  # re-measure folded into the timing
     # the delta table reflects the post-re-measure timing vs best prior
@@ -126,29 +134,27 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
 
     # genuine regression: re-measure confirms it
     t3 = {"q_a": 4.0, "q_b": 0.5}
-    flagged, deltas = bench._regression_gate(t3, 0.01, lambda n: 4.2)
+    flagged, deltas = gate(t3, 0.01, lambda n: 4.2)
     assert flagged == {"q_a": {"sec": 4.0, "min": 1.0}}
     assert deltas["q_a"] == 4.0
 
     # different fingerprint (sf changes) -> history discarded, no flags
     t4 = {"q_a": 9.0}
-    assert bench._regression_gate(t4, 0.1, lambda n: -1.0) == ({}, {})
+    assert gate(t4, 0.1, lambda n: -1.0) == ({}, {})
 
     # re-seed the 0.01 history (t4's 0.1 run rewrote the file under the
     # other fingerprint)
-    assert bench._regression_gate(
-        {"q_a": 1.0, "q_b": 0.5}, 0.01, lambda n: -1.0
-    ) == ({}, {})
+    assert gate({"q_a": 1.0, "q_b": 0.5}, 0.01, lambda n: -1.0) == ({}, {})
 
     # a failed run (timing -1) must NOT erase the recorded baseline: the
     # next run still compares against the surviving min and flags
     t5 = {"q_a": -1.0, "q_b": 0.5}
-    flagged, deltas = bench._regression_gate(t5, 0.01, lambda n: -1.0)
+    flagged, deltas = gate(t5, 0.01, lambda n: -1.0)
     assert flagged == {} and "q_a" not in deltas  # failed run: no delta
     hist = _json.loads((tmp_path / ".bench_minimums.json").read_text())
     assert hist["mins"]["q_a"] == 1.0  # baseline survived the bad run
     t6 = {"q_a": 4.0, "q_b": 0.5}
-    assert bench._regression_gate(t6, 0.01, lambda n: 4.2)[0] == {
+    assert gate(t6, 0.01, lambda n: 4.2)[0] == {
         "q_a": {"sec": 4.0, "min": 1.0}
     }
 
@@ -156,7 +162,7 @@ def test_bench_regression_gate(tmp_path, monkeypatch):
     # SPARK_GRAFT_CPUS=4 must not compare against local[32] history
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
     t7 = {"q_a": 9.0}
-    assert bench._regression_gate(t7, 0.01, lambda n: -1.0) == ({}, {})
+    assert gate(t7, 0.01, lambda n: -1.0) == ({}, {})
 
 
 def test_load_table_events_passes_through_superset_columns(spark, tmp_path):
