@@ -1446,24 +1446,47 @@ def q_lx1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so near-tied candidates can't swap rank on BLAS-vs-fold summation
     # noise (the q_l3 rule; emitting brute_force_topk's BLAS ranks
     # directly was the one top-k in the file violating it — review r5)
-    cand = SIM.brute_force_topk(emb, queries_df, k=20).select("qid", "vec_id")
-    c = emb.select("vec_id", F.col("embedding").alias("__cv"))
-    qv = queries_df.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    exact = (
-        cand.join(c, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "vec_id", "sim", "rank")
-        # pinned: three consumers below (semi-join, count, output) would
-        # otherwise each re-run the BLAS corpus pass
-        .localCheckpoint(eager=True)
-    )
-    approx = SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+    def _exact():
+        cand = SIM.brute_force_topk(emb, queries_df, k=20).select(
+            "qid", "vec_id"
+        )
+        c = emb.select("vec_id", F.col("embedding").alias("__cv"))
+        qv = queries_df.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        return (
+            cand.join(c, "vec_id")
+            .join(F.broadcast(qv), "qid")
+            .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "vec_id", "sim", "rank")
+            # pinned: three consumers below (semi-join, count, output)
+            # would otherwise each re-run the BLAS corpus pass
+            .localCheckpoint(eager=True)
+        )
+
+    def _approx():
+        return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+
+    # The exact twin's materialization (BLAS corpus pass + re-rank join +
+    # eager checkpoint) and the IVF build's driver-synchronous jobs
+    # (TakeOrdered training sample, query collect) are INDEPENDENT serial
+    # chains — running them sequentially stacked ~10 driver round trips
+    # end to end. Two threads submit them concurrently and the scheduler
+    # interleaves (the q_lx4 two-leg pattern, optimization guide §2.6);
+    # both legs are deterministic functions of the same inputs, so the
+    # result is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(_exact)
+        f_approx = pool.submit(_approx)
+        exact = f_exact.result()
+        approx = f_approx.result()
     n_hit = exact.join(
         approx.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
     ).agg(F.count(F.lit(1)).alias("n_hit"))
