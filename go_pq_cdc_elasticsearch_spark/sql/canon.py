@@ -40,12 +40,26 @@ from pyspark.sql import types as T
 NULL_SENTINEL = "ø"
 
 
-def _spark_cell(field: T.StructField):
-    c = F.col(field.name)
+def _spark_cell_sql(field: T.StructField) -> str:
+    """Canonical cell form as ONE Spark-SQL expression string.
+
+    SQL text instead of a Column tree (r13): the Column form crossed py4j
+    ~40-300 times per float column (every when/floor/concat is a round
+    trip), and the fold builds 52 of these summaries per cycle — measured
+    as a material share of the q_sx driver-side construction floor. One
+    ``F.expr`` parses the identical expression in a single round trip.
+    Semantics are pinned by the per-type parity tests
+    (tests/test_oracle_suite.py: cell-vs-DuckDB string equality across the
+    float magnitude ladder) and by every folded oracle checksum.
+
+    All numeric literals carry the ``D`` suffix: bare ``10000.0`` parses
+    as DECIMAL in Spark SQL, which would change the arithmetic the float
+    ladder's portability proof depends on (exact double ops only)."""
+    c = f"`{field.name}`"
     t = field.dataType
     if isinstance(t, (T.FloatType, T.DoubleType)):
-        d = c.cast("double")
-        scaled = F.floor(d * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+        d = f"CAST({c} AS DOUBLE)"
+        scaled = f"CAST(CAST(floor({d} * 10000.0D + 0.5D) AS BIGINT) AS STRING)"
         # |x| >= 9e14 would overflow the x*1e4 BIGINT — above that, 4dp is
         # noise anyway, so the canonical form degrades to a scaled integer.
         # Engine traps that rule out the obvious forms: Spark's
@@ -61,38 +75,34 @@ def _spark_cell(field: T.StructField):
         # identical division, identical floor, identical long in both
         # engines; past 9e36 the form collapses to a sign bucket
         # (deterministic; DECIMAL overflow there was an error anyway).
-        def _rung(div: float | None, tag: str):
-            q = F.floor(d / F.lit(div)).cast("long") if div else F.floor(d).cast("long")
-            return F.concat(F.lit(tag), q.cast("string"))
+        def _rung(div: str | None, tag: str) -> str:
+            q = f"floor({d} / {div})" if div else f"floor({d})"
+            return f"concat('{tag}', CAST(CAST({q} AS BIGINT) AS STRING))"
 
         big = (
-            F.when(F.abs(d) < F.lit(9.0e18), _rung(None, "e0:"))
-            .when(F.abs(d) < F.lit(9.0e24), _rung(1.0e6, "e6:"))
-            .when(F.abs(d) < F.lit(9.0e30), _rung(1.0e12, "e12:"))
-            .when(F.abs(d) < F.lit(9.0e36), _rung(1.0e18, "e18:"))
-            .otherwise(
-                F.concat(
-                    F.lit("huge:"),
-                    F.when(d > 0, F.lit("+")).otherwise(F.lit("-")),
-                )
-            )
+            f"CASE WHEN abs({d}) < 9.0E18D THEN {_rung(None, 'e0:')} "
+            f"WHEN abs({d}) < 9.0E24D THEN {_rung('1.0E6D', 'e6:')} "
+            f"WHEN abs({d}) < 9.0E30D THEN {_rung('1.0E12D', 'e12:')} "
+            f"WHEN abs({d}) < 9.0E36D THEN {_rung('1.0E18D', 'e18:')} "
+            f"ELSE concat('huge:', CASE WHEN {d} > 0 THEN '+' ELSE '-' END) "
+            f"END"
         )
         s = (
-            F.when(F.isnan(d), F.lit("NaN"))
-            .when(d == F.lit(float("inf")), F.lit("Inf"))
-            .when(d == F.lit(float("-inf")), F.lit("-Inf"))
-            .when(F.abs(d) >= F.lit(9.0e14), big)
-            .otherwise(scaled.cast("string"))
+            f"CASE WHEN isnan({d}) THEN 'NaN' "
+            f"WHEN {d} = CAST('Infinity' AS DOUBLE) THEN 'Inf' "
+            f"WHEN {d} = CAST('-Infinity' AS DOUBLE) THEN '-Inf' "
+            f"WHEN abs({d}) >= 9.0E14D THEN {big} "
+            f"ELSE {scaled} END"
         )
     elif isinstance(t, T.DecimalType) or isinstance(
         t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
     ):
-        s = c.cast("string")
+        s = f"CAST({c} AS STRING)"
     elif isinstance(t, T.DateType):
-        s = F.date_format(c, "yyyy-MM-dd")
+        s = f"date_format({c}, 'yyyy-MM-dd')"
     elif isinstance(t, T.TimestampNTZType):
         # NTZ renders the wall time directly — no session-zone conversion
-        s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        s = f"date_format({c}, 'yyyy-MM-dd HH:mm:ss')"
     elif isinstance(t, T.TimestampType):
         # INSTANT timestamps are rejected: date_format renders them
         # through the SESSION zone while the DuckDB twin renders the naive
@@ -109,18 +119,33 @@ def _spark_cell(field: T.StructField):
         s = c
     else:
         raise TypeError(f"no canonical form for column {field.name}: {t}")
-    return F.coalesce(s, F.lit(NULL_SENTINEL))
+    return f"coalesce({s}, '{NULL_SENTINEL}')"
+
+
+def _spark_cell(field: T.StructField):
+    """Column form of the canonical cell (tests and expression contexts);
+    delegates to the SQL text so the two can never drift."""
+    return F.expr(_spark_cell_sql(field))
 
 
 def spark_canon_summary(df: DataFrame, part: str) -> DataFrame:
-    """Reduce a result DataFrame to one (part, n_rows, checksum) row."""
+    """Reduce a result DataFrame to one (part, n_rows, checksum) row.
+
+    Built as two ``selectExpr`` calls over generated SQL text (r13): the
+    Column-tree form paid hundreds of py4j round trips per part — see
+    ``_spark_cell_sql``. The expressions are identical; only how they
+    reach the JVM changed."""
     fields = sorted(df.schema.fields, key=lambda f: f.name)
-    row_str = F.concat_ws("|", *[_spark_cell(f) for f in fields])
-    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
-    return df.select(h.alias("h")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("checksum"),
-    ).select(F.lit(part).alias("part"), "n_rows", "checksum")
+    cells = ", ".join(_spark_cell_sql(f) for f in fields)
+    h = (
+        f"CAST(conv(substring(md5(concat_ws('|', {cells})), 1, 8), 16, 10) "
+        f"AS BIGINT)"
+    )
+    return df.selectExpr(f"{h} AS h").selectExpr(
+        f"'{part}' AS part",
+        "count(1) AS n_rows",
+        "CAST(coalesce(sum(h), 0) AS BIGINT) AS checksum",
+    )
 
 
 def _duck_cell(name: str, duck_type: str) -> str:
