@@ -354,12 +354,23 @@ def run(out) -> int:
     except Exception as e:  # noqa: BLE001
         print(f"bench: streaming throughput extra failed: {e}", file=sys.stderr)
 
+    from go_pq_cdc_elasticsearch_spark.session import cpu_count
+
     payload = {
         "metric": "declared_query_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the bench DOES honor $SPARK_GRAFT_CPUS (session.py master/shuffle
+        # partitions; adjudicated r12 — `suspect_cpus_ignored` was a false
+        # flag): emit the resolved parallelism so the artifact is explicit.
+        "cpus": cpu_count(),
+        # at sf<=0.1 every query is sub-second-to-few-seconds and the wall
+        # is dominated by fixed driver/job overhead (measured r12: the
+        # 8-core suite total BEAT the 32-core one) — cross-cpu ratios at
+        # this scale reflect driver latency, not compute scaling
+        "scale_valid": bool(sf is not None and sf > 0.1),
         # per-run spread (VERDICT r9 item 1): each back-to-back
         # pass's full-suite wall; `value` is the sum of per-query
         # minimums across the passes
@@ -380,11 +391,21 @@ def run(out) -> int:
     # 2000-char TAIL of stdout, so BENCH_r*.json's `parsed` field has been
     # null every round and the per-query map was partly lost. The full
     # payload is also written next to bench.py where it survives verbatim.
+    # Per-run-named copy too (r13, VERDICT r12 item 2): LAST is overwritten
+    # by every invocation — the driver's 8-core scaling pass clobbered the
+    # builder's committed calm-window session in r12. bench_sessions/ keeps
+    # one timestamped file per run (cpus+sf in the name, so the scaling
+    # pass and the main pass never collide).
     try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL_LAST.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+        sess_dir = os.path.join(here, "bench_sessions")
+        os.makedirs(sess_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
         with open(
             os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_LOCAL_LAST.json",
+                sess_dir, f"bench_{stamp}_c{payload['cpus']}_sf{sf}.json"
             ),
             "w",
         ) as f:
