@@ -1029,3 +1029,105 @@ def test_deduper_fence_blocks_zombie_kept_merges(spark, tmp_path):
         a.dedup_batch(
             docs.withColumn("doc_id", docs.doc_id + 1), empty, epoch_id=1
         )
+
+
+def test_band_index_autosize_scales_past_old_cap(spark):
+    """A large first batch must size the layout from the data, not from a
+    one-box cap: ceil(rows/target) buckets even when that exceeds the old
+    256 default (VERDICT r12 item 5 — the docstring's own n_buckets >>
+    batch-hash-count rule at corpus scale). target_rows_per_bucket=1
+    stands in for 'rows >> 256 * target' without writing millions of
+    rows; the formula is the thing under test."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        _BandSegmentIndex,
+    )
+
+    work = tempfile.mkdtemp(prefix="bsi_autosize_")
+    idx = _BandSegmentIndex(
+        spark, os.path.join(work, "bands"), target_rows_per_bucket=1
+    )
+    bands = spark.range(300).select(
+        (F.col("id") % 8).cast("int").alias("band_idx"),
+        F.col("id").alias("band_hash"),
+        F.col("id").alias("doc_id"),
+    )
+    idx.append_batch(bands, epoch_id=0)
+    assert idx.n_buckets == 300  # past the old 256 cap, == ceil(300/1)
+    # reopen adopts the sized layout from meta
+    again = _BandSegmentIndex(spark, os.path.join(work, "bands"))
+    assert again.n_buckets == 300
+    # every appended row is readable back through the sized layout
+    state = idx.read_buckets()
+    assert state.count() == 300
+
+
+def test_compact_guard_names_outstanding_lazy_results(spark, sf_dir):
+    """compact() during an outstanding eager=False result must fail with
+    the NAMED error (r11 item 1 — previously a docstring contract whose
+    violation surfaced as an executor FileNotFoundError mid-job), and the
+    settle/force paths must both unblock it."""
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        LazyResultsOutstandingError,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 120)
+    work = tempfile.mkdtemp(prefix="lshidx_guard_")
+    idx = LshDedupIndex(spark, os.path.join(work, "idx"), jaccard_threshold=TAU)
+    lazy = idx.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 0), corpus=docs, epoch_id=0,
+        eager=False,
+    )
+    with pytest.raises(LazyResultsOutstandingError, match="epochs \\[0\\]"):
+        idx.compact()
+    rows = lazy.collect()  # materialize, then declare settled
+    idx.settle_lazy_results()
+    idx.compact()  # no raise
+    # the settled pairs survive compaction on the next wave's probe
+    got = {
+        (r["id1"], r["id2"])
+        for r in idx.process_batch(
+            docs.filter(F.col("doc_id") % 2 == 1), corpus=docs, epoch_id=1
+        ).collect()
+    } | {(r["id1"], r["id2"]) for r in rows}
+    assert got == _batch_verified_pairs(docs)
+    # force=True bypasses (caller asserts materialization)
+    idx.process_batch(
+        docs.limit(5), corpus=docs, epoch_id=2, eager=False
+    ).collect()
+    idx.compact(force=True)
+
+
+def test_foreach_writer_auto_compacts(spark, sf_dir):
+    """The streaming writer must bound both growth axes with no manual
+    maintenance call: after auto_compact_batches epochs, band segment
+    files per bucket collapse to 1 and prior corpus epoch dirs merge."""
+    import glob
+
+    from go_pq_cdc_elasticsearch_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 160)
+    work = tempfile.mkdtemp(prefix="dedup_autoc_")
+    corpus_path = os.path.join(work, "corpus")
+    d = IncrementalDeduper(spark, os.path.join(work, "idx"), jaccard_threshold=TAU)
+    write = d.foreach_batch_writer(corpus_path, auto_compact_batches=2)
+    for i, m in enumerate((0, 1, 2, 3)):
+        write(docs.filter(F.col("doc_id") % 4 == m), epoch_id=i)
+    # compaction fired at epochs 1 and 3: every band bucket is one file
+    counts = d.view.segment_counts()
+    assert counts and max(counts.values()) == 1
+    # corpus epochs at/below the frontier merged into one dir (the last
+    # in-flight epoch keeps its own name only until the NEXT compact)
+    epoch_dirs = [
+        p for p in glob.glob(os.path.join(corpus_path, "epoch=*"))
+    ]
+    assert len(epoch_dirs) <= 2
+    # the kept corpus content is intact through the merges
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(*epoch_dirs).select("doc_id").collect()
+    }
+    assert kept_ids == {
+        r["doc_id"] for r in d.kept.read().select("doc_id").collect()
+    }
