@@ -143,11 +143,21 @@ def _combo(parts: list[str]):
         # 16 measured best on local[32] (r12 A/B, interleaved 12/16/22
         # reps, minima: 12→7.14 s, 16→6.55 s, 22→6.89 s on the calm
         # session; under induced load 16 beat 12 in 3 of 4 same-window
-        # head-to-heads). With 22 parts and 12 workers the last wave ran
-        # ~2-wide and stretched the fold wall past its slowest part.
+        # head-to-heads). Re-validated r13 with controlled INTERLEAVED
+        # SESSIONS on a calm host (16/12/16/12, warm fold-sum minima:
+        # 10.29/10.33/10.57/10.72 s): 16 vs 12 is inside noise with 16
+        # never behind — the delta is evidenced-neutral, kept at 16.
         # Env-tunable for other core counts; sized like any concurrent-job
         # fan-out (optimization guide §2.6: enough to fill the tail, not
         # so many that they fight for executors).
+        # Plain threads (not pyspark.InheritableThread): under pinned-
+        # thread mode they do NOT inherit the caller's job group/job
+        # description, so per-query bench attribution and job-group
+        # cancellation don't cover the parts' jobs (ADVICE r12 — the same
+        # limitation applies to the q_lx4/q_lx1 two-leg pools, which copy
+        # this pattern). Accepted: parts set no descriptions of their own,
+        # the fold is the timing unit, and InheritableThread would add a
+        # py4j round trip per thread start on the hottest driver path.
         n_workers = int(os.environ.get("SPARK_GRAFT_FOLD_WORKERS", "16"))
         try:
             with ThreadPoolExecutor(

@@ -36,8 +36,16 @@ HEAVY = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or HEAVY
-    n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
+    # clamped (ADVICE r12): SPARK_GRAFT_PROBE_RUNS=0 crashed the minima
+    # print on an empty dict after a full Spark startup
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2")))
     known = {**REGISTRY, **EXT_REGISTRY}
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        # validate BEFORE Spark startup (ADVICE r12): a typo'd argv name
+        # raised a bare KeyError mid-run after warm-up
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
 
     spark = get_spark("probe_ext_r12")
     spark.sparkContext.setLogLevel("ERROR")
