@@ -29,6 +29,48 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Schema cache, keyed on the source file fingerprint (r13). Measured: every
+# bare spark.read.parquet() launches a schema-INFERENCE Spark job — ~113 ms
+# and one driver-synced job per load vs ~20 ms and zero jobs with an
+# explicit schema — and the engine loads tables 1-3x per query invocation
+# (62 loads per EXT fold cycle alone), so re-inferring per invocation was
+# one of the largest fixed costs in every small query's wall. A real
+# deployment holds table schemas in a catalog/metastore and never re-infers
+# per query; this dict is that catalog. Scope and rules (the staged_events
+# convention): process-wide, in-memory only, deterministic metadata (column
+# names/types, never data or plans), keyed on (path, mtime, size) so an
+# in-place regeneration re-infers. Every action still lists, reads and
+# computes over the parquet bytes in full — only the per-invocation footer
+# re-inference job is gone.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _source_fingerprint(p: str) -> tuple:
+    try:
+        if os.path.isdir(p):
+            parts = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if not f.startswith(".")
+            )
+            return tuple(
+                (f, os.path.getmtime(f), os.path.getsize(f)) for f in parts
+            )
+        return (p, os.path.getmtime(p), os.path.getsize(p))
+    except OSError:
+        return ("missing",)
+
+
+def _read_with_cached_schema(spark: SparkSession, p: str) -> DataFrame:
+    key = (p,) + _source_fingerprint(p)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(p)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(p)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as TIMESTAMP(NANOS) (round 1) and as plain
@@ -42,7 +84,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        # cache-miss inference runs under the conf just set, so the cached
+        # schema is the conf-true shape either way (long for ns files,
+        # timestamp_ntz for us files); execution-time decoding of ns files
+        # needs the conf too, which the ns branch below keeps set exactly
+        # as before
+        df = _read_with_cached_schema(spark, table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
             # genuinely NANOS data: the conf must STAY set (execution
             # re-reads footers under the current conf). Reassemble to
@@ -84,7 +131,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         known = ["event_id", "ts", "user_id", "event_type", "value", "props"]
         extras = [c for c in df.columns if c not in known]
         return df.select(*known, *extras)
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read_with_cached_schema(spark, table_path(sf_dir, name))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

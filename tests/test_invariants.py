@@ -191,3 +191,36 @@ def test_load_table_events_passes_through_superset_columns(spark, tmp_path):
     ]
     assert "zz_extra" in df.columns
     assert df.select("zz_extra").first()[0] == "x"
+
+
+def test_load_table_schema_cache_invalidates_on_regeneration(spark, tmp_path):
+    """The r13 catalog schema cache must be fingerprint-keyed: an IN-PLACE
+    regeneration of a table file (the driver regenerates testdata between
+    rounds; variant flows rewrite within one process) must re-infer, never
+    serve the stale schema — and a cache hit must read the same data."""
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{name}.parquet", str(d))
+    p = str(d / "region.parquet")
+    cold = load_table(spark, str(d), "region")
+    warm = load_table(spark, str(d), "region")  # cache hit
+    assert warm.schema == cold.schema
+    assert sorted(map(tuple, warm.collect())) == sorted(
+        map(tuple, cold.collect())
+    )
+    # regenerate in place with a DIFFERENT schema (extra column)
+    t = pq.read_table(p)
+    t = t.append_column("zz_new", pa.array(["y"] * t.num_rows))
+    _time.sleep(0.02)  # ensure a distinct mtime even on coarse clocks
+    pq.write_table(t, p)
+    again = load_table(spark, str(d), "region")
+    assert "zz_new" in again.columns  # stale schema would miss it
+    assert again.select("zz_new").first()[0] == "y"
